@@ -1,0 +1,51 @@
+"""Local mirror of the driver's Spark-vs-DuckDB comparison, so oracle
+mismatches are caught in pytest before the driver's per-round gate."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pandas as pd
+
+from vector_database_in_rust_spark.schemas import TABLE_NAMES
+
+
+def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for name in TABLE_NAMES:
+        con.sql(
+            f"CREATE VIEW {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'"
+        )
+    return con
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> None:
+    got = _canon(spark_df.toPandas())
+    want = _canon(con.sql(sql).df())
+    assert list(got.columns) == list(want.columns), (
+        f"column mismatch: spark={list(got.columns)} oracle={list(want.columns)}"
+    )
+    assert len(got) == len(want), f"row count: spark={len(got)} oracle={len(want)}"
+    for c in got.columns:
+        g, w = got[c], want[c]
+        if pd.api.types.is_float_dtype(g) or pd.api.types.is_float_dtype(w):
+            for i, (a, b) in enumerate(zip(g.astype(float), w.astype(float))):
+                ok = (math.isnan(a) and math.isnan(b)) or math.isclose(
+                    a, b, rel_tol=0, abs_tol=1e-9
+                )
+                assert ok, f"col {c} row {i}: spark={a!r} oracle={b!r}"
+        else:
+            mism = (g.astype(str) != w.astype(str))
+            assert not mism.any(), (
+                f"col {c}: first mismatch row {mism.idxmax()}: "
+                f"spark={g[mism.idxmax()]!r} oracle={w[mism.idxmax()]!r}"
+            )

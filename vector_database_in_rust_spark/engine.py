@@ -1,0 +1,142 @@
+"""Engine facade — the Spark analogue of the reference's Python API.
+
+Reference surface (``src/lib.rs:310-353``)::
+
+    db = VectorDB(file_path, dimensions, m, ef_construction)  # lib.rs:318
+    db.build_index(start_id, end_id)                          # lib.rs:336
+    db.search(query, k) -> list[(id, dist)]                   # lib.rs:344
+    db.len() -> int                                           # lib.rs:350
+
+Engine surface::
+
+    eng = VectorEngine(spark, path_or_df, dimensions=64)
+    eng.count()                                  # == len()
+    eng.search_exact(query, k)                   # == VectorStore::search_knn
+    eng.build_index(num_cells=..., start_id=..., end_id=...)  # == build_index
+    eng.search(query, k, nprobe=...)             # == HnswIndex::search
+    eng.search_batch(queries_df, k)              # bulk generalization
+
+Differences are deliberate and documented: (M, ef_construction) become
+(num_cells, nprobe) — see operators/ann.py; results come back as
+DataFrames (compose further) with ``.to_pairs()`` giving the reference's
+``[(id, dist), ...]`` shape.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vector_database_in_rust_spark.operators import knn as knn_ops
+from vector_database_in_rust_spark.operators.ann import IVFIndex
+from vector_database_in_rust_spark.operators.validate import (
+    add_vectors,
+    validate_dims,
+)
+from vector_database_in_rust_spark.schemas import DEFAULT_DIM
+from vector_database_in_rust_spark.sources.binary import read_raw_f32
+
+
+def to_pairs(result: DataFrame) -> list[tuple[int, float]]:
+    """DataFrame -> the reference's ``Vec<(usize, f32)>`` return shape
+    (``src/lib.rs:344-347``)."""
+    return [(r["vec_id"], r["dist"]) for r in result.collect()]
+
+
+class VectorEngine:
+    """A vector store + (optional) ANN index over a Spark DataFrame."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        source: str | DataFrame,
+        *,
+        dimensions: int = DEFAULT_DIM,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        raw_binary: bool = False,
+    ):
+        self.spark = spark
+        self.dimensions = dimensions
+        self.id_col = id_col
+        self.vec_col = vec_col
+        if isinstance(source, DataFrame):
+            self.df = source
+        elif raw_binary:
+            # Reference-format store (src/disk_store.rs:14-36).
+            self.df = read_raw_f32(spark, source, dimensions)
+        else:
+            self.df = spark.read.parquet(source)
+        self.index: IVFIndex | None = None
+
+    # -- store ops --------------------------------------------------------
+
+    def count(self) -> int:
+        """== ``VectorDB.len()`` (src/lib.rs:350-352)."""
+        return self.df.count()
+
+    def validate(self) -> DataFrame:
+        return validate_dims(self.df, self.dimensions, vec_col=self.vec_col)
+
+    def add(self, new: DataFrame) -> "VectorEngine":
+        """== ``add_vector`` (src/lib.rs:62-72): dimension-checked append."""
+        self.df = add_vectors(self.df, new, self.dimensions)
+        self.index = None  # the reference also indexes only post-ingest
+        return self
+
+    # -- exact search (src/lib.rs:74-97) ----------------------------------
+
+    def search_exact(self, query: Sequence[float], k: int) -> DataFrame:
+        return knn_ops.knn_exact(
+            self.df, query, k, id_col=self.id_col, vec_col=self.vec_col
+        )
+
+    # -- ANN index (src/lib.rs:126-302 -> IVF) ----------------------------
+
+    def build_index(
+        self,
+        *,
+        num_cells: int | None = None,
+        start_id: int | None = None,
+        end_id: int | None = None,
+        seed: int = 42,
+    ) -> "VectorEngine":
+        """== ``build_index(start, end)`` (src/lib.rs:336-341). The
+        [start, end) range filter is kept for API parity; default is the
+        whole store."""
+        corpus = self.df
+        if start_id is not None or end_id is not None:
+            lo = start_id or 0
+            cond = F.col(self.id_col) >= lo
+            if end_id is not None:
+                cond = cond & (F.col(self.id_col) < end_id)
+            corpus = corpus.filter(cond)
+        self.index = IVFIndex.build(
+            corpus,
+            num_cells=num_cells,
+            seed=seed,
+            id_col=self.id_col,
+            vec_col=self.vec_col,
+        )
+        return self
+
+    def search(
+        self, query: Sequence[float], k: int, *, nprobe: int = 8
+    ) -> DataFrame:
+        """== ``VectorDB.search`` (src/lib.rs:344-347): ANN when an index
+        exists, exact brute force otherwise (the reference errors instead;
+        graceful fallback is strictly more useful)."""
+        if self.index is None:
+            return self.search_exact(query, k)
+        return self.index.search(query, k, nprobe=nprobe)
+
+    def search_batch(
+        self, queries: DataFrame, k: int, *, nprobe: int = 8
+    ) -> DataFrame:
+        if self.index is None:
+            return knn_ops.knn_batch(
+                self.df, queries, k, id_col=self.id_col, vec_col=self.vec_col
+            )
+        return self.index.search_batch(queries, k, nprobe=nprobe)

@@ -1,0 +1,261 @@
+"""Approximate nearest neighbor: IVF coarse quantization + LSH.
+
+Replaces the reference's HNSW graph (``src/lib.rs:100-302``). HNSW is a
+sequential, order-dependent, RNG-dependent pointer-chasing structure —
+the single part of the reference that fundamentally does not parallelize
+(every ``insert`` mutates the graph built by all previous inserts,
+``src/lib.rs:228-302``). The idiomatic cluster-parallel ANN design is IVF
+(inverted file / coarse quantization, cf. Faiss IVF, Johnson et al. 2017,
+"Billion-scale similarity search with GPUs"):
+
+- **build** (== ``build_index``, src/lib.rs:336-341): KMeans over (a
+  sample of) the corpus -> ``num_cells`` centroids; assign every vector to
+  its nearest centroid; persist as Parquet *partitioned by cell_id*.
+  Embarrassingly parallel, deterministic under a fixed seed — unlike the
+  reference's RNG level draws (src/lib.rs:144-150), so the index is
+  reproducible AND persistable (the reference never persists its graph).
+- **search** (== ``HnswIndex::search``, src/lib.rs:152-169): rank
+  centroids by distance to the query (a tiny ``num_cells x dim``
+  computation), probe the ``nprobe`` nearest cells only — partition
+  pruning on the cell-partitioned Parquet skips everything else — then
+  exact re-rank with ``orderBy(dist).limit(k)``. ``nprobe`` is the
+  recall/latency knob, playing the role of HNSW's ``ef``
+  (src/lib.rs:164).
+
+Parameter mapping: reference knobs (M, ef_construction) bound graph
+degree; IVF's analogues are ``num_cells ~ sqrt(N)`` and ``nprobe``.
+
+Scale notes (100 TB, ~1e11 vectors):
+- centroid table stays tiny (sqrt(1e11) ~ 3e5 cells x dim floats — MBs),
+  always broadcastable;
+- the probe reads nprobe/num_cells of the data: with 32 probes over 3e5
+  cells that is ~0.01% of 100 TB per query — same contract as HNSW's
+  "examine << N candidates" (readme.md:17);
+- batch search shuffles only scored (query_id, vec_id, dist) triples.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from vector_database_in_rust_spark.functions.vectors import l2_squared
+from vector_database_in_rust_spark.operators.knn import knn_exact
+
+DEFAULT_SEED = 42
+
+
+def _num_cells_default(n: int) -> int:
+    return int(max(1, min(4096, round(np.sqrt(max(n, 1))))))
+
+
+class IVFIndex:
+    """IVF coarse-quantization index over an embedding DataFrame.
+
+    The "index" is plain data: a centroid matrix (driver-side numpy, tiny)
+    plus a cell-assignment DataFrame — both persistable as Parquet, which
+    the reference cannot do at all (its graph dies with the process).
+    """
+
+    def __init__(
+        self,
+        centroids: np.ndarray,
+        assignments: DataFrame,
+        *,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ):
+        self.centroids = np.asarray(centroids, dtype=np.float64)
+        self.assignments = assignments
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    # -- build (replaces build_index, src/lib.rs:336-341) -----------------
+
+    @classmethod
+    def build(
+        cls,
+        corpus: DataFrame,
+        *,
+        num_cells: int | None = None,
+        seed: int = DEFAULT_SEED,
+        max_fit_rows: int = 200_000,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> "IVFIndex":
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        n = corpus.count()
+        k = num_cells or _num_cells_default(n)
+        feat = corpus.select(
+            F.col(id_col),
+            F.col(vec_col),
+            array_to_vector(F.col(vec_col).cast("array<double>")).alias("_features"),
+        )
+        # Fit on a bounded sample: KMeans quality needs representative
+        # data, not all of it; assignment below touches every row exactly
+        # once. This keeps the iterative fit O(sample) at 100 TB.
+        fit_df = feat
+        if n > max_fit_rows:
+            fit_df = feat.sample(fraction=max_fit_rows / n, seed=seed)
+        model = KMeans(
+            k=k, seed=seed, featuresCol="_features", predictionCol="cell_id"
+        ).fit(fit_df)
+        assignments = (
+            model.transform(feat)
+            .select(id_col, vec_col, F.col("cell_id").cast("int"))
+        )
+        centroids = np.vstack([np.asarray(c) for c in model.clusterCenters()])
+        return cls(centroids, assignments, id_col=id_col, vec_col=vec_col)
+
+    # -- persistence (absent in the reference; free here) -----------------
+
+    def save(self, spark: SparkSession, path: str) -> None:
+        self.assignments.write.mode("overwrite").partitionBy("cell_id").parquet(
+            f"{path}/assignments"
+        )
+        cent = [
+            (int(i), [float(x) for x in row]) for i, row in enumerate(self.centroids)
+        ]
+        spark.createDataFrame(cent, "cell_id INT, centroid ARRAY<DOUBLE>").coalesce(
+            1
+        ).write.mode("overwrite").parquet(f"{path}/centroids")
+
+    @classmethod
+    def load(
+        cls,
+        spark: SparkSession,
+        path: str,
+        *,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> "IVFIndex":
+        cent_rows = (
+            spark.read.parquet(f"{path}/centroids").orderBy("cell_id").collect()
+        )
+        centroids = np.vstack([np.asarray(r["centroid"]) for r in cent_rows])
+        assignments = spark.read.parquet(f"{path}/assignments")
+        return cls(centroids, assignments, id_col=id_col, vec_col=vec_col)
+
+    # -- search (replaces HnswIndex::search, src/lib.rs:152-169) ----------
+
+    def _probe_cells(self, query: np.ndarray, nprobe: int) -> list[int]:
+        d = ((self.centroids - np.asarray(query, dtype=np.float64)) ** 2).sum(axis=1)
+        order = np.argsort(d, kind="stable")[: max(1, nprobe)]
+        return [int(c) for c in order]
+
+    def search(self, query, k: int, *, nprobe: int = 8) -> DataFrame:
+        """Single-query ANN: probe nprobe cells, exact re-rank to top-k.
+
+        The cell filter is a pushed-down ``cell_id IN (...)`` predicate —
+        on cell-partitioned Parquet that is partition pruning, the IVF
+        analogue of HNSW skipping unvisited graph regions.
+        """
+        cells = self._probe_cells(query, nprobe)
+        cand = self.assignments.filter(F.col("cell_id").isin(cells))
+        return knn_exact(cand, list(map(float, query)), k,
+                         id_col=self.id_col, vec_col=self.vec_col)
+
+    def search_batch(
+        self,
+        queries: DataFrame,
+        k: int,
+        *,
+        nprobe: int = 8,
+        query_id_col: str = "query_id",
+        query_vec_col: str = "query_embedding",
+        round_digits: int | None = 4,
+    ) -> DataFrame:
+        """Batch ANN, fully declarative (no driver-side per-query loop):
+
+        1. queries x centroids (broadcast both; the product is
+           |queries| * num_cells scored rows) -> top-nprobe cells/query;
+        2. candidates = assignments semi-joined on probed cells;
+        3. per-query exact re-rank via ranking window.
+        """
+        spark = queries.sparkSession
+        cent = [
+            (int(i), [float(x) for x in row]) for i, row in enumerate(self.centroids)
+        ]
+        cent_df = spark.createDataFrame(cent, "cell_id INT, centroid ARRAY<DOUBLE>")
+        qc = queries.join(F.broadcast(cent_df), how="cross").select(
+            query_id_col,
+            query_vec_col,
+            "cell_id",
+            l2_squared(F.col(query_vec_col), F.col("centroid")).alias("_cd"),
+        )
+        wp = Window.partitionBy(query_id_col).orderBy("_cd", "cell_id")
+        probed = (
+            qc.withColumn("_pr", F.row_number().over(wp))
+            .filter(F.col("_pr") <= nprobe)
+            .select(query_id_col, query_vec_col, "cell_id")
+        )
+        cand = self.assignments.join(
+            F.broadcast(probed), on="cell_id", how="inner"
+        )
+        dist = l2_squared(F.col(self.vec_col), F.col(query_vec_col))
+        if round_digits is not None:
+            dist = F.round(dist, round_digits)
+        scored = cand.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(self.id_col).alias("vec_id"),
+            dist.alias("dist"),
+        )
+        w = Window.partitionBy("query_id").orderBy("dist", "vec_id")
+        return (
+            scored.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") <= k)
+            .drop("_r")
+            .orderBy("query_id", "dist", "vec_id")
+        )
+
+    def cell_stats(self) -> DataFrame:
+        """Index structure summary — the IVF analogue of the reference's
+        graph-structure checks (node count, degree bounds,
+        src/lib.rs:394-406, 455-460): every vector in exactly one cell."""
+        return (
+            self.assignments.groupBy("cell_id")
+            .agg(F.count(F.lit(1)).alias("n_vectors"))
+            .orderBy("cell_id")
+        )
+
+
+class LSHIndex:
+    """Euclidean LSH alternative (stock pyspark.ml
+    BucketedRandomProjectionLSH) behind the same search interface —
+    SURVEY.md §7 M5 keeps both, picked by measured recall/latency."""
+
+    def __init__(self, corpus: DataFrame, *, bucket_length: float = 4.0,
+                 num_hash_tables: int = 4, seed: int = DEFAULT_SEED,
+                 id_col: str = "vec_id", vec_col: str = "embedding"):
+        from pyspark.ml.feature import BucketedRandomProjectionLSH
+        from pyspark.ml.functions import array_to_vector
+
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self._feat = corpus.select(
+            F.col(id_col),
+            array_to_vector(F.col(vec_col).cast("array<double>")).alias("_features"),
+        )
+        self._lsh = BucketedRandomProjectionLSH(
+            inputCol="_features",
+            outputCol="_hashes",
+            bucketLength=bucket_length,
+            numHashTables=num_hash_tables,
+            seed=seed,
+        ).fit(self._feat)
+        self._hashed = self._lsh.transform(self._feat)
+
+    def search(self, query, k: int) -> DataFrame:
+        from pyspark.ml.linalg import Vectors
+
+        res = self._lsh.approxNearestNeighbors(
+            self._hashed, Vectors.dense([float(x) for x in query]), k,
+            distCol="_eucl"
+        )
+        return res.select(
+            F.col(self.id_col).alias("vec_id"),
+            F.round(F.col("_eucl") * F.col("_eucl"), 4).alias("dist"),
+        ).orderBy("dist", "vec_id")

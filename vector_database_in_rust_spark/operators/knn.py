@@ -1,0 +1,138 @@
+"""Exact k-nearest-neighbor operators.
+
+Reference parity:
+- ``knn_exact`` == ``VectorStore::search_knn`` (src/lib.rs:74-97): scan all
+  vectors, keep the k closest by squared L2, return ascending. The
+  reference uses a bounded max-heap; ``orderBy(dist).limit(k)`` compiles to
+  Spark's ``TakeOrderedAndProject`` physical operator, which IS that
+  algorithm distributed — a bounded heap per partition, then a k-way merge
+  of k-row partials on the driver. O(N log k) work, k rows moved.
+- ``knn_batch`` == the batched generalization (the reference answers one
+  query per call, benchmark.py:23-29): broadcast the query set against the
+  corpus and take per-query top-k with a ranking window.
+- ``knn_join_documents`` == the demo's result->document positional lookup
+  (semantic_search.py:43-46), as a broadcast hash join.
+
+Determinism: the reference sorts by distance only (src/lib.rs:95), leaving
+equal-distance order arbitrary; we tie-break on ``(dist, vec_id)`` — a
+strictly more deterministic superset, required for oracle hash-matching.
+
+Scale notes (100 TB corpus):
+- Exact single-query kNN is one scan with a literal in the plan: no
+  shuffle at all, only k rows reach the driver. This scales linearly with
+  executors and is shuffle-free by construction.
+- ``knn_batch`` broadcasts the *query* side (queries are the small side by
+  assumption); the corpus embeddings are never shuffled — the cross
+  product is evaluated partition-locally (BroadcastNestedLoopJoin), and
+  the only shuffle is the ranking window over already-scored
+  ``(query_id, vec_id, dist)`` triples (~24 bytes/row), ~100x smaller
+  than the embedding rows themselves.
+- For query sets too large to broadcast, use the ANN index
+  (operators/ann.py) instead — that is the reference's own answer too
+  (HNSW exists because brute force per query is O(N)).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from vector_database_in_rust_spark.functions.vectors import (
+    cosine_similarity,
+    l2_squared,
+    query_vector_literal,
+)
+
+METRICS = {"l2_squared": l2_squared, "cosine": cosine_similarity}
+
+
+def _dist(metric: str, a: Column, b: Column) -> Column:
+    if metric not in METRICS:
+        raise ValueError(f"unknown metric {metric!r}; one of {sorted(METRICS)}")
+    d = METRICS[metric](a, b)
+    # cosine is a similarity; negate so "ascending = best first" holds
+    # uniformly for both metrics.
+    return -d if metric == "cosine" else d
+
+
+def knn_exact(
+    corpus: DataFrame,
+    query: Sequence[float] | Column,
+    k: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    metric: str = "l2_squared",
+    round_digits: int | None = 4,
+) -> DataFrame:
+    """Exact top-k nearest vectors to one query (src/lib.rs:74-97).
+
+    Returns ``(vec_id, dist)`` ascending by ``(dist, vec_id)``.
+    """
+    q = query_vector_literal(query) if not isinstance(query, Column) else query
+    dist = _dist(metric, F.col(vec_col), q)
+    if round_digits is not None:
+        dist = F.round(dist, round_digits)
+    return (
+        corpus.select(F.col(id_col).alias("vec_id"), dist.alias("dist"))
+        .orderBy("dist", "vec_id")
+        .limit(k)
+    )
+
+
+def knn_batch(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_embedding",
+    metric: str = "l2_squared",
+    round_digits: int | None = 4,
+) -> DataFrame:
+    """Top-k nearest corpus vectors for EACH query row.
+
+    Returns ``(query_id, vec_id, dist)``, ascending per query.
+    ``queries`` must be broadcast-small (thousands of rows); route larger
+    query sets through the ANN index.
+    """
+    pairs = corpus.join(F.broadcast(queries), how="cross")
+    dist = _dist(metric, F.col(vec_col), F.col(query_vec_col))
+    if round_digits is not None:
+        dist = F.round(dist, round_digits)
+    scored = pairs.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(id_col).alias("vec_id"),
+        dist.alias("dist"),
+    )
+    w = Window.partitionBy("query_id").orderBy("dist", "vec_id")
+    return (
+        scored.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= k)
+        .drop("_r")
+        .orderBy("query_id", "dist", "vec_id")
+    )
+
+
+def knn_join(
+    results: DataFrame,
+    side: DataFrame,
+    *,
+    result_key: str = "vec_id",
+    side_key: str = "doc_id",
+    how: str = "inner",
+) -> DataFrame:
+    """Join k-NN results back to a metadata/document table.
+
+    The demo does this with a positional list lookup
+    (semantic_search.py:43-46); relationally it is a broadcast hash join —
+    the k-row result side is always the broadcast side, so the big
+    document table is never shuffled.
+    """
+    return side.join(
+        F.broadcast(results), on=results[result_key] == side[side_key], how=how
+    )
