@@ -1,0 +1,90 @@
+"""Dedup family quality bars: exact Jaccard is ground truth for MinHash;
+brute-force hamming is ground truth for the SimHash block join."""
+
+from __future__ import annotations
+
+import itertools
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_database_in_rust_spark.operators import dedup
+from tests.conftest import SF_SMOKE
+
+THRESH = 0.5
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    df = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").cache()
+    df.count()
+    return df
+
+
+def _pairs(df):
+    return {(r["doc_a"], r["doc_b"]) for r in df.collect()}
+
+
+def test_minhash_lsh_recall_and_precision(spark, docs):
+    exact = _pairs(dedup.ngram_jaccard_pairs(docs, threshold=THRESH))
+    approx = _pairs(dedup.minhash_lsh_pairs(docs, threshold=THRESH))
+    # Precision is exact by construction (candidates are re-verified).
+    assert approx <= exact
+    if exact:
+        assert len(approx & exact) / len(exact) >= 0.8
+
+
+def test_exact_jaccard_finds_known_near_dups(spark, docs):
+    """The synthetic corpus contains generated near-duplicate pairs; the
+    exact shingle join must surface at least one."""
+    got = dedup.ngram_jaccard_pairs(docs, threshold=THRESH).collect()
+    assert all(r["jaccard"] >= THRESH for r in got)
+    assert all(r["doc_a"] < r["doc_b"] for r in got)
+
+
+def test_simhash_block_join_equals_bruteforce(spark, docs):
+    """Pigeonhole block join must find EXACTLY the pairs a brute-force
+    hamming scan finds (full recall at the fingerprint level)."""
+    fps = {
+        r["doc_id"]: r["simhash"]
+        for r in dedup.simhash_fingerprints(docs).collect()
+    }
+    # Mask to 64 bits: Python xor of signed int64s otherwise miscounts
+    # (bin() of a negative renders sign-magnitude, not two's complement).
+    mask = (1 << 64) - 1
+    brute = {
+        (a, b)
+        for a, b in itertools.combinations(sorted(fps), 2)
+        if bin((fps[a] ^ fps[b]) & mask).count("1") <= 3
+    }
+    got = _pairs(dedup.simhash_pairs(docs, max_hamming=3))
+    assert got == brute
+
+
+def test_dedup_exact_counts_injected_dups(spark, docs):
+    """No exact dups exist in the corpus; inject one and catch it."""
+    clone = docs.filter(F.col("doc_id") == 5).withColumn(
+        "doc_id", F.lit(99999).cast("bigint")
+    )
+    res = dedup.dedup_exact(docs.unionByName(clone))
+    dup = res.filter(F.col("n_copies") > 1).collect()
+    assert len(dup) == 1
+    assert dup[0]["keep_id"] == 5
+    assert dup[0]["n_copies"] == 2
+
+
+def test_embedding_cosine_pairs_symmetric_free(spark):
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    got = dedup.embedding_cosine_pairs(emb, threshold=0.4).collect()
+    assert all(r["doc_a"] < r["doc_b"] for r in got)
+    assert all(r["cosine"] >= 0.4 for r in got)
+
+
+def test_lsh_cosine_pairs_recover_exact(spark):
+    """LSH similarity join (scale path) vs exact pairwise at a high
+    threshold: recall >= 0.7 with 8 hash tables on 500 x 64-d."""
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    exact = _pairs(dedup.embedding_cosine_pairs(emb, threshold=0.4))
+    approx = _pairs(dedup.lsh_cosine_pairs(emb, threshold=0.4))
+    if exact:
+        assert len(approx & exact) / len(exact) >= 0.7

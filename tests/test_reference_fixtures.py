@@ -1,0 +1,94 @@
+"""Ports of the reference's own unit tests (SURVEY.md §5.1) onto the
+Spark engine, using the same literal fixtures (FIXTURES.md §A)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_database_in_rust_spark.engine import VectorEngine, to_pairs
+from vector_database_in_rust_spark.operators.ann import IVFIndex
+from tests.conftest import SF_SMOKE
+
+
+def tiny(spark, rows, dim=2):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id BIGINT, embedding ARRAY<FLOAT>",
+    )
+
+
+@pytest.fixture()
+def e2e_fixture(spark):
+    # A3 (lib.rs:471-496): golden top-k ordering fixture.
+    return tiny(
+        spark, [(0, [1, 1]), (1, [2, 2]), (2, [10, 10]), (3, [11, 11])]
+    )
+
+
+def test_end_to_end_search_golden(spark, e2e_fixture):
+    """lib.rs:470-514: query (0,0), k=2 -> ids [0, 1] in that order,
+    ascending squared-L2 distance."""
+    eng = VectorEngine(spark, e2e_fixture, dimensions=2)
+    res = to_pairs(eng.search_exact([0.0, 0.0], 2))
+    assert [r[0] for r in res] == [0, 1]
+    assert res[0][1] == pytest.approx(2.0)  # (1,1) -> 2.0 squared
+    assert res[1][1] == pytest.approx(8.0)
+    assert res[0][1] <= res[1][1]
+
+
+def test_result_len_min_k_n(spark, e2e_fixture):
+    """Invariant 2 (lib.rs:95, 509): |result| == min(k, indexed)."""
+    eng = VectorEngine(spark, e2e_fixture, dimensions=2)
+    assert eng.search_exact([0.0, 0.0], 10).count() == 4
+    assert eng.search_exact([0.0, 0.0], 2).count() == 2
+
+
+def test_self_query_invariant_sf0001(spark):
+    """lib.rs:543-549: querying a stored vector's own data returns its id
+    first with distance < 1e-4 (store vector 500 in the reference; any
+    stored id works — we use 123)."""
+    eng = VectorEngine(
+        spark, f"{SF_SMOKE}/embeddings.parquet", dimensions=64
+    )
+    row = eng.df.filter(F.col("vec_id") == 123).first()
+    res = to_pairs(eng.search_exact(list(row["embedding"]), 1))
+    assert res[0][0] == 123
+    assert res[0][1] < 1e-4
+
+
+def test_index_structure(spark, e2e_fixture):
+    """Analogue of test_hnsw_structure (lib.rs:394-406) + the pruning
+    bounds (lib.rs:455-466) for IVF: every vector assigned to exactly one
+    cell, cells cover the store, no cell exceeds the store size."""
+    idx = IVFIndex.build(e2e_fixture, num_cells=2, seed=42)
+    stats = idx.cell_stats().collect()
+    assert sum(r["n_vectors"] for r in stats) == 4
+    assert all(1 <= r["n_vectors"] <= 4 for r in stats)
+    assert idx.assignments.select("vec_id").distinct().count() == 4
+
+
+def test_dimension_mismatch_rejected(spark, e2e_fixture):
+    """add_vector contract (lib.rs:62-72)."""
+    eng = VectorEngine(spark, e2e_fixture, dimensions=2)
+    bad = tiny(spark, [(99, [1, 2, 3])])
+    with pytest.raises(ValueError, match="dimension mismatch"):
+        eng.add(bad)
+    ok = tiny(spark, [(99, [5, 5])])
+    assert eng.add(ok).count() == 5
+
+
+def test_cosine_zero_norm_guard(spark):
+    """lib.rs:43-45: zero-norm vector -> similarity 0.0, not NaN."""
+    from vector_database_in_rust_spark.functions.vectors import (
+        cosine_similarity,
+    )
+
+    df = tiny(spark, [(0, [0, 0]), (1, [1, 1])])
+    got = df.select(
+        cosine_similarity(
+            F.col("embedding"), F.array(F.lit(3.0), F.lit(4.0))
+        ).alias("c")
+    ).collect()
+    assert got[0]["c"] == 0.0
+    assert got[1]["c"] == pytest.approx(0.9899494, abs=1e-6)

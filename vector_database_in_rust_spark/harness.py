@@ -110,7 +110,7 @@ def scan_embeddings(spark, sf_dir):
     """Full store scan (O1). Projects scalars + dimension, not the raw
     floats, so the hash check is byte-stable across float codecs."""
     return _emb(spark, sf_dir).select(
-        "vec_id", "label", F.size("embedding").alias("dim")
+        "vec_id", "label", F.size("embedding").cast("long").alias("dim")
     )
 
 
@@ -133,7 +133,7 @@ def fetch_by_id(spark, sf_dir):
     return df.select(
         "vec_id",
         "label",
-        F.size("embedding").alias("dim"),
+        F.size("embedding").cast("long").alias("dim"),
         F.round(dot_product(F.col("embedding"), F.col("embedding")), 4).alias(
             "sq_norm"
         ),
@@ -275,3 +275,368 @@ def knn_join_documents(spark, sf_dir):
         F.broadcast(topk), on=topk.vec_id == docs.doc_id, how="inner"
     )
     return joined.select("vec_id", "dist", "lang", "source", "n_chars")
+
+
+# ---------------------------------------------------------------------------
+# North-star extension operators (SURVEY.md §2.3) — dedup family
+# ---------------------------------------------------------------------------
+
+# Shared SQL fragments for the DuckDB oracle. The stopword list and the
+# shingle construction MUST stay textually in sync with functions/text.py.
+_SQL_STOPWORDS = "('the','a','of','and','to','in','is','it')"
+_SQL_TOKS = "string_split(text, ' ')"
+_SQL_SHINGLES = (
+    "CASE WHEN len(w) >= 3 THEN list_distinct(list_transform("
+    "generate_series(1, len(w) - 2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))"
+    " ELSE [array_to_string(w, ' ')] END"
+)
+
+
+@register(
+    "dedup_exact",
+    "SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, "
+    "count(*) AS n_copies FROM documents GROUP BY md5(text)",
+)
+def dedup_exact_q(spark, sf_dir):
+    from vector_database_in_rust_spark.operators.dedup import dedup_exact
+
+    return dedup_exact(_docs(spark, sf_dir))
+
+
+_NGRAM_JACCARD_ORACLE = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS w FROM documents),
+sh AS (SELECT doc_id, unnest({_SQL_SHINGLES}) AS shingle FROM t),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT doc_a, doc_b,
+         round(n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+  FROM common
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+)
+SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= 0.5
+"""
+
+
+@register("dedup_ngram_jaccard", _NGRAM_JACCARD_ORACLE)
+def dedup_ngram_jaccard(spark, sf_dir):
+    from vector_database_in_rust_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5, n=3)
+
+
+_FP_DUPS_ORACLE = f"""
+WITH fp AS (
+  SELECT doc_id,
+         md5(array_to_string(list_sort(list_distinct({_SQL_TOKS})), ' ')) AS fingerprint
+  FROM documents
+)
+SELECT fingerprint, count(*) AS n_docs, min(doc_id) AS keep_id
+FROM fp GROUP BY fingerprint HAVING count(*) > 1
+"""
+
+
+@register("dedup_fingerprint", _FP_DUPS_ORACLE)
+def dedup_fingerprint(spark, sf_dir):
+    from vector_database_in_rust_spark.operators.dedup import fingerprint_dups
+
+    return fingerprint_dups(_docs(spark, sf_dir))
+
+
+_EMB_COS_ORACLE = f"""
+WITH scored AS (
+  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+         round({_sql_cosine('a.embedding', 'b.embedding')}, 6) AS cosine
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+)
+SELECT doc_a, doc_b, cosine FROM scored WHERE cosine >= 0.4
+"""
+
+
+@register("dedup_embedding_cosine", _EMB_COS_ORACLE)
+def dedup_embedding_cosine(spark, sf_dir):
+    from vector_database_in_rust_spark.operators.dedup import embedding_cosine_pairs
+
+    return embedding_cosine_pairs(_emb(spark, sf_dir), threshold=0.4)
+
+
+@register("dedup_minhash_lsh")  # approximate candidate gen -> rows-only
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup pairs (verified exactly). No SQL oracle: the
+    banded-LSH candidate set is not expressible in portable ANSI SQL;
+    tests/test_dedup.py asserts recovery vs the exact Jaccard join."""
+    from vector_database_in_rust_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.5)
+
+
+@register("dedup_simhash")  # fingerprint hashing not portable -> rows-only
+def dedup_simhash(spark, sf_dir):
+    """SimHash near-dup pairs within hamming<=3 via pigeonhole block join.
+    xxhash64 has no DuckDB equivalent -> rows-only; tests assert parity
+    with a brute-force hamming scan."""
+    from vector_database_in_rust_spark.operators.dedup import simhash_pairs
+
+    return simhash_pairs(_docs(spark, sf_dir), max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (SURVEY.md §2.3)
+# ---------------------------------------------------------------------------
+
+_TEXT_STATS_ORACLE = f"""
+SELECT lang,
+       count(*) AS n_docs,
+       round(avg(length(text)), 4) AS avg_chars,
+       round(avg(len({_SQL_TOKS})), 4) AS avg_words,
+       cast(sum(len({_SQL_TOKS})) AS BIGINT) AS total_words,
+       round(avg(len(list_filter({_SQL_TOKS}, t -> t IN {_SQL_STOPWORDS})) * 1.0
+                 / greatest(len({_SQL_TOKS}), 1)), 6) AS avg_stopword_ratio
+FROM documents GROUP BY lang
+"""
+
+
+@register("text_stats", _TEXT_STATS_ORACLE)
+def text_stats(spark, sf_dir):
+    from vector_database_in_rust_spark.operators.textstats import corpus_stats
+
+    return corpus_stats(_docs(spark, sf_dir))
+
+
+_TOKEN_COUNT_ORACLE = """
+SELECT doc_id,
+       cast(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+       cast(len(regexp_extract_all(text, '[a-z]{1,4}|[A-Z]{1,4}|[0-9]+|[^a-zA-Z0-9 ]')) AS BIGINT) AS n_bpe_tokens,
+       cast(length(text) AS BIGINT) AS n_chars_measured
+FROM documents
+"""
+
+
+@register("token_count", _TOKEN_COUNT_ORACLE)
+def token_count(spark, sf_dir):
+    from vector_database_in_rust_spark.operators.textstats import token_counts
+
+    df = token_counts(_docs(spark, sf_dir))
+    return df.select(
+        "doc_id",
+        df.n_words.cast("long").alias("n_words"),
+        df.n_bpe_tokens.cast("long").alias("n_bpe_tokens"),
+        df.n_chars_measured.cast("long").alias("n_chars_measured"),
+    )
+
+
+_LANG_ID_ORACLE = f"""
+WITH r AS (
+  SELECT doc_id,
+         round(len(list_filter({_SQL_TOKS}, t -> t IN {_SQL_STOPWORDS})) * 1.0
+               / greatest(len({_SQL_TOKS}), 1), 6) AS stopword_ratio
+  FROM documents
+)
+SELECT doc_id, stopword_ratio,
+       CASE WHEN stopword_ratio >= 0.03 THEN 'en' ELSE 'und' END AS pred_lang
+FROM r
+"""
+
+
+@register("lang_id", _LANG_ID_ORACLE)
+def lang_id(spark, sf_dir):
+    from vector_database_in_rust_spark.operators.textstats import language_id
+
+    return language_id(_docs(spark, sf_dir))
+
+
+_QUALITY_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+         {_SQL_TOKS} AS w,
+         len(list_filter({_SQL_TOKS}, t -> t IN {_SQL_STOPWORDS})) * 1.0
+           / greatest(len({_SQL_TOKS}), 1) AS swr
+  FROM documents
+)
+SELECT doc_id,
+       round(0.4 * least(len(w) / 200.0, 1.0)
+             + 0.3 * (len(list_distinct(w)) * 1.0 / greatest(len(w), 1))
+             + 0.3 * (least(swr, 0.1) / 0.1), 6) AS quality
+FROM t
+"""
+
+
+@register("quality_score", _QUALITY_ORACLE)
+def quality_score_q(spark, sf_dir):
+    from vector_database_in_rust_spark.operators.textstats import quality_score
+
+    return quality_score(_docs(spark, sf_dir))
+
+
+_FINGERPRINT_ORACLE = f"""
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct({_SQL_TOKS})), ' ')) AS fingerprint,
+       cast(len(list_distinct({_SQL_TOKS})) AS BIGINT) AS n_distinct_tokens
+FROM documents
+"""
+
+
+@register("doc_fingerprint", _FINGERPRINT_ORACLE)
+def doc_fingerprint(spark, sf_dir):
+    from vector_database_in_rust_spark.operators.textstats import fingerprints
+
+    df = fingerprints(_docs(spark, sf_dir))
+    return df.select(
+        "doc_id",
+        "fingerprint",
+        df.n_distinct_tokens.cast("long").alias("n_distinct_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal / relational / events (SURVEY.md §2.2-2.3 extension surface)
+# ---------------------------------------------------------------------------
+
+_MULTIMODAL_ORACLE = """
+SELECT d.doc_id, d.lang, d.source, d.n_chars, e.label,
+       cast(len(e.embedding) AS BIGINT) AS dim,
+       round(sqrt(list_inner_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])), 4) AS emb_norm
+FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+"""
+
+
+@register("multimodal_join", _MULTIMODAL_ORACLE)
+def multimodal_join_q(spark, sf_dir):
+    from vector_database_in_rust_spark.operators.relational import multimodal_join
+
+    df = multimodal_join(_docs(spark, sf_dir), _emb(spark, sf_dir))
+    return df.withColumn("dim", F.col("dim").cast("long"))
+
+
+_EVENTS_ROLLUP_ORACLE = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*) AS n_events,
+       round(sum(value), 4) AS sum_value,
+       round(round(sum(value), 4) / count(*), 4) AS avg_value,
+       count(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1, 2
+"""
+
+
+@register("events_hourly_rollup", _EVENTS_ROLLUP_ORACLE)
+def events_hourly_rollup_q(spark, sf_dir):
+    from vector_database_in_rust_spark.operators.relational import (
+        events_hourly_rollup,
+    )
+
+    return events_hourly_rollup(load_table(spark, sf_dir, "events"))
+
+
+_EVENTS_JSON_ORACLE = """
+WITH e AS (
+  SELECT event_type, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+  FROM events
+)
+SELECT event_type, count(*) AS n_events,
+       round(round(sum(k), 4) / count(k), 4) AS avg_k,
+       cast(max(k) AS BIGINT) AS max_k,
+       cast(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing_k
+FROM e GROUP BY event_type
+"""
+
+
+@register("events_json_stats", _EVENTS_JSON_ORACLE)
+def events_json_stats_q(spark, sf_dir):
+    from vector_database_in_rust_spark.operators.relational import events_json_stats
+
+    df = events_json_stats(load_table(spark, sf_dir, "events"))
+    return df.withColumn("max_k", F.col("max_k").cast("long"))
+
+
+_TPCH_Q1_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(round(sum(l_quantity), 4) / count(*), 4) AS avg_qty,
+       round(round(sum(l_discount), 4) / count(*), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+@register("tpch_q1_pricing", _TPCH_Q1_ORACLE)
+def tpch_q1_q(spark, sf_dir):
+    from vector_database_in_rust_spark.operators.relational import (
+        tpch_q1_pricing_summary,
+    )
+
+    return tpch_q1_pricing_summary(load_table(spark, sf_dir, "lineitem"))
+
+
+_TOP_CUST_ORACLE = """
+WITH rev AS (
+  SELECT o_custkey, round(sum(o_totalprice), 2) AS revenue
+  FROM orders GROUP BY o_custkey
+),
+joined AS (
+  SELECT r.r_name AS region, c.c_custkey AS custkey, rev.revenue,
+         row_number() OVER (PARTITION BY r.r_name
+                            ORDER BY rev.revenue DESC, c.c_custkey) AS rank
+  FROM rev
+  JOIN customer c ON rev.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+)
+SELECT region, cast(rank AS BIGINT) AS rank, custkey, revenue
+FROM joined WHERE rank <= 10
+"""
+
+
+@register("top_customers_by_region", _TOP_CUST_ORACLE)
+def top_customers_q(spark, sf_dir):
+    from vector_database_in_rust_spark.operators.relational import (
+        top_customers_by_region,
+    )
+
+    df = top_customers_by_region(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
+        top_n=10,
+    )
+    return df.withColumn("rank", F.col("rank").cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# ANN (O8/O9 replacement) — approximate, rows-only checks; recall bars
+# live in tests/test_ann.py
+# ---------------------------------------------------------------------------
+
+@register("ann_build")
+def ann_build(spark, sf_dir):
+    """IVF index build (replaces HNSW build, src/lib.rs:228-302): returns
+    the cell-occupancy summary. Invariant (tests): occupancies sum to the
+    store size — every vector in exactly one cell, the IVF analogue of
+    the reference's graph-structure checks (src/lib.rs:394-406)."""
+    from vector_database_in_rust_spark.operators.ann import IVFIndex
+
+    idx = IVFIndex.build(_emb(spark, sf_dir), num_cells=16, seed=42)
+    return idx.cell_stats()
+
+
+@register("ann_search")
+def ann_search(spark, sf_dir):
+    """IVF batch probe (replaces HnswIndex::search, src/lib.rs:152-169):
+    8 queries, k=5, nprobe=4. Approximate by design -> no SQL oracle;
+    tests assert recall@k >= 0.9 vs knn_exact (the same exact-vs-ANN
+    relationship the reference's own tests rely on, src/lib.rs:543-549)."""
+    from vector_database_in_rust_spark.operators.ann import IVFIndex
+
+    idx = IVFIndex.build(_emb(spark, sf_dir), num_cells=16, seed=42)
+    return idx.search_batch(_query_vec_df(spark, sf_dir, 8), KNN_K, nprobe=4)

@@ -1,0 +1,425 @@
+"""Deduplication operator family (north-star extension, SURVEY.md §2.3).
+
+Five escalating strategies, each the idiomatic Spark shape for its scale:
+
+- ``dedup_exact``: content-hash groupBy. One shuffle of (hash, id) pairs.
+- ``ngram_jaccard_pairs``: EXACT word-shingle Jaccard via an inverted
+  index (explode shingle -> equi-join -> count), not a cross join: the
+  shuffle key is the shingle, so cost scales with true overlap, not with
+  |docs|^2. This is the oracle anchor for the approximate variants.
+- ``minhash_lsh_pairs``: MinHash signatures + banded LSH candidate
+  generation + exact verification of candidates only. The 100 TB path:
+  candidate generation is a groupBy on band hashes; nothing quadratic.
+- ``simhash_pairs``: 64-bit SimHash + pigeonhole block join. For a
+  hamming radius h, any match shares at least one of h+1 signature
+  blocks, so the block equi-join has FULL recall — approximate in the
+  fingerprint, exact in the retrieval.
+- ``embedding_cosine_pairs``: semantic near-dup over the embedding
+  column; exact pairwise at oracle scale, LSH similarity join at scale.
+
+The reference has no dedup surface at all; these generalize its k-NN
+similarity machinery (src/lib.rs:74-97) to the self-join setting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from vector_database_in_rust_spark.functions.text import (
+    MINHASH_PRIME,
+    content_fingerprint,
+    minhash_permutation_params,
+    word_shingles,
+)
+from vector_database_in_rust_spark.functions.vectors import cosine_similarity
+
+
+def dedup_exact(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup by content hash: one row per distinct text with the
+    kept (minimum) id and the duplicate count.
+
+    Scale: the shuffle carries only (md5, id) — never the text bodies.
+    """
+    return (
+        docs.select(
+            F.md5(F.col(text_col)).alias("text_md5"), F.col(id_col).alias("_id")
+        )
+        .groupBy("text_md5")
+        .agg(
+            F.min("_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def _shingle_index(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    *,
+    threshold: float = 0.5,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """EXACT n-gram-shingle Jaccard similarity join: all pairs with
+    J(a,b) >= threshold. Returns (doc_a, doc_b, jaccard), doc_a < doc_b.
+
+    Inverted-index formulation: |intersection| falls out of a self-join
+    on the shingle key; |union| = |A| + |B| - |intersection|. At scale,
+    ``max_shingle_freq`` drops ultra-common shingles (stopword-only
+    grams) that would create quadratic join fan-out — the standard
+    frequency cut in web-dedup pipelines.
+    """
+    sh = _shingle_index(docs, id_col, text_col, n)
+    if max_shingle_freq is not None:
+        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_f"))
+        sh = sh.join(freq.filter(F.col("_f") <= max_shingle_freq), "shingle").drop("_f")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, on="shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def fingerprint_dups(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Docs sharing an order-insensitive content fingerprint (sorted
+    distinct-token md5): catches word-order permutations exactly."""
+    fp = docs.select(
+        F.col(id_col).alias("doc_id"),
+        content_fingerprint(F.col(text_col)).alias("fingerprint"),
+    )
+    return (
+        fp.groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keep_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    *,
+    n: int = 3,
+    num_perm: int = 64,
+    seed: int = 42,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-doc MinHash signature: (doc_id, s0..s{num_perm-1}).
+
+    Shape chosen for scale: hash each shingle ONCE (xxhash64), then derive
+    the num_perm permutations as multiply-add-mod reindexings aggregated
+    with plain ``min`` — a groupBy with full map-side partial aggregation,
+    so the shuffle carries one num_perm-wide row per (partition, doc).
+    The per-row "array of 64 array_min(transform(...))" formulation is
+    O(num_perm * |shingles|) re-hashes inside one projection and falls
+    out of codegen — measured orders of magnitude slower.
+    """
+    params = minhash_permutation_params(num_perm, seed)
+    sh = _shingle_index(docs, id_col, text_col, n)
+    h32 = F.xxhash64("shingle").bitwiseAND(F.lit((1 << 32) - 1))
+    base = sh.select("doc_id", h32.alias("h"))
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(
+            f"s{i}"
+        )
+        for i, (a, b) in enumerate(params)
+    ]
+    return base.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    *,
+    threshold: float = 0.5,
+    n: int = 3,
+    num_perm: int = 64,
+    num_bands: int = 16,
+    seed: int = 42,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash + banded LSH near-dup pairs, verified exactly.
+
+    Pipeline: shingle -> hash once -> 64-perm min-agg signature ->
+    16 bands of 4 rows (band hash = xxhash64 of the band's signature
+    slice) -> explode bands -> self-join on (band_id, band_hash) ->
+    DISTINCT candidate pairs -> exact Jaccard verification on the
+    candidate subset only.
+
+    Scale: candidates ~ true-positive pairs + S-curve false positives;
+    the verification join only touches candidate docs' shingles. With
+    r=4, b=16: P(candidate) at J=0.5 is 1-(1-0.5^4)^16 ~ 0.64, at
+    J=0.8 ~ 0.9997, at J=0.3 ~ 0.12 — tune (num_perm, num_bands) per
+    corpus; recall against the exact join is asserted in tests.
+    """
+    rows_per_band = num_perm // num_bands
+    sigs = minhash_signatures(
+        docs, n=n, num_perm=num_perm, seed=seed, id_col=id_col, text_col=text_col
+    )
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.xxhash64(
+                    *[F.col(f"s{b * rows_per_band + r}") for r in range(rows_per_band)]
+                ).alias("band_hash"),
+            )
+            for b in range(num_bands)
+        ]
+    )
+    banded = sigs.select("doc_id", F.explode(bands).alias("band")).select(
+        "doc_id", F.col("band.band_id").alias("band_id"),
+        F.col("band.band_hash").alias("band_hash"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    candidates = (
+        a.join(b, on=["band_id", "band_hash"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    # Exact verification restricted to candidate pairs.
+    sh = _shingle_index(docs, id_col, text_col, n)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    cand_docs = (
+        candidates.select(F.col("doc_a").alias("doc_id"))
+        .union(candidates.select("doc_b"))
+        .distinct()
+    )
+    sh_c = sh.join(cand_docs, "doc_id")
+    a2 = sh_c.alias("a")
+    b2 = sh_c.alias("b")
+    common = (
+        a2.join(b2, on="shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .join(candidates, on=["doc_a", "doc_b"], how="left_semi")
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash_fingerprints(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-doc 64-bit SimHash fingerprint: (doc_id, simhash BIGINT).
+
+    bit_i(fp) = sign of sum over tokens of (+1 if bit_i(xxhash64(tok))
+    else -1). Computed as explode -> one xxhash per token -> 64 signed-bit
+    sums in a single groupBy (map-side combinable), then bit reassembly —
+    the same shuffle shape as word count, nothing quadratic.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    ).select("doc_id", F.xxhash64("tok").alias("h"))
+    aggs = [
+        F.sum(
+            F.shiftrightunsigned(F.col("h"), i).bitwiseAND(F.lit(1)) * 2 - 1
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    sums = toks.groupBy("doc_id").agg(*aggs)
+    fp = F.lit(0).cast("bigint")
+    for i in range(64):
+        fp = fp + F.shiftleft(
+            F.when(F.col(f"b{i}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("bigint"),
+            i,
+        )
+    return sums.select("doc_id", fp.alias("simhash"))
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    *,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """SimHash near-dup pairs within a hamming radius, via pigeonhole
+    block join (full recall at the fingerprint level).
+
+    The 64-bit fingerprint is cut into ``max_hamming + 1`` blocks; two
+    fingerprints within hamming distance h must agree on >= 1 block, so
+    the equi-join on (block_id, block_value) finds every qualifying pair
+    without any quadratic step. Returns (doc_a, doc_b, hamming).
+    """
+    n_blocks = max_hamming + 1
+    width = 64 // n_blocks
+    fp = simhash_fingerprints(docs, id_col=id_col, text_col=text_col)
+    blocks = []
+    for i in range(n_blocks):
+        lo = i * width
+        w = width if i < n_blocks - 1 else 64 - lo
+        mask = (1 << w) - 1
+        blocks.append(
+            F.struct(
+                F.lit(i).alias("block_id"),
+                F.shiftrightunsigned(F.col("simhash"), lo)
+                .bitwiseAND(F.lit(mask))
+                .alias("block_val"),
+            )
+        )
+    exploded = fp.select(
+        "doc_id", "simhash", F.explode(F.array(*blocks)).alias("blk")
+    ).select(
+        "doc_id",
+        "simhash",
+        F.col("blk.block_id").alias("block_id"),
+        F.col("blk.block_val").alias("block_val"),
+    )
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(b, on=["block_id", "block_val"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def embedding_cosine_pairs(
+    emb: DataFrame,
+    *,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space near-dup pairs: cosine >= threshold, doc_a < doc_b.
+
+    Exact pairwise form — O(N^2/2) distance evaluations with NO shuffle
+    of the quadratic intermediate (the join is broadcast-nested-loop and
+    pairs are filtered before leaving the task). Correct tool up to ~1e5
+    rows; beyond that route through ``lsh_cosine_pairs``.
+    """
+    a = emb.select(
+        F.col(id_col).alias("doc_a"), F.col(vec_col).alias("_va")
+    )
+    b = emb.select(
+        F.col(id_col).alias("doc_b"), F.col(vec_col).alias("_vb")
+    )
+    return (
+        a.join(F.broadcast(b), on=F.col("doc_a") < F.col("doc_b"), how="inner")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(cosine_similarity(F.col("_va"), F.col("_vb")), 6).alias(
+                "cosine"
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def lsh_cosine_pairs(
+    emb: DataFrame,
+    *,
+    threshold: float = 0.4,
+    bucket_length: float = 0.5,
+    num_hash_tables: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scale path for embedding near-dup: L2-normalize embeddings (then
+    cosine >= t <=> euclidean^2 <= 2-2t) and use stock
+    BucketedRandomProjectionLSH.approxSimilarityJoin."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col(vec_col).cast("array<double>"), lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    unit = emb.select(
+        F.col(id_col).alias("doc_id"),
+        array_to_vector(
+            F.transform(
+                F.col(vec_col).cast("array<double>"), lambda x: x / norm
+            )
+        ).alias("_features"),
+    ).filter(norm > 0)
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="_features",
+        outputCol="_hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_hash_tables,
+        seed=seed,
+    ).fit(unit)
+    dist_thresh = float((2.0 - 2.0 * threshold) ** 0.5)
+    joined = lsh.approxSimilarityJoin(unit, unit, dist_thresh, distCol="_d")
+    return (
+        joined.select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            F.round(1.0 - F.col("_d") * F.col("_d") / 2.0, 6).alias("cosine"),
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+    )

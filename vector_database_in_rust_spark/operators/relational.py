@@ -1,0 +1,152 @@
+"""Relational/analytic operators over the harness star schema.
+
+The reference has no relational operators at all (SURVEY.md §2.2) — this
+module is the extension surface proving the engine is a general analytics
+engine, exercised over the driver's TPC-H-ish tables and the ``events``
+stream table. Each query is shaped for scale:
+
+- aggregations are expressed so map-side partial aggregation applies
+  (plain groupBy/agg over low-cardinality keys);
+- dimension joins broadcast the small side explicitly;
+- the events rollup pre-truncates timestamps before grouping so the
+  shuffle key is the (hour, type) pair, never the raw timestamp.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def multimodal_join(docs: DataFrame, emb: DataFrame) -> DataFrame:
+    """One row per document carrying text metadata AND its vector side by
+    side — the multimodal-column fixture (documents ⋈ embeddings on
+    doc_id = vec_id, FIXTURES.md §B). Equi-join on the shared key; at
+    scale both sides bucket by id so this is shuffle-free with bucketed
+    tables."""
+    from vector_database_in_rust_spark.functions.vectors import dot_product
+
+    return (
+        docs.join(emb, on=docs.doc_id == emb.vec_id, how="inner")
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            "n_chars",
+            "label",
+            F.size("embedding").alias("dim"),
+            F.round(
+                F.sqrt(dot_product(F.col("embedding"), F.col("embedding"))), 4
+            ).alias("emb_norm"),
+        )
+    )
+
+
+def events_hourly_rollup(events: DataFrame) -> DataFrame:
+    """Tumbling 1-hour rollup per event type: the batch form of the
+    streaming windowed aggregation (streaming/ runs the same logic
+    incrementally with a watermark)."""
+    return (
+        events.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            # avg derived from the rounded sum: round(avg(x)) can land on a
+            # rounding boundary where partial-sum order flips the hash;
+            # round(sum)/count is deterministic given the sum is.
+            F.round(
+                F.round(F.sum("value"), 4) / F.count(F.lit(1)), 4
+            ).alias("avg_value"),
+            F.count_distinct(F.col("user_id")).alias("n_users"),
+        )
+    )
+
+
+def events_json_stats(events: DataFrame) -> DataFrame:
+    """JSON scalar-function surface: extract props.k and aggregate."""
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.round(F.sum(k), 4) / F.count(k), 4).alias("avg_k"),
+            F.max(k).alias("max_k"),
+            F.sum(F.when(k.isNull(), 1).otherwise(0)).alias("n_missing_k"),
+        )
+    )
+
+
+def tpch_q1_pricing_summary(lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q1 shape (pricing summary report) on the harness lineitem:
+    the canonical wide-aggregation benchmark query. Filter pushes to the
+    parquet scan; group-by keys are 2 low-cardinality flags."""
+    return (
+        lineitem.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            # Money sums aggregate ~60k doubles of magnitude 1e4: partial-sum
+            # order can perturb the last ~1e-7; 2-decimal rounding keeps the
+            # oracle hash stable with huge margin.
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(
+                F.round(F.sum("l_quantity"), 4) / F.count(F.lit(1)), 4
+            ).alias("avg_qty"),
+            F.round(
+                F.round(F.sum("l_discount"), 4) / F.count(F.lit(1)), 4
+            ).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def top_customers_by_region(
+    customer: DataFrame,
+    orders: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    *,
+    top_n: int = 10,
+) -> DataFrame:
+    """Star-schema join + per-group top-k: revenue top-N customers per
+    region. Dimensions (nation, region) broadcast; the orders->customer
+    join shuffles on custkey; per-region ranking is a window over the
+    aggregated (small) result."""
+    from pyspark.sql import Window
+
+    rev = orders.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue")
+    )
+    dim = customer.join(
+        F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+    ).join(F.broadcast(region), F.col("n_regionkey") == region.r_regionkey)
+    joined = rev.join(dim, rev.o_custkey == dim.c_custkey)
+    w = Window.partitionBy("r_name").orderBy(
+        F.col("revenue").desc(), F.col("c_custkey")
+    )
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_n)
+        .select(
+            F.col("r_name").alias("region"),
+            "rank",
+            F.col("c_custkey").alias("custkey"),
+            "revenue",
+        )
+        .orderBy("region", "rank")
+    )

@@ -1,0 +1,109 @@
+"""Text-analysis operators (north-star extension, SURVEY.md §2.3):
+language ID, quality scoring, token counting, fingerprinting, corpus
+stats. All pure Catalyst expressions over the ``documents`` table — the
+whole module is shuffle-free except the final group-bys, which aggregate
+tiny keyed state (map-side partial aggregation applies).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from vector_database_in_rust_spark.functions.text import (
+    EN_STOPWORDS,
+    content_fingerprint,
+    distinct_ratio,
+    stopword_ratio,
+    tokens,
+)
+
+# "BPE-ish" segmentation: greedy <=4-char alpha pieces, digit runs, or
+# single non-alphanumeric chars — a deterministic stand-in for a real BPE
+# vocab (not installed here), with the same Spark-side shape (regex
+# extraction, one pass, codegen).
+BPE_ISH_PATTERN = "[a-z]{1,4}|[A-Z]{1,4}|[0-9]+|[^a-zA-Z0-9 ]"
+
+
+def token_counts(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-doc token counts: whitespace words and BPE-ish pieces."""
+    t = F.col(text_col)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tokens(t)).alias("n_words"),
+        F.size(F.regexp_extract_all(t, F.lit(BPE_ISH_PATTERN), 0)).alias(
+            "n_bpe_tokens"
+        ),
+        F.length(t).alias("n_chars_measured"),
+    )
+
+
+def language_id(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Marker-token language ID heuristic.
+
+    NOTE: the driver's synthetic corpus draws every language's text from
+    one shared vocabulary (verified empirically — the ``lang`` column is
+    independent of the text), so no text-based classifier can recover the
+    label. The operator therefore demonstrates the *mechanism* — marker
+    vocabularies + ratio threshold, the classic n-gram-lite approach —
+    with a deterministic rule shared exactly with the DuckDB oracle:
+    predict 'en' when English stopword density >= 0.03, else 'und'.
+    """
+    ratio = F.round(stopword_ratio(F.col(text_col)), 6)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        ratio.alias("stopword_ratio"),
+        F.when(ratio >= 0.03, F.lit("en")).otherwise(F.lit("und")).alias(
+            "pred_lang"
+        ),
+    )
+
+
+def quality_score(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Deterministic document quality score in [0, 1]:
+
+    0.4 * length_score (saturating at 200 words)
+    + 0.3 * lexical diversity (distinct/total tokens)
+    + 0.3 * stopword naturalness (ratio clipped to [0, 0.1] / 0.1)
+
+    The weights are a fixture, not science; the operator shape (cheap
+    per-row heuristics -> filter threshold) is the standard pretraining
+    quality gate.
+    """
+    t = F.col(text_col)
+    length_score = F.least(F.size(tokens(t)) / F.lit(200.0), F.lit(1.0))
+    diversity = distinct_ratio(t)
+    natural = F.least(stopword_ratio(t), F.lit(0.1)) / F.lit(0.1)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.round(
+            0.4 * length_score + 0.3 * diversity + 0.3 * natural, 6
+        ).alias("quality"),
+    )
+
+
+def fingerprints(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-doc order-insensitive content fingerprint + distinct-token
+    count (rolling-hash-family document fingerprinting)."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        content_fingerprint(F.col(text_col)).alias("fingerprint"),
+        F.size(F.array_distinct(tokens(F.col(text_col)))).alias(
+            "n_distinct_tokens"
+        ),
+    )
+
+
+def corpus_stats(docs: DataFrame, *, text_col: str = "text") -> DataFrame:
+    """Per-language corpus statistics — the group-by surface over text."""
+    t = F.col(text_col)
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg(F.length(t)), 4).alias("avg_chars"),
+            F.round(F.avg(F.size(tokens(t))), 4).alias("avg_words"),
+            F.sum(F.size(tokens(t))).alias("total_words"),
+            F.round(F.avg(stopword_ratio(t)), 6).alias("avg_stopword_ratio"),
+        )
+    )
