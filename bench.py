@@ -1,0 +1,82 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Per BASELINE.md the reference publishes no absolute numbers, so these
+wall-clocks ARE the regression baseline from the first working revision:
+never regress >2x.
+
+Each query is timed end-to-end (logical plan -> execution -> noop sink),
+after a warm-up action so JVM/codegen startup is not attributed to the
+first query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from vector_database_in_rust_spark import harness
+from vector_database_in_rust_spark.session import get_spark
+
+# The headline set: the four BASELINE.md-mandated vector queries first,
+# then one representative per extension family.
+BENCH_QUERIES = [
+    "knn_exact",
+    "knn_batch",
+    "ann_build",
+    "ann_search",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "text_stats",
+    "tpch_q1_pricing",
+    "events_hourly_rollup",
+    "top_customers_by_region",
+]
+
+
+def run_one(spark, name: str, sf_dir: str) -> float:
+    t0 = time.perf_counter()
+    df = harness.QUERIES[name](spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="vdb-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    # Warm-up: JVM, parquet footer reads, codegen.
+    spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        try:
+            timings[name] = round(run_one(spark, name, sf_dir), 3)
+        except Exception as exc:  # keep the bench line parseable on failure
+            print(f"bench: {name} failed: {exc}", file=sys.stderr)
+            timings[name] = -1.0
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -640,3 +640,40 @@ def ann_search(spark, sf_dir):
 
     idx = IVFIndex.build(_emb(spark, sf_dir), num_cells=16, seed=42)
     return idx.search_batch(_query_vec_df(spark, sf_dir, 8), KNN_K, nprobe=4)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal binary-column surface (stubbed decode; real plumbing)
+# ---------------------------------------------------------------------------
+
+_MEDIA_STATS_ORACLE = """
+SELECT doc_id AS media_id, 'image' AS media_type,
+       cast(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS content_md5
+FROM documents
+"""
+
+
+@register("media_stats", _MEDIA_STATS_ORACLE)
+def media_stats_q(spark, sf_dir):
+    """Binary-column metadata pass (no decode): octet length + payload
+    md5 over the opaque content bytes."""
+    from vector_database_in_rust_spark.operators.multimodal import (
+        attach_binary_payload,
+        media_stats,
+    )
+
+    return media_stats(attach_binary_payload(_docs(spark, sf_dir)))
+
+
+@register("multimodal_features")  # python-side stub decode -> rows-only
+def multimodal_features_q(spark, sf_dir):
+    """Arrow-batched feature extraction over binary media payloads
+    (decode stubbed deterministically — no media libs in the container;
+    the mapInPandas plumbing, schema and batching are the real path)."""
+    from vector_database_in_rust_spark.operators.multimodal import (
+        attach_binary_payload,
+        extract_features,
+    )
+
+    return extract_features(attach_binary_payload(_docs(spark, sf_dir)))
