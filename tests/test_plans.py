@@ -1,0 +1,84 @@
+"""Physical-plan shape guards: the performance-critical properties of
+each operator's plan, pinned as assertions (SURVEY.md §4.2).
+
+These protect scale behavior the benchmark can't see at test size: a
+filter that stops pushing down, a dimension join that stops
+broadcasting, or a top-k that degenerates into a global sort would pass
+correctness and stay invisible until 100 TB."""
+
+from __future__ import annotations
+
+import pytest
+
+from vector_database_in_rust_spark import harness
+from vector_database_in_rust_spark.plans.explain import audit
+from tests.conftest import SF_ORACLE
+
+
+@pytest.fixture(scope="module")
+def audits(spark):
+    cache = {}
+
+    def get(name):
+        if name not in cache:
+            cache[name] = audit(harness.QUERIES[name](spark, SF_ORACLE))
+        return cache[name]
+
+    return get
+
+
+def test_knn_exact_is_take_ordered_no_shuffle(audits):
+    """O7: top-k must compile to TakeOrderedAndProject (per-partition
+    bounded heap + driver merge — the distributed twin of the
+    reference's bounded heap, src/lib.rs:74-97), with zero shuffle."""
+    a = audits("knn_exact")
+    assert a.has_take_ordered
+    assert a.n_shuffle_exchanges == 0
+
+
+def test_fetch_by_id_pushes_point_predicate(audits):
+    """O2: the id fetch must reach the parquet scan as a pushed
+    EqualTo — reading one row group, not the table."""
+    a = audits("fetch_by_id")
+    assert any("EqualTo(vec_id,42)" in f for f in a.pushed_filters)
+    assert a.n_shuffle_exchanges == 0
+    assert a.n_broadcast_exchanges == 0
+
+
+def test_knn_batch_two_phase_topk(audits):
+    """Batched kNN: the ranking window must run the Partial
+    WindowGroupLimit BEFORE its exchange (map-side bounded top-k), and
+    the corpus must never shuffle — only scored triples do."""
+    a = audits("knn_batch")
+    assert a.has_partial_window_group_limit
+    assert a.broadcast_joins  # query side broadcast
+    assert a.n_shuffle_exchanges <= 2  # ranking + final presentation sort
+
+
+def test_knn_join_documents_broadcasts_results(audits):
+    """O14: k-row result side must broadcast; the documents table is
+    never shuffled."""
+    a = audits("knn_join_documents")
+    assert "BroadcastHashJoin" in a.broadcast_joins
+    assert a.n_shuffle_exchanges == 0
+
+
+def test_tpch_q1_partial_aggregation(audits):
+    """Aggregation must be two-phase (partial map-side HashAggregate
+    before the exchange) and the shipdate filter must push to the scan."""
+    a = audits("tpch_q1_pricing")
+    assert a.n_hash_aggregates >= 2
+    assert any("l_shipdate" in f for f in a.pushed_filters)
+
+
+def test_top_customers_broadcasts_dims(audits):
+    """Star join: nation/region (and the aggregated revenue side at this
+    size) must use broadcast joins, no sort-merge."""
+    a = audits("top_customers_by_region")
+    assert len(a.broadcast_joins) >= 2
+    assert not a.sort_merge_joins
+
+
+def test_scan_embeddings_prunes_columns(audits):
+    a = audits("scan_embeddings")
+    assert a.n_shuffle_exchanges == 0
