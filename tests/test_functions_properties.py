@@ -1,0 +1,77 @@
+"""Property-based checks of the Catalyst distance expressions against
+numpy ground truth (metric axioms + reference semantics)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from vector_database_in_rust_spark.functions.vectors import (
+    cosine_similarity,
+    dot_product,
+    l2_norm,
+    l2_squared,
+    query_vector_literal,
+)
+
+DIM = 8
+
+finite_f = st.floats(
+    min_value=-100.0, max_value=100.0, allow_nan=False, allow_infinity=False,
+    width=32,
+)
+vec = st.lists(finite_f, min_size=DIM, max_size=DIM)
+
+
+def _eval(spark, expr):
+    return spark.range(1).select(expr.alias("x")).first()["x"]
+
+
+@settings(max_examples=25, deadline=None)
+@given(a=vec, b=vec)
+def test_l2_matches_numpy(spark, a, b):
+    got = _eval(
+        spark, l2_squared(query_vector_literal(a), query_vector_literal(b))
+    )
+    want = float(np.sum((np.array(a, dtype=np.float64) - np.array(b, dtype=np.float64)) ** 2))
+    assert got == pytest.approx(want, rel=1e-9, abs=1e-9)
+
+
+@settings(max_examples=25, deadline=None)
+@given(a=vec, b=vec)
+def test_cosine_matches_numpy_with_guard(spark, a, b):
+    got = _eval(
+        spark,
+        cosine_similarity(query_vector_literal(a), query_vector_literal(b)),
+    )
+    na = float(np.linalg.norm(a))
+    nb = float(np.linalg.norm(b))
+    if na * nb == 0.0:
+        # reference zero-norm guard (src/lib.rs:43-45)
+        assert got == 0.0
+    else:
+        want = float(np.dot(a, b) / (na * nb))
+        assert got == pytest.approx(want, rel=1e-7, abs=1e-9)
+        assert -1.0000001 <= got <= 1.0000001
+
+
+@settings(max_examples=15, deadline=None)
+@given(a=vec)
+def test_metric_axioms(spark, a):
+    # d(a, a) == 0 and ||a||^2 == dot(a, a)
+    lit = query_vector_literal(a)
+    assert _eval(spark, l2_squared(lit, lit)) == pytest.approx(0.0, abs=1e-9)
+    n = _eval(spark, l2_norm(lit))
+    d = _eval(spark, dot_product(lit, lit))
+    assert n * n == pytest.approx(d, rel=1e-9, abs=1e-9)
+
+
+@settings(max_examples=15, deadline=None)
+@given(a=vec, b=vec)
+def test_l2_symmetry(spark, a, b):
+    la, lb = query_vector_literal(a), query_vector_literal(b)
+    assert _eval(spark, l2_squared(la, lb)) == pytest.approx(
+        _eval(spark, l2_squared(lb, la)), rel=1e-12, abs=0
+    )

@@ -26,3 +26,11 @@ def test_oracle_parity(spark, cons, name, sf):
 def test_all_oracles_have_queries():
     missing = set(harness.ORACLES) - set(harness.QUERIES)
     assert not missing
+
+
+def test_range_search_nonempty(spark):
+    """Guard against a vacuous radius: the range query must return >0
+    rows (the self-match at dist 0 guarantees at least one)."""
+    import vector_database_in_rust_spark.harness as h
+
+    assert h.QUERIES["range_search"](spark, SF_SMOKE).count() >= 1

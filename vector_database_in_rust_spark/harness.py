@@ -677,3 +677,115 @@ def multimodal_features_q(spark, sf_dir):
     )
 
     return extract_features(attach_binary_payload(_docs(spark, sf_dir)))
+
+
+# ---------------------------------------------------------------------------
+# Additional vector + analytic surface (round-1 widening)
+# ---------------------------------------------------------------------------
+
+_RANGE_ORACLE = f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id, round({_sql_l2sq('e.embedding', 'q.qe')}, 4) AS dist
+  FROM embeddings e CROSS JOIN q
+)
+SELECT vec_id, dist FROM scored WHERE dist <= 1.6 ORDER BY dist, vec_id
+"""
+
+
+@register("range_search", _RANGE_ORACLE)
+def range_search_q(spark, sf_dir):
+    """Range query (all vectors within squared-L2 radius) — the range
+    sibling of k-NN; scan+filter, shuffle-free."""
+    from vector_database_in_rust_spark.operators.knn import range_search
+
+    emb = _emb(spark, sf_dir)
+    q = _query_vec_df(spark, sf_dir, 1).select(F.col("query_embedding").alias("qe"))
+    scored = emb.join(F.broadcast(q), how="cross")
+    return range_search(scored, F.col("qe"), 1.6)
+
+
+_KNN_COSINE_ORACLE = f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id, round(-({_sql_cosine('e.embedding', 'q.qe')}), 6) AS dist
+  FROM embeddings e CROSS JOIN q
+)
+SELECT vec_id, dist FROM scored ORDER BY dist, vec_id LIMIT {KNN_K}
+"""
+
+
+@register("knn_cosine", _KNN_COSINE_ORACLE)
+def knn_cosine(spark, sf_dir):
+    """Exact top-k under the cosine metric (negated similarity so
+    ascending = most similar first) — exercises metric parameterization
+    of the same TakeOrderedAndProject plan."""
+    emb = _emb(spark, sf_dir)
+    q = _query_vec_df(spark, sf_dir, 1).select(F.col("query_embedding").alias("qe"))
+    scored = emb.join(F.broadcast(q), how="cross")
+    return knn_ops.knn_exact(
+        scored, F.col("qe"), KNN_K, metric="cosine", round_digits=6
+    )
+
+
+_LABEL_TOPK_ORACLE = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 4),
+scored AS (
+  SELECT q.query_id, e.label, e.vec_id,
+         round({_sql_l2sq('e.embedding', 'q.qe')}, 4) AS dist
+  FROM embeddings e CROSS JOIN q
+),
+ranked AS (
+  SELECT query_id, label, vec_id, dist,
+         row_number() OVER (PARTITION BY query_id, label
+                            ORDER BY dist, vec_id) AS r
+  FROM scored
+)
+SELECT query_id, label, vec_id, dist FROM ranked WHERE r <= 3
+"""
+
+
+@register("label_topk", _LABEL_TOPK_ORACLE)
+def label_topk(spark, sf_dir):
+    """Per-(query, label) nearest neighbors: multi-key grouped top-k."""
+    from vector_database_in_rust_spark.operators.relational import (
+        label_topk_per_query,
+    )
+
+    return label_topk_per_query(
+        _emb(spark, sf_dir), _query_vec_df(spark, sf_dir, 4), k=3
+    )
+
+
+_SESSIONIZE_ORACLE = """
+WITH marked AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > 1800 * 1000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+with_ids AS (
+  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM marked
+)
+SELECT user_id, cast(session_seq AS BIGINT) AS session_seq,
+       count(*) AS n_events,
+       min(ts) AS session_start,
+       max(ts) AS session_end,
+       round(sum(value), 4) AS session_value
+FROM with_ids GROUP BY user_id, session_seq
+"""
+
+
+@register("sessionize_events", _SESSIONIZE_ORACLE)
+def sessionize_events_q(spark, sf_dir):
+    """Gap-based per-user sessionization (lag + prefix-sum windows)."""
+    from vector_database_in_rust_spark.operators.relational import (
+        sessionize_events,
+    )
+
+    df = sessionize_events(load_table(spark, sf_dir, "events"), gap_minutes=30)
+    return df.withColumn("session_seq", F.col("session_seq").cast("long"))

@@ -53,6 +53,11 @@ def dedup_exact(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "tex
 
 
 def _shingle_index(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    # NB: deliberately no repartition here — shingling is cheap relative
+    # to the downstream joins (which parallelize after their own
+    # exchanges), and forcing 32-way stages on a small corpus measurably
+    # hurts (scheduling overhead > work). On a real cluster the corpus
+    # arrives in many partitions already.
     return docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
@@ -67,6 +72,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_shingle_freq: int | None = None,
+    persist_index: bool = False,
 ) -> DataFrame:
     """EXACT n-gram-shingle Jaccard similarity join: all pairs with
     J(a,b) >= threshold. Returns (doc_a, doc_b, jaccard), doc_a < doc_b.
@@ -76,8 +82,16 @@ def ngram_jaccard_pairs(
     ``max_shingle_freq`` drops ultra-common shingles (stopword-only
     grams) that would create quadratic join fan-out — the standard
     frequency cut in web-dedup pipelines.
+
+    ``persist_index`` materializes the shingle index instead of
+    re-tokenizing per DAG occurrence — off by default (the two join
+    sides share one reused exchange anyway; measured neutral-to-negative
+    at test scale). At production scale, write the index to Parquet once
+    and reuse it across thresholds/runs.
     """
     sh = _shingle_index(docs, id_col, text_col, n)
+    if persist_index:
+        sh = sh.persist()
     if max_shingle_freq is not None:
         freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_f"))
         sh = sh.join(freq.filter(F.col("_f") <= max_shingle_freq), "shingle").drop("_f")
@@ -187,8 +201,22 @@ def minhash_lsh_pairs(
     corpus; recall against the exact join is asserted in tests.
     """
     rows_per_band = num_perm // num_bands
-    sigs = minhash_signatures(
-        docs, n=n, num_perm=num_perm, seed=seed, id_col=id_col, text_col=text_col
+    # One persisted shingle index feeds signature generation AND the
+    # exact verification below (otherwise the corpus re-tokenizes 3x).
+    sh = _shingle_index(docs, id_col, text_col, n).persist()
+    h32 = F.xxhash64("shingle").bitwiseAND(F.lit((1 << 32) - 1))
+    params = minhash_permutation_params(num_perm, seed)
+    sigs = (
+        sh.select("doc_id", h32.alias("h"))
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.min(
+                    (F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_PRIME)
+                ).alias(f"s{i}")
+                for i, (a, b) in enumerate(params)
+            ]
+        )
     )
     bands = F.array(
         *[
@@ -215,8 +243,8 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
-    # Exact verification restricted to candidate pairs.
-    sh = _shingle_index(docs, id_col, text_col, n)
+    # Exact verification restricted to candidate pairs (reuses the
+    # persisted shingle index).
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     cand_docs = (
         candidates.select(F.col("doc_a").alias("doc_id"))

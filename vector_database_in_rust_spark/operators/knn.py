@@ -136,3 +136,30 @@ def knn_join(
     return side.join(
         F.broadcast(results), on=results[result_key] == side[side_key], how=how
     )
+
+
+def range_search(
+    corpus: DataFrame,
+    query,
+    radius: float,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int | None = 4,
+) -> DataFrame:
+    """All vectors within squared-L2 ``radius`` of the query — the
+    range-query sibling of top-k (not in the reference, which only
+    exposes k-NN; standard vector-db surface, e.g. Faiss range_search).
+
+    Scale: a pure scan+filter — no shuffle, no driver state; the radius
+    predicate runs inside the scan stage and only matches leave the
+    executor."""
+    q = query_vector_literal(query) if not isinstance(query, Column) else query
+    dist = l2_squared(F.col(vec_col), q)
+    if round_digits is not None:
+        dist = F.round(dist, round_digits)
+    return (
+        corpus.select(F.col(id_col).alias("vec_id"), dist.alias("dist"))
+        .filter(F.col("dist") <= radius)
+        .orderBy("dist", "vec_id")
+    )

@@ -150,3 +150,87 @@ def top_customers_by_region(
         )
         .orderBy("region", "rank")
     )
+
+
+def label_topk_per_query(
+    emb: DataFrame, queries: DataFrame, k: int = 3
+) -> DataFrame:
+    """Per-(query, label) top-k: grouped ranking over a computed key —
+    exercises multi-key windows (per-label nearest neighbors is the
+    standard per-class retrieval shape).
+
+    Scale: same two-phase WindowGroupLimit top-k as knn_batch, with
+    (query_id, label) as the group key."""
+    from pyspark.sql import Window
+
+    from vector_database_in_rust_spark.functions.vectors import l2_squared
+
+    pairs = emb.join(F.broadcast(queries), how="cross")
+    scored = pairs.select(
+        "query_id",
+        "label",
+        F.col("vec_id").alias("vec_id"),
+        F.round(
+            l2_squared(F.col("embedding"), F.col("query_embedding")), 4
+        ).alias("dist"),
+    )
+    w = Window.partitionBy("query_id", "label").orderBy("dist", "vec_id")
+    return (
+        scored.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= k)
+        .select("query_id", "label", "vec_id", "dist")
+        .orderBy("query_id", "label", "dist", "vec_id")
+    )
+
+
+def sessionize_events(
+    events: DataFrame, *, gap_minutes: int = 30
+) -> DataFrame:
+    """Gap-based sessionization per user: a new session starts when the
+    gap to the previous event exceeds ``gap_minutes``. Classic lag +
+    cumulative-sum window pattern; returns per-session summaries.
+
+    Scale: one shuffle on user_id (the window key); sessions never
+    materialize as state — they are derived by prefix sum inside each
+    user's sorted partition. Skewed users are bounded by per-user event
+    counts; for power users combine with a date co-key."""
+    from pyspark.sql import Window
+
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # Gap math in exact integer MICROSECONDS (unix_micros), never seconds:
+    # unix_timestamp truncates sub-second parts, which flips sessions
+    # whose true gap straddles the threshold by < 1s vs any
+    # full-precision implementation (e.g. the DuckDB oracle's epoch_us).
+    gap_us = gap_minutes * 60 * 1_000_000
+    marked = events.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.when(
+            (
+                F.unix_micros("ts")
+                - F.unix_micros(F.lag("ts").over(w_user))
+            )
+            > gap_us,
+            1,
+        )
+        .otherwise(0)
+        .alias("_new_session"),
+    )
+    with_ids = marked.withColumn(
+        "session_seq",
+        F.sum("_new_session").over(
+            w_user.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return (
+        with_ids.groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.round(F.sum("value"), 4).alias("session_value"),
+        )
+        .orderBy("user_id", "session_seq")
+    )
