@@ -42,6 +42,10 @@ BENCH_QUERIES = [
 
 
 def run_one(spark, name: str, sf_dir: str) -> float:
+    # Isolate queries from each other: persisted intermediates (e.g. the
+    # minhash shingle index) would otherwise accumulate executor memory
+    # across the run and skew later timings with GC pressure.
+    spark.catalog.clearCache()
     t0 = time.perf_counter()
     df = harness.QUERIES[name](spark, sf_dir)
     df.write.format("noop").mode("overwrite").save()

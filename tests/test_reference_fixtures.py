@@ -92,3 +92,36 @@ def test_cosine_zero_norm_guard(spark):
     ).collect()
     assert got[0]["c"] == 0.0
     assert got[1]["c"] == pytest.approx(0.9899494, abs=1e-6)
+
+
+def test_synthetic_generator_deterministic(spark):
+    """O16 engine equivalent: same (seed, id) -> same vector regardless
+    of partitioning; round-trips through the reference raw format."""
+    import numpy as np
+
+    from vector_database_in_rust_spark.sources.synthetic import (
+        generate_vectors,
+    )
+
+    a = {r["vec_id"]: r["embedding"] for r in generate_vectors(spark, 50, 8, seed=7, num_partitions=1).collect()}
+    b = {r["vec_id"]: r["embedding"] for r in generate_vectors(spark, 50, 8, seed=7, num_partitions=13).collect()}
+    assert a == b
+    assert len(a) == 50 and all(len(v) == 8 for v in a.values())
+    c = {r["vec_id"]: r["embedding"] for r in generate_vectors(spark, 50, 8, seed=8).collect()}
+    assert a != c
+
+
+def test_raw_format_roundtrip(spark, tmp_path):
+    """Engine-generated vectors -> reference raw binary -> engine reader:
+    byte-level interop with the reference store format."""
+    from vector_database_in_rust_spark.sources.binary import read_raw_f32
+    from vector_database_in_rust_spark.sources.synthetic import (
+        generate_reference_format,
+    )
+
+    path = str(tmp_path / "store.bin")
+    generate_reference_format(spark, path, n=200, dim=16, seed=3)
+    back = read_raw_f32(spark, path, 16)
+    assert back.count() == 200
+    import os
+    assert os.path.getsize(path) == 200 * 16 * 4
