@@ -857,3 +857,52 @@ def label_centroids(spark, sf_dir):
         F.count(F.lit(1)).alias("dim"),
         F.round(F.sum(F.col("m") * F.col("m")), 6).alias("centroid_sq_norm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SQL-surface queries (authored as spark.sql strings — proves the engine
+# is fully drivable from SQL; Catalyst compiles to the same plans)
+# ---------------------------------------------------------------------------
+
+_SQL_KNN_ORACLE = f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id, round({_sql_l2sq('e.embedding', 'q.qe')}, 4) AS dist
+FROM embeddings e CROSS JOIN q
+ORDER BY dist, vec_id LIMIT {KNN_K}
+"""
+
+
+@register("sql_knn", _SQL_KNN_ORACLE)
+def sql_knn_q(spark, sf_dir):
+    """knn_exact authored entirely in Spark SQL (sql.sql_knn) — same
+    TakeOrderedAndProject physical plan, proved equal to the oracle."""
+    from vector_database_in_rust_spark.sql import sql_knn
+
+    return sql_knn(spark, sf_dir, _query_vec(spark, sf_dir), KNN_K)
+
+
+_SQL_LANG_REVENUE_ORACLE = """
+SELECT d.lang, count(*) AS n_docs,
+       cast(sum(e.label) AS BIGINT) AS label_sum,
+       round(sum(length(d.text)) / count(*), 4) AS avg_len
+FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+GROUP BY d.lang
+"""
+
+
+@register("sql_join_agg", _SQL_LANG_REVENUE_ORACLE)
+def sql_join_agg(spark, sf_dir):
+    """Ad-hoc SQL join+agg through the run_sql entry point."""
+    from vector_database_in_rust_spark.sql import run_sql
+
+    return run_sql(
+        spark,
+        sf_dir,
+        """
+        SELECT d.lang, count(*) AS n_docs,
+               cast(sum(e.label) AS BIGINT) AS label_sum,
+               round(sum(length(d.text)) / count(*), 4) AS avg_len
+        FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+        GROUP BY d.lang
+        """,
+    )
