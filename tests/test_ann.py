@@ -95,3 +95,19 @@ def test_deterministic_rebuild(spark, emb):
         a2.select("vec_id", "cell_id")
     )
     assert diff.count() == 0
+
+
+def test_saved_index_partition_pruning(spark, emb, tmp_path):
+    """The persisted cell-partitioned index must serve a probe by
+    PARTITION PRUNING: the cell filter appears as a partition filter on
+    the scan, and only the probed cells' files are read."""
+    idx = IVFIndex.build(emb, num_cells=8, seed=42)
+    idx.save(spark, str(tmp_path / "ivf"))
+    loaded = spark.read.parquet(str(tmp_path / "ivf/assignments"))
+    probe = loaded.filter(F.col("cell_id").isin([1, 3]))
+    plan = probe._sc._jvm.PythonSQLUtils.explainString(
+        probe._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters" in plan and "cell_id" in plan
+    n_cells = probe.select("cell_id").distinct().count()
+    assert n_cells <= 2

@@ -1,0 +1,68 @@
+"""Streaming vector ingest: the reference's ``add_vector``
+(src/lib.rs:62-72) as a continuous pipeline.
+
+A file-source stream of new vectors is validated (dimension contract —
+the same check the reference applies per insert) and appended to the
+Parquet store via ``foreachBatch``; rejects are quarantined, not
+dropped, so bad batches are observable. The reference is append-only
+(no update/delete anywhere), so append semantics are exact parity.
+
+Scale: each micro-batch is an ordinary distributed parquet append;
+exactly-once comes from the streaming checkpoint + parquet's atomic
+task commits. Rebuild-vs-incremental indexing is the caller's choice —
+the IVF index assigns NEW vectors to EXISTING cells cheaply
+(IVFIndex assignments are just a transform), with periodic full
+rebuilds when drift accumulates (same regime as any IVF system).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vector_database_in_rust_spark.operators.validate import dim_ok
+
+VECTORS_DDL = "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT"
+
+
+def read_vector_stream(
+    spark: SparkSession, path: str, *, max_files_per_trigger: int = 1
+) -> DataFrame:
+    return (
+        spark.readStream.schema(VECTORS_DDL)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def ingest_vectors(
+    stream: DataFrame,
+    store_path: str,
+    *,
+    dimensions: int,
+    quarantine_path: str | None = None,
+    checkpoint_path: str | None = None,
+    timeout_sec: int = 120,
+):
+    """Run the validated append until the (finite) input drains.
+
+    Valid rows append to ``store_path``; dimension violations go to
+    ``quarantine_path`` (if given) — the streaming analogue of the
+    reference's per-insert Err (src/lib.rs:63-69).
+    """
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        ok = dim_ok("embedding", dimensions)
+        valid = batch.filter(ok)
+        valid.write.mode("append").parquet(store_path)
+        if quarantine_path is not None:
+            bad = batch.filter(~ok)
+            if bad.limit(1).count():
+                bad.write.mode("append").parquet(quarantine_path)
+
+    writer = stream.writeStream.foreachBatch(write_batch).trigger(availableNow=True)
+    if checkpoint_path is not None:
+        writer = writer.option("checkpointLocation", checkpoint_path)
+    q = writer.start()
+    q.awaitTermination(timeout_sec)
+    return q
