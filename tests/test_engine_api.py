@@ -1,0 +1,63 @@
+"""VectorEngine facade contract tests (reference Python API parity,
+src/lib.rs:310-353)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_database_in_rust_spark.engine import VectorEngine, to_pairs
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture()
+def eng(spark):
+    return VectorEngine(
+        spark, f"{SF_SMOKE}/embeddings.parquet", dimensions=64
+    )
+
+
+def test_missing_store_raises(spark):
+    """Reference maps store-open IO errors to PyIOError
+    (src/lib.rs:327-328); the Spark analogue is AnalysisException at
+    first resolution."""
+    from pyspark.errors import AnalysisException
+
+    with pytest.raises(AnalysisException):
+        VectorEngine(spark, "/nonexistent/store.parquet", dimensions=64)
+
+
+def test_add_invalidates_index(spark, eng):
+    eng.build_index(num_cells=4)
+    assert eng.index is not None
+    new = spark.createDataFrame(
+        [(99990, [0.5] * 64, 1)], "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT"
+    )
+    eng.add(new)
+    # the reference indexes only post-ingest (build_index after add);
+    # a stale index silently missing new vectors would be worse than none
+    assert eng.index is None
+    assert eng.count() == 501
+
+
+def test_build_index_range_filter(spark, eng):
+    """build_index(start, end) parity (src/lib.rs:336-341): only ids in
+    [start, end) are indexed."""
+    eng.build_index(num_cells=4, start_id=0, end_id=100)
+    assert eng.index.assignments.count() == 100
+    assert (
+        eng.index.assignments.filter(F.col("vec_id") >= 100).count() == 0
+    )
+
+
+def test_search_falls_back_to_exact_without_index(spark, eng):
+    q = eng.df.filter("vec_id = 9").first()["embedding"]
+    res = to_pairs(eng.search(list(q), 3))
+    assert res[0] == (9, 0.0)
+
+
+def test_validate_summary(spark, eng):
+    row = eng.validate().first()
+    assert row["n_rows"] == 500
+    assert row["n_valid"] == 500
+    assert row["n_invalid"] == 0

@@ -906,3 +906,56 @@ def sql_join_agg(spark, sf_dir):
         GROUP BY d.lang
         """,
     )
+
+
+_PARTS_BY_TYPE_ORACLE = """
+SELECT p_type, count(*) AS n_parts,
+       round(round(sum(p_retailprice), 2) / count(*), 4) AS avg_price,
+       cast(max(p_size) AS BIGINT) AS max_size
+FROM part GROUP BY p_type
+"""
+
+
+@register("parts_by_type", _PARTS_BY_TYPE_ORACLE)
+def parts_by_type(spark, sf_dir):
+    """Dimension-table aggregate over part (completes star-schema
+    coverage; map-side partial aggregation on a low-cardinality key)."""
+    part = load_table(spark, sf_dir, "part")
+    return part.groupBy("p_type").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.round(F.round(F.sum("p_retailprice"), 2) / F.count(F.lit(1)), 4).alias(
+            "avg_price"
+        ),
+        F.max("p_size").cast("long").alias("max_size"),
+    )
+
+
+_SUPPLIER_REVENUE_ORACLE = """
+SELECT n.n_name AS nation, count(DISTINCT s.s_suppkey) AS n_suppliers,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+GROUP BY n.n_name
+"""
+
+
+@register("supplier_revenue", _SUPPLIER_REVENUE_ORACLE)
+def supplier_revenue(spark, sf_dir):
+    """Fact-to-dimension join chain (lineitem ⋈ supplier ⋈ nation) with
+    revenue rollup per nation — broadcast dims, shuffle only for the
+    final 25-key aggregation."""
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count_distinct("s_suppkey").alias("n_suppliers"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+    )
