@@ -959,3 +959,75 @@ def supplier_revenue(spark, sf_dir):
             ).alias("revenue"),
         )
     )
+
+
+_ASOF_ORACLE = """
+WITH tagged AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN event_type = 'error' THEN ts END AS r_ts,
+         CASE WHEN event_type = 'error' THEN event_id END AS r_id
+  FROM events WHERE event_type IN ('click', 'error')
+),
+j AS (
+  SELECT user_id, event_id, ts, event_type,
+         last_value(r_ts IGNORE NULLS) OVER w AS asof_ts,
+         last_value(r_id IGNORE NULLS) OVER w AS asof_event_id
+  FROM tagged
+  WINDOW w AS (PARTITION BY user_id
+               ORDER BY ts, CASE WHEN event_type = 'click' THEN 1 ELSE 0 END, event_id
+               ROWS UNBOUNDED PRECEDING)
+)
+SELECT user_id, event_id, ts, asof_event_id, asof_ts
+FROM j WHERE event_type = 'click'
+"""
+
+
+@register("events_asof_join", _ASOF_ORACLE)
+def events_asof_join_q(spark, sf_dir):
+    """AS-OF join (each click matched to the latest preceding error per
+    user) — composed from a tagged union + one windowed carry-forward;
+    single shuffle, no range explosion."""
+    from vector_database_in_rust_spark.operators.relational import (
+        asof_join_events,
+    )
+
+    return asof_join_events(load_table(spark, sf_dir, "events"))
+
+
+_PERCENTILES_ORACLE = """
+SELECT event_type, count(*) AS n_events,
+       round(quantile_cont(value, 0.5), 4) AS p50,
+       round(quantile_cont(value, 0.9), 4) AS p90,
+       round(quantile_cont(value, 0.99), 4) AS p99
+FROM events GROUP BY event_type
+"""
+
+
+@register("events_percentiles", _PERCENTILES_ORACLE)
+def events_percentiles_q(spark, sf_dir):
+    """Exact per-type value percentiles (linear interpolation — Spark
+    percentile() and DuckDB quantile_cont share the definition)."""
+    from vector_database_in_rust_spark.operators.relational import (
+        events_value_percentiles,
+    )
+
+    return events_value_percentiles(load_table(spark, sf_dir, "events"))
+
+
+_GROUPING_SETS_ORACLE = """
+SELECT event_type, hour(ts) AS hod,
+       count(*) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM events
+GROUP BY GROUPING SETS ((event_type, hour(ts)), (event_type), ())
+"""
+
+
+@register("events_grouping_sets", _GROUPING_SETS_ORACLE)
+def events_grouping_sets_q(spark, sf_dir):
+    """Multi-granularity aggregate in one pass via GROUPING SETS."""
+    from vector_database_in_rust_spark.operators.relational import (
+        events_grouping_sets,
+    )
+
+    return events_grouping_sets(load_table(spark, sf_dir, "events"))

@@ -234,3 +234,102 @@ def sessionize_events(
         )
         .orderBy("user_id", "session_seq")
     )
+
+
+def asof_join_events(
+    events: DataFrame,
+    *,
+    left_type: str = "click",
+    right_type: str = "error",
+) -> DataFrame:
+    """AS-OF join within the events table: for every ``left_type`` event,
+    the most recent ``right_type`` event by the same user at or before
+    it. A custom operator Spark lacks natively, composed from existing
+    DataFrame ops (SURVEY §2.2 joins row):
+
+    union the two tagged streams -> one window per user ordered by
+    (ts, event_id) -> ``last(right_ts, ignoreNulls)`` carries the latest
+    preceding right-side event forward. ONE shuffle on user_id, no
+    range-join explosion — the standard distributed as-of shape
+    (time-series joins in kdb/Flink follow the same merge discipline).
+    """
+    from pyspark.sql import Window
+
+    tagged = events.filter(
+        F.col("event_type").isin([left_type, right_type])
+    ).select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        "value",
+        F.when(F.col("event_type") == right_type, F.col("ts")).alias("_r_ts"),
+        F.when(F.col("event_type") == right_type, F.col("event_id")).alias(
+            "_r_id"
+        ),
+    )
+    # Order by (ts, is_left, event_id): a right event at the SAME
+    # timestamp as a left event sorts first, making the join "at or
+    # before" inclusively, deterministically.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(
+            "ts",
+            (F.col("event_type") == left_type).cast("int"),
+            "event_id",
+        )
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    joined = tagged.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        "value",
+        F.last("_r_ts", ignorenulls=True).over(w).alias("asof_ts"),
+        F.last("_r_id", ignorenulls=True).over(w).alias("asof_event_id"),
+    )
+    return (
+        joined.filter(F.col("event_type") == left_type)
+        .select("user_id", "event_id", "ts", "asof_event_id", "asof_ts")
+        .orderBy("user_id", "event_id")
+    )
+
+
+def events_value_percentiles(events: DataFrame) -> DataFrame:
+    """Exact per-type percentiles of the value column (median/p90/p99,
+    linear interpolation). Exact percentile is a full-sort-per-group
+    aggregate — fine for bounded groups; for 100 TB pipelines prefer
+    ``approx_percentile`` (t-digest, mergeable sketch) and accept the
+    error bound."""
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+            F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+        )
+    )
+
+
+def events_grouping_sets(events: DataFrame) -> DataFrame:
+    """Multi-granularity rollup via GROUPING SETS: totals by
+    (type, hour-of-day), by type alone, and grand total in ONE pass —
+    Spark computes all granularities from a single shuffle (Expand +
+    partial aggregation), instead of three separate jobs."""
+    spark = events.sparkSession
+    events.select(
+        F.col("event_type"),
+        F.hour("ts").cast("long").alias("hod"),
+        "value",
+    ).createOrReplaceTempView("_ev_gs")
+    return spark.sql(
+        """
+        SELECT event_type, hod,
+               count(*) AS n_events,
+               round(sum(value), 4) AS sum_value
+        FROM _ev_gs
+        GROUP BY GROUPING SETS ((event_type, hod), (event_type), ())
+        """
+    )
