@@ -11,11 +11,19 @@ thin adapter over its harness registry.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from vector_database_in_rust_spark import harness
+# The engine package lives next to this file; make the import robust to
+# the driver running with any working directory.
+_HERE = os.path.dirname(os.path.abspath(__file__))
+if _HERE not in sys.path:
+    sys.path.insert(0, _HERE)
+
+from vector_database_in_rust_spark import harness  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -111,3 +111,25 @@ def test_saved_index_partition_pruning(spark, emb, tmp_path):
     assert "PartitionFilters" in plan and "cell_id" in plan
     n_cells = probe.select("cell_id").distinct().count()
     assert n_cells <= 2
+
+
+def test_assign_new_incremental(spark, emb):
+    """Incremental assignment: new vectors become searchable without a
+    refit; their cell is the true nearest centroid."""
+    import numpy as np
+
+    base = emb.filter(F.col("vec_id") < 400)
+    new = emb.filter(F.col("vec_id") >= 400)
+    idx = IVFIndex.build(base, num_cells=8, seed=42)
+    before = idx.assignments.count()
+    idx.assign_new(new)
+    assert idx.assignments.count() == 500
+    assert before == 400
+    # a newly-assigned vector is findable by self-query
+    q = emb.filter("vec_id = 450").first()["embedding"]
+    top = idx.search(q, 1, nprobe=8).collect()
+    assert top[0]["vec_id"] == 450 and top[0]["dist"] == 0.0
+    # assigned cell == argmin distance to centroids
+    row = idx.assignments.filter("vec_id = 450").first()
+    d = ((idx.centroids - np.asarray(q, dtype=np.float64)) ** 2).sum(axis=1)
+    assert row["cell_id"] == int(np.argmin(d))

@@ -211,6 +211,38 @@ class IVFIndex:
             .orderBy("query_id", "dist", "vec_id")
         )
 
+    def assign_new(self, new_vectors: DataFrame) -> "IVFIndex":
+        """Incrementally index NEW vectors against the EXISTING centroids
+        (no refit): one broadcast-centroid argmin pass over the new rows,
+        unioned into the assignments. This is the streaming-ingest
+        companion (see streaming/ingest.py) — the reference cannot do
+        this at all (its graph is build-once per process). Periodic full
+        rebuilds remain advisable once drift accumulates, as in any IVF
+        system."""
+        spark = new_vectors.sparkSession
+        cent = [
+            (int(i), [float(x) for x in row]) for i, row in enumerate(self.centroids)
+        ]
+        cent_df = spark.createDataFrame(cent, "cell_id INT, centroid ARRAY<DOUBLE>")
+        scored = new_vectors.select(self.id_col, self.vec_col).join(
+            F.broadcast(cent_df), how="cross"
+        ).select(
+            self.id_col,
+            self.vec_col,
+            "cell_id",
+            l2_squared(F.col(self.vec_col), F.col("centroid")).alias("_d"),
+        )
+        from pyspark.sql import Window as _W
+
+        w = _W.partitionBy(self.id_col).orderBy("_d", "cell_id")
+        assigned = (
+            scored.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") == 1)
+            .select(self.id_col, self.vec_col, "cell_id")
+        )
+        self.assignments = self.assignments.unionByName(assigned)
+        return self
+
     def cell_stats(self) -> DataFrame:
         """Index structure summary — the IVF analogue of the reference's
         graph-structure checks (node count, degree bounds,
