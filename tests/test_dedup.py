@@ -88,3 +88,52 @@ def test_lsh_cosine_pairs_recover_exact(spark):
     approx = _pairs(dedup.lsh_cosine_pairs(emb, threshold=0.4))
     if exact:
         assert len(approx & exact) / len(exact) >= 0.7
+
+
+def test_dedup_clusters_match_union_find(spark, docs):
+    """Label-propagation clusters == driver-side union-find ground truth
+    over the same pair list."""
+    pairs_df = dedup.ngram_jaccard_pairs(docs, threshold=0.5)
+    pair_list = [(r["doc_a"], r["doc_b"]) for r in pairs_df.collect()]
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.dedup_clusters(pairs_df).collect()
+    }
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in pair_list:
+        union(a, b)
+    want = {x: find(x) for x in parent}
+    assert got == want
+    assert got, "no pairs -> vacuous test"
+    # every cluster id is the min member of its cluster
+    by_cluster = {}
+    for d, c in got.items():
+        by_cluster.setdefault(c, []).append(d)
+    assert all(c == min(ms) for c, ms in by_cluster.items())
+
+
+def test_dedup_clusters_chain(spark):
+    """A chain a-b, b-c, c-d must collapse into ONE cluster (transitive
+    closure — the property pairwise thresholds alone don't give you)."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "doc_a BIGINT, doc_b BIGINT"
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.dedup_clusters(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}

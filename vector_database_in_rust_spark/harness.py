@@ -1031,3 +1031,18 @@ def events_grouping_sets_q(spark, sf_dir):
     )
 
     return events_grouping_sets(load_table(spark, sf_dir, "events"))
+
+
+@register("dedup_clusters")  # fixpoint iteration -> genuinely non-SQL
+def dedup_clusters_q(spark, sf_dir):
+    """Connected-components duplicate clusters over the exact-Jaccard
+    pair list (transitive closure — pairwise thresholds alone don't
+    give canonical keep/drop groups). Iterative label propagation; see
+    operators/dedup.dedup_clusters. Rows-only by design (fixpoint
+    recursion); pytest pins equality with a union-find oracle."""
+    from vector_database_in_rust_spark.operators.dedup import (
+        dedup_clusters,
+        ngram_jaccard_pairs,
+    )
+
+    return dedup_clusters(ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5))

@@ -543,3 +543,71 @@ def _cosine_pairs_pandas(
     return a_side.mapInPandas(
         block, schema="doc_a BIGINT, doc_b BIGINT, cosine DOUBLE"
     )
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    *,
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over a near-dup pair list: every document in
+    a duplicate cluster gets the cluster's minimum doc_id as
+    ``cluster_id`` (the canonical keeper). Input: (doc_a, doc_b) pairs
+    from any of the pair generators; output: (doc_id, cluster_id) for
+    every doc appearing in a pair.
+
+    Iterative min-label propagation (the simplified Spark
+    connected-components shape, cf. large-star/small-star,
+    Kiveris et al. 2014 "Connected Components in MapReduce and Beyond"):
+    each round every vertex takes the min label among itself and its
+    neighbors; converges in O(component diameter) rounds — near-dup
+    clusters are shallow, so a handful of rounds in practice.
+
+    Scale notes: each round is one join + one groupBy on vertex id;
+    ``localCheckpoint`` cuts the growing lineage (iterative plans
+    otherwise re-execute from the source every round, the classic
+    iterative-Spark trap). The convergence check is a driver-side count
+    of changed labels — an O(1)-row action per round, NOT a collect of
+    the data. This is intentionally a genuinely non-SQL-expressible
+    operator (fixpoint recursion) -> rows-only harness check + pytest
+    against a driver-side union-find oracle.
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b"), F.col("doc_a")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(
+                labels.select(
+                    F.col("doc_id").alias("dst"),
+                    F.col("cluster_id").alias("_nl"),
+                ),
+                on="dst",
+            )
+            .groupBy(F.col("src").alias("doc_id"))
+            .agg(F.min("_nl").alias("_nmin"))
+        )
+        updated = (
+            labels.join(neighbor_min, on="doc_id", how="left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("_nmin"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+                (F.col("_nmin") < F.col("cluster_id")).alias("_changed"),
+            )
+        ).localCheckpoint()
+        n_changed = updated.filter(F.col("_changed")).count()
+        labels = updated.drop("_changed")
+        if n_changed == 0:
+            break
+    return labels
