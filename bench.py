@@ -34,6 +34,8 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_embedding_cosine",
+    "dedup_clusters",
+    "events_asof_join",
     "text_stats",
     "tpch_q1_pricing",
     "events_hourly_rollup",

@@ -1046,3 +1046,26 @@ def dedup_clusters_q(spark, sf_dir):
     )
 
     return dedup_clusters(ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5))
+
+
+_SETOPS_ORACLE = """
+WITH f AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+o AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O')
+SELECT o_custkey, 'only_F' AS side FROM (SELECT * FROM f EXCEPT SELECT * FROM o)
+UNION ALL
+SELECT o_custkey, 'both' AS side FROM (SELECT * FROM f INTERSECT SELECT * FROM o)
+"""
+
+
+@register("order_status_setops", _SETOPS_ORACLE)
+def order_status_setops(spark, sf_dir):
+    """Set-operation surface (EXCEPT / INTERSECT / UNION ALL, SURVEY
+    §2.2 set-ops row): customers with only finished orders vs customers
+    with both statuses."""
+    orders = load_table(spark, sf_dir, "orders")
+    f = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
+    o = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey").distinct()
+    return (
+        f.exceptAll(o).withColumn("side", F.lit("only_F"))
+        .unionAll(f.intersectAll(o).withColumn("side", F.lit("both")))
+    )
