@@ -596,6 +596,9 @@ def dedup_clusters(
             .groupBy(F.col("src").alias("doc_id"))
             .agg(F.min("_nl").alias("_nmin"))
         )
+        # Lazy checkpoint: the convergence count below is the single
+        # action that both materializes this round's labels and reports
+        # progress — one job per round instead of two.
         updated = (
             labels.join(neighbor_min, on="doc_id", how="left")
             .select(
@@ -605,7 +608,7 @@ def dedup_clusters(
                 ).alias("cluster_id"),
                 (F.col("_nmin") < F.col("cluster_id")).alias("_changed"),
             )
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
         n_changed = updated.filter(F.col("_changed")).count()
         labels = updated.drop("_changed")
         if n_changed == 0:
