@@ -1069,3 +1069,25 @@ def order_status_setops(spark, sf_dir):
         f.exceptAll(o).withColumn("side", F.lit("only_F"))
         .unionAll(f.intersectAll(o).withColumn("side", F.lit("both")))
     )
+
+
+_NORMALIZE_ORACLE = """
+WITH n AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                             ' +', ' ', 'g')) AS norm
+  FROM documents
+)
+SELECT doc_id, md5(norm) AS norm_md5,
+       cast(length(norm) AS BIGINT) AS n_chars_norm
+FROM n
+"""
+
+
+@register("normalize_text", _NORMALIZE_ORACLE)
+def normalize_text_q(spark, sf_dir):
+    """Canonical text normalization stage (lowercase / strip punct /
+    collapse whitespace) keyed by md5 of the normalized form."""
+    from vector_database_in_rust_spark.operators.textstats import normalize_text
+
+    return normalize_text(_docs(spark, sf_dir))

@@ -107,3 +107,22 @@ def corpus_stats(docs: DataFrame, *, text_col: str = "text") -> DataFrame:
             F.round(F.avg(stopword_ratio(t)), 6).alias("avg_stopword_ratio"),
         )
     )
+
+
+def normalize_text(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Canonical text normalization (the first stage of every dedup/
+    quality pipeline): lowercase -> non-alphanumerics to spaces ->
+    collapse runs of whitespace -> trim. Emits the normalized form's
+    md5 + length so downstream exact dedup keys on canonicalized
+    content. Pure Catalyst string expressions — codegen, shuffle-free."""
+    t = F.col(text_col)
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(t), "[^a-z0-9 ]", " "), " +", " "
+        )
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(norm).alias("norm_md5"),
+        F.length(norm).cast("long").alias("n_chars_norm"),
+    )
