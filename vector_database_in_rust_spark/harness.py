@@ -682,17 +682,92 @@ def media_stats_q(spark, sf_dir):
     return media_stats(attach_binary_payload(_docs(spark, sf_dir)))
 
 
-@register("multimodal_features")  # python-side stub decode -> rows-only
+# DuckDB replica of operators.multimodal.sha_feature_vector: sha256 hex
+# -> 8 little-endian uint32 words -> (word % 1000) ints, repeated and
+# truncated to ``dim``. This makes the stub decode/encode operators
+# fully hash-match oracle-able despite running in Python on the Spark
+# side — the derivation was CHOSEN to be ANSI-SQL-expressible.
+_SHA_W8 = (
+    "list_transform(generate_series(0, 7), i -> "
+    "(('0x' || substr(hx, 8*i+7, 2) || substr(hx, 8*i+5, 2) || "
+    "substr(hx, 8*i+3, 2) || substr(hx, 8*i+1, 2))::UINT32 % 1000)::INT)"
+)
+
+
+def _sha_feature_oracle(dim: int) -> str:
+    reps = (dim + 7) // 8
+    return (
+        f"(flatten(list_transform(generate_series(1, {reps}), r -> w8)))[1:{dim}]"
+    )
+
+
+_MM_FEATURES_ORACLE = f"""
+WITH h AS (
+  SELECT doc_id AS media_id, 'image' AS media_type,
+         cast(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         sha256(text) AS hx
+  FROM documents
+),
+w AS (SELECT media_id, media_type, n_bytes, {_SHA_W8} AS w8 FROM h),
+f AS (SELECT media_id, media_type, n_bytes, {_sha_feature_oracle(16)} AS q FROM w)
+SELECT media_id, media_type, n_bytes,
+       cast(len(q) AS BIGINT) AS feature_dim,
+       round(sqrt(list_inner_product(q::DOUBLE[], q::DOUBLE[])) / 1000.0, 4) AS feature_norm,
+       md5(array_to_string(q, ',')) AS feature_md5
+FROM f
+"""
+
+
+@register("multimodal_features", _MM_FEATURES_ORACLE)
 def multimodal_features_q(spark, sf_dir):
     """Arrow-batched feature extraction over binary media payloads
     (decode stubbed deterministically — no media libs in the container;
-    the mapInPandas plumbing, schema and batching are the real path)."""
+    the mapInPandas plumbing, schema and batching are the real path).
+    The raw ARRAY<FLOAT> is projected to portable scalar digests
+    (dim / quantized norm / md5) — array columns don't hash portably."""
     from vector_database_in_rust_spark.operators.multimodal import (
         attach_binary_payload,
         extract_features,
+        feature_digests,
     )
 
-    return extract_features(attach_binary_payload(_docs(spark, sf_dir)))
+    return feature_digests(
+        extract_features(attach_binary_payload(_docs(spark, sf_dir)))
+    )
+
+
+_EMBED_DOCS_ORACLE = f"""
+WITH h AS (SELECT doc_id, sha256(text) AS hx FROM documents),
+w AS (SELECT doc_id, {_SHA_W8} AS w8 FROM h),
+f AS (SELECT doc_id, {_sha_feature_oracle(32)} AS q FROM w)
+SELECT doc_id,
+       cast(len(q) AS BIGINT) AS embed_dim,
+       round(sqrt(list_inner_product(q::DOUBLE[], q::DOUBLE[])) / 1000.0, 4) AS emb_norm,
+       md5(array_to_string(q, ',')) AS emb_md5
+FROM f
+"""
+
+
+@register("embed_documents", _EMBED_DOCS_ORACLE)
+def embed_documents_q(spark, sf_dir):
+    """O15 embedding pipeline (reference semantic_search.py:17-25):
+    text -> model-per-partition mapInPandas encoder -> vectors. The
+    encoder is a deterministic stub (no model runtime in the container);
+    the distributed shape is the production path. Output pinned through
+    scalar digests like multimodal_features."""
+    from vector_database_in_rust_spark.operators.embed import encode_documents
+
+    emb = encode_documents(_docs(spark, sf_dir))
+    q = F.transform(F.col("embedding"), lambda x: F.round(x * 1000).cast("int"))
+    sq = F.aggregate(
+        q, F.lit(0).cast("bigint"), lambda acc, v: acc + (v * v).cast("bigint")
+    )
+    return emb.select(
+        "doc_id",
+        F.size("embedding").cast("long").alias("embed_dim"),
+        F.round(F.sqrt(sq.cast("double")) / 1000.0, 4).alias("emb_norm"),
+        F.md5(F.array_join(q.cast("array<string>"), ",")).alias("emb_md5"),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -52,6 +52,23 @@ def attach_binary_payload(docs: DataFrame, *, media_type: str = "image") -> Data
     )
 
 
+def sha_feature_vector(payload: bytes, dim: int) -> np.ndarray:
+    """Deterministic fake feature vector derived from payload bytes:
+    sha256 digest -> little-endian uint32 words (repeated to ``dim``)
+    -> (word % 1000) / 1000 as float32.
+
+    Chosen so the exact same derivation is expressible in ANSI SQL
+    (sha256 hex -> byte-swapped hex substrings -> integer cast), which
+    makes every stub-decode/stub-encode operator fully DuckDB-oracle-able
+    — see ``harness._sha_feature_oracle``.
+    """
+    digest = hashlib.sha256(payload).digest()
+    raw = np.frombuffer(
+        (digest * ((dim * 4) // len(digest) + 1))[: dim * 4], dtype=np.uint32
+    )
+    return (raw % 1000).astype(np.float32) / 1000.0
+
+
 def decode_media(content: bytes, media_type: str) -> np.ndarray:
     """STUB decode: returns a deterministic FEATURE_DIM-vector derived
     from the payload bytes (sha256-seeded), so the full pipeline is
@@ -66,9 +83,7 @@ def decode_media(content: bytes, media_type: str) -> np.ndarray:
             "real decoders are not installed in this container; "
             "plug PIL/librosa decoding in here"
         )
-    digest = hashlib.sha256(content).digest()
-    raw = np.frombuffer((digest * ((FEATURE_DIM * 4) // len(digest) + 1))[: FEATURE_DIM * 4], dtype=np.uint32)
-    return (raw % 1000).astype(np.float32) / 1000.0
+    return sha_feature_vector(content, FEATURE_DIM)
 
 
 def extract_features(media: DataFrame) -> DataFrame:
@@ -100,6 +115,34 @@ def extract_features(media: DataFrame) -> DataFrame:
             "media_id BIGINT, media_type STRING, n_bytes BIGINT, "
             "features ARRAY<FLOAT>"
         ),
+    )
+
+
+def feature_digests(features: DataFrame) -> DataFrame:
+    """Project a ``features ARRAY<FLOAT>`` column to portable scalars:
+    dimension, quantized L2 norm and md5 of the quantized values.
+
+    Array columns do not hash portably across engines (the driver's
+    row canonicalizer cannot sort them, and float formatting differs),
+    so oracle-checked queries pin array outputs through this projection.
+    Quantization: the stub features are k/1000 by construction, so
+    ``round(x * 1000)`` recovers the exact integer k on both sides.
+    """
+    q = F.transform(
+        F.col("features"), lambda x: F.round(x * 1000).cast("int")
+    )
+    sq = F.aggregate(
+        q,
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + (v * v).cast("bigint"),
+    )
+    return features.select(
+        "media_id",
+        "media_type",
+        "n_bytes",
+        F.size("features").cast("long").alias("feature_dim"),
+        F.round(F.sqrt(sq.cast("double")) / 1000.0, 4).alias("feature_norm"),
+        F.md5(F.array_join(q.cast("array<string>"), ",")).alias("feature_md5"),
     )
 
 
