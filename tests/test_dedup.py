@@ -126,6 +126,61 @@ def test_dedup_clusters_match_union_find(spark, docs):
     assert all(c == min(ms) for c, ms in by_cluster.items())
 
 
+def _brute_jaccard_pairs(texts, threshold, n=3, max_shingle_freq=None):
+    """Driver-side ground truth mirroring word_shingles semantics:
+    distinct word n-grams; docs shorter than n words -> whole text."""
+    def shingles(t):
+        toks = t.split(" ")
+        if len(toks) >= n:
+            return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+        return {t}
+
+    sh = {d: shingles(t) for d, t in texts.items()}
+    if max_shingle_freq is not None:
+        freq = {}
+        for s_set in sh.values():
+            for s in s_set:
+                freq[s] = freq.get(s, 0) + 1
+        sh = {
+            d: {s for s in s_set if freq[s] <= max_shingle_freq}
+            for d, s_set in sh.items()
+        }
+    out = set()
+    ids = sorted(sh)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sh[a] & sh[b])
+            union = len(sh[a] | sh[b])
+            if union and round(inter / union, 6) >= threshold:
+                out.add((a, b))
+    return out
+
+
+def test_hot_shingle_frequency_cut(spark):
+    """Adversarial corpus: every doc shares a long hot phrase, so without
+    a frequency cut EVERY pair exceeds the threshold — quadratic
+    candidate fan-out. With the cut, the hot shingles are dropped before
+    the self-join and only the genuine near-dup pair survives. Both
+    modes must match a driver-side brute force with the SAME cut applied
+    (the documented 'Jaccard over retained shingles' semantics)."""
+    hot = " ".join(f"h{i}" for i in range(12))  # 10 hot shingles, freq = n_docs
+    texts = {i: f"{hot} u{i}x u{i}y u{i}z" for i in range(20)}
+    texts[100] = f"{hot} qq ww rr tt"
+    texts[101] = f"{hot} qq ww rr uu"
+    docs = spark.createDataFrame(
+        [(d, t) for d, t in texts.items()], "doc_id BIGINT, text STRING"
+    )
+
+    cut = _pairs(dedup.ngram_jaccard_pairs(docs, threshold=0.5, max_shingle_freq=5))
+    assert cut == _brute_jaccard_pairs(texts, 0.5, max_shingle_freq=5)
+    assert cut == {(100, 101)}, "only the true near-dup pair survives the cut"
+
+    uncut = _pairs(dedup.ngram_jaccard_pairs(docs, threshold=0.5, max_shingle_freq=None))
+    assert uncut == _brute_jaccard_pairs(texts, 0.5, max_shingle_freq=None)
+    n = len(texts)
+    assert len(uncut) == n * (n - 1) // 2, "hot phrase makes ALL pairs match"
+
+
 def test_dedup_clusters_chain(spark):
     """A chain a-b, b-c, c-d must collapse into ONE cluster (transitive
     closure — the property pairwise thresholds alone don't give you)."""

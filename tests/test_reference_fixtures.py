@@ -125,3 +125,40 @@ def test_raw_format_roundtrip(spark, tmp_path):
     assert back.count() == 200
     import os
     assert os.path.getsize(path) == 200 * 16 * 4
+
+
+def test_raw_format_multifile_ids_unique_and_positional(spark, tmp_path):
+    """A multi-file raw directory must get globally unique vec_ids,
+    assigned as if the files were concatenated in path order (the
+    reference's id-is-offset semantics, disk_store.rs:40-47, extended
+    across files)."""
+    import numpy as np
+
+    from vector_database_in_rust_spark.sources.binary import read_raw_f32
+
+    dim = 4
+    parts = {
+        "a.bin": np.arange(3 * dim, dtype=np.float32).reshape(3, dim),
+        "b.bin": np.arange(100, 100 + 2 * dim, dtype=np.float32).reshape(2, dim),
+        "c.bin": np.arange(200, 200 + 5 * dim, dtype=np.float32).reshape(5, dim),
+    }
+    for name, mat in parts.items():
+        (tmp_path / name).write_bytes(mat.tobytes())
+    got = {
+        r["vec_id"]: list(r["embedding"])
+        for r in read_raw_f32(spark, str(tmp_path), dim, id_base=1000).collect()
+    }
+    want_mat = np.vstack([parts["a.bin"], parts["b.bin"], parts["c.bin"]])
+    assert sorted(got) == list(range(1000, 1010)), "ids globally unique + contiguous"
+    for i, vid in enumerate(range(1000, 1010)):
+        assert got[vid] == pytest.approx(list(want_mat[i]))
+
+
+def test_raw_format_ragged_file_rejected_early(spark, tmp_path):
+    """Ragged file (size not a multiple of dim*4) fails the driver-side
+    metadata pass before any task runs (disk_store.rs:22-27)."""
+    from vector_database_in_rust_spark.sources.binary import read_raw_f32
+
+    (tmp_path / "bad.bin").write_bytes(b"\x00" * 10)  # not a multiple of 16
+    with pytest.raises(ValueError, match="ragged file"):
+        read_raw_f32(spark, str(tmp_path), 4)

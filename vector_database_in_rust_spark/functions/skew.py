@@ -17,6 +17,19 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def content_salt(columns: list[str], salt_factor: int):
+    """Salt column in [0, salt_factor): ``pmod(xxhash64(<columns>), f)``.
+
+    A pure function of row content — a task retry re-derives the same
+    salt for the same row, so partial stage recompute cannot drop or
+    duplicate rows (unlike ``monotonically_increasing_id`` / unseeded
+    ``rand`` salts, which are nondeterministic across retries).
+    """
+    return F.pmod(
+        F.xxhash64(*[F.col(c) for c in columns]), F.lit(salt_factor)
+    ).cast("int")
+
+
 def salted_join(
     big: DataFrame,
     small: DataFrame,
@@ -28,20 +41,22 @@ def salted_join(
     """Equi-join ``big ⋈ small`` on column ``on`` with the big side's
     hot keys spread over ``salt_factor`` reducers.
 
-    The salt derives from a hash of the big side's full row (via
-    ``monotonically_increasing_id``), so it is uniform and needs no RNG;
-    the small side is exploded ``salt_factor``-fold — acceptable because
+    The salt is ``pmod(xxhash64(<all big-side columns>), salt_factor)``
+    — a pure function of row CONTENT, so a task retry re-derives the
+    same salt for the same row. (A salt from
+    ``monotonically_increasing_id`` or an unseeded ``rand`` is
+    nondeterministic across task retries: a shuffle-map retry can
+    re-salt rows and drop/duplicate them under partial stage recompute —
+    the classic nondeterministic-repartition hazard.) Identical
+    duplicate rows share a salt bucket; that only matters if one key is
+    hot *because* of exact duplicate rows, in which case dedup first.
+    The small side is exploded ``salt_factor``-fold — acceptable because
     the small side is small by contract (else broadcast it instead and
     skip salting entirely).
     """
     if salt_factor < 1:
         raise ValueError("salt_factor must be >= 1")
-    salted_big = big.withColumn(
-        "_salt",
-        (F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_factor))).cast(
-            "int"
-        ),
-    )
+    salted_big = big.withColumn("_salt", content_salt(big.columns, salt_factor))
     replicas = small.withColumn(
         "_salt",
         F.explode(F.sequence(F.lit(0), F.lit(salt_factor - 1)).cast("array<int>")),

@@ -23,8 +23,22 @@ similarity machinery (src/lib.rs:74-97) to the self-join setting.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+logger = logging.getLogger(__name__)
+
+# Default frequency cut for the shingle inverted index: a shingle
+# occurring in more than this many documents is dropped BEFORE the
+# self-join. Without a cut, one ultra-common shingle ("the the the...")
+# creates freq^2 join fan-out — quadratic in the hot-shingle count, the
+# classic web-dedup scale killer. 10k keeps the worst single-shingle
+# fan-out at ~1e8 rows (bounded, shuffle-friendly) regardless of corpus
+# size; shingles that common carry ~no Jaccard signal anyway. Set to
+# None for exact small-corpus semantics.
+DEFAULT_MAX_SHINGLE_FREQ = 10_000
 
 from vector_database_in_rust_spark.functions.text import (
     MINHASH_PRIME,
@@ -71,23 +85,31 @@ def ngram_jaccard_pairs(
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
-    max_shingle_freq: int | None = None,
+    max_shingle_freq: int | None = DEFAULT_MAX_SHINGLE_FREQ,
     persist_index: bool = False,
 ) -> DataFrame:
     """EXACT n-gram-shingle Jaccard similarity join: all pairs with
     J(a,b) >= threshold. Returns (doc_a, doc_b, jaccard), doc_a < doc_b.
 
     Inverted-index formulation: |intersection| falls out of a self-join
-    on the shingle key; |union| = |A| + |B| - |intersection|. At scale,
-    ``max_shingle_freq`` drops ultra-common shingles (stopword-only
-    grams) that would create quadratic join fan-out — the standard
-    frequency cut in web-dedup pipelines.
+    on the shingle key; |union| = |A| + |B| - |intersection|.
+
+    ``max_shingle_freq`` (ON by default, ``DEFAULT_MAX_SHINGLE_FREQ``)
+    drops ultra-common shingles before the self-join — the standard
+    frequency cut in web-dedup pipelines; without it one hot shingle
+    produces freq^2 join fan-out. The cut changes the metric to "Jaccard
+    over retained shingles" (sizes are computed after the cut, so the
+    semantics stay internally consistent); any oracle must apply the
+    same cut symmetrically.
 
     ``persist_index`` materializes the shingle index instead of
     re-tokenizing per DAG occurrence — off by default (the two join
     sides share one reused exchange anyway; measured neutral-to-negative
-    at test scale). At production scale, write the index to Parquet once
-    and reuse it across thresholds/runs.
+    at test scale). When on, the cached index is NOT released here (the
+    result is lazy); callers own the ``unpersist``, or should use the
+    eager pair-cache pattern in ``harness._jaccard_pairs_cached``. At
+    production scale, write the index to Parquet once and reuse it
+    across thresholds/runs.
     """
     sh = _shingle_index(docs, id_col, text_col, n)
     if persist_index:
@@ -265,7 +287,7 @@ def minhash_lsh_pairs(
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
-    return (
+    result = (
         common.join(sa, "doc_a")
         .join(sb, "doc_b")
         .select(
@@ -279,6 +301,14 @@ def minhash_lsh_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+    # Materialize the (small) verified pair list, then RELEASE the
+    # shingle-index cache — returning a lazy plan over a persisted input
+    # would leak executor cache across repeated calls in long-lived
+    # sessions. The checkpoint is one extra pass over k rows (pairs, not
+    # corpus) and makes the returned DataFrame self-contained.
+    result = result.localCheckpoint(eager=True)
+    sh.unpersist()
+    return result
 
 
 def simhash_fingerprints(

@@ -31,13 +31,35 @@ def read_raw_f32(
 
     Enforces the reference's ragged-file check: file size must be a
     multiple of ``dimensions * 4`` (``src/disk_store.rs:22-27``) — raises
-    ``ValueError`` inside the task otherwise.
-    IDs are positional per file starting at ``id_base``, preserving the
-    reference's id-is-offset semantics (``src/disk_store.rs:40-47``).
+    ``ValueError`` inside the task otherwise (ragged files also fail the
+    driver-side offset pass below before any task runs).
+
+    IDs are positional ACROSS files: files are ordered by path and each
+    file's ids start at ``id_base`` + the cumulative row count of all
+    preceding files — a multi-file directory therefore gets globally
+    unique, deterministic ids, preserving the reference's id-is-offset
+    semantics (``src/disk_store.rs:40-47``) as if the files were
+    concatenated. The offset pass reads only file METADATA (path, size)
+    on the driver — never content.
     """
     if dimensions <= 0:
         raise ValueError(f"dimensions must be positive, got {dimensions}")
     row_bytes = dimensions * 4
+
+    files = spark.read.format("binaryFile").load(path)
+    meta = sorted(
+        (r["path"], int(r["length"])) for r in files.select("path", "length").collect()
+    )
+    offsets: dict[str, int] = {}
+    cum = id_base
+    for p, size in meta:
+        if size % row_bytes != 0:
+            raise ValueError(
+                f"ragged file {p}: {size} bytes is not a multiple of "
+                f"{row_bytes} (dim={dimensions} * 4)"
+            )
+        offsets[p] = cum
+        cum += size // row_bytes
 
     def decode(batches):
         for pdf in batches:
@@ -49,14 +71,14 @@ def read_raw_f32(
                         f"a multiple of {row_bytes} (dim={dimensions} * 4)"
                     )
                 mat = np.frombuffer(raw, dtype=np.float32).reshape(-1, dimensions)
+                base = offsets[row["path"]]
                 yield pd.DataFrame(
                     {
-                        "vec_id": np.arange(len(mat), dtype=np.int64) + id_base,
+                        "vec_id": np.arange(len(mat), dtype=np.int64) + base,
                         "embedding": list(mat),
                     }
                 )
 
-    files = spark.read.format("binaryFile").load(path)
     return files.select("path", "content").mapInPandas(decode, schema=OUT_SCHEMA)
 
 

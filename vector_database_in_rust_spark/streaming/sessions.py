@@ -91,7 +91,13 @@ def sessionize_stateful(
                 closed.append((start, end, n, v))
                 start, end, n, v = t, t, 1, x
             else:
-                end, n, v = t, n + 1, v + x
+                # A late-but-within-watermark event may be OLDER than the
+                # open session's bounds (t < end, or even t < start when
+                # the state predates this batch). Extend with min/max —
+                # setting end = t unconditionally would move session_end
+                # backwards and cause a spurious split on the next
+                # on-time event.
+                start, end, n, v = min(start, t), max(end, t), n + 1, v + x
         state.update((start, end, n, v))
         # Close the open session once the watermark passes its gap horizon.
         state.setTimeoutTimestamp((end + gap_us) // 1000)
