@@ -80,6 +80,21 @@ def test_embedding_cosine_pairs_symmetric_free(spark):
     assert all(r["cosine"] >= 0.4 for r in got)
 
 
+def test_embedding_cosine_auto_routes_by_size(spark):
+    """impl='auto' must take the exact path under the row guard and the
+    LSH path above it — the scale-killer (corpus collect) is only
+    reachable when the corpus is small by construction."""
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    exact = _pairs(dedup.embedding_cosine_pairs(emb, threshold=0.4, impl="pandas"))
+    auto_small = _pairs(dedup.embedding_cosine_pairs(emb, threshold=0.4))
+    assert auto_small == exact
+    lsh = _pairs(dedup.lsh_cosine_pairs(emb, threshold=0.4))
+    auto_big = _pairs(
+        dedup.embedding_cosine_pairs(emb, threshold=0.4, max_exact_rows=10)
+    )
+    assert auto_big == lsh
+
+
 def test_lsh_cosine_pairs_recover_exact(spark):
     """LSH similarity join (scale path) vs exact pairwise at a high
     threshold: recall >= 0.7 with 8 hash tables on 500 x 64-d."""

@@ -383,6 +383,21 @@ def dedup_embedding_cosine(spark, sf_dir):
     return embedding_cosine_pairs(_emb(spark, sf_dir), threshold=0.4)
 
 
+@register("dedup_embedding_lsh")  # approximate recall -> rows-only
+def dedup_embedding_lsh(spark, sf_dir):
+    """Bucketed LSH cosine similarity join (operators/dedup.py
+    lsh_cosine_pairs) — the route ``embedding_cosine_pairs`` takes above
+    MAX_EXACT_COSINE_ROWS, exercised here directly so the 100 TB path
+    runs under the driver. Emitted cosines are exact (computed on LSH
+    candidates); the approximation is recall only, which portable SQL
+    cannot reproduce -> rows-only. Quality bar:
+    tests/test_dedup.py::test_lsh_cosine_pairs_recover_exact (recall
+    >= 0.7 vs the exact join at this threshold/scale)."""
+    from vector_database_in_rust_spark.operators.dedup import lsh_cosine_pairs
+
+    return lsh_cosine_pairs(_emb(spark, sf_dir), threshold=0.4)
+
+
 @register("dedup_minhash_lsh")  # approximate candidate gen -> rows-only
 def dedup_minhash_lsh(spark, sf_dir):
     """MinHash+LSH near-dup pairs (verified exactly). No SQL oracle: the

@@ -399,24 +399,35 @@ def simhash_pairs(
     )
 
 
+# Above this row count the exact all-pairs path (which broadcasts the
+# full normalized matrix, and whose output is inherently O(N^2)-ish) is
+# the wrong tool; "auto" routes to the bucketed LSH similarity join.
+# 1e5 x 64d float64 ~ 50 MB broadcast — the documented exact-path limit.
+MAX_EXACT_COSINE_ROWS = 100_000
+
+
 def embedding_cosine_pairs(
     emb: DataFrame,
     *,
     threshold: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    impl: str = "pandas",
+    impl: str = "auto",
+    max_exact_rows: int = MAX_EXACT_COSINE_ROWS,
 ) -> DataFrame:
     """Embedding-space near-dup pairs: cosine >= threshold, doc_a < doc_b.
 
-    Exact pairwise — correct tool up to ~1e5 rows (the comparison side is
-    broadcast); beyond that route through ``lsh_cosine_pairs``.
+    ``impl="auto"`` (default) routes by corpus size: EXACT pairwise up
+    to ``max_exact_rows`` rows, the bucketed LSH similarity join
+    (``lsh_cosine_pairs``) above it — so no corpus-sized driver collect
+    is reachable from the default path at scale. The size probe is one
+    ``count()`` over the id column (metadata-cheap on parquet).
 
-    Two implementations behind one contract (SURVEY §2.2's "UDFs are the
-    fallback, measure first" policy, resolved by measurement here):
+    Exact implementations behind one contract (SURVEY §2.2's "UDFs are
+    the fallback, measure first" policy, resolved by measurement here):
 
-    - ``impl="pandas"`` (default): L2-normalize, broadcast the full
-      normalized matrix (N x d float64), and compute each Arrow batch's
+    - ``impl="pandas"``: L2-normalize, broadcast the full normalized
+      matrix (N x d float64), and compute each Arrow batch's
       similarities as ONE BLAS matmul in ``mapInPandas``, filtering to
       the upper triangle before anything leaves the task. Measured ~10x
       faster than the expression form at 2k x 2k x 64 — quadratic
@@ -429,6 +440,19 @@ def embedding_cosine_pairs(
     Both preserve the reference's zero-norm -> 0.0 guard
     (src/lib.rs:43-45): zero vectors normalize to zero -> dot 0.
     """
+    if impl == "auto":
+        n = emb.select(id_col).count()
+        if n > max_exact_rows:
+            logger.info(
+                "embedding_cosine_pairs: %d rows > %d — routing to "
+                "lsh_cosine_pairs (approximate, bucketed)",
+                n,
+                max_exact_rows,
+            )
+            return lsh_cosine_pairs(
+                emb, threshold=threshold, id_col=id_col, vec_col=vec_col
+            )
+        impl = "pandas"
     if impl == "pandas":
         return _cosine_pairs_pandas(
             emb, threshold=threshold, id_col=id_col, vec_col=vec_col
