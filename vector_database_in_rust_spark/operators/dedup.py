@@ -610,12 +610,17 @@ def dedup_clusters(
     from any of the pair generators; output: (doc_id, cluster_id) for
     every doc appearing in a pair.
 
-    Iterative min-label propagation (the simplified Spark
-    connected-components shape, cf. large-star/small-star,
-    Kiveris et al. 2014 "Connected Components in MapReduce and Beyond"):
-    each round every vertex takes the min label among itself and its
-    neighbors; converges in O(component diameter) rounds — near-dup
-    clusters are shallow, so a handful of rounds in practice.
+    Iterative min-label propagation with a SHRINKING FRONTIER (the
+    Pregel message-passing shape, cf. large-star/small-star, Kiveris
+    et al. 2014 "Connected Components in MapReduce and Beyond"): a
+    vertex re-broadcasts its label to neighbors ONLY in the round after
+    that label changed. Labels decrease monotonically, so an unchanged
+    sender would resend a value its neighbors already folded in —
+    skipping it cannot lose information. Converges in O(component
+    diameter) rounds, but each round's join touches only
+    frontier-incident edges instead of the full edge list — after the
+    first couple of rounds most labels are final and the per-round cost
+    collapses with the frontier.
 
     Scale notes: each round is one join + one groupBy on vertex id;
     ``localCheckpoint`` cuts the growing lineage (iterative plans
@@ -638,10 +643,12 @@ def dedup_clusters(
         .withColumn("cluster_id", F.col("doc_id"))
         .localCheckpoint()
     )
+    frontier = labels  # round 0: every vertex announces its label
+    n_changed = -1
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(
-                labels.select(
+                frontier.select(
                     F.col("doc_id").alias("dst"),
                     F.col("cluster_id").alias("_nl"),
                 ),
@@ -664,7 +671,18 @@ def dedup_clusters(
             )
         ).localCheckpoint(eager=False)
         n_changed = updated.filter(F.col("_changed")).count()
+        frontier = updated.filter(F.col("_changed")).drop("_changed")
         labels = updated.drop("_changed")
         if n_changed == 0:
             break
+    if n_changed > 0:
+        logger.warning(
+            "dedup_clusters did NOT converge within max_iterations=%d "
+            "(%d labels still changing) — returned cluster ids are only "
+            "partially propagated. Components deeper than the iteration "
+            "budget need a higher max_iterations (rounds ~ component "
+            "diameter).",
+            max_iterations,
+            n_changed,
+        )
     return labels
