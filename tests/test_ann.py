@@ -113,6 +113,40 @@ def test_saved_index_partition_pruning(spark, emb, tmp_path):
     assert n_cells <= 2
 
 
+def test_search_batch_pruned_matches_in_memory(spark, emb, queries, tmp_path):
+    """The persisted-index probe (static cell_id IN -> partition pruning)
+    must return EXACTLY the rows of the in-memory batch probe, and its
+    scan must carry the cell filter as a PartitionFilter."""
+    from vector_database_in_rust_spark.plans.explain import formatted_plan
+
+    idx = IVFIndex.build(emb, num_cells=16, seed=42)
+    idx.save(spark, str(tmp_path / "ivf"))
+    loaded = IVFIndex.load(spark, str(tmp_path / "ivf"))
+
+    want = [tuple(r) for r in idx.search_batch(queries, K, nprobe=4).collect()]
+    res = loaded.search_batch_pruned(queries, K, nprobe=4)
+    got = [tuple(r) for r in res.collect()]
+    assert got == want
+
+    plan = formatted_plan(res)
+    assert "PartitionFilters" in plan
+    import re
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan).group(1)
+    assert "cell_id" in pf, f"cell filter not pushed to partitions: {pf}"
+
+
+def test_harness_persisted_equals_in_memory(spark):
+    """Driver-run shape: harness ann_search_persisted == ann_search."""
+    from vector_database_in_rust_spark import harness
+
+    a = [tuple(r) for r in harness.QUERIES["ann_search"](spark, SF_SMOKE).collect()]
+    b = [
+        tuple(r)
+        for r in harness.QUERIES["ann_search_persisted"](spark, SF_SMOKE).collect()
+    ]
+    assert a == b and a
+
+
 def test_assign_new_incremental(spark, emb):
     """Incremental assignment: new vectors become searchable without a
     refit; their cell is the true nearest centroid."""

@@ -692,6 +692,43 @@ def ann_search(spark, sf_dir):
     return idx.search_batch(_query_vec_df(spark, sf_dir, 8), KNN_K, nprobe=4)
 
 
+# Saved-index path per sf_dir (under the gitignored spark-warehouse dir):
+# ann_search_persisted probes the RELOADED cell-partitioned parquet, the
+# production serving shape — save once per process, probe many.
+_IVF_SAVED: dict[str, str] = {}
+
+
+def _ivf_persisted(spark, sf_dir):
+    import os
+
+    from vector_database_in_rust_spark.operators.ann import IVFIndex
+
+    path = _IVF_SAVED.get(sf_dir)
+    if path is None:
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        path = os.path.join(
+            repo_root,
+            "spark-warehouse",
+            "ivf_index",
+            os.path.basename(os.path.normpath(sf_dir)),
+        )
+        _ivf_index(spark, sf_dir).save(spark, path)
+        _IVF_SAVED[sf_dir] = path
+    return IVFIndex.load(spark, path)
+
+
+@register("ann_search_persisted")
+def ann_search_persisted(spark, sf_dir):
+    """IVF probe through the PERSISTED index: save -> reload -> probe the
+    cell-partitioned parquet with a static cell_id IN (...) predicate
+    (partition pruning — only probed cells' files are read; pinned in
+    tests/test_plans.py). Same queries/k/nprobe as ann_search; pytest
+    asserts row-identical results to the in-memory probe. Approximate by
+    design -> rows-only."""
+    idx = _ivf_persisted(spark, sf_dir)
+    return idx.search_batch_pruned(_query_vec_df(spark, sf_dir, 8), KNN_K, nprobe=4)
+
+
 # ---------------------------------------------------------------------------
 # Multimodal binary-column surface (stubbed decode; real plumbing)
 # ---------------------------------------------------------------------------

@@ -211,6 +211,60 @@ class IVFIndex:
             .orderBy("query_id", "dist", "vec_id")
         )
 
+    def search_batch_pruned(
+        self,
+        queries: DataFrame,
+        k: int,
+        *,
+        nprobe: int = 8,
+        query_id_col: str = "query_id",
+        query_vec_col: str = "query_embedding",
+        round_digits: int | None = 4,
+    ) -> DataFrame:
+        """Batch ANN over a PERSISTED cell-partitioned index — the
+        production serving shape.
+
+        Probe cells are computed driver-side against the centroid matrix
+        (tiny by construction: num_cells x dim), so the candidate scan
+        carries a STATIC ``cell_id IN (...)`` predicate. On the
+        cell-partitioned Parquet written by :meth:`save` that is
+        partition pruning (visible as ``PartitionFilters`` in the plan):
+        only the probed cells' files are read — the IVF analogue of HNSW
+        skipping unvisited graph regions, without relying on dynamic
+        partition pruning kicking in for the join. Queries are
+        broadcast-small by contract (same as ``knn_batch``); results are
+        row-identical to :meth:`search_batch` at the same nprobe.
+        """
+        spark = queries.sparkSession
+        q_rows = queries.select(query_id_col, query_vec_col).collect()
+        data = []
+        for r in q_rows:
+            vec = [float(x) for x in r[query_vec_col]]
+            for c in self._probe_cells(vec, nprobe):
+                data.append((r[query_id_col], vec, c))
+        probed = spark.createDataFrame(
+            data, f"{query_id_col} BIGINT, {query_vec_col} ARRAY<DOUBLE>, cell_id INT"
+        )
+        all_cells = sorted({c for (_, _, c) in data})
+        cand = self.assignments.filter(F.col("cell_id").isin(all_cells)).join(
+            F.broadcast(probed), on="cell_id", how="inner"
+        )
+        dist = l2_squared(F.col(self.vec_col), F.col(query_vec_col))
+        if round_digits is not None:
+            dist = F.round(dist, round_digits)
+        scored = cand.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(self.id_col).alias("vec_id"),
+            dist.alias("dist"),
+        )
+        w = Window.partitionBy("query_id").orderBy("dist", "vec_id")
+        return (
+            scored.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") <= k)
+            .drop("_r")
+            .orderBy("query_id", "dist", "vec_id")
+        )
+
     def assign_new(self, new_vectors: DataFrame) -> "IVFIndex":
         """Incrementally index NEW vectors against the EXISTING centroids
         (no refit): one broadcast-centroid argmin pass over the new rows,
