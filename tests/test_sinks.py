@@ -53,3 +53,62 @@ def test_partitioned_parquet_sink(spark, tmp_path):
 def test_bad_format_rejected(topk, tmp_path):
     with pytest.raises(ValueError, match="unsupported sink format"):
         write_result(topk, str(tmp_path / "x"), fmt="avro")
+
+
+def test_csv_reader_vector_roundtrip_exact(spark, tmp_path):
+    """ARRAY<FLOAT> -> JSON-in-CSV -> back: bit-exact floats (shortest-
+    roundtrip text repr both directions)."""
+    from vector_database_in_rust_spark.sources.text_formats import read_csv
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").limit(50)
+    p = str(tmp_path / "vec_rt")
+    write_result(emb, p, fmt="csv")
+    back = read_csv(
+        spark, p, "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT"
+    )
+    want = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+    got = {r["vec_id"]: r["embedding"] for r in back.collect()}
+    assert got == want
+
+
+def test_csv_reader_failfast_on_corrupt_row(spark, tmp_path):
+    """A row that doesn't parse under the enforced schema must FAIL the
+    job (FAILFAST), not become silent nulls."""
+    from py4j.protocol import Py4JJavaError
+
+    from vector_database_in_rust_spark.sources.text_formats import read_csv
+
+    d = tmp_path / "bad_csv"
+    d.mkdir()
+    (d / "part.csv").write_text("a,b\n1,x\n")  # 'x' not an INT
+    with pytest.raises(Py4JJavaError):
+        read_csv(spark, str(d), "a INT, b INT").collect()
+    # PERMISSIVE mode keeps the row with a null instead
+    got = read_csv(spark, str(d), "a INT, b INT", mode="PERMISSIVE").collect()
+    assert got[0]["a"] == 1 and got[0]["b"] is None
+
+
+def test_json_reader_failfast_on_malformed_line(spark, tmp_path):
+    from py4j.protocol import Py4JJavaError
+
+    from vector_database_in_rust_spark.sources.text_formats import read_json
+
+    d = tmp_path / "bad_json"
+    d.mkdir()
+    (d / "part.json").write_text('{"a": 1}\n{not json}\n')
+    with pytest.raises(Py4JJavaError):
+        read_json(spark, str(d), "a INT").collect()
+
+
+def test_json_reader_schema_not_inferred(spark, tmp_path):
+    """The enforced schema wins over what inference would guess: ints
+    stay ints, absent fields surface as typed nulls."""
+    from vector_database_in_rust_spark.sources.text_formats import read_json
+
+    d = tmp_path / "typed_json"
+    d.mkdir()
+    (d / "part.json").write_text('{"a": 1, "b": "x"}\n{"a": 2}\n')
+    back = read_json(spark, str(d), "a BIGINT, b STRING")
+    assert back.schema.simpleString() == "struct<a:bigint,b:string>"
+    rows = sorted((r["a"], r["b"]) for r in back.collect())
+    assert rows == [(1, "x"), (2, None)]

@@ -730,6 +730,96 @@ def ann_search_persisted(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# CSV / JSON sources (sink -> source -> hash-match the original table):
+# the readers are exercised end-to-end under the driver, oracle-backed
+# against the ORIGINAL parquet — a lossy writer OR reader fails the hash.
+# ---------------------------------------------------------------------------
+
+_ROUNDTRIP_PATHS: dict = {}
+
+
+def _roundtrip_write(spark, sf_dir, name, df, fmt):
+    """Write once per (process, sf_dir); reruns reuse the files — the
+    query under measurement is the READER."""
+    import os
+
+    key = (name, sf_dir)
+    path = _ROUNDTRIP_PATHS.get(key)
+    if path is None:
+        from vector_database_in_rust_spark.sources.sinks import write_result
+
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        path = os.path.join(
+            repo_root,
+            "spark-warehouse",
+            "roundtrip",
+            name,
+            os.path.basename(os.path.normpath(sf_dir)),
+        )
+        write_result(df, path, fmt=fmt)
+        _ROUNDTRIP_PATHS[key] = path
+    return path
+
+
+@register("csv_roundtrip", "SELECT n_nationkey, n_name, n_regionkey FROM nation")
+def csv_roundtrip(spark, sf_dir):
+    """nation -> CSV sink -> schema-enforced CSV source; the oracle reads
+    the ORIGINAL parquet, so any loss in either direction hash-fails."""
+    from vector_database_in_rust_spark.sources.text_formats import read_csv
+
+    ddl = "n_nationkey INT, n_name STRING, n_regionkey INT"
+    df = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    path = _roundtrip_write(spark, sf_dir, "csv_nation", df, "csv")
+    return read_csv(spark, path, ddl)
+
+
+@register(
+    "json_roundtrip",
+    "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
+)
+def json_roundtrip(spark, sf_dir):
+    """supplier -> JSON-lines sink -> schema-enforced JSON source.
+    s_acctbal DOUBLE proves float text round-tripping is exact
+    (shortest-roundtrip repr both ways)."""
+    from vector_database_in_rust_spark.sources.text_formats import read_json
+
+    ddl = "s_suppkey BIGINT, s_name STRING, s_nationkey INT, s_acctbal DOUBLE"
+    df = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )
+    path = _roundtrip_write(spark, sf_dir, "json_supplier", df, "json")
+    return read_json(spark, path, ddl)
+
+
+@register(
+    "csv_vector_roundtrip",
+    "SELECT vec_id, len(embedding) AS dim, "
+    "round(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]), 4) "
+    "AS sq_norm FROM embeddings",
+)
+def csv_vector_roundtrip(spark, sf_dir):
+    """embeddings -> CSV (vectors JSON-encoded by the sink) -> CSV source
+    decoding back to ARRAY<FLOAT>. Projects (dim, sq_norm) digests — the
+    oracle computes them from the ORIGINAL floats, so a single ULP lost
+    in the text round trip flips the hash."""
+    from vector_database_in_rust_spark.sources.text_formats import read_csv
+
+    ddl = "vec_id BIGINT, embedding ARRAY<FLOAT>"
+    df = _emb(spark, sf_dir).select("vec_id", "embedding")
+    path = _roundtrip_write(spark, sf_dir, "csv_embeddings", df, "csv")
+    back = read_csv(spark, path, ddl)
+    return back.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.round(dot_product(F.col("embedding"), F.col("embedding")), 4).alias(
+            "sq_norm"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Multimodal binary-column surface (stubbed decode; real plumbing)
 # ---------------------------------------------------------------------------
 
