@@ -10,13 +10,16 @@ never regress >2x.
 
 Each query is timed end-to-end (logical plan -> execution -> noop sink),
 after a warm-up action so JVM/codegen startup is not attributed to the
-first query.
+first query. Per NOTES_r1.md the box is +-2-3x noisy, so every query is
+repeated $SPARK_GRAFT_BENCH_RUNS times (default 3) and the MEDIAN is
+reported ("n" in the JSON line records the repeat count).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -43,15 +46,32 @@ BENCH_QUERIES = [
 ]
 
 
+# Harness-level memoization to RESET before each repeat of the query
+# that legitimately pays for it, so every repeat measures the real work.
+# Caches NOT listed here implement intended cross-query reuse (the IVF
+# index serves ann_search "build once, probe many"; the materialized
+# jaccard pair list feeds dedup_clusters) and are left warm.
+_RESET_BEFORE = {
+    "dedup_ngram_jaccard": lambda: harness._JACCARD_PAIRS_CACHE.clear(),
+}
+
+
 def run_one(spark, name: str, sf_dir: str) -> float:
     # Isolate queries from each other: persisted intermediates (e.g. the
     # minhash shingle index) would otherwise accumulate executor memory
     # across the run and skew later timings with GC pressure.
     spark.catalog.clearCache()
+    reset = _RESET_BEFORE.get(name)
+    if reset:
+        reset()
     t0 = time.perf_counter()
     df = harness.QUERIES[name](spark, sf_dir)
     df.write.format("noop").mode("overwrite").save()
     return time.perf_counter() - t0
+
+
+def run_median(spark, name: str, sf_dir: str, repeats: int) -> float:
+    return statistics.median(run_one(spark, name, sf_dir) for _ in range(repeats))
 
 
 def main() -> None:
@@ -62,10 +82,11 @@ def main() -> None:
     # Warm-up: JVM, parquet footer reads, codegen.
     spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
 
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         try:
-            timings[name] = round(run_one(spark, name, sf_dir), 3)
+            timings[name] = round(run_median(spark, name, sf_dir, repeats), 3)
         except Exception as exc:  # keep the bench line parseable on failure
             print(f"bench: {name} failed: {exc}", file=sys.stderr)
             timings[name] = -1.0
@@ -78,6 +99,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "n": repeats,
             }
         )
     )
