@@ -1,0 +1,109 @@
+"""Corpus-curation operator semantics: verdict precedence on a
+constructed corpus (the synthetic corpus has no exact dups, so the
+oracle-parity check alone never exercises dup reasons), and the
+determinism/stability contract of hash sampling."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from vector_database_in_rust_spark.operators.curation import (
+    curate_corpus,
+    sample_threshold_hex,
+    stratified_sample,
+    vocab_top_tokens,
+)
+from tests.conftest import SF_SMOKE
+
+GOOD = (
+    "the cat sat on the mat and it is a story of a cat in a hat "
+    "with many words to clear the length bar " * 5
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id BIGINT, text STRING, lang STRING")
+
+
+def test_curate_precedence(spark):
+    rows = [
+        (1, GOOD, "en"),                       # kept
+        (2, GOOD, "en"),                       # exact dup of 1
+        # same token multiset, different order -> fingerprint dup of 1
+        (3, " ".join(reversed(GOOD.split(" "))), "en"),
+        (4, "tiny low quality doc", "en"),     # low_quality
+        (5, GOOD + " zh-doc-marker", "zh"),    # lang (quality passes)
+    ]
+    got = {
+        r["doc_id"]: (r["kept"], r["drop_reason"])
+        for r in curate_corpus(_docs(spark, rows), min_quality=0.45).collect()
+    }
+    assert got[1] == (True, None)
+    assert got[2] == (False, "exact_dup")
+    assert got[3] == (False, "fingerprint_dup")
+    assert got[4] == (False, "low_quality")
+    assert got[5] == (False, "lang")
+
+
+def test_curate_exact_dup_outranks_quality(spark):
+    """A doc that is BOTH an exact dup and low quality reports the
+    higher-precedence reason."""
+    rows = [(1, "tiny doc", "en"), (2, "tiny doc", "en")]
+    got = {
+        r["doc_id"]: r["drop_reason"]
+        for r in curate_corpus(_docs(spark, rows), min_quality=0.45).collect()
+    }
+    assert got[1] == "low_quality"
+    assert got[2] == "exact_dup"
+
+
+def test_sample_threshold_hex_bounds():
+    assert sample_threshold_hex(0.0) == "000000"
+    assert sample_threshold_hex(1.0) == "1000000"  # above every 6-char key
+    assert sample_threshold_hex(0.5) == "800000"
+
+
+def test_stratified_sample_deterministic_and_stable(spark):
+    """Same rows selected on every run AND when the corpus grows —
+    the membership of an id is independent of the other rows."""
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    frac = {"en": 0.5, "de": 0.8}
+    a = {r["doc_id"] for r in stratified_sample(docs, frac).collect()}
+    b = {r["doc_id"] for r in stratified_sample(docs.repartition(7), frac).collect()}
+    assert a == b
+    half = docs.filter(F.col("doc_id") < 250)
+    c = {r["doc_id"] for r in stratified_sample(half, frac).collect()}
+    assert c == {d for d in a if d < 250}
+
+
+def test_stratified_sample_fraction_accuracy(spark):
+    """Measured per-language rates within a few points of the target
+    (md5 is uniform; 500-doc corpus -> loose bars)."""
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    frac = {"en": 0.5, "de": 0.8, "zh": 0.25}
+    totals = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    got = {
+        r["lang"]: r["n"]
+        for r in stratified_sample(docs, frac)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert set(got) <= set(frac)
+    for lang, f in frac.items():
+        rate = got.get(lang, 0) / totals[lang]
+        assert abs(rate - f) < 0.15, f"{lang}: {rate} vs {f}"
+
+
+def test_vocab_top_tokens_rank_contract(spark):
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    out = vocab_top_tokens(docs, k=5).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append((r["rank"], r["n"], r["token"]))
+    for lang, rows in by_lang.items():
+        rows.sort()
+        assert [r[0] for r in rows] == list(range(1, len(rows) + 1))
+        # counts non-increasing with rank; ties broken by token asc
+        for (r1, n1, t1), (r2, n2, t2) in zip(rows, rows[1:]):
+            assert n1 > n2 or (n1 == n2 and t1 < t2)

@@ -82,3 +82,31 @@ def test_top_customers_broadcasts_dims(audits):
 def test_scan_embeddings_prunes_columns(audits):
     a = audits("scan_embeddings")
     assert a.n_shuffle_exchanges == 0
+
+
+def test_curate_corpus_no_self_join(audits):
+    """The composite gate inlines the quality expression — no self-join
+    back onto the corpus; the only exchanges are the two hash-keyed
+    window shuffles (exact-md5 and fingerprint), whose shuffle keys are
+    hashes, never text bodies."""
+    a = audits("curate_corpus")
+    assert not a.broadcast_joins and not a.sort_merge_joins
+    assert a.n_shuffle_exchanges <= 2
+
+
+def test_sample_stratified_is_scan_plus_filter(audits):
+    """Deterministic hash sampling must stay a shuffle-free scan+filter
+    — no exchange, no join, no aggregation."""
+    a = audits("sample_stratified")
+    assert a.n_shuffle_exchanges == 0
+    assert a.n_broadcast_exchanges == 0
+    assert a.n_hash_aggregates == 0
+
+
+def test_vocab_top_tokens_bounded_window(audits):
+    """Word-count shuffle must partially aggregate map-side, and the
+    per-lang top-k must run the Partial WindowGroupLimit before its
+    exchange."""
+    a = audits("vocab_top_tokens")
+    assert a.n_hash_aggregates >= 2
+    assert a.has_partial_window_group_limit

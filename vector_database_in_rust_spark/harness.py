@@ -730,6 +730,113 @@ def ann_search_persisted(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Corpus curation (composite LLM-pipeline stages over documents)
+# ---------------------------------------------------------------------------
+
+_CURATE_MIN_QUALITY = 0.45
+_CURATE_LANGS = ("en", "de", "fr")
+
+_CURATE_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, text, lang,
+         {_SQL_TOKS} AS w,
+         len(list_filter({_SQL_TOKS}, t -> t IN {_SQL_STOPWORDS})) * 1.0
+           / greatest(len({_SQL_TOKS}), 1) AS swr
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, text, lang,
+         round(0.4 * least(len(w) / 200.0, 1.0)
+               + 0.3 * (len(list_distinct(w)) * 1.0 / greatest(len(w), 1))
+               + 0.3 * (least(swr, 0.1) / 0.1), 6) AS quality,
+         doc_id > min(doc_id) OVER (PARTITION BY md5(text)) AS ed,
+         doc_id > min(doc_id) OVER (PARTITION BY md5(array_to_string(
+             list_sort(list_distinct(w)), ' '))) AS fd
+  FROM t
+)
+SELECT doc_id, lang, quality,
+       CASE WHEN ed THEN 'exact_dup'
+            WHEN fd THEN 'fingerprint_dup'
+            WHEN quality < {_CURATE_MIN_QUALITY} THEN 'low_quality'
+            WHEN lang NOT IN ('en','de','fr') THEN 'lang' END AS drop_reason,
+       (CASE WHEN ed THEN 'exact_dup'
+             WHEN fd THEN 'fingerprint_dup'
+             WHEN quality < {_CURATE_MIN_QUALITY} THEN 'low_quality'
+             WHEN lang NOT IN ('en','de','fr') THEN 'lang' END) IS NULL AS kept
+FROM scored
+"""
+
+
+@register("curate_corpus", _CURATE_ORACLE)
+def curate_corpus_q(spark, sf_dir):
+    """Composite curation gate: exact-dup > fingerprint-dup > quality
+    floor > language allowlist, one verdict row per document."""
+    from vector_database_in_rust_spark.operators.curation import curate_corpus
+
+    return curate_corpus(
+        _docs(spark, sf_dir),
+        min_quality=_CURATE_MIN_QUALITY,
+        keep_langs=_CURATE_LANGS,
+    )
+
+
+# Per-language sampling fractions and their 6-hex-char prefix
+# thresholds (computed by the SAME helper the operator uses, inlined
+# into the oracle so both engines compare identical strings).
+_SAMPLE_FRACTIONS = {"de": 0.8, "en": 0.5, "zh": 0.25}
+
+
+def _sample_oracle() -> str:
+    from vector_database_in_rust_spark.operators.curation import (
+        sample_threshold_hex,
+    )
+
+    arms = " OR ".join(
+        f"(lang = '{lang}' AND substr(md5(cast(doc_id AS VARCHAR)), 1, 6)"
+        f" < '{sample_threshold_hex(frac)}')"
+        for lang, frac in sorted(_SAMPLE_FRACTIONS.items())
+    )
+    return (
+        "SELECT doc_id, lang, "
+        "substr(md5(cast(doc_id AS VARCHAR)), 1, 6) AS sample_key "
+        f"FROM documents WHERE {arms}"
+    )
+
+
+@register("sample_stratified", _sample_oracle())
+def sample_stratified_q(spark, sf_dir):
+    """Deterministic per-language hash sample (md5-prefix thresholding):
+    reproducible across runs, retries, and corpus growth — the sampling
+    discipline that survives a 100 TB multi-day job, unlike rand()."""
+    from vector_database_in_rust_spark.operators.curation import stratified_sample
+
+    return stratified_sample(_docs(spark, sf_dir), _SAMPLE_FRACTIONS)
+
+
+_VOCAB_ORACLE = f"""
+WITH tok AS (SELECT lang, unnest({_SQL_TOKS}) AS token FROM documents),
+counts AS (SELECT lang, token, count(*) AS n FROM tok GROUP BY 1, 2),
+ranked AS (
+  SELECT lang, token, n,
+         row_number() OVER (PARTITION BY lang ORDER BY n DESC, token) AS rank
+  FROM counts
+)
+SELECT lang, cast(rank AS BIGINT) AS rank, token, n
+FROM ranked WHERE rank <= 20
+"""
+
+
+@register("vocab_top_tokens", _VOCAB_ORACLE)
+def vocab_top_tokens_q(spark, sf_dir):
+    """Token-frequency top-20 per language — the vocabulary profile a
+    tokenizer build starts from (word-count shuffle + bounded ranking
+    window)."""
+    from vector_database_in_rust_spark.operators.curation import vocab_top_tokens
+
+    return vocab_top_tokens(_docs(spark, sf_dir), k=20)
+
+
+# ---------------------------------------------------------------------------
 # CSV / JSON sources (sink -> source -> hash-match the original table):
 # the readers are exercised end-to-end under the driver, oracle-backed
 # against the ORIGINAL parquet — a lossy writer OR reader fails the hash.

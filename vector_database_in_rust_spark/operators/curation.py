@@ -1,0 +1,155 @@
+"""Corpus-curation operators: the composite stages a training-data
+pipeline runs between raw ingest and tokenization (north-star extension
+surface; the reference has no text pipeline at all — its only text
+handling is the demo's positional doc lookup, semantic_search.py:43-46).
+
+Three operators, all pure Catalyst (no Python in any hot path):
+
+- ``curate_corpus``: the standard keep/drop gate — exact-dup drop,
+  fingerprint-dup drop, quality floor, language allowlist — evaluated in
+  ONE pass with fixed reason precedence. Shuffle profile: two hash-keyed
+  window mins (the shuffle carries (hash, id), never text bodies); the
+  rest is per-row expressions in codegen.
+- ``stratified_sample``: DETERMINISTIC per-language hash sampling.
+  ``rand()``-based sampling is nondeterministic under task retry and
+  irreproducible across runs; hashing the stable doc id into hex space
+  and comparing against a per-language prefix threshold gives the same
+  sample every run, on any cluster, resumable mid-pipeline — the only
+  sampling discipline that survives a 100 TB multi-day job. Shuffle-free
+  (a scan + filter).
+- ``vocab_top_tokens``: token frequency top-k per language — the
+  vocabulary-analysis pass before building a tokenizer. Word-count
+  shuffle shape (map-side combinable) + per-group top-k via ranking
+  window (WindowGroupLimit bounds the second shuffle to k rows per
+  partition per group).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from vector_database_in_rust_spark.functions.text import (
+    content_fingerprint,
+    tokens,
+)
+from vector_database_in_rust_spark.operators.textstats import quality_expr
+
+HEX_SPACE = 16**6  # sampling threshold resolution: first 6 md5 hex chars
+
+
+def curate_corpus(
+    docs: DataFrame,
+    *,
+    min_quality: float = 0.5,
+    keep_langs: tuple[str, ...] = ("en", "de", "fr"),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Keep/drop verdict per document with a drop reason.
+
+    Reason precedence (first match wins — fixed so the output is
+    deterministic and oracle-checkable):
+
+    1. ``exact_dup``       — not the minimum id for its exact text md5
+    2. ``fingerprint_dup`` — not the minimum id for its order-insensitive
+       content fingerprint (catches token permutations)
+    3. ``low_quality``     — quality score below ``min_quality``
+    4. ``lang``            — language not in ``keep_langs``
+    kept rows carry ``drop_reason = NULL``.
+
+    Dup detection keeps the MINIMUM doc id of each group (the canonical
+    keeper, same convention as ``dedup_exact``/``dedup_clusters``) via
+    window mins partitioned by the hash — the shuffle key is the hash,
+    so cost scales with corpus size, not pairs.
+    """
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("_text"),
+        F.col(lang_col).alias("lang"),
+        quality_expr(F.col(text_col)).alias("quality"),
+    )
+    w_md5 = Window.partitionBy(F.md5(F.col("_text")))
+    w_fp = Window.partitionBy(content_fingerprint(F.col("_text")))
+    flagged = base.select(
+        "doc_id",
+        "lang",
+        "quality",
+        (F.col("doc_id") > F.min("doc_id").over(w_md5)).alias("_exact_dup"),
+        (F.col("doc_id") > F.min("doc_id").over(w_fp)).alias("_fp_dup"),
+    )
+    reason = (
+        F.when(F.col("_exact_dup"), F.lit("exact_dup"))
+        .when(F.col("_fp_dup"), F.lit("fingerprint_dup"))
+        .when(F.col("quality") < min_quality, F.lit("low_quality"))
+        .when(~F.col("lang").isin(*keep_langs), F.lit("lang"))
+    )
+    return flagged.select(
+        "doc_id",
+        "lang",
+        "quality",
+        reason.alias("drop_reason"),
+        reason.isNull().alias("kept"),
+    )
+
+
+def sample_threshold_hex(fraction: float) -> str:
+    """The 6-hex-char prefix threshold for a sampling fraction: a doc is
+    kept iff the first 6 hex chars of md5(id) sort strictly below it.
+    Plain string comparison — identical semantics in any engine."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0,1], got {fraction}")
+    return format(int(round(fraction * HEX_SPACE)), "06x")
+
+
+def stratified_sample(
+    docs: DataFrame,
+    fractions: dict[str, float],
+    *,
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Deterministic per-language sample: keep a ``fractions[lang]``
+    share of each language's documents, selected by md5-hash prefix of
+    the document id (languages absent from ``fractions`` are dropped).
+
+    Unlike ``sample()``/``rand()``, the decision is a pure function of
+    the id — reproducible across runs/partitionings/retries, and the
+    SAME rows stay selected when the corpus grows (a stable holdout).
+    """
+    key = F.substring(F.md5(F.col(id_col).cast("string")), 1, 6)
+    cond = F.lit(False)
+    for lang, frac in sorted(fractions.items()):
+        cond = cond | (
+            (F.col(lang_col) == lang) & (key < sample_threshold_hex(frac))
+        )
+    return docs.filter(cond).select(
+        F.col(id_col).alias("doc_id"),
+        F.col(lang_col).alias("lang"),
+        key.alias("sample_key"),
+    )
+
+
+def vocab_top_tokens(
+    docs: DataFrame,
+    *,
+    k: int = 20,
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Top-k tokens per language by frequency (ties broken by token
+    string): the vocabulary profile a tokenizer build starts from.
+    explode -> count (map-side combinable word-count shuffle) ->
+    ranking window bounded by WindowGroupLimit."""
+    tok = docs.select(
+        F.col(lang_col).alias("lang"),
+        F.explode(tokens(F.col(text_col))).alias("token"),
+    )
+    counts = tok.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("token"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("lang", F.col("rank").cast("long").alias("rank"), "token", "n")
+    )

@@ -59,6 +59,16 @@ def language_id(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "tex
     )
 
 
+def quality_expr(t):
+    """Quality score as a plain column expression (per-row, codegen) so
+    composite pipelines (operators/curation.py) can inline it without a
+    self-join back onto the corpus."""
+    length_score = F.least(F.size(tokens(t)) / F.lit(200.0), F.lit(1.0))
+    diversity = distinct_ratio(t)
+    natural = F.least(stopword_ratio(t), F.lit(0.1)) / F.lit(0.1)
+    return F.round(0.4 * length_score + 0.3 * diversity + 0.3 * natural, 6)
+
+
 def quality_score(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Deterministic document quality score in [0, 1]:
 
@@ -70,15 +80,9 @@ def quality_score(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "t
     per-row heuristics -> filter threshold) is the standard pretraining
     quality gate.
     """
-    t = F.col(text_col)
-    length_score = F.least(F.size(tokens(t)) / F.lit(200.0), F.lit(1.0))
-    diversity = distinct_ratio(t)
-    natural = F.least(stopword_ratio(t), F.lit(0.1)) / F.lit(0.1)
     return docs.select(
         F.col(id_col).alias("doc_id"),
-        F.round(
-            0.4 * length_score + 0.3 * diversity + 0.3 * natural, 6
-        ).alias("quality"),
+        quality_expr(F.col(text_col)).alias("quality"),
     )
 
 
