@@ -837,6 +837,51 @@ def vocab_top_tokens_q(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Training-data output shaping: sharding + sequence packing
+# ---------------------------------------------------------------------------
+
+_NUM_SHARDS = 8
+
+_SHARD_MANIFEST_ORACLE = f"""
+WITH a AS (
+  SELECT doc_id,
+         cast(('0x' || substr(md5(cast(doc_id AS VARCHAR)), 1, 6))::BIGINT
+              % {_NUM_SHARDS} AS INT) AS shard,
+         cast(len({_SQL_TOKS}) AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT shard, count(*) AS n_docs, cast(sum(n_tokens) AS BIGINT) AS total_tokens,
+       min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+FROM a GROUP BY shard
+"""
+
+
+@register("shard_manifest", _SHARD_MANIFEST_ORACLE)
+def shard_manifest_q(spark, sf_dir):
+    """Deterministic hash sharding for training-data output: per-shard
+    doc/token totals (the balance check a shard writer emits). The md5
+    hex arithmetic is shared verbatim with the oracle."""
+    from vector_database_in_rust_spark.operators.packing import shard_manifest
+
+    return shard_manifest(_docs(spark, sf_dir), num_shards=_NUM_SHARDS)
+
+
+@register("pack_sequences")  # sequential within shard -> genuinely non-SQL
+def pack_sequences_q(spark, sf_dir):
+    """Greedy first-fit packing of each shard's docs into 512-token
+    context windows via one applyInPandas per shard (only (doc_id,
+    n_tokens) pairs cross into Python — token counts are computed
+    Spark-side). Rows-only by design (running-fill recursion); pytest
+    pins equality with a driver-side greedy reference and the bin-fill
+    invariants."""
+    from vector_database_in_rust_spark.operators.packing import pack_sequences
+
+    return pack_sequences(
+        _docs(spark, sf_dir), context_len=512, num_shards=_NUM_SHARDS
+    )
+
+
+# ---------------------------------------------------------------------------
 # CSV / JSON sources (sink -> source -> hash-match the original table):
 # the readers are exercised end-to-end under the driver, oracle-backed
 # against the ORIGINAL parquet — a lossy writer OR reader fails the hash.
