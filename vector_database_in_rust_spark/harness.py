@@ -1083,6 +1083,81 @@ def embed_documents_q(spark, sf_dir):
     )
 
 
+_RESIZE_W = _RESIZE_H = 8  # 64 output bytes -> 128 hex chars
+
+_MEDIA_RESIZE_ORACLE = f"""
+SELECT doc_id AS media_id,
+       cast({_RESIZE_W} AS INT) AS out_w, cast({_RESIZE_H} AS INT) AS out_h,
+       cast({_RESIZE_W * _RESIZE_H} AS BIGINT) AS n_bytes,
+       md5(substr(repeat(sha256(text), {_RESIZE_W * _RESIZE_H // 32 + 1}), 1,
+                  {2 * _RESIZE_W * _RESIZE_H})) AS resized_md5
+FROM documents
+"""
+
+
+@register("media_resize", _MEDIA_RESIZE_ORACLE)
+def media_resize_q(spark, sf_dir):
+    """Stub image resize (BINARY in -> exactly w*h BINARY out through
+    Arrow batches; real slot = PIL). Output bytes are pinned via md5 of
+    their hex encoding — the sha256-stretch derivation is hex-string
+    arithmetic DuckDB reproduces exactly."""
+    from vector_database_in_rust_spark.operators.multimodal import (
+        attach_binary_payload,
+        resize_media,
+    )
+
+    out = resize_media(
+        attach_binary_payload(_docs(spark, sf_dir)),
+        width=_RESIZE_W,
+        height=_RESIZE_H,
+    )
+    return out.select(
+        "media_id",
+        "out_w",
+        "out_h",
+        F.octet_length("content").cast("long").alias("n_bytes"),
+        F.md5(F.lower(F.hex("content"))).alias("resized_md5"),
+    )
+
+
+_MEDIA_FRAMES_ORACLE = """
+WITH f AS (
+  SELECT doc_id AS media_id, text, length(text) // 64 AS n_frames
+  FROM documents
+),
+e AS (
+  SELECT media_id, text,
+         unnest(generate_series(0, cast(n_frames AS BIGINT) - 1, 4)) AS i
+  FROM f
+)
+SELECT media_id, cast(i AS INT) AS frame_idx,
+       cast(64 AS BIGINT) AS n_frame_bytes,
+       md5(substr(text, i * 64 + 1, 64)) AS frame_md5
+FROM e
+"""
+
+
+@register("media_frames", _MEDIA_FRAMES_ORACLE)
+def media_frames_q(spark, sf_dir):
+    """Stub video frame sampling: every 4th full 64-byte frame of the
+    payload, exploded executor-side in mapInPandas (real slot =
+    pyav/ffmpeg keyframes). Frame bytes pinned by md5 — the fixture
+    payload is ASCII text, so DuckDB's char-based substr md5 is
+    byte-identical."""
+    from vector_database_in_rust_spark.operators.multimodal import (
+        attach_binary_payload,
+        frame_sample,
+    )
+
+    out = frame_sample(attach_binary_payload(_docs(spark, sf_dir)), every_n=4)
+    return out.select(
+        "media_id",
+        "frame_idx",
+        F.octet_length("frame").cast("long").alias("n_frame_bytes"),
+        F.md5("frame").alias("frame_md5"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Additional vector + analytic surface (round-1 widening)
 # ---------------------------------------------------------------------------

@@ -146,6 +146,85 @@ def feature_digests(features: DataFrame) -> DataFrame:
     )
 
 
+RESIZE_SCHEMA = (
+    "media_id BIGINT, media_type STRING, out_w INT, out_h INT, content BINARY"
+)
+
+
+def resize_media(media: DataFrame, *, width: int = 8, height: int = 8) -> DataFrame:
+    """STUB image resize: produces exactly ``width*height`` output bytes
+    per item (a fake grayscale bitmap, sha256-stretched from the
+    payload) so the BINARY-in/BINARY-out plumbing — Arrow batches,
+    schema, per-task byte volume — is the real path. Real slot:
+    ``PIL.Image.open(...).resize(...)`` when decoders are installed
+    (``REAL_DECODERS_AVAILABLE``).
+
+    The stub derivation ((sha256 digest repeated)[:w*h]) is hex-string
+    arithmetic both engines can express, so the harness entry is fully
+    oracle-checkable.
+    """
+    n_out = width * height
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if REAL_DECODERS_AVAILABLE:  # pragma: no cover
+                raise NotImplementedError("plug PIL resize in here")
+            out = []
+            for c in pdf["content"]:
+                digest = hashlib.sha256(c).digest()
+                out.append((digest * (n_out // len(digest) + 1))[:n_out])
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "out_w": np.full(len(pdf), width, dtype=np.int32),
+                    "out_h": np.full(len(pdf), height, dtype=np.int32),
+                    "content": out,
+                }
+            )
+
+    return media.mapInPandas(batches, schema=RESIZE_SCHEMA)
+
+
+FRAME_BYTES = 64
+
+
+def frame_sample(media: DataFrame, *, every_n: int = 4) -> DataFrame:
+    """STUB video frame sampling: treat the payload as a stream of
+    ``FRAME_BYTES``-byte frames and emit every ``every_n``-th FULL frame
+    (trailing partial frames are dropped). One input row explodes into
+    a variable number of output rows inside the same Arrow batch — the
+    shape a real keyframe extractor (pyav/ffmpeg) produces. Scale: the
+    fan-out happens executor-side; only sampled frames (bounded by
+    ``len/FRAME_BYTES/every_n`` per item) leave the task.
+    """
+    if every_n < 1:
+        raise ValueError(f"every_n must be >= 1, got {every_n}")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if REAL_DECODERS_AVAILABLE:  # pragma: no cover
+                raise NotImplementedError("plug pyav keyframe extraction in here")
+            ids, idxs, frames = [], [], []
+            for mid, c in zip(pdf["media_id"], pdf["content"]):
+                n_frames = len(c) // FRAME_BYTES
+                for i in range(0, n_frames, every_n):
+                    ids.append(mid)
+                    idxs.append(i)
+                    frames.append(c[i * FRAME_BYTES : (i + 1) * FRAME_BYTES])
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame": frames,
+                }
+            )
+
+    return media.mapInPandas(
+        batches, schema="media_id BIGINT, frame_idx INT, frame BINARY"
+    )
+
+
 def media_stats(media: DataFrame) -> DataFrame:
     """Pure-Catalyst metadata pass over the binary column (no decode):
     per media_id byte length + payload md5. Oracle-able — byte semantics
