@@ -103,6 +103,15 @@ def test_sample_stratified_is_scan_plus_filter(audits):
     assert a.n_hash_aggregates == 0
 
 
+def test_range_join_never_nested_loop(audits):
+    """The bucketed range join must compile to an equi-join on the
+    bucket key (hash or sort-merge) — NEVER BroadcastNestedLoopJoin,
+    which is O(|events| x |intervals|) per-pair work at any scale."""
+    a = audits("events_range_join")
+    assert "BroadcastNestedLoopJoin" not in a.formatted
+    assert "CartesianProduct" not in a.formatted
+
+
 def test_vocab_top_tokens_bounded_window(audits):
     """Word-count shuffle must partially aggregate map-side, and the
     per-lang top-k must run the Partial WindowGroupLimit before its

@@ -1457,6 +1457,34 @@ def events_asof_join_q(spark, sf_dir):
     return asof_join_events(load_table(spark, sf_dir, "events"))
 
 
+_RANGE_JOIN_ORACLE = """
+WITH b AS (SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx FROM events),
+w AS (
+  SELECT cast(k AS BIGINT) AS window_id,
+         mn + k * ((mx - mn) // 24) AS ws,
+         mn + k * ((mx - mn) // 24) + ((mx - mn) // 24) // 2 AS we
+  FROM b, unnest(generate_series(0, 23)) AS t(k)
+)
+SELECT window_id, count(*) AS n_events, round(sum(value), 4) AS sum_value
+FROM w JOIN events e ON epoch_us(e.ts) BETWEEN ws AND we
+GROUP BY window_id
+"""
+
+
+@register("events_range_join", _RANGE_JOIN_ORACLE)
+def events_range_join_q(spark, sf_dir):
+    """Interval-containment (range) join via equi-bucket prefiltering —
+    the range-join operator Spark lacks natively: 24 non-aligned
+    derived windows, events equi-joined on a coarse time bucket plus a
+    residual BETWEEN filter (never a nested-loop theta join), then a
+    per-window rollup. Plan pinned join-strategy-safe in tests."""
+    from vector_database_in_rust_spark.operators.relational import (
+        events_in_windows,
+    )
+
+    return events_in_windows(load_table(spark, sf_dir, "events"), n_windows=24)
+
+
 _PERCENTILES_ORACLE = """
 SELECT event_type, count(*) AS n_events,
        round(quantile_cont(value, 0.5), 4) AS p50,

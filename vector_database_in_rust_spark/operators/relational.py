@@ -333,3 +333,96 @@ def events_grouping_sets(events: DataFrame) -> DataFrame:
         GROUP BY GROUPING SETS ((event_type, hod), (event_type), ())
         """
     )
+
+
+def derive_time_windows(events: DataFrame, *, n_windows: int = 24) -> DataFrame:
+    """Deterministic non-aligned time windows spanning the events table:
+    window k covers [mn + k*span//n, mn + k*span//n + span//(2n)] in
+    epoch MICROSECONDS — half the stride, so windows are disjoint and
+    deliberately NOT aligned to any calendar bucket (the adversarial
+    case for a range join). Fully declarative: one global agg (two
+    longs) broadcast into an exploded sequence — no driver action."""
+    span = events.agg(
+        F.min(F.unix_micros("ts")).alias("mn"),
+        F.max(F.unix_micros("ts")).alias("mx"),
+    )
+    stride = ((F.col("mx") - F.col("mn")) / n_windows).cast("long")
+    return (
+        span.select(
+            F.explode(F.sequence(F.lit(0), F.lit(n_windows - 1))).alias("k"),
+            "mn",
+            "mx",
+        )
+        .select(
+            F.col("k").cast("long").alias("window_id"),
+            (F.col("mn") + F.col("k") * stride).alias("w_start_us"),
+            (F.col("mn") + F.col("k") * stride + (stride / 2).cast("long")).alias(
+                "w_end_us"
+            ),
+        )
+    )
+
+
+def bucketed_range_join(
+    events: DataFrame,
+    intervals: DataFrame,
+    *,
+    ts_col: str = "ts",
+    start_col: str = "w_start_us",
+    end_col: str = "w_end_us",
+    bucket_minutes: int = 360,
+    how: str = "inner",
+) -> DataFrame:
+    """Interval-containment join (event.ts BETWEEN interval.start/end)
+    via EQUI-BUCKET prefiltering — the range-join operator Spark lacks.
+
+    A raw theta join compiles to BroadcastNestedLoopJoin: every event
+    tested against every interval, O(|events| x |intervals|) per-pair
+    work even when the small side broadcasts — the classic range-join
+    scale killer. Instead: each event carries its ONE time bucket; each
+    interval explodes to the buckets it covers (span/bucket + 1 keys);
+    an ordinary shuffled equi-join on the bucket key pairs events only
+    with temporally-plausible intervals, and a cheap residual BETWEEN
+    filter finalizes. An event matches an interval in exactly one
+    bucket (its own), so no post-join dedup is needed. Cost:
+    |events| + Σ(interval span)/bucket join input rows + true matches —
+    linear, shuffle keyed on time (naturally balanced unless the
+    workload itself is a time hotspot; then shrink bucket_minutes).
+
+    ``bucket_minutes`` trades interval replication (long intervals,
+    small buckets -> many keys) against join selectivity (huge buckets
+    -> more residual-filter misses). Set it near the median interval
+    length.
+    """
+    bucket_us = bucket_minutes * 60 * 1_000_000
+    ev = events.withColumn(
+        "_b", F.floor(F.unix_micros(ts_col) / bucket_us).cast("long")
+    )
+    iv = intervals.withColumn(
+        "_b",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_col) / bucket_us).cast("long"),
+                F.floor(F.col(end_col) / bucket_us).cast("long"),
+            )
+        ),
+    )
+    return (
+        ev.join(iv, on="_b", how=how)
+        .filter(
+            (F.unix_micros(ts_col) >= F.col(start_col))
+            & (F.unix_micros(ts_col) <= F.col(end_col))
+        )
+        .drop("_b")
+    )
+
+
+def events_in_windows(events: DataFrame, *, n_windows: int = 24) -> DataFrame:
+    """Per-window event totals via the bucketed range join — the harness
+    shape: derive disjoint non-aligned windows, range-join, aggregate."""
+    windows = derive_time_windows(events, n_windows=n_windows)
+    joined = bucketed_range_join(events, windows)
+    return joined.groupBy("window_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
