@@ -34,6 +34,21 @@ def test_minhash_lsh_recall_and_precision(spark, docs):
         assert len(approx & exact) / len(exact) >= 0.8
 
 
+def test_prefix_filter_equals_full_join(spark, docs):
+    """Prefix filtering is an EXACT optimization: identical (pair,
+    jaccard) output to the plain self-join, at several thresholds."""
+    for t in (0.3, 0.5, 0.8):
+        full = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in dedup.ngram_jaccard_pairs(docs, threshold=t, method="full").collect()
+        }
+        pref = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in dedup.ngram_jaccard_pairs(docs, threshold=t, method="prefix").collect()
+        }
+        assert pref == full, f"threshold {t}: prefix != full"
+
+
 def test_exact_jaccard_finds_known_near_dups(spark, docs):
     """The synthetic corpus contains generated near-duplicate pairs; the
     exact shingle join must surface at least one."""
