@@ -34,6 +34,20 @@ def test_minhash_lsh_recall_and_precision(spark, docs):
         assert len(approx & exact) / len(exact) >= 0.8
 
 
+def test_shingle_impls_identical(spark, docs):
+    """The Arrow-batched shingler and the Catalyst expression must emit
+    the SAME (doc_id, shingle) set — the exact dedup oracle rests on it."""
+    a = {
+        (r["doc_id"], r["shingle"])
+        for r in dedup._shingle_index(docs, "doc_id", "text", 3, impl="pandas").collect()
+    }
+    b = {
+        (r["doc_id"], r["shingle"])
+        for r in dedup._shingle_index(docs, "doc_id", "text", 3, impl="expr").collect()
+    }
+    assert a == b
+
+
 def test_prefix_filter_equals_full_join(spark, docs):
     """Prefix filtering is an EXACT optimization: identical (pair,
     jaccard) output to the plain self-join, at several thresholds."""

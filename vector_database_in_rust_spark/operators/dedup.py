@@ -66,16 +66,58 @@ def dedup_exact(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "tex
     )
 
 
-def _shingle_index(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    # NB: deliberately no repartition here — shingling is cheap relative
-    # to the downstream joins (which parallelize after their own
-    # exchanges), and forcing 32-way stages on a small corpus measurably
-    # hurts (scheduling overhead > work). On a real cluster the corpus
-    # arrives in many partitions already.
-    return docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
-    )
+def _shingle_index(
+    docs: DataFrame, id_col: str, text_col: str, n: int, *, impl: str = "pandas"
+) -> DataFrame:
+    """(doc_id, shingle) inverted-index rows: DISTINCT word n-grams per
+    doc (docs shorter than n words contribute their whole text).
+
+    ``impl="pandas"`` (default): Arrow-batched ``mapInPandas`` —
+    measured 6x faster warm than the expression form at sf0.1 (0.9 s vs
+    5.5 s for 260k shingles), because ``transform(sequence(...))`` with
+    per-gram ``concat_ws``/``element_at`` is a higher-order function
+    Spark interprets OUTSIDE codegen (~90 ns/element, NOTES_r1). This is
+    the documented exception lane: measure first, Arrow-batch Python
+    only where native exprs fall out of codegen. ``impl="expr"`` keeps
+    the pure-Catalyst form (equality-tested against pandas).
+
+    A small input is repartitioned to the default parallelism so Python
+    workers run wide; inputs already wider than that (the 100 TB case)
+    are left untouched — no text-body shuffle at scale.
+    """
+    if impl == "expr":
+        return docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
+        )
+    if impl != "pandas":
+        raise ValueError(f"unknown impl {impl!r} (use 'pandas' or 'expr')")
+    import pandas as pd
+
+    def gen(it):
+        for pdf in it:
+            ids: list[int] = []
+            shingles: list[str] = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = text.split(" ")
+                if len(toks) >= n:
+                    ss = {
+                        " ".join(toks[i : i + n])
+                        for i in range(len(toks) - n + 1)
+                    }
+                else:
+                    ss = {text}
+                ids.extend([did] * len(ss))
+                shingles.extend(ss)
+            yield pd.DataFrame(
+                {"doc_id": pd.Series(ids, dtype="int64"), "shingle": shingles}
+            )
+
+    sel = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    if sel.rdd.getNumPartitions() < par:
+        sel = sel.repartition(par)
+    return sel.mapInPandas(gen, "doc_id BIGINT, shingle STRING")
 
 
 def _score_common_pairs(common: DataFrame, sizes: DataFrame, threshold: float) -> DataFrame:
