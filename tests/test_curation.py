@@ -59,8 +59,17 @@ def test_curate_exact_dup_outranks_quality(spark):
 
 def test_sample_threshold_hex_bounds():
     assert sample_threshold_hex(0.0) == "000000"
-    assert sample_threshold_hex(1.0) == "1000000"  # above every 6-char key
+    assert sample_threshold_hex(1.0) == "g"  # sorts above every hex key
     assert sample_threshold_hex(0.5) == "800000"
+
+
+def test_stratified_sample_fraction_one_keeps_all(spark):
+    """Regression: fraction 1.0 must keep EVERY doc of that language
+    (the 7-char '1000000' threshold bug dropped most keys)."""
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    n_en = docs.filter(F.col("lang") == "en").count()
+    got = stratified_sample(docs, {"en": 1.0}).count()
+    assert got == n_en
 
 
 def test_stratified_sample_deterministic_and_stable(spark):

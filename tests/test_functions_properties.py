@@ -75,3 +75,47 @@ def test_l2_symmetry(spark, a, b):
     assert _eval(spark, l2_squared(la, lb)) == pytest.approx(
         _eval(spark, l2_squared(lb, la)), rel=1e-12, abs=0
     )
+
+
+@given(
+    f1=st.floats(min_value=0.0, max_value=1.0),
+    f2=st.floats(min_value=0.0, max_value=1.0),
+)
+def test_sample_threshold_monotone_and_bounded(f1, f2):
+    """Hash-sampling thresholds: larger fraction -> lexicographically
+    larger (or equal) threshold; bounds map to none/all keys."""
+    from vector_database_in_rust_spark.operators.curation import (
+        sample_threshold_hex,
+    )
+
+    lo, hi = sorted((f1, f2))
+    assert sample_threshold_hex(lo) <= sample_threshold_hex(hi)
+    t = sample_threshold_hex(f1)
+    assert sample_threshold_hex(0.0) <= t <= sample_threshold_hex(1.0)
+    assert sample_threshold_hex(0.0) == "000000"
+
+
+@given(
+    tokens=st.lists(st.integers(min_value=1, max_value=700), max_size=60),
+    context=st.integers(min_value=1, max_value=512),
+)
+def test_greedy_packing_invariants(tokens, context):
+    """Pure greedy first-fit reference: no bin overfills (except a
+    single oversized doc alone in its bin), docs stay in order, every
+    doc packed exactly once."""
+    from tests.test_packing import _greedy_reference
+
+    rows = [(i, 0, n) for i, n in enumerate(tokens)]
+    out = _greedy_reference(rows, context)
+    assert len(out) == len(tokens)
+    fills: dict = {}
+    for doc_id, (shard, bin_id, n, overflow) in out.items():
+        assert overflow == (n > context)
+        fills.setdefault(bin_id, []).append((doc_id, n, overflow))
+    for bin_id, members in fills.items():
+        if any(o for _, _, o in members):
+            assert len(members) == 1
+        else:
+            assert sum(n for _, n, _ in members) <= context
+        ids = [d for d, _, _ in members]
+        assert ids == sorted(ids)

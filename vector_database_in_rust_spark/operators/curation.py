@@ -97,10 +97,21 @@ def curate_corpus(
 def sample_threshold_hex(fraction: float) -> str:
     """The 6-hex-char prefix threshold for a sampling fraction: a doc is
     kept iff the first 6 hex chars of md5(id) sort strictly below it.
-    Plain string comparison — identical semantics in any engine."""
+    Plain string comparison — identical semantics in any engine
+    (same-length lowercase hex sorts numerically).
+
+    A fraction that rounds to the full space returns ``"g"`` — above
+    every hex character, so every key passes. (The naive
+    ``format(16**6, "06x")`` would be the SEVEN-char ``"1000000"``,
+    which sorts lexicographically BELOW most six-char keys and would
+    silently drop them — caught by the hypothesis monotonicity test.)
+    """
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0,1], got {fraction}")
-    return format(int(round(fraction * HEX_SPACE)), "06x")
+    v = int(round(fraction * HEX_SPACE))
+    if v >= HEX_SPACE:
+        return "g"
+    return format(v, "06x")
 
 
 def stratified_sample(
