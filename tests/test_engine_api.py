@@ -61,3 +61,29 @@ def test_validate_summary(spark, eng):
     assert row["n_rows"] == 500
     assert row["n_valid"] == 500
     assert row["n_invalid"] == 0
+
+
+def test_upsert_replaces_and_appends(spark):
+    from pyspark.sql import functions as F
+
+    from vector_database_in_rust_spark.engine import VectorEngine
+
+    def tiny(rows):
+        return spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in rows],
+            "vec_id BIGINT, embedding ARRAY<FLOAT>",
+        )
+
+    eng = VectorEngine(spark, tiny([(0, [1, 1]), (1, [2, 2])]), dimensions=2)
+    eng.upsert(tiny([(1, [9, 9]), (5, [5, 5])]))
+    got = {r["vec_id"]: list(r["embedding"]) for r in eng.df.collect()}
+    assert got == {0: [1.0, 1.0], 1: [9.0, 9.0], 5: [5.0, 5.0]}
+    # wrong-dim update must raise eagerly
+    import pytest
+
+    with pytest.raises(ValueError, match="dimension mismatch"):
+        eng.upsert(tiny([(7, [1, 2, 3])]))
+    # delete removes exactly the given ids
+    eng.delete(spark.createDataFrame([(0,)], "vec_id BIGINT"))
+    assert {r["vec_id"] for r in eng.df.select("vec_id").collect()} == {1, 5}
+    assert eng.index is None

@@ -86,6 +86,26 @@ class VectorEngine:
         self.index = None  # the reference also indexes only post-ingest
         return self
 
+    def upsert(self, updates: DataFrame) -> "VectorEngine":
+        """Dimension-checked MERGE (beyond the append-only reference):
+        matching ids replaced, new ids appended. Invalidates the index."""
+        from vector_database_in_rust_spark.operators.validate import upsert_vectors
+
+        self.df = upsert_vectors(
+            self.df, updates, self.dimensions, id_col=self.id_col
+        )
+        self.index = None
+        return self
+
+    def delete(self, ids: DataFrame) -> "VectorEngine":
+        """Anti-join DELETE by id (beyond the append-only reference).
+        Invalidates the index."""
+        from vector_database_in_rust_spark.operators.validate import delete_vectors
+
+        self.df = delete_vectors(self.df, ids, id_col=self.id_col)
+        self.index = None
+        return self
+
     # -- exact search (src/lib.rs:74-97) ----------------------------------
 
     def search_exact(self, query: Sequence[float], k: int) -> DataFrame:

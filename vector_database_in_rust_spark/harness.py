@@ -730,6 +730,63 @@ def ann_search_persisted(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Upsert / delete (absent in the append-only reference; the
+# plain-parquet form of a table-format MERGE / DELETE)
+# ---------------------------------------------------------------------------
+
+_UPSERT_ORACLE = """
+WITH updates AS (
+  SELECT vec_id, embedding, 999 AS label FROM embeddings WHERE vec_id < 10
+),
+merged AS (
+  SELECT e.vec_id, e.label, e.embedding FROM embeddings e
+  WHERE e.vec_id NOT IN (SELECT vec_id FROM updates)
+  UNION ALL SELECT vec_id, label, embedding FROM updates
+)
+SELECT vec_id, cast(label AS INT) AS label,
+       cast(len(embedding) AS BIGINT) AS dim
+FROM merged
+"""
+
+
+@register("vectors_upsert", _UPSERT_ORACLE)
+def vectors_upsert_q(spark, sf_dir):
+    """MERGE: relabel vectors 0..9 via upsert (anti-join survivors +
+    update batch). Store scanned once; the update side broadcasts."""
+    from vector_database_in_rust_spark.operators.validate import upsert_vectors
+
+    emb = _emb(spark, sf_dir)
+    updates = emb.filter(F.col("vec_id") < 10).withColumn(
+        "label", F.lit(999).cast("int")
+    )
+    merged = upsert_vectors(emb, updates, DEFAULT_DIM)
+    return merged.select(
+        "vec_id",
+        F.col("label").cast("int").alias("label"),
+        F.size("embedding").cast("long").alias("dim"),
+    )
+
+
+_DELETE_ORACLE = """
+SELECT vec_id, cast(label AS INT) AS label
+FROM embeddings
+WHERE vec_id NOT IN (SELECT vec_id FROM embeddings WHERE label = 3)
+"""
+
+
+@register("vectors_delete", _DELETE_ORACLE)
+def vectors_delete_q(spark, sf_dir):
+    """DELETE: drop every vector labeled 3 via anti-join."""
+    from vector_database_in_rust_spark.operators.validate import delete_vectors
+
+    emb = _emb(spark, sf_dir)
+    ids = emb.filter(F.col("label") == 3).select("vec_id")
+    return delete_vectors(emb, ids).select(
+        "vec_id", F.col("label").cast("int").alias("label")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Corpus curation (composite LLM-pipeline stages over documents)
 # ---------------------------------------------------------------------------
 

@@ -50,3 +50,43 @@ def add_vectors(store: DataFrame, new: DataFrame, dimensions: int) -> DataFrame:
             f"declared dimension {dimensions}"
         )
     return store.unionByName(new, allowMissingColumns=True)
+
+
+def upsert_vectors(
+    store: DataFrame,
+    updates: DataFrame,
+    dimensions: int,
+    *,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """MERGE semantics the reference cannot express at all (its store is
+    append-only, src/lib.rs:62-72): rows whose id appears in ``updates``
+    are REPLACED, new ids are appended. Same eager dimension check as
+    ``add_vectors``.
+
+    Shape: ``store LEFT ANTI updates`` (drops superseded rows) unioned
+    with the updates. Scale: the anti-join shuffles on the id — or
+    broadcasts when the update batch is small (the common case, and
+    what AQE picks automatically); either way the store is scanned
+    once. On real deployments this is the logical plan a table format
+    (Delta/Iceberg MERGE) executes under the hood — here it is the
+    plain-parquet equivalent, written back via overwrite.
+    """
+    n_bad = updates.filter(~dim_ok("embedding", dimensions)).count()
+    if n_bad:
+        raise ValueError(
+            f"dimension mismatch: {n_bad} update vector(s) do not have "
+            f"the declared dimension {dimensions}"
+        )
+    survivors = store.join(updates.select(id_col), on=id_col, how="left_anti")
+    return survivors.unionByName(updates, allowMissingColumns=True)
+
+
+def delete_vectors(
+    store: DataFrame, ids: DataFrame, *, id_col: str = "vec_id"
+) -> DataFrame:
+    """Anti-join delete (also absent in the append-only reference):
+    remove every row whose id appears in ``ids``. One store scan, id
+    shuffle or broadcast — the plain-parquet form of a format-level
+    DELETE."""
+    return store.join(ids.select(id_col), on=id_col, how="left_anti")
