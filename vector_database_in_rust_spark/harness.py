@@ -730,6 +730,65 @@ def ann_search_persisted(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Bucketed co-located join (the 100 TB answer for the repeated
+# documents ⋈ embeddings join: pay one bucketed write, then every join
+# is read-local — zero Exchange with matching bucket specs)
+# ---------------------------------------------------------------------------
+
+_BUCKETED_TABLES: set = set()
+
+
+def _bucketed_pair(spark, sf_dir):
+    """Write documents+embeddings bucketed by the join key once per
+    (process, sf_dir); reruns reuse the catalog tables."""
+    import os
+    import re as _re
+
+    from vector_database_in_rust_spark.sources.bucketed import save_bucketed
+
+    tag = _re.sub(r"[^a-z0-9]", "_", os.path.basename(os.path.normpath(sf_dir)))
+    docs_t, emb_t = f"docs_b_{tag}", f"emb_b_{tag}"
+    if (sf_dir, docs_t) not in _BUCKETED_TABLES:
+        save_bucketed(
+            _docs(spark, sf_dir).withColumnRenamed("doc_id", "join_id"),
+            docs_t,
+            bucket_col="join_id",
+        )
+        save_bucketed(
+            _emb(spark, sf_dir).withColumnRenamed("vec_id", "join_id"),
+            emb_t,
+            bucket_col="join_id",
+        )
+        _BUCKETED_TABLES.add((sf_dir, docs_t))
+    return docs_t, emb_t
+
+
+_MM_BUCKETED_ORACLE = """
+SELECT d.doc_id, d.lang, e.label,
+       cast(len(e.embedding) AS BIGINT) AS dim
+FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+"""
+
+
+@register("multimodal_join_bucketed", _MM_BUCKETED_ORACLE)
+def multimodal_join_bucketed_q(spark, sf_dir):
+    """documents ⋈ embeddings through matching bucketBy(join_id) catalog
+    tables — the write-once/join-forever path. At driver test size the
+    optimizer may still pick a broadcast join (values identical either
+    way); the zero-Exchange sort-merge plan is pinned with broadcast
+    disabled in tests/test_bucketed.py."""
+    docs_t, emb_t = _bucketed_pair(spark, sf_dir)
+    d = spark.table(docs_t)
+    e = spark.table(emb_t)
+    return d.join(e, on="join_id").select(
+        F.col("join_id").alias("doc_id"),
+        "lang",
+        "label",
+        F.size("embedding").cast("long").alias("dim"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Upsert / delete (absent in the append-only reference; the
 # plain-parquet form of a table-format MERGE / DELETE)
 # ---------------------------------------------------------------------------
