@@ -584,6 +584,51 @@ def events_hourly_rollup_q(spark, sf_dir):
     return events_hourly_rollup(load_table(spark, sf_dir, "events"))
 
 
+_STREAM_ROLLUP_ORACLE = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+_STREAM_ROLLUP_N = [0]
+
+
+@register("stream_hourly_rollup", _STREAM_ROLLUP_ORACLE)
+def stream_hourly_rollup_q(spark, sf_dir):
+    """Structured Streaming hourly rollup run to completion
+    (availableNow) over the static events parquet, reconciled against
+    the BATCH SQL oracle — the Kappa-architecture check, driver-run.
+    The HLL user count (approx_count_distinct — approximate by design,
+    unbounded exact-distinct state is wrong on a stream) is excluded
+    from the projection; every exact column must hash-match."""
+    from vector_database_in_rust_spark.streaming.events import (
+        run_rollup_to_memory,
+    )
+
+    import os
+    import shutil
+
+    # The file-stream source needs a DIRECTORY; stage the static events
+    # parquet into one (once per process/sf — the copy is not part of
+    # what the query measures).
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    stage = os.path.join(
+        repo_root,
+        "spark-warehouse",
+        "stream_stage",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    if not os.path.exists(os.path.join(stage, "events.parquet")):
+        os.makedirs(stage, exist_ok=True)
+        shutil.copy(f"{sf_dir}/events.parquet", stage)
+
+    _STREAM_ROLLUP_N[0] += 1
+    table = f"rollup_stream_h{_STREAM_ROLLUP_N[0]}"
+    df = run_rollup_to_memory(spark, stage, table_name=table)
+    return df.select("hour", "event_type", "n_events", "sum_value")
+
+
 _EVENTS_JSON_ORACLE = """
 WITH e AS (
   SELECT event_type, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
