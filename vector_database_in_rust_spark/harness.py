@@ -737,6 +737,26 @@ def ann_search(spark, sf_dir):
     return idx.search_batch(_query_vec_df(spark, sf_dir, 8), KNN_K, nprobe=4)
 
 
+_HIER_CACHE: dict[str, object] = {}
+
+
+@register("ann_search_hier")
+def ann_search_hier(spark, sf_dir):
+    """Two-level (hierarchical) IVF probe — the build shape for cell
+    counts beyond one KMeans fit (level-2 fits run in parallel via
+    applyInPandas per super-cell; assignment costs 2*sqrt(K) distance
+    rows per vector instead of K). Approximate -> rows-only; structure,
+    determinism and full-probe==exact bars in tests/test_ann.py."""
+    from vector_database_in_rust_spark.operators.ann import HierarchicalIVF
+
+    idx = _HIER_CACHE.get(sf_dir)
+    if idx is None:
+        idx = HierarchicalIVF.build(_emb(spark, sf_dir), k1=4, k2=4, seed=42)
+        idx.assignments = idx.assignments.persist()
+        _HIER_CACHE[sf_dir] = idx
+    return idx.search(_query_vec(spark, sf_dir, 0), KNN_K, nprobe_l1=2, nprobe=6)
+
+
 # Saved-index path per sf_dir (under the gitignored spark-warehouse dir):
 # ann_search_persisted probes the RELOADED cell-partitioned parquet, the
 # production serving shape — save once per process, probe many.

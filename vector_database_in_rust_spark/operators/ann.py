@@ -345,3 +345,163 @@ class LSHIndex:
             F.col(self.id_col).alias("vec_id"),
             F.round(F.col("_eucl") * F.col("_eucl"), 4).alias("dist"),
         ).orderBy("dist", "vec_id")
+
+
+class HierarchicalIVF:
+    """Two-level IVF coarse quantizer — the standard escape when the
+    cell count outgrows a single KMeans fit (SCALE.md: ~3e5 cells at
+    1e11 vectors makes one flat KMeans|| fit the build bottleneck).
+
+    Build (all cluster-parallel):
+    1. level-1: stock pyspark.ml KMeans over a bounded sample ->
+       ``k1`` super-cells (small fit);
+    2. level-2: the sample is assigned to super-cells, and EVERY
+       super-cell's ``k2``-means fit runs IN PARALLEL as one
+       ``applyInPandas`` group (seeded numpy Lloyd iterations — a few
+       thousand sample rows per group, no sklearn dependency). The
+       expensive part of a huge-k build becomes an embarrassingly
+       parallel stage instead of one giant fit;
+    3. assignment: one Arrow pass over the corpus computes
+       ``argmin`` against the broadcast (k1 x dim) matrix, then against
+       that super-cell's (k2 x dim) block — 2·sqrt(K) distance rows per
+       vector instead of K for the flat index.
+
+    Search mirrors the build asymmetry: rank super-cells (tiny), rank
+    sub-cells inside the probed super-cells, then a partition-prunable
+    ``cell_id IN (...)`` candidate scan + exact re-rank, exactly like
+    the flat ``IVFIndex`` probe.
+    """
+
+    def __init__(
+        self,
+        l1_centroids: np.ndarray,
+        l2_centroids: dict[int, np.ndarray],
+        assignments: DataFrame,
+        *,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ):
+        self.l1_centroids = np.asarray(l1_centroids, dtype=np.float64)
+        self.l2_centroids = {int(k): np.asarray(v, dtype=np.float64) for k, v in l2_centroids.items()}
+        self.assignments = assignments
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.k2 = max(len(v) for v in self.l2_centroids.values())
+
+    @classmethod
+    def build(
+        cls,
+        corpus: DataFrame,
+        *,
+        k1: int = 8,
+        k2: int = 8,
+        seed: int = DEFAULT_SEED,
+        max_fit_rows: int = 200_000,
+        lloyd_iters: int = 10,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> "HierarchicalIVF":
+        import pandas as pd
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        n = corpus.count()
+        feat = corpus.select(
+            F.col(id_col), F.col(vec_col),
+            array_to_vector(F.col(vec_col).cast("array<double>")).alias("_f"),
+        )
+        fit_df = feat
+        if n > max_fit_rows:
+            fit_df = feat.sample(fraction=max_fit_rows / n, seed=seed)
+        l1_model = KMeans(k=k1, seed=seed, featuresCol="_f", predictionCol="l1").fit(fit_df)
+        l1_cent = np.vstack([np.asarray(c) for c in l1_model.clusterCenters()])
+
+        # Parallel level-2 fits: one seeded numpy Lloyd run per
+        # super-cell group. Deterministic: seed derives from (seed, l1).
+        sample_l1 = l1_model.transform(fit_df).select("l1", vec_col)
+
+        def fit_group(pdf: pd.DataFrame) -> pd.DataFrame:
+            l1 = int(pdf["l1"].iloc[0])
+            x = np.vstack(pdf[vec_col].apply(np.asarray, dtype=np.float64))
+            k = min(k2, len(x))
+            rng = np.random.RandomState(seed * 100003 + l1)
+            cent = x[rng.choice(len(x), size=k, replace=False)]
+            for _ in range(lloyd_iters):
+                d = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+                lab = d.argmin(axis=1)
+                for j in range(k):
+                    m = lab == j
+                    if m.any():
+                        cent[j] = x[m].mean(axis=0)
+            return pd.DataFrame(
+                {
+                    "l1": [l1] * k,
+                    "l2": list(range(k)),
+                    "centroid": [c.tolist() for c in cent],
+                }
+            )
+
+        cent_rows = (
+            sample_l1.groupBy("l1")
+            .applyInPandas(fit_group, schema="l1 INT, l2 INT, centroid ARRAY<DOUBLE>")
+            .collect()
+        )
+        l2_cent: dict[int, list] = {}
+        for r in sorted(cent_rows, key=lambda r: (r["l1"], r["l2"])):
+            l2_cent.setdefault(r["l1"], []).append(r["centroid"])
+        l2_cent_np = {k_: np.asarray(v) for k_, v in l2_cent.items()}
+        # A KMeans cluster can end up empty on the sample; give such a
+        # super-cell its own centroid as the single sub-centroid so
+        # corpus vectors landing there still get a valid cell.
+        for l1 in range(k1):
+            if l1 not in l2_cent_np:
+                l2_cent_np[l1] = l1_cent[l1 : l1 + 1]
+
+        # Full-corpus assignment: one Arrow pass, two-stage argmin
+        # against broadcast centroid blocks (2*sqrt(K) rows per vector).
+        spark = corpus.sparkSession
+        bc = spark.sparkContext.broadcast((l1_cent, l2_cent_np, k2))
+
+        def assign(it):
+            l1c, l2c, k2_ = bc.value
+            for pdf in it:
+                x = np.vstack(pdf[vec_col].apply(np.asarray, dtype=np.float64))
+                d1 = ((x[:, None, :] - l1c[None, :, :]) ** 2).sum(axis=2)
+                a1 = d1.argmin(axis=1)
+                a2 = np.zeros(len(x), dtype=np.int64)
+                for l1 in np.unique(a1):
+                    m = a1 == l1
+                    cc = l2c[int(l1)]
+                    d2 = ((x[m][:, None, :] - cc[None, :, :]) ** 2).sum(axis=2)
+                    a2[m] = d2.argmin(axis=1)
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pdf[id_col].astype("int64"),
+                        vec_col: pdf[vec_col],
+                        "cell_id": (a1 * k2_ + a2).astype("int32"),
+                    }
+                )
+
+        assignments = corpus.select(id_col, vec_col).mapInPandas(
+            assign, schema=f"vec_id BIGINT, {vec_col} ARRAY<FLOAT>, cell_id INT"
+        )
+        return cls(l1_cent, l2_cent_np, assignments, id_col="vec_id", vec_col=vec_col)
+
+    def _probe_cells(self, query, *, nprobe_l1: int, nprobe: int) -> list[int]:
+        q = np.asarray(query, dtype=np.float64)
+        d1 = ((self.l1_centroids - q) ** 2).sum(axis=1)
+        l1s = np.argsort(d1, kind="stable")[: max(1, nprobe_l1)]
+        scored: list[tuple[float, int]] = []
+        for l1 in l1s:
+            cc = self.l2_centroids[int(l1)]
+            d2 = ((cc - q) ** 2).sum(axis=1)
+            for l2, dv in enumerate(d2):
+                scored.append((float(dv), int(l1) * self.k2 + l2))
+        scored.sort()
+        return [c for _, c in scored[: max(1, nprobe)]]
+
+    def search(self, query, k: int, *, nprobe_l1: int = 3, nprobe: int = 8) -> DataFrame:
+        cells = self._probe_cells(query, nprobe_l1=nprobe_l1, nprobe=nprobe)
+        cand = self.assignments.filter(F.col("cell_id").isin(cells))
+        return knn_exact(cand, list(map(float, query)), k,
+                         id_col=self.id_col, vec_col=self.vec_col)
