@@ -800,20 +800,27 @@ def ann_search_persisted(spark, sf_dir):
 # is read-local — zero Exchange with matching bucket specs)
 # ---------------------------------------------------------------------------
 
-_BUCKETED_TABLES: set = set()
-
-
 def _bucketed_pair(spark, sf_dir):
     """Write documents+embeddings bucketed by the join key once per
-    (process, sf_dir); reruns reuse the catalog tables."""
+    (catalog, sf_dir); reruns reuse the catalog tables. The in-memory
+    catalog dies with the session while the warehouse DIRECTORY
+    survives, so a fresh session must clear the leftover location
+    before re-registering (saveAsTable refuses an existing path)."""
     import os
     import re as _re
+    import shutil
 
     from vector_database_in_rust_spark.sources.bucketed import save_bucketed
 
     tag = _re.sub(r"[^a-z0-9]", "_", os.path.basename(os.path.normpath(sf_dir)))
     docs_t, emb_t = f"docs_b_{tag}", f"emb_b_{tag}"
-    if (sf_dir, docs_t) not in _BUCKETED_TABLES:
+    if not (spark.catalog.tableExists(docs_t) and spark.catalog.tableExists(emb_t)):
+        warehouse = spark.conf.get(
+            "spark.sql.warehouse.dir", "spark-warehouse"
+        ).removeprefix("file:")
+        for t in (docs_t, emb_t):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            shutil.rmtree(os.path.join(warehouse, t), ignore_errors=True)
         save_bucketed(
             _docs(spark, sf_dir).withColumnRenamed("doc_id", "join_id"),
             docs_t,
@@ -824,7 +831,6 @@ def _bucketed_pair(spark, sf_dir):
             emb_t,
             bucket_col="join_id",
         )
-        _BUCKETED_TABLES.add((sf_dir, docs_t))
     return docs_t, emb_t
 
 
