@@ -1644,6 +1644,59 @@ def events_asof_join_q(spark, sf_dir):
     return asof_join_events(load_table(spark, sf_dir, "events"))
 
 
+_TPCH_Q3_ORACLE = """
+WITH j AS (
+  SELECT o.o_orderkey, o.o_orderdate,
+         l.l_extendedprice * (1 - l.l_discount) AS rev
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+   AND c.c_mktsegment = 'BUILDING'
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderdate < TIMESTAMP '1998-06-01'
+    AND l.l_shipdate > TIMESTAMP '1998-06-01'
+)
+SELECT o_orderkey, o_orderdate, round(sum(rev), 4) AS revenue
+FROM j GROUP BY 1, 2
+ORDER BY revenue DESC, o_orderkey LIMIT 10
+"""
+
+
+@register("tpch_q3_shipping", _TPCH_Q3_ORACLE)
+def tpch_q3_q(spark, sf_dir):
+    """TPC-H Q3 adapted: top-10 unshipped-revenue orders for one market
+    segment (pushed date filters + broadcast key list + orderkey
+    shuffle + TakeOrderedAndProject)."""
+    from vector_database_in_rust_spark.operators.relational import tpch_q3_shipping
+
+    return tpch_q3_shipping(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+_MOVING_AVG_ORACLE = """
+SELECT user_id, event_id,
+       round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4) AS avg5,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING), 4) AS cum_value
+FROM events WHERE event_type = 'click'
+"""
+
+
+@register("events_moving_avg", _MOVING_AVG_ORACLE)
+def events_moving_avg_q(spark, sf_dir):
+    """Frame-based windows: per-user 5-event moving average + running
+    total over clicks (ROWS frames, deterministic (ts, event_id)
+    order)."""
+    from vector_database_in_rust_spark.operators.relational import (
+        events_moving_avg,
+    )
+
+    return events_moving_avg(load_table(spark, sf_dir, "events"))
+
+
 _RANGE_JOIN_ORACLE = """
 WITH b AS (SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx FROM events),
 w AS (

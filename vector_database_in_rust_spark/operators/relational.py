@@ -426,3 +426,61 @@ def events_in_windows(events: DataFrame, *, n_windows: int = 24) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 4).alias("sum_value"),
     )
+
+
+def tpch_q3_shipping(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    *,
+    segment: str = "BUILDING",
+    cutoff: str = "1998-06-01",
+    top_n: int = 10,
+) -> DataFrame:
+    """TPC-H Q3 (shipping priority), adapted to the driver's columns:
+    revenue of orders from one market segment placed before the cutoff
+    with line items shipped after it. Plan shape: both date predicates
+    push to the scans, the filtered customer key list broadcasts, the
+    orders⋈lineitem join shuffles on the orderkey, and the top-N is a
+    TakeOrderedAndProject over the aggregated rows."""
+    c = customer.filter(F.col("c_mktsegment") == segment).select("c_custkey")
+    cut = F.lit(cutoff).cast("timestamp")
+    o = orders.filter(F.col("o_orderdate") < cut).select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    li = lineitem.filter(F.col("l_shipdate") > cut).select(
+        "l_orderkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_rev"),
+    )
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).join(
+        li, F.col("o_orderkey") == F.col("l_orderkey")
+    )
+    agg = j.groupBy("o_orderkey", "o_orderdate").agg(
+        F.round(F.sum("_rev"), 4).alias("revenue")
+    )
+    return agg.orderBy(F.col("revenue").desc(), "o_orderkey").limit(top_n)
+
+
+def events_moving_avg(events: DataFrame, *, event_type: str = "click") -> DataFrame:
+    """Frame-based analytic windows (the one window class the suite
+    didn't cover): per-user 5-event moving average (ROWS BETWEEN 4
+    PRECEDING AND CURRENT ROW) and running total. One shuffle on
+    user_id; frames evaluate inside each sorted partition, and the
+    deterministic (ts, event_id) order makes float accumulation
+    reproducible across engines."""
+    from pyspark.sql import Window
+
+    base = events.filter(F.col("event_type") == event_type)
+    order = [F.col("ts"), F.col("event_id")]
+    w5 = Window.partitionBy("user_id").orderBy(*order).rowsBetween(-4, 0)
+    wcum = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return base.select(
+        "user_id",
+        "event_id",
+        F.round(F.avg("value").over(w5), 4).alias("avg5"),
+        F.round(F.sum("value").over(wcum), 4).alias("cum_value"),
+    )
