@@ -204,3 +204,15 @@ def test_hierarchical_ivf_deterministic(spark, emb):
     assert a.select("vec_id", "cell_id").exceptAll(
         b.select("vec_id", "cell_id")
     ).count() == 0
+
+
+def test_hierarchical_save_load_roundtrip(spark, emb, tmp_path):
+    from vector_database_in_rust_spark.operators.ann import HierarchicalIVF
+
+    idx = HierarchicalIVF.build(emb, k1=4, k2=4, seed=42)
+    q = emb.filter("vec_id = 3").first()["embedding"]
+    before = [r["vec_id"] for r in idx.search(q, 5, nprobe_l1=2, nprobe=6).collect()]
+    idx.save(spark, str(tmp_path / "hier"))
+    idx2 = HierarchicalIVF.load(spark, str(tmp_path / "hier"))
+    after = [r["vec_id"] for r in idx2.search(q, 5, nprobe_l1=2, nprobe=6).collect()]
+    assert before == after and before

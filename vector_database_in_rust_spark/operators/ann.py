@@ -505,3 +505,46 @@ class HierarchicalIVF:
         cand = self.assignments.filter(F.col("cell_id").isin(cells))
         return knn_exact(cand, list(map(float, query)), k,
                          id_col=self.id_col, vec_col=self.vec_col)
+
+    # -- persistence (same layout discipline as IVFIndex.save) ------------
+
+    def save(self, spark: SparkSession, path: str) -> None:
+        """Persist as plain parquet: assignments partitioned by the
+        composite cell (partition-prunable probes after reload), level-1
+        centroids, and the (l1, l2, centroid) table."""
+        self.assignments.write.mode("overwrite").partitionBy("cell_id").parquet(
+            f"{path}/assignments"
+        )
+        l1 = [(int(i), [float(x) for x in row]) for i, row in enumerate(self.l1_centroids)]
+        spark.createDataFrame(l1, "l1 INT, centroid ARRAY<DOUBLE>").coalesce(
+            1
+        ).write.mode("overwrite").parquet(f"{path}/l1_centroids")
+        l2 = [
+            (int(l1_), int(l2_), [float(x) for x in row])
+            for l1_, block in sorted(self.l2_centroids.items())
+            for l2_, row in enumerate(block)
+        ]
+        spark.createDataFrame(l2, "l1 INT, l2 INT, centroid ARRAY<DOUBLE>").coalesce(
+            1
+        ).write.mode("overwrite").parquet(f"{path}/l2_centroids")
+
+    @classmethod
+    def load(
+        cls,
+        spark: SparkSession,
+        path: str,
+        *,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> "HierarchicalIVF":
+        l1_rows = spark.read.parquet(f"{path}/l1_centroids").orderBy("l1").collect()
+        l1 = np.vstack([np.asarray(r["centroid"]) for r in l1_rows])
+        l2: dict[int, list] = {}
+        for r in sorted(
+            spark.read.parquet(f"{path}/l2_centroids").collect(),
+            key=lambda r: (r["l1"], r["l2"]),
+        ):
+            l2.setdefault(int(r["l1"]), []).append(r["centroid"])
+        l2_np = {k: np.asarray(v) for k, v in l2.items()}
+        assignments = spark.read.parquet(f"{path}/assignments")
+        return cls(l1, l2_np, assignments, id_col=id_col, vec_col=vec_col)
