@@ -321,8 +321,11 @@ def dedup_exact_q(spark, sf_dir):
     return dedup_exact(_docs(spark, sf_dir))
 
 
-_NGRAM_JACCARD_ORACLE = f"""
-WITH t AS (SELECT doc_id, {_SQL_TOKS} AS w FROM documents),
+# Shared CTE body: the exact-Jaccard pair list (threshold 0.5, n=3) —
+# used verbatim by the pair-list oracle AND as the edge input of the
+# dedup_clusters closure oracle, so both sides of the clustering check
+# consume the identical pair set.
+_JACCARD_CTES = f"""t AS (SELECT doc_id, {_SQL_TOKS} AS w FROM documents),
 sh AS (SELECT doc_id, unnest({_SQL_SHINGLES}) AS shingle FROM t),
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
 common AS (
@@ -336,7 +339,10 @@ scored AS (
   FROM common
   JOIN sizes sa ON sa.doc_id = doc_a
   JOIN sizes sb ON sb.doc_id = doc_b
-)
+)"""
+
+_NGRAM_JACCARD_ORACLE = f"""
+WITH {_JACCARD_CTES}
 SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= 0.5
 """
 
@@ -1053,18 +1059,72 @@ def shard_manifest_q(spark, sf_dir):
     return shard_manifest(_docs(spark, sf_dir), num_shards=_NUM_SHARDS)
 
 
-@register("pack_sequences")  # sequential within shard -> genuinely non-SQL
+_PACK_CONTEXT_LEN = 512
+
+# The greedy running-fill recursion, expressed as a DuckDB recursive CTE
+# stepping one document per shard per iteration: each state row carries
+# the (next_ordinal, next_fill) the NEXT document sees, mirroring
+# operators/packing.pack_sequences' loop exactly (open a new bin when
+# the doc would overflow; an oversized doc seals its own bin).
+# Iterations = max docs per shard; all shards advance in parallel
+# within one recursion. bin_id = shard * 2^40 + ordinal, as in Spark.
+_PACK_ORACLE = f"""
+WITH RECURSIVE a AS (
+  SELECT doc_id,
+         cast(('0x' || substr(md5(cast(doc_id AS VARCHAR)), 1, 6))::BIGINT
+              % {_NUM_SHARDS} AS INT) AS shard,
+         cast(len({_SQL_TOKS}) AS BIGINT) AS n_tokens
+  FROM documents
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn FROM a
+),
+st AS (
+  SELECT shard, rn, doc_id, n_tokens,
+         cast(0 AS BIGINT) AS ordinal,
+         (n_tokens > {_PACK_CONTEXT_LEN}) AS overflow,
+         cast(CASE WHEN n_tokens > {_PACK_CONTEXT_LEN} THEN 1 ELSE 0 END
+              AS BIGINT) AS next_ordinal,
+         cast(CASE WHEN n_tokens > {_PACK_CONTEXT_LEN} THEN 0 ELSE n_tokens END
+              AS BIGINT) AS next_fill
+  FROM r WHERE rn = 1
+  UNION ALL
+  SELECT b.shard, b.rn, b.doc_id, b.n_tokens,
+         CASE WHEN s.next_fill > 0 AND s.next_fill + b.n_tokens > {_PACK_CONTEXT_LEN}
+              THEN s.next_ordinal + 1 ELSE s.next_ordinal END AS ordinal,
+         (b.n_tokens > {_PACK_CONTEXT_LEN}) AS overflow,
+         (CASE WHEN s.next_fill > 0 AND s.next_fill + b.n_tokens > {_PACK_CONTEXT_LEN}
+               THEN s.next_ordinal + 1 ELSE s.next_ordinal END)
+           + CASE WHEN b.n_tokens > {_PACK_CONTEXT_LEN} THEN 1 ELSE 0 END
+           AS next_ordinal,
+         CASE WHEN b.n_tokens > {_PACK_CONTEXT_LEN} THEN 0
+              WHEN s.next_fill > 0 AND s.next_fill + b.n_tokens > {_PACK_CONTEXT_LEN}
+              THEN b.n_tokens
+              ELSE s.next_fill + b.n_tokens END AS next_fill
+  FROM st s JOIN r b ON b.shard = s.shard AND b.rn = s.rn + 1
+)
+SELECT cast(shard AS INT) AS shard,
+       cast(shard AS BIGINT) * 1099511627776 + ordinal AS bin_id,
+       doc_id, n_tokens, overflow
+FROM st
+"""
+
+
+@register("pack_sequences", _PACK_ORACLE)
 def pack_sequences_q(spark, sf_dir):
     """Greedy first-fit packing of each shard's docs into 512-token
     context windows via one applyInPandas per shard (only (doc_id,
     n_tokens) pairs cross into Python — token counts are computed
-    Spark-side). Rows-only by design (running-fill recursion); pytest
-    pins equality with a driver-side greedy reference and the bin-fill
+    Spark-side). Spark cannot express the running-fill recursion
+    declaratively, but DuckDB's recursive CTE can — the oracle steps
+    the identical greedy state machine one doc per shard per iteration,
+    so every bin assignment is hash-checked. pytest additionally pins
+    equality with a driver-side greedy reference and the bin-fill
     invariants."""
     from vector_database_in_rust_spark.operators.packing import pack_sequences
 
     return pack_sequences(
-        _docs(spark, sf_dir), context_len=512, num_shards=_NUM_SHARDS
+        _docs(spark, sf_dir), context_len=_PACK_CONTEXT_LEN, num_shards=_NUM_SHARDS
     )
 
 
@@ -1764,16 +1824,40 @@ def events_grouping_sets_q(spark, sf_dir):
     return events_grouping_sets(load_table(spark, sf_dir, "events"))
 
 
-@register("dedup_clusters")  # fixpoint iteration -> genuinely non-SQL
+# Transitive closure as a DuckDB recursive CTE: reach(v, r) = "v can
+# reach r"; the recursive UNION dedups rows so the recursion terminates
+# at the closure fixpoint, then min(r) per vertex is the component's
+# canonical (minimum) id — exactly the label the Spark-side iterative
+# propagation converges to. Edge input is the SAME Jaccard pair SQL the
+# dedup_ngram_jaccard oracle uses (_JACCARD_CTES).
+_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE {_JACCARD_CTES},
+jp AS (SELECT doc_a, doc_b FROM scored WHERE jaccard >= 0.5),
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM jp
+          UNION SELECT doc_b, doc_a FROM jp),
+reach AS (
+  SELECT src AS doc_id, src AS r FROM edges
+  UNION
+  SELECT reach.doc_id, e.dst AS r FROM reach JOIN edges e ON e.src = reach.r
+)
+SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id
+"""
+
+
+@register("dedup_clusters", _CLUSTERS_ORACLE)
 def dedup_clusters_q(spark, sf_dir):
     """Connected-components duplicate clusters over the exact-Jaccard
     pair list (transitive closure — pairwise thresholds alone don't
-    give canonical keep/drop groups). Iterative label propagation; see
-    operators/dedup.dedup_clusters. Rows-only by design (fixpoint
-    recursion); pytest pins equality with a union-find oracle. Input is
-    the SAME materialized pair list dedup_ngram_jaccard produces
-    (_jaccard_pairs_cached) — the clustering query measures clustering,
-    not a recomputation of the similarity join."""
+    give canonical keep/drop groups). Iterative frontier-based label
+    propagation; see operators/dedup.dedup_clusters. Spark has no
+    recursive CTE, but DuckDB does — the oracle computes the same
+    closure via WITH RECURSIVE reachability + min-label, over the
+    identical pair SQL the dedup_ngram_jaccard oracle uses, so the
+    fixpoint itself is hash-checked. pytest additionally pins equality
+    with a union-find oracle. Input is the SAME materialized pair list
+    dedup_ngram_jaccard produces (_jaccard_pairs_cached) — the
+    clustering query measures clustering, not a recomputation of the
+    similarity join."""
     from vector_database_in_rust_spark.operators.dedup import dedup_clusters
 
     return dedup_clusters(_jaccard_pairs_cached(spark, sf_dir, threshold=0.5))
