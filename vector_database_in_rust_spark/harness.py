@@ -635,6 +635,91 @@ def stream_hourly_rollup_q(spark, sf_dir):
     return df.select("hour", "event_type", "n_events", "sum_value")
 
 
+# The batch sessionize oracle minus session_seq (the stream emits
+# sessions as they close — no per-user ordinal): grouped the same way,
+# projected to the columns both sides share.
+_STREAM_SESSIONIZE_ORACLE = """
+WITH marked AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > 1800 * 1000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+with_ids AS (
+  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM marked
+)
+SELECT user_id, count(*) AS n_events,
+       min(ts) AS session_start,
+       max(ts) AS session_end,
+       round(sum(value), 4) AS session_value
+FROM with_ids GROUP BY user_id, session_seq
+"""
+
+_STREAM_SESSIONIZE_N = [0]
+
+
+@register("stream_sessionize", _STREAM_SESSIONIZE_ORACLE)
+def stream_sessionize_q(spark, sf_dir):
+    """Custom stateful streaming operator run to completion under the
+    driver: per-user gap sessionization via applyInPandasWithState
+    (streaming/sessions.py), reconciled against the BATCH sessionization
+    SQL oracle. The staged input ends with two sentinel "flush" files
+    whose event time (2100/2200) is past every real event, so the
+    watermark passes every open session's gap horizon and event-time
+    timeouts close ALL real sessions — making the stream's append output
+    EXACTLY the batch answer (sentinel users are negative ids, filtered
+    out). Every column hash-matches: starts, ends, counts, sums."""
+    import os
+    import shutil
+
+    import pandas as pd
+
+    from vector_database_in_rust_spark.streaming.sessions import (
+        run_sessionize_to_memory,
+    )
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    stage = os.path.join(
+        repo_root,
+        "spark-warehouse",
+        "stream_sessions",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    if not os.path.exists(os.path.join(stage, "events.parquet")):
+        os.makedirs(stage, exist_ok=True)
+        shutil.copy(f"{sf_dir}/events.parquet", stage)
+        base = os.path.getmtime(os.path.join(stage, "events.parquet"))
+        # Two sentinels (one per trailing micro-batch): the FIRST raises
+        # the watermark past every real session's horizon; timeouts fire
+        # while processing the SECOND — no reliance on a no-data batch.
+        for i, ts in enumerate(("2100-01-01", "2200-01-01"), start=1):
+            pdf = pd.DataFrame(
+                {
+                    "event_id": [-i],
+                    "ts": [pd.Timestamp(ts).value],
+                    "user_id": [-i],
+                    "event_type": ["flush"],
+                    "value": [0.0],
+                    "props": ["{}"],
+                }
+            )
+            p = os.path.join(stage, f"zz_flush{i}.parquet")
+            pdf.to_parquet(p)
+            os.utime(p, (base + 60 * i, base + 60 * i))
+
+    _STREAM_SESSIONIZE_N[0] += 1
+    df = run_sessionize_to_memory(
+        spark, stage, table_name=f"sessions_stream_h{_STREAM_SESSIONIZE_N[0]}"
+    )
+    return df.filter(F.col("user_id") >= 0).select(
+        "user_id", "n_events", "session_start", "session_end", "session_value"
+    )
+
+
 _EVENTS_JSON_ORACLE = """
 WITH e AS (
   SELECT event_type, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k

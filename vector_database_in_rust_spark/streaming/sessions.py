@@ -123,3 +123,36 @@ def sessionize_stateful(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def run_sessionize_to_memory(
+    spark,
+    path: str,
+    *,
+    table_name: str = "sessions_stream",
+    gap_minutes: int = 30,
+    watermark: str = "2 hours",
+    timeout_sec: int = 180,
+):
+    """Run the stateful sessionizer over a (finite) directory and block
+    until all input is processed; closed sessions land in an in-memory
+    table. To close the FINAL open session of every user, the input
+    directory must end with sentinel "flush" files whose event time is
+    far past every real event (see harness.stream_sessionize): the
+    watermark then passes every open session's gap horizon and the
+    event-time timeouts emit them. Production would writeStream to a
+    real sink with a checkpoint dir."""
+    from vector_database_in_rust_spark.streaming.events import read_events_stream
+
+    stream = sessionize_stateful(
+        read_events_stream(spark, path), gap_minutes=gap_minutes, watermark=watermark
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(table_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    return spark.table(table_name)
