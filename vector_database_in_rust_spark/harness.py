@@ -885,6 +885,106 @@ def ann_search_persisted(spark, sf_dir):
     return idx.search_batch_pruned(_query_vec_df(spark, sf_dir, 8), KNN_K, nprobe=4)
 
 
+# Streaming ingest -> incremental index -> search, end-to-end under the
+# driver. The store is seeded with vec_id < _INGEST_CUTOFF; the rest of
+# the corpus arrives as a file stream through the exactly-once validated
+# append (streaming/ingest.py), gets assigned to the EXISTING centroids
+# (assign_new — no refit), and the probe runs with nprobe = ALL cells,
+# where IVF is exact — so the result hash-checks against plain knn SQL
+# over the full table. Queries are drawn from the STREAMED vectors:
+# a hash match proves ingested vectors became searchable with correct
+# distances, not merely that the old index still answers.
+_INGEST_CUTOFF = 400
+_INGEST_CELLS = 16
+_INGEST_QUERY_IDS = (400, 450, 470, 499)
+_INGEST_IDX_CACHE: dict = {}
+
+_STREAM_INGEST_ORACLE = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+           WHERE vec_id IN {_INGEST_QUERY_IDS}),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         round({_sql_l2sq('e.embedding', 'q.qe')}, 4) AS dist
+  FROM embeddings e CROSS JOIN q
+),
+ranked AS (
+  SELECT query_id, vec_id, dist,
+         row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS r
+  FROM scored
+)
+SELECT query_id, vec_id, dist FROM ranked WHERE r <= {KNN_K}
+"""
+
+
+@register("stream_ann_ingest", _STREAM_INGEST_ORACLE)
+def stream_ann_ingest(spark, sf_dir):
+    """Streaming vector ingest feeding the ANN index, driver-run: seed a
+    store with the first {cutoff} vectors, stream the remaining corpus
+    through the checkpointed exactly-once append (a replay is a no-op),
+    assign_new the ingested rows to the existing IVF centroids, and
+    probe with nprobe = all cells (exact regime). Queries are streamed
+    vectors, so the hash check proves end-to-end: file stream -> store
+    -> incremental index -> correct distances."""
+    import os
+    import shutil
+
+    from vector_database_in_rust_spark.operators.ann import IVFIndex
+    from vector_database_in_rust_spark.streaming.ingest import (
+        ingest_vectors,
+        read_vector_stream,
+    )
+
+    idx = _INGEST_IDX_CACHE.get(sf_dir)
+    if idx is None:
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        stage = os.path.join(
+            repo_root,
+            "spark-warehouse",
+            "stream_ingest",
+            os.path.basename(os.path.normpath(sf_dir)),
+        )
+        store, incoming, ckpt = (
+            os.path.join(stage, d) for d in ("store", "incoming", "ckpt")
+        )
+        marker = os.path.join(stage, "_STAGED")
+        emb = _emb(spark, sf_dir)
+        if not os.path.exists(marker):
+            # (Re)stage from scratch — a half-written stage from a killed
+            # process must not leak into the exactly-once claim.
+            shutil.rmtree(stage, ignore_errors=True)
+            emb.filter(F.col("vec_id") < _INGEST_CUTOFF).write.parquet(store)
+            mid = (_INGEST_CUTOFF + emb.count()) // 2
+            emb.filter(
+                (F.col("vec_id") >= _INGEST_CUTOFF) & (F.col("vec_id") < mid)
+            ).write.parquet(os.path.join(incoming, "batch1"))
+            emb.filter(F.col("vec_id") >= mid).write.parquet(
+                os.path.join(incoming, "batch2")
+            )
+            open(marker, "w").close()
+        dim = len(emb.select("embedding").first()[0])
+        ingest_vectors(
+            read_vector_stream(spark, incoming + "/*"),
+            store,
+            dimensions=dim,
+            checkpoint_path=ckpt,
+        )
+        final = spark.read.parquet(store)
+        base = final.filter(F.col("vec_id") < _INGEST_CUTOFF)
+        streamed = final.filter(F.col("vec_id") >= _INGEST_CUTOFF)
+        idx = IVFIndex.build(base, num_cells=_INGEST_CELLS, seed=42).assign_new(
+            streamed
+        )
+        idx.assignments = idx.assignments.persist()
+        _INGEST_IDX_CACHE[sf_dir] = idx
+    queries = _emb(spark, sf_dir).filter(
+        F.col("vec_id").isin(list(_INGEST_QUERY_IDS))
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_embedding"),
+    )
+    return idx.search_batch(queries, KNN_K, nprobe=_INGEST_CELLS)
+
+
 # ---------------------------------------------------------------------------
 # Bucketed co-located join (the 100 TB answer for the repeated
 # documents ⋈ embeddings join: pay one bucketed write, then every join
