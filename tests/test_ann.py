@@ -216,3 +216,121 @@ def test_hierarchical_save_load_roundtrip(spark, emb, tmp_path):
     idx2 = HierarchicalIVF.load(spark, str(tmp_path / "hier"))
     after = [r["vec_id"] for r in idx2.search(q, 5, nprobe_l1=2, nprobe=6).collect()]
     assert before == after and before
+
+# ---------------------------------------------------------------------------
+# IVF-PQ (memory-bound serving layout: coarse cells + product-quantized
+# residual codes, ADC scoring, optional exact refine)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def ivf16(emb):
+    from vector_database_in_rust_spark.operators.ann import IVFIndex
+
+    idx = IVFIndex.build(emb, num_cells=16, seed=42)
+    idx.assignments = idx.assignments.persist()
+    idx.assignments.count()
+    return idx
+
+
+def test_pq_structure(spark, emb, ivf16):
+    """Every vector gets exactly one code row; each code has m entries,
+    all within [0, ksub)."""
+    from vector_database_in_rust_spark.operators.ann import IVFPQIndex
+
+    pq = IVFPQIndex.build(ivf16, m=16, ksub=16, seed=42)
+    codes = pq.codes.persist()
+    assert codes.count() == 500
+    assert codes.select("vec_id").distinct().count() == 500
+    bad = codes.filter(
+        (F.size("codes") != 16)
+        | F.exists("codes", lambda c: (c < 0) | (c >= 16))
+    )
+    assert bad.count() == 0
+    codes.unpersist()
+
+
+def test_pq_full_probe_refine_recovers_exact(spark, emb, ivf16):
+    """At the measured setting (ksub=64, refine=8, full probe) the
+    ADC candidate set contains the true top-10, so the refined result is
+    ROW-IDENTICAL to knn_exact — approximation fully repaired. This is
+    the bar the oracle-backed harness entry (ann_pq_search) relies on."""
+    from vector_database_in_rust_spark.operators.ann import IVFPQIndex
+
+    pq = IVFPQIndex.build(ivf16, m=16, ksub=64, seed=42)
+    pq.codes = pq.codes.persist()
+    for qid in (3, 7, 11):
+        q = emb.filter(F.col("vec_id") == qid).first()["embedding"]
+        exact = [tuple(r) for r in knn_exact(emb, [float(x) for x in q], 10).collect()]
+        got = [
+            tuple(r)
+            for r in pq.search(q, 10, nprobe=16, refine=8, store=emb).collect()
+        ]
+        assert got == exact
+    pq.codes.unpersist()
+
+
+def test_pq_refine_repairs_adc_recall(spark, emb, ivf16):
+    """Measured ladder at m=16/ksub=16, full probe: ADC-only recall@10
+    ~0.41 (pure-noise residuals — worst case), refine=4 -> ~0.81,
+    refine=16 -> 1.0. Bars set under the measured values."""
+    from vector_database_in_rust_spark.operators.ann import IVFPQIndex
+
+    pq = IVFPQIndex.build(ivf16, m=16, ksub=16, seed=42)
+    pq.codes = pq.codes.persist()
+    qs = emb.filter(F.col("vec_id") < 8).collect()
+
+    def recall(refine):
+        hit = tot = 0
+        for r in qs:
+            q = r["embedding"]
+            exact = {x["vec_id"] for x in knn_exact(emb, [float(v) for v in q], K).collect()}
+            res = pq.search(
+                q, K, nprobe=16, refine=refine, store=emb if refine else None
+            )
+            got = {x["vec_id"] for x in res.collect()}
+            hit += len(exact & got)
+            tot += len(exact)
+        return hit / tot
+
+    r0, r4, r16 = recall(0), recall(4), recall(16)
+    assert r0 >= 0.3
+    assert r4 >= 0.7 and r4 > r0
+    assert r16 == 1.0
+    pq.codes.unpersist()
+
+
+def test_pq_deterministic_rebuild(spark, emb, ivf16):
+    from vector_database_in_rust_spark.operators.ann import IVFPQIndex
+
+    a = IVFPQIndex.build(ivf16, m=16, ksub=16, seed=7).codes
+    b = IVFPQIndex.build(ivf16, m=16, ksub=16, seed=7).codes
+    assert a.exceptAll(b).count() == 0 and a.count() == 500
+
+
+def test_pq_save_load_roundtrip_and_pruning(spark, emb, ivf16, tmp_path):
+    """Reloaded index answers identically; the ADC scan over the
+    reloaded cell-partitioned codes carries the probe as a
+    PartitionFilter (only probed cells' files are read)."""
+    import re
+
+    from vector_database_in_rust_spark.operators.ann import IVFPQIndex
+    from vector_database_in_rust_spark.plans.explain import formatted_plan
+
+    pq = IVFPQIndex.build(ivf16, m=16, ksub=16, seed=42)
+    q = emb.filter("vec_id = 5").first()["embedding"]
+    before = [
+        tuple(r) for r in pq.search(q, 5, nprobe=4, refine=4, store=emb).collect()
+    ]
+    pq.save(spark, str(tmp_path / "pq"))
+    pq2 = IVFPQIndex.load(spark, str(tmp_path / "pq"))
+    after = [
+        tuple(r) for r in pq2.search(q, 5, nprobe=4, refine=4, store=emb).collect()
+    ]
+    assert before == after and before
+
+    scored = pq2._adc_scored(q, nprobe=4)
+    plan = formatted_plan(scored)
+    assert "PartitionFilters" in plan
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan).group(1)
+    assert "cell_id" in pf, f"cell filter not pushed to partitions: {pf}"

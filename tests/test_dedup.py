@@ -264,3 +264,69 @@ def test_dedup_clusters_nonconvergence_warns(spark, caplog):
     ):
         dedup.dedup_clusters(pairs, max_iterations=2).collect()
     assert any("did NOT converge" in r.message for r in caplog.records)
+
+
+def test_dedup_clusters_star_matches_frontier_and_union_find(spark, docs):
+    """Large-star/small-star (Kiveris et al.) must produce EXACTLY the
+    same (doc_id, cluster_id) labels as the frontier variant and the
+    driver-side union-find ground truth on the real near-dup graph."""
+    pairs_df = dedup.ngram_jaccard_pairs(docs, threshold=0.5)
+    frontier = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.dedup_clusters(pairs_df).collect()
+    }
+    star = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.dedup_clusters_star(pairs_df).collect()
+    }
+    assert star == frontier and star
+
+
+def test_dedup_clusters_star_log_rounds_on_long_chain(spark):
+    """The star variant's raison d'etre: a 100-hop path (diameter 100)
+    must reach the fixpoint within an O(log n) round budget — 10 rounds
+    here, where frontier propagation would need ~100."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(100)], "doc_a BIGINT, doc_b BIGINT"
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.dedup_clusters_star(pairs, max_iterations=10).collect()
+    }
+    assert got == {i: 0 for i in range(101)}
+
+
+def test_dedup_clusters_star_random_graphs(spark):
+    """Seeded random graphs vs driver-side union-find."""
+    import random
+
+    rng = random.Random(7)
+    for trial in range(3):
+        n = 60
+        edges = {
+            (rng.randrange(n), rng.randrange(n)) for _ in range(45)
+        }
+        edges = {(a, b) for a, b in edges if a != b}
+        pairs = spark.createDataFrame(
+            [(a, b) for a, b in sorted(edges)], "doc_a BIGINT, doc_b BIGINT"
+        )
+        got = {
+            r["doc_id"]: r["cluster_id"]
+            for r in dedup.dedup_clusters_star(pairs).collect()
+        }
+
+        parent: dict[int, int] = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {x: find(x) for x in parent}
+        assert got == want, f"trial {trial}"

@@ -403,6 +403,13 @@ SELECT doc_a, doc_b, cosine FROM scored WHERE cosine >= 0.4
 
 @register("dedup_embedding_cosine", _EMB_COS_ORACLE)
 def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding near-duplicate pairs by exact cosine >= threshold.
+    Size-routed (operators/dedup.embedding_cosine_pairs): below
+    MAX_EXACT_COSINE_ROWS a broadcast BLAS-matmul pass (measured ~10x
+    over the expression form); above it the LSH-bucketed
+    approxSimilarityJoin path — no corpus-sized driver collect is
+    reachable at any scale. The oracle checks the exact route taken at
+    driver scale; the LSH route is driver-run via dedup_embedding_lsh."""
     from vector_database_in_rust_spark.operators.dedup import embedding_cosine_pairs
 
     return embedding_cosine_pairs(_emb(spark, sf_dir), threshold=0.4)
@@ -883,6 +890,59 @@ def ann_search_persisted(spark, sf_dir):
     design -> rows-only."""
     idx = _ivf_persisted(spark, sf_dir)
     return idx.search_batch_pruned(_query_vec_df(spark, sf_dir, 8), KNN_K, nprobe=4)
+
+
+# IVF-PQ: quantized serving layout, ORACLE-BACKED. At the measured
+# setting (m=16, ksub=64, full probe, refine=16) the ADC candidate set
+# contains the true top-k at both driver scales with 2x refine headroom
+# (tests/test_ann.py:test_pq_full_probe_refine_recovers_exact), so the
+# exact-refined result hash-checks against plain exact-knn SQL — the
+# 16x-smaller code layout demonstrably loses nothing after refine.
+_PQ_QUERY_IDS = (3, 7, 11, 15)
+_PQ_CACHE: dict[str, object] = {}
+
+_ANN_PQ_ORACLE = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+           WHERE vec_id IN {_PQ_QUERY_IDS}),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         round({_sql_l2sq('e.embedding', 'q.qe')}, 4) AS dist
+  FROM embeddings e CROSS JOIN q
+),
+ranked AS (
+  SELECT query_id, vec_id, dist,
+         row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS r
+  FROM scored
+)
+SELECT query_id, vec_id, dist FROM ranked WHERE r <= {KNN_K}
+"""
+
+
+@register("ann_pq_search", _ANN_PQ_ORACLE)
+def ann_pq_search(spark, sf_dir):
+    """IVF-PQ probe (Jégou et al. 2011 ADC + exact refine): per-vector
+    memory drops dim*4 bytes -> m code bytes; ADC scores candidates from
+    (m x ksub) lookup tables without reading any float vector; the top
+    refine*k candidates re-rank exactly against the store. Full probe +
+    refine=16 makes the result exact here (pytest-pinned), so this
+    entry carries a real hash-checked oracle — rare for an ANN path."""
+    from vector_database_in_rust_spark.operators.ann import IVFPQIndex
+
+    pq = _PQ_CACHE.get(sf_dir)
+    if pq is None:
+        pq = IVFPQIndex.build(_ivf_index(spark, sf_dir), m=16, ksub=64, seed=42)
+        pq.codes = pq.codes.persist()
+        _PQ_CACHE[sf_dir] = pq
+    emb = _emb(spark, sf_dir)
+    n_cells = pq.centroids.shape[0]
+    out = None
+    for qid in _PQ_QUERY_IDS:
+        q = _query_vec(spark, sf_dir, qid)
+        res = pq.search(q, KNN_K, nprobe=n_cells, refine=16, store=emb).withColumn(
+            "query_id", F.lit(qid)
+        )
+        out = res if out is None else out.unionByName(res)
+    return out.select("query_id", "vec_id", "dist")
 
 
 # Streaming ingest -> incremental index -> search, end-to-end under the
@@ -2046,6 +2106,21 @@ def dedup_clusters_q(spark, sf_dir):
     from vector_database_in_rust_spark.operators.dedup import dedup_clusters
 
     return dedup_clusters(_jaccard_pairs_cached(spark, sf_dir, threshold=0.5))
+
+
+@register("dedup_clusters_star", _CLUSTERS_ORACLE)
+def dedup_clusters_star_q(spark, sf_dir):
+    """Connected components by alternating large-star/small-star rounds
+    (Kiveris et al. 2014) over the same materialized pair list — the
+    O(log n)-round fallback for components whose diameter exceeds the
+    frontier variant's budget (long transitive chains at permissive
+    thresholds). Same output contract and the same recursive-CTE oracle
+    as dedup_clusters, so both clustering backends are hash-checked
+    against one fixpoint; pytest additionally pins star == frontier ==
+    union-find on real and adversarial graphs."""
+    from vector_database_in_rust_spark.operators.dedup import dedup_clusters_star
+
+    return dedup_clusters_star(_jaccard_pairs_cached(spark, sf_dir, threshold=0.5))
 
 
 _SETOPS_ORACLE = """

@@ -807,3 +807,101 @@ def dedup_clusters(
             n_changed,
         )
     return labels
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """One large-star round: every node connects its LARGER neighbors to
+    the minimum of its neighborhood (including itself)."""
+    nbrs = edges.union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).distinct()
+    mins = nbrs.groupBy("u").agg(F.min("v").alias("_mv"))
+    mins = mins.select("u", F.least("_mv", F.col("u")).alias("_m"))
+    return (
+        nbrs.join(mins, on="u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("_m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """One small-star round: orient edges toward the larger endpoint;
+    every node connects its (all smaller) neighbors and itself to the
+    minimum neighbor."""
+    oriented = (
+        edges.filter(F.col("u") != F.col("v"))
+        .select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .distinct()
+    )
+    joined = oriented.join(
+        oriented.groupBy("u").agg(F.min("v").alias("_m")), on="u"
+    )
+    rewired = joined.filter(F.col("v") != F.col("_m")).select(
+        F.col("v").alias("u"), F.col("_m").alias("v")
+    )
+    self_edge = joined.select("u", F.col("_m").alias("v"))
+    return rewired.union(self_edge).distinct()
+
+
+def dedup_clusters_star(
+    pairs: DataFrame,
+    *,
+    max_iterations: int = 30,
+) -> DataFrame:
+    """Connected components by alternating large-star/small-star rounds
+    (Kiveris et al. 2014, "Connected Components in MapReduce and
+    Beyond", Algorithms 3-4). Same contract as ``dedup_clusters``:
+    input (doc_a, doc_b) pairs, output (doc_id, cluster_id) with the
+    component minimum as the canonical cluster id.
+
+    When to use which: ``dedup_clusters`` (frontier label propagation)
+    converges in O(component diameter) rounds — ideal for near-dup
+    graphs, whose components are dense and shallow. This variant
+    converges in O(log n) rounds REGARDLESS of diameter (each round
+    halves the height of the hooking forest), so it is the fallback
+    when components are long chains — e.g. similarity graphs built at
+    a permissive threshold, where transitive chains of pairwise-similar
+    documents can stretch arbitrarily far. The price: each round
+    rewrites the full edge list (two shuffles) instead of only the
+    frontier-incident part.
+
+    Fixpoint detection: a round that changes no edges (symmetric
+    difference empty — two O(1)-row count actions on the
+    ``exceptAll``s, not a collect). At the fixpoint the edge list IS
+    the star forest (v -> component min), so labels fall out without a
+    final propagation pass. ``localCheckpoint`` per round cuts the
+    iterative lineage, same discipline as ``dedup_clusters``.
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    converged = False
+    for _ in range(max_iterations):
+        nxt = _small_star(_large_star(edges)).localCheckpoint(eager=False)
+        if (
+            nxt.exceptAll(edges).count() == 0
+            and edges.exceptAll(nxt).count() == 0
+        ):
+            converged = True
+            edges = nxt
+            break
+        edges = nxt
+    if not converged:
+        logger.warning(
+            "dedup_clusters_star did NOT reach a fixpoint within "
+            "max_iterations=%d — returned cluster ids may be partially "
+            "merged. Rounds needed are O(log n); raise max_iterations.",
+            max_iterations,
+        )
+    labels = edges.select(
+        F.col("u").alias("doc_id"), F.col("v").alias("cluster_id")
+    ).union(
+        edges.select(F.col("v").alias("doc_id"), F.col("v").alias("cluster_id"))
+    )
+    return labels.distinct()
