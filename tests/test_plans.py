@@ -119,3 +119,25 @@ def test_vocab_top_tokens_bounded_window(audits):
     a = audits("vocab_top_tokens")
     assert a.n_hash_aggregates >= 2
     assert a.has_partial_window_group_limit
+
+
+def test_tpch_q6_all_predicates_pushed(audits):
+    """Q6 is the pure pushdown probe: both date bounds, the discount
+    band and the quantity cap must ALL reach the parquet scan as
+    PushedFilters; no join, no broadcast, one aggregation exchange."""
+    a = audits("tpch_q6_forecast")
+    pf = ";".join(a.pushed_filters)
+    for frag in ("l_shipdate", "l_discount", "l_quantity"):
+        assert frag in pf, f"{frag} not pushed: {pf}"
+    assert a.n_broadcast_exchanges == 0
+    assert a.n_shuffle_exchanges <= 1  # single-row global aggregate
+
+
+def test_tpch_q5_pushes_dates_and_broadcasts_dims(audits):
+    """Q5: the order-date window must push to the orders scan; the
+    region/nation dims must come in as broadcasts, never shuffles of
+    the fact tables against 5-row dimensions."""
+    a = audits("tpch_q5_local_volume")
+    pf = ";".join(a.pushed_filters)
+    assert "o_orderdate" in pf, f"order-date window not pushed: {pf}"
+    assert a.n_broadcast_exchanges >= 1

@@ -1980,6 +1980,119 @@ def tpch_q3_q(spark, sf_dir):
     )
 
 
+_TPCH_Q5_ORACLE = """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+@register("tpch_q5_local_volume", _TPCH_Q5_ORACLE)
+def tpch_q5_q(spark, sf_dir):
+    """TPC-H Q5: revenue per nation where customer and line-item
+    supplier share a nation inside one region, for one order year —
+    the canonical 6-table star join (broadcast dims, orderkey
+    shuffle)."""
+    from vector_database_in_rust_spark.operators.relational import (
+        tpch_q5_local_supplier_volume,
+    )
+
+    return tpch_q5_local_supplier_volume(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
+    )
+
+
+_TPCH_Q6_ORACLE = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@register("tpch_q6_forecast", _TPCH_Q6_ORACLE)
+def tpch_q6_q(spark, sf_dir):
+    """TPC-H Q6: one filtered scan + global sum — the pure
+    predicate-pushdown probe. All four predicates reach the parquet
+    scan (PushedFilters pinned in tests/test_plans.py); 3 columns
+    read; map-side partial sum."""
+    from vector_database_in_rust_spark.operators.relational import (
+        tpch_q6_forecast_revenue,
+    )
+
+    return tpch_q6_forecast_revenue(load_table(spark, sf_dir, "lineitem"))
+
+
+# Streaming at-least-once repair: the events file is staged TWICE
+# (simulated duplicate delivery); row-level streaming dedup on event_id
+# must reconstruct EXACTLY the original table — full-row hash check.
+_STREAM_DEDUP_N = [0]
+
+_STREAM_DEDUP_ORACLE = """
+SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value, props
+FROM events
+"""
+
+
+@register("stream_dedup_redelivery", _STREAM_DEDUP_ORACLE)
+def stream_dedup_redelivery_q(spark, sf_dir):
+    """Streaming dedup under at-least-once delivery, driver-run: the
+    whole events file is delivered twice (the classic replayed-producer
+    failure), streamed through dropDuplicates on event_id
+    (streaming/dedup.py), and the output must hash-match the ORIGINAL
+    events table on every column — each event survives exactly once,
+    every duplicate is repaired before anything downstream sees it.
+    The bounded-state (watermarked) variant for unbounded streams is
+    pinned in tests/test_streaming_dedup.py."""
+    import os
+    import shutil
+
+    from vector_database_in_rust_spark.streaming.dedup import (
+        run_redelivery_dedup_to_memory,
+    )
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    stage = os.path.join(
+        repo_root,
+        "spark-warehouse",
+        "redelivery_stage",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    if not os.path.exists(os.path.join(stage, "delivery_2.parquet")):
+        os.makedirs(stage, exist_ok=True)
+        shutil.copy(f"{sf_dir}/events.parquet", f"{stage}/delivery_1.parquet")
+        shutil.copy(f"{sf_dir}/events.parquet", f"{stage}/delivery_2.parquet")
+
+    _STREAM_DEDUP_N[0] += 1
+    table = f"dedup_stream_h{_STREAM_DEDUP_N[0]}"
+    out = run_redelivery_dedup_to_memory(spark, stage, table_name=table)
+    return out.select(
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+
+
 _MOVING_AVG_ORACLE = """
 SELECT user_id, event_id,
        round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id

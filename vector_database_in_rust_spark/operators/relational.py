@@ -484,3 +484,97 @@ def events_moving_avg(events: DataFrame, *, event_type: str = "click") -> DataFr
         F.round(F.avg("value").over(w5), 4).alias("avg5"),
         F.round(F.sum("value").over(wcum), 4).alias("cum_value"),
     )
+
+
+def tpch_q5_local_supplier_volume(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    *,
+    region_name: str = "ASIA",
+    date_from: str = "1996-01-01",
+    date_to: str = "1997-01-01",
+) -> DataFrame:
+    """TPC-H Q5 (local supplier volume): revenue per nation from orders
+    where the customer and the line item's supplier sit in the SAME
+    nation, inside one region, for one order year. The canonical
+    many-way star join.
+
+    Plan shape at scale: region and nation are tiny and broadcast
+    always; customer and supplier broadcast at driver scale via AQE
+    stats but are written as plain equi-joins so at 100 TB they shuffle
+    on their keys instead of OOMing the driver — the only unavoidable
+    big shuffle is orders⋈lineitem on the orderkey. The date predicates
+    push to the orders scan; the region filter prunes nation before
+    anything joins it; the same-nation constraint is the
+    c_nationkey = s_nationkey equi-join condition, not a post-filter.
+    """
+    r = region.filter(F.col("r_name") == region_name).select("r_regionkey")
+    n = nation.join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("n_nationkey", "n_name")
+    c = customer.join(
+        F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("c_custkey", "c_nationkey")
+    s = supplier.join(
+        F.broadcast(n.select("n_nationkey")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "s_nationkey")
+    o = orders.filter(
+        (F.col("o_orderdate") >= F.lit(date_from).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(date_to).cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = lineitem.select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_rev"),
+    )
+    j = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(
+            s,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    return (
+        j.groupBy("n_name")
+        .agg(F.round(F.sum("_rev"), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+def tpch_q6_forecast_revenue(
+    lineitem: DataFrame,
+    *,
+    date_from: str = "1996-01-01",
+    date_to: str = "1997-01-01",
+    discount_lo: float = 0.05,
+    discount_hi: float = 0.07,
+    max_quantity: float = 24.0,
+) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change): one filtered scan, one
+    global sum — the pure predicate-pushdown benchmark. All four
+    predicates (two dates, discount band, quantity cap) reach the
+    parquet scan as PushedFilters; only 3 columns are read; the
+    aggregate is a map-side partial sum into a 1-row exchange."""
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp"))
+            & (F.col("l_discount") >= discount_lo)
+            & (F.col("l_discount") <= discount_hi)
+            & (F.col("l_quantity") < max_quantity)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
