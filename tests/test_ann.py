@@ -234,19 +234,24 @@ def ivf16(emb):
 
 
 def test_pq_structure(spark, emb, ivf16):
-    """Every vector gets exactly one code row; each code has m entries,
-    all within [0, ksub)."""
+    """Every vector gets exactly one code row; codes are byte-packed
+    BINARY of exactly m bytes (the stored row IS m bytes plus ids),
+    every byte a valid codebook index < ksub."""
     from vector_database_in_rust_spark.operators.ann import IVFPQIndex
 
     pq = IVFPQIndex.build(ivf16, m=16, ksub=16, seed=42)
     codes = pq.codes.persist()
+    assert dict(codes.dtypes)["codes"] == "binary"
     assert codes.count() == 500
     assert codes.select("vec_id").distinct().count() == 500
-    bad = codes.filter(
-        (F.size("codes") != 16)
-        | F.exists("codes", lambda c: (c < 0) | (c >= 16))
+    assert codes.filter(F.octet_length("codes") != 16).count() == 0
+    import numpy as np
+
+    mx = max(
+        int(np.frombuffer(bytes(r["codes"]), dtype=np.uint8).max())
+        for r in codes.collect()
     )
-    assert bad.count() == 0
+    assert mx < 16
     codes.unpersist()
 
 

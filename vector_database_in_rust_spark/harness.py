@@ -2040,6 +2040,91 @@ def tpch_q6_q(spark, sf_dir):
     return tpch_q6_forecast_revenue(load_table(spark, sf_dir, "lineitem"))
 
 
+# Hybrid retrieval: BM25 lexical ranking + RRF fusion with vector kNN.
+_BM25_TERMS = ("hash", "merge", "spark")
+
+_BM25_BODY = f"""
+base AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS dl,
+         list_filter(string_split(text, ' '),
+                     t -> t IN {_BM25_TERMS}) AS hits
+  FROM documents
+),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM base),
+tf AS (
+  SELECT doc_id, dl, term, count(*) AS tf
+  FROM base, unnest(hits) AS u(term)
+  GROUP BY doc_id, dl, term
+),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+bm AS (
+  SELECT doc_id, round(sum(
+    ln((n - df + 0.5) / (df + 0.5) + 1.0)
+    * tf * (1.2 + 1.0) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+  ), 4) AS bm25
+  FROM tf JOIN df USING (term) CROSS JOIN stats
+  GROUP BY doc_id
+)
+"""
+
+_SEARCH_BM25_ORACLE = f"""
+WITH {_BM25_BODY}
+SELECT doc_id, bm25 FROM bm ORDER BY bm25 DESC, doc_id LIMIT 10
+"""
+
+_SEARCH_HYBRID_ORACLE = f"""
+WITH {_BM25_BODY},
+lex AS (
+  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank
+  FROM (SELECT * FROM bm ORDER BY bm25 DESC, doc_id LIMIT 20)
+),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+knn AS (
+  SELECT e.vec_id, round({_sql_l2sq('e.embedding', 'q.qe')}, 4) AS dist
+  FROM embeddings e CROSS JOIN q
+  ORDER BY dist, vec_id LIMIT 20
+),
+sem AS (SELECT vec_id, row_number() OVER (ORDER BY dist, vec_id) AS sem_rank FROM knn),
+fused AS (
+  SELECT coalesce(lex.doc_id, sem.vec_id) AS doc_id,
+         coalesce(1.0 / (60 + lex_rank), 0) + coalesce(1.0 / (60 + sem_rank), 0) AS rrf
+  FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.vec_id
+)
+SELECT doc_id, round(rrf, 6) AS rrf FROM fused ORDER BY rrf DESC, doc_id LIMIT 10
+"""
+
+
+@register("search_bm25", _SEARCH_BM25_ORACLE)
+def search_bm25_q(spark, sf_dir):
+    """Okapi BM25 top-10 for a 3-term query over documents — the
+    lexical half of hybrid retrieval, pure Catalyst (only query-term
+    hits are exploded, so the exploded relation is |docs| x |query|,
+    not |docs| x |len|; df broadcasts back). Both engines rank the
+    ROUNDED score, so the hash check can't flip at the cutoff."""
+    from vector_database_in_rust_spark.operators.search import bm25_scores
+
+    return bm25_scores(_docs(spark, sf_dir), list(_BM25_TERMS), top_n=10)
+
+
+@register("search_hybrid_rrf", _SEARCH_HYBRID_ORACLE)
+def search_hybrid_rrf_q(spark, sf_dir):
+    """Reciprocal-rank fusion (Cormack et al. 2009) of BM25 top-20 and
+    exact-kNN top-20 for the same corpus — the production hybrid-search
+    shape the pure-vector reference lacks. Fusion joins two 20-row
+    rank lists (broadcast, corpus never re-read); a doc missing from
+    one ranker contributes only the other's 1/(60+rank)."""
+    from vector_database_in_rust_spark.operators.search import hybrid_search_rrf
+
+    return hybrid_search_rrf(
+        _docs(spark, sf_dir),
+        _emb(spark, sf_dir),
+        list(_BM25_TERMS),
+        _query_vec(spark, sf_dir, 0),
+        k=10,
+        depth=20,
+    )
+
+
 # Streaming at-least-once repair: the events file is staged TWICE
 # (simulated duplicate delivery); row-level streaming dedup on event_id
 # must reconstruct EXACTLY the original table — full-row hash check.

@@ -557,10 +557,11 @@ class IVFPQIndex:
     scheme; the same structure Faiss calls IndexIVFPQ). The reference
     holds every full vector in RAM forever (src/lib.rs: Vec<Vec<f32>>);
     PQ collapses per-vector memory from dim*4 bytes to ``m`` code bytes
-    (64-dim float32 -> 16 bytes at m=16, a 16x reduction; codes travel
-    as ARRAY<SMALLINT> here — byte-packing into BINARY is a further 2x
-    densification left to the sink), which is what makes a 1e11-vector
-    serving tier fit on a real cluster. Honest characterization: on the
+    (64-dim float32 -> 16 bytes at m=16, a 16x reduction; codes are
+    byte-packed into one BINARY value per vector — ksub <= 256 by
+    construction — so the stored row is literally m bytes plus ids),
+    which is what makes a 1e11-vector serving tier fit on a real
+    cluster. Honest characterization: on the
     driver's structure-free iid-random synthetic vectors residuals are
     pure noise, so distortion is near worst-case — measured at dim=64,
     full probe: m=16/ksub=16 gives ADC-only recall@10 ~ 0.4, 0.81 with
@@ -602,7 +603,7 @@ class IVFPQIndex:
     ):
         self.centroids = np.asarray(centroids, dtype=np.float64)
         self.codebooks = np.asarray(codebooks, dtype=np.float64)  # (m, ksub, dsub)
-        self.codes = codes  # vec_id, cell_id, codes ARRAY<SMALLINT>
+        self.codes = codes  # vec_id, cell_id, codes BINARY (m bytes)
         self.id_col = id_col
         self.vec_col = vec_col
 
@@ -639,6 +640,8 @@ class IVFPQIndex:
         dim = centroids.shape[1]
         if dim % m != 0:
             raise ValueError(f"dim {dim} not divisible by m={m}")
+        if ksub > 256:
+            raise ValueError(f"ksub={ksub} exceeds one byte per code")
         dsub = dim // m
 
         # Bounded driver-side sample of residuals for the codebook fit.
@@ -673,7 +676,7 @@ class IVFPQIndex:
             for pdf in it:
                 xb = np.vstack(pdf[vec_col].apply(np.asarray, dtype=np.float64))
                 rb = xb - cent[pdf["cell_id"].to_numpy()]
-                codes = np.empty((len(rb), m_), dtype=np.int16)
+                codes = np.empty((len(rb), m_), dtype=np.uint8)
                 for j in range(m_):
                     sub = rb[:, j * dsub_ : (j + 1) * dsub_]
                     d = ((sub[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
@@ -682,12 +685,12 @@ class IVFPQIndex:
                     {
                         "vec_id": pdf[id_col].astype("int64"),
                         "cell_id": pdf["cell_id"].astype("int32"),
-                        "codes": list(codes),
+                        "codes": [row.tobytes() for row in codes],
                     }
                 )
 
         codes = asg.select(id_col, vec_col, "cell_id").mapInPandas(
-            encode, schema="vec_id BIGINT, cell_id INT, codes ARRAY<SMALLINT>"
+            encode, schema="vec_id BIGINT, cell_id INT, codes BINARY"
         )
         return cls(centroids, codebooks, codes, id_col=id_col, vec_col=vec_col)
 
@@ -721,7 +724,11 @@ class IVFPQIndex:
             for pdf in it:
                 if not len(pdf):
                     continue
-                codes = np.vstack(pdf["codes"].apply(np.asarray))
+                codes = np.vstack(
+                    pdf["codes"].apply(
+                        lambda b: np.frombuffer(bytes(b), dtype=np.uint8)
+                    )
+                )
                 adc = np.empty(len(pdf), dtype=np.float64)
                 cell_arr = pdf["cell_id"].to_numpy()
                 for c in np.unique(cell_arr):

@@ -1,0 +1,138 @@
+"""Hybrid retrieval: BM25 keyword scoring fused with vector kNN.
+
+The reference is a pure vector store — its only retrieval mode is
+embedding distance (src/lib.rs:74-97, 152-169). Production search over
+the same corpus almost always runs HYBRID: a lexical ranker (BM25) and
+a vector ranker, fused by reciprocal-rank fusion (RRF, Cormack et al.
+2009 — the fusion TREC uses; score(d) = sum over rankers of
+1/(rrf_k + rank_d)). This module adds the lexical half and the fusion
+as pure Catalyst plans over the same ``documents``/``embeddings``
+tables the vector operators serve.
+
+Scale shape (BM25): tokenization stays a narrow per-row expression;
+only tokens MATCHING the query terms are exploded (``F.filter`` before
+``explode``), so the exploded relation is |docs| x |query| at worst,
+not |docs| x |doc length|. Per-term document frequencies aggregate
+map-side into a query-sized table that broadcasts back; corpus-level
+N/avgdl is one 1-row aggregate. No UDFs anywhere; everything runs in
+whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: list[str],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_n: int = 10,
+) -> DataFrame:
+    """Okapi BM25 top-N for a bag of query terms.
+
+    idf(t) = ln((N - df + 0.5) / (df + 0.5) + 1)   (Lucene's variant —
+    always positive, no negative-idf cliff for terms in >half the
+    corpus), tf saturation k1, length normalization b. Deterministic
+    output order: (rounded score desc, doc id) — both engines rank the
+    ROUNDED score, so the driver's hash check can't flip on a
+    last-bit float difference at the cutoff.
+    """
+    toks = F.split(F.col(text_col), " ")
+    base = docs.select(
+        F.col(id_col),
+        F.size(toks).alias("dl"),
+        F.filter(toks, lambda t: t.isin(*query_terms)).alias("_hits"),
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
+    ).first()
+    n, avgdl = stats["n"], stats["avgdl"]
+
+    tf = (
+        base.select(id_col, "dl", F.explode("_hits").alias("term"))
+        .groupBy(id_col, "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log((F.lit(float(n)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    term_score = idf * (
+        F.col("tf")
+        * (k1 + 1.0)
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(float(avgdl))))
+    )
+    return (
+        tf.join(F.broadcast(df_), on="term")
+        .groupBy(id_col)
+        .agg(F.round(F.sum(term_score), 4).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), id_col)
+        .limit(top_n)
+    )
+
+
+def hybrid_search_rrf(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    query_terms: list[str],
+    query_vec: list[float],
+    *,
+    k: int = 10,
+    depth: int = 20,
+    rrf_k: int = 60,
+    doc_id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    text_col: str = "text",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Reciprocal-rank fusion of BM25 top-``depth`` and exact-kNN
+    top-``depth`` (doc ids and vector ids share the id space, the same
+    correspondence knn_join_documents serves). A document missing from
+    one ranker simply contributes nothing from it — the standard RRF
+    outer-join semantics. Both rank lists are ``depth`` rows, so the
+    fusion join is a broadcast of two tiny relations regardless of
+    corpus size."""
+    from pyspark.sql import Window
+
+    from vector_database_in_rust_spark.operators.knn import knn_exact
+
+    lex = bm25_scores(
+        docs,
+        query_terms,
+        id_col=doc_id_col,
+        text_col=text_col,
+        top_n=depth,
+    ).withColumn(
+        "lex_rank",
+        F.row_number().over(
+            Window.orderBy(F.col("bm25").desc(), F.col(doc_id_col))
+        ),
+    )
+    sem = knn_exact(
+        embeddings, query_vec, depth, id_col=vec_id_col, vec_col=vec_col
+    ).withColumn(
+        "sem_rank",
+        F.row_number().over(Window.orderBy(F.col("dist"), F.col(vec_id_col))),
+    )
+    fused = lex.select(
+        F.col(doc_id_col).alias("_id"), "lex_rank"
+    ).join(
+        sem.select(F.col(vec_id_col).alias("_id"), "sem_rank"),
+        on="_id",
+        how="full_outer",
+    )
+    contrib = F.coalesce(
+        1.0 / (F.lit(rrf_k) + F.col("lex_rank")), F.lit(0.0)
+    ) + F.coalesce(1.0 / (F.lit(rrf_k) + F.col("sem_rank")), F.lit(0.0))
+    return (
+        fused.select(
+            F.col("_id").alias(doc_id_col),
+            F.round(contrib, 6).alias("rrf"),
+        )
+        .orderBy(F.col("rrf").desc(), doc_id_col)
+        .limit(k)
+    )
