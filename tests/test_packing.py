@@ -99,3 +99,50 @@ def test_pack_bin_invariants(spark, docs):
 def test_pack_rejects_bad_context():
     with pytest.raises(ValueError, match="context_len"):
         pack_sequences(None, context_len=0)
+
+
+def test_chunk_reconstruction_and_overlap(spark):
+    """Chunk invariants: consecutive chunks overlap by exactly
+    chunk_size - stride tokens; concatenating each chunk's first
+    `stride` tokens (plus the final tail) reconstructs the document;
+    short docs yield exactly one whole-text chunk."""
+    from vector_database_in_rust_spark.operators.packing import chunk_documents
+
+    long_text = " ".join(f"w{i}" for i in range(100))
+    docs = spark.createDataFrame(
+        [(1, long_text), (2, "tiny doc only five tokens")],
+        "doc_id BIGINT, text STRING",
+    )
+    out = chunk_documents(docs, chunk_size=32, stride=24)
+    rows = sorted(
+        ((r["doc_id"], r["chunk_id"], r["chunk_text"]) for r in out.collect())
+    )
+    by_doc: dict[int, list[str]] = {}
+    for d, _, c in rows:
+        by_doc.setdefault(d, []).append(c)
+
+    # doc 2: one chunk, the whole text
+    assert by_doc[2] == ["tiny doc only five tokens"]
+
+    # doc 1: overlap of 8 tokens between consecutive chunks
+    chunks = [c.split(" ") for c in by_doc[1]]
+    assert len(chunks) == 5  # starts 0,24,48,72,96 for n=100
+    for a, b in zip(chunks, chunks[1:]):
+        assert a[24:] == b[: len(a) - 24]
+    # reconstruction: first `stride` tokens of each chunk + last tail
+    rebuilt = []
+    for c in chunks[:-1]:
+        rebuilt.extend(c[:24])
+    rebuilt.extend(chunks[-1])
+    assert rebuilt == long_text.split(" ")
+
+
+def test_chunk_plan_no_shuffle(spark):
+    """Chunking must stay a per-row flatMap: zero exchanges."""
+    from vector_database_in_rust_spark.operators.packing import chunk_documents
+    from vector_database_in_rust_spark.plans.explain import audit
+    from tests.conftest import SF_SMOKE
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    a = audit(chunk_documents(docs))
+    assert a.n_shuffle_exchanges == 0

@@ -1373,6 +1373,31 @@ def pack_sequences_q(spark, sf_dir):
     )
 
 
+_CHUNK_ORACLE = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+                  len(string_split(text, ' ')) AS n FROM documents),
+s AS (SELECT doc_id, toks, n,
+             unnest(range(0, greatest(n, 1), 24)) AS start FROM t)
+SELECT doc_id, cast(start // 24 AS INT) AS chunk_id,
+       cast(least(start + 32, n) - start AS BIGINT) AS n_tokens,
+       array_to_string(list_slice(toks, start + 1, least(start + 32, n)),
+                       ' ') AS chunk_text
+FROM s
+"""
+
+
+@register("chunk_documents", _CHUNK_ORACLE)
+def chunk_documents_q(spark, sf_dir):
+    """Overlapping token-window chunking (32-token windows, stride 24 —
+    8 tokens of cross-boundary overlap), the step between raw documents
+    and sequence packing. Pure Catalyst flatMap: one explode per
+    chunk, slice + concat_ws in codegen, ZERO shuffles; every chunk's
+    full text is hash-checked against the SQL window arithmetic."""
+    from vector_database_in_rust_spark.operators.packing import chunk_documents
+
+    return chunk_documents(_docs(spark, sf_dir), chunk_size=32, stride=24)
+
+
 # ---------------------------------------------------------------------------
 # CSV / JSON sources (sink -> source -> hash-match the original table):
 # the readers are exercised end-to-end under the driver, oracle-backed

@@ -130,3 +130,49 @@ def pack_sequences(
         docs, num_shards=num_shards, id_col=id_col, text_col=text_col
     )
     return assigned.groupBy("shard").applyInPandas(pack, schema=PACKED_SCHEMA)
+
+
+def chunk_documents(
+    docs: DataFrame,
+    *,
+    chunk_size: int = 32,
+    stride: int = 24,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Overlapping token-window chunking — the step between raw
+    documents and sequence packing: long documents become
+    ``chunk_size``-token windows advancing by ``stride`` tokens
+    (``chunk_size - stride`` tokens of overlap preserve context across
+    boundaries, the standard pretraining-corpus shape).
+
+    Pure Catalyst: window starts come from ``sequence(0, n-1, stride)``
+    (so every start is < n and the tail chunk keeps its remaining
+    tokens), one ``explode`` per chunk — the output relation is
+    |chunks|, roughly |tokens| / stride rows, and the heavy ``slice`` +
+    ``concat_ws`` run inside codegen. No shuffle at all: chunking is a
+    per-row flatMap, and downstream sharding/packing owns any
+    repartitioning."""
+    if stride <= 0 or chunk_size <= 0:
+        raise ValueError("chunk_size and stride must be positive")
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride))
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            toks.alias("_toks"),
+            F.explode(starts).alias("_start"),
+        )
+        .select(
+            "doc_id",
+            (F.col("_start") / stride).cast("int").alias("chunk_id"),
+            F.slice(F.col("_toks"), F.col("_start") + 1, chunk_size).alias("_c"),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.size("_c").cast("long").alias("n_tokens"),
+            F.concat_ws(" ", F.col("_c")).alias("chunk_text"),
+        )
+    )
