@@ -330,3 +330,50 @@ def test_dedup_clusters_star_random_graphs(spark):
                 parent[max(ra, rb)] = min(ra, rb)
         want = {x: find(x) for x in parent}
         assert got == want, f"trial {trial}"
+
+
+def test_decontaminate_flags_planted_leaks(spark):
+    """Planted-leak fixture: an exact copy and a near-copy of benchmark
+    docs must be flagged; unrelated docs must not."""
+    bench = spark.createDataFrame(
+        [
+            (1000, "alpha beta gamma delta epsilon zeta eta theta"),
+            (1001, "one two three four five six seven eight nine"),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    train = spark.createDataFrame(
+        [
+            # exact leak of 1000
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            # near leak of 1001 (one word changed at the end)
+            (2, "one two three four five six seven eight ten"),
+            # clean
+            (3, "totally unrelated content about something else entirely"),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    got = {
+        r["doc_id"]: r["contaminated"]
+        for r in dedup.decontaminate(train, bench, threshold=0.5).collect()
+    }
+    assert got == {1: True, 2: True, 3: False}
+
+
+def test_contamination_pairs_cross_corpus_jaccard(spark):
+    """Cross-corpus pair scores equal the driver-side brute force over
+    the same shingle sets."""
+    texts_tr = {i: f"w{i}a w{i}b common phrase words here x{i}" for i in range(5)}
+    texts_tr[10] = "the quick brown fox jumps over the lazy dog"
+    texts_te = {100: "the quick brown fox jumps over the lazy dog"}
+    train = spark.createDataFrame(
+        list(texts_tr.items()), "doc_id BIGINT, text STRING"
+    )
+    test = spark.createDataFrame(
+        list(texts_te.items()), "doc_id BIGINT, text STRING"
+    )
+    got = {
+        (r["train_id"], r["test_id"]): r["jaccard"]
+        for r in dedup.contamination_pairs(train, test, threshold=0.3).collect()
+    }
+    assert got == {(10, 100): 1.0}

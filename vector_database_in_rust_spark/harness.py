@@ -2065,6 +2065,52 @@ def tpch_q6_q(spark, sf_dir):
     return tpch_q6_forecast_revenue(load_table(spark, sf_dir, "lineitem"))
 
 
+# Train/test decontamination: every 50th document plays the "leaked
+# benchmark" (it IS in the training corpus — the exact leak scenario);
+# the verdict table flags each train doc whose shingle Jaccard against
+# any benchmark doc reaches the threshold.
+_DECON_ORACLE = f"""
+WITH t1 AS (SELECT doc_id, {_SQL_TOKS} AS w FROM documents),
+sh1 AS (SELECT doc_id, unnest({_SQL_SHINGLES}) AS shingle FROM t1),
+sh2 AS (SELECT doc_id, shingle FROM sh1 WHERE doc_id % 50 = 0),
+s1 AS (SELECT doc_id, count(*) AS n_sh FROM sh1 GROUP BY doc_id),
+s2 AS (SELECT doc_id, count(*) AS n_sh FROM sh2 GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS train_id, b.doc_id AS test_id, count(*) AS n_common
+  FROM sh1 a JOIN sh2 b ON a.shingle = b.shingle
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT train_id,
+         round(n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+  FROM common
+  JOIN s1 sa ON sa.doc_id = train_id
+  JOIN s2 sb ON sb.doc_id = test_id
+),
+hit AS (SELECT DISTINCT train_id FROM scored WHERE jaccard >= 0.5)
+SELECT d.doc_id, (hit.train_id IS NOT NULL) AS contaminated
+FROM documents d LEFT JOIN hit ON d.doc_id = hit.train_id
+"""
+
+
+@register("decontaminate_corpus", _DECON_ORACLE)
+def decontaminate_corpus_q(spark, sf_dir):
+    """Train/test contamination check (the evaluation-integrity gate
+    every LLM pipeline needs): cross-corpus shingle-Jaccard between the
+    training documents and a benchmark set — here a 2% slice of the
+    corpus itself, the exact leaked-benchmark scenario — and a
+    per-train-doc verdict. The cross join runs train-index x
+    broadcast(test-index): cost is bounded by the tiny benchmark side,
+    so 100 TB of train streams without shuffling. Every leaked doc
+    flags itself (J=1.0 self-match) plus its near-dups; the full
+    verdict table is hash-checked."""
+    from vector_database_in_rust_spark.operators.dedup import decontaminate
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    return decontaminate(docs, bench, threshold=0.5)
+
+
 # Hybrid retrieval: BM25 lexical ranking + RRF fusion with vector kNN.
 _BM25_TERMS = ("hash", "merge", "spark")
 

@@ -905,3 +905,108 @@ def dedup_clusters_star(
         edges.select(F.col("v").alias("doc_id"), F.col("v").alias("cluster_id"))
     )
     return labels.distinct()
+
+
+def contamination_pairs(
+    train: DataFrame,
+    test: DataFrame,
+    *,
+    threshold: float = 0.5,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_shingle_freq: int | None = DEFAULT_MAX_SHINGLE_FREQ,
+) -> DataFrame:
+    """Cross-corpus n-gram Jaccard: every (train doc, test doc) pair
+    with J >= threshold — the TRAIN/TEST CONTAMINATION check every
+    evaluation pipeline needs (a benchmark document leaked into the
+    pretraining corpus inflates scores; near-verbatim leaks survive
+    exact dedup, hence the shingle Jaccard). Returns
+    (train_id, test_id, jaccard).
+
+    Same inverted-index shape as ``ngram_jaccard_pairs`` but the join
+    is train-index x test-index — cost scales with shingle
+    CO-OCCURRENCE ACROSS the two corpora, which the (usually tiny)
+    test side bounds: at 100 TB of train vs a few thousand benchmark
+    docs, the test index broadcasts and the train index streams
+    through it without a shuffle of the train side. The frequency cut
+    is computed over BOTH corpora together (symmetric semantics —
+    sizes are post-cut on each side, matching the oracle)."""
+    tr = _shingle_index(train, id_col, text_col, n)
+    te = _shingle_index(test, id_col, text_col, n)
+    if max_shingle_freq is not None:
+        freq = (
+            tr.unionByName(te)
+            .groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_f"))
+            .filter(F.col("_f") <= max_shingle_freq)
+            .select("shingle")
+        )
+        tr = tr.join(freq, "shingle")
+        te = te.join(freq, "shingle")
+    tr_sizes = tr.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_a"))
+    te_sizes = te.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_b"))
+    common = (
+        tr.select(F.col("doc_id").alias("train_id"), "shingle")
+        .join(
+            F.broadcast(
+                te.select(F.col("doc_id").alias("test_id"), "shingle")
+            ),
+            on="shingle",
+        )
+        .groupBy("train_id", "test_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        common.join(
+            tr_sizes.select(F.col("doc_id").alias("train_id"), "n_a"), "train_id"
+        )
+        .join(
+            F.broadcast(
+                te_sizes.select(F.col("doc_id").alias("test_id"), "n_b")
+            ),
+            "test_id",
+        )
+        .select(
+            "train_id",
+            "test_id",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    test: DataFrame,
+    *,
+    threshold: float = 0.5,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_shingle_freq: int | None = DEFAULT_MAX_SHINGLE_FREQ,
+) -> DataFrame:
+    """Per-train-doc contamination verdict: (doc_id, contaminated) for
+    EVERY train document — contaminated iff some test doc reaches the
+    Jaccard threshold. A left-semi-shaped aggregation over
+    ``contamination_pairs``; filter ``~contaminated`` to get the clean
+    corpus (the verdict table itself is what pipelines audit and
+    oracle-check)."""
+    hits = contamination_pairs(
+        train,
+        test,
+        threshold=threshold,
+        n=n,
+        id_col=id_col,
+        text_col=text_col,
+        max_shingle_freq=max_shingle_freq,
+    ).select(F.col("train_id").alias("doc_id")).distinct()
+    return train.select(F.col(id_col).alias("doc_id")).join(
+        hits.withColumn("_hit", F.lit(True)), on="doc_id", how="left"
+    ).select(
+        "doc_id", F.coalesce(F.col("_hit"), F.lit(False)).alias("contaminated")
+    )
