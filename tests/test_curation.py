@@ -116,3 +116,35 @@ def test_vocab_top_tokens_rank_contract(spark):
         # counts non-increasing with rank; ties broken by token asc
         for (r1, n1, t1), (r2, n2, t2) in zip(rows, rows[1:]):
             assert n1 > n2 or (n1 == n2 and t1 < t2)
+
+
+def test_pipeline_manifest_matches_stagewise_composition(spark):
+    """The composed pipeline's manifest totals must equal running the
+    stages independently: sum(n_chunks) == chunk count of the kept
+    docs, sum over shards of n_tokens == total chunk tokens, and the
+    doc coverage equals the kept set."""
+    from tests.conftest import SF_SMOKE
+    from vector_database_in_rust_spark.operators.curation import curate_corpus
+    from vector_database_in_rust_spark.operators.packing import chunk_documents
+    from vector_database_in_rust_spark.operators.pipeline import (
+        curate_chunk_shard,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    manifest = curate_chunk_shard(docs).collect()
+    assert {r["shard"] for r in manifest} <= set(range(8))
+
+    kept = curate_corpus(docs, min_quality=0.45).filter(F.col("kept")).select(
+        "doc_id"
+    )
+    chunks = chunk_documents(docs.join(kept, "doc_id"))
+    agg = chunks.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_tokens").alias("tok"),
+        F.countDistinct("doc_id").alias("docs"),
+    ).first()
+    assert sum(r["n_chunks"] for r in manifest) == agg["n"]
+    assert sum(r["total_tokens"] for r in manifest) == agg["tok"]
+    # every kept doc appears in some shard (chunking emits >=1 chunk/doc)
+    assert sum(r["n_docs"] for r in manifest) >= agg["docs"]

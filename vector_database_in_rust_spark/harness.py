@@ -2065,6 +2065,77 @@ def tpch_q6_q(spark, sf_dir):
     return tpch_q6_forecast_revenue(load_table(spark, sf_dir, "lineitem"))
 
 
+# End-to-end pipeline composition: curation verdicts gate the chunker,
+# chunks hash-shard by (doc_id, chunk_id), and the per-shard manifest is
+# hash-checked through ONE composed SQL chain — integration, not stages.
+_PIPELINE_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, text, lang,
+         {_SQL_TOKS} AS w,
+         len(list_filter({_SQL_TOKS}, t -> t IN {_SQL_STOPWORDS})) * 1.0
+           / greatest(len({_SQL_TOKS}), 1) AS swr
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, lang,
+         round(0.4 * least(len(w) / 200.0, 1.0)
+               + 0.3 * (len(list_distinct(w)) * 1.0 / greatest(len(w), 1))
+               + 0.3 * (least(swr, 0.1) / 0.1), 6) AS quality,
+         doc_id > min(doc_id) OVER (PARTITION BY md5(text)) AS ed,
+         doc_id > min(doc_id) OVER (PARTITION BY md5(array_to_string(
+             list_sort(list_distinct(w)), ' '))) AS fd
+  FROM t
+),
+kept AS (
+  SELECT doc_id FROM scored
+  WHERE (CASE WHEN ed THEN 'exact_dup'
+              WHEN fd THEN 'fingerprint_dup'
+              WHEN quality < {_CURATE_MIN_QUALITY} THEN 'low_quality'
+              WHEN lang NOT IN ('en','de','fr') THEN 'lang' END) IS NULL
+),
+kd AS (
+  SELECT d.doc_id, len({_SQL_TOKS}) AS n
+  FROM documents d JOIN kept USING (doc_id)
+),
+s AS (SELECT doc_id, n, unnest(range(0, greatest(n, 1), 24)) AS start FROM kd),
+c AS (
+  SELECT doc_id, cast(start // 24 AS INT) AS chunk_id,
+         cast(least(start + 32, n) - start AS BIGINT) AS n_tokens
+  FROM s
+),
+a AS (
+  SELECT cast(('0x' || substr(md5(cast(doc_id AS VARCHAR) || '_'
+               || cast(chunk_id AS VARCHAR)), 1, 6))::BIGINT % 8 AS INT) AS shard,
+         doc_id, n_tokens
+  FROM c
+)
+SELECT shard, count(*) AS n_chunks, count(DISTINCT doc_id) AS n_docs,
+       cast(sum(n_tokens) AS BIGINT) AS total_tokens
+FROM a GROUP BY shard
+"""
+
+
+@register("pipeline_curate_chunk_shard", _PIPELINE_ORACLE)
+def pipeline_curate_chunk_shard_q(spark, sf_dir):
+    """The COMPOSED training-data pipeline: curation gate -> chunk the
+    survivors into overlapping token windows -> hash-shard the CHUNKS
+    (md5 of doc_id_chunk_id — document chunks spread across shards,
+    assignments pure functions of stable ids) -> per-shard manifest.
+    One lazy Catalyst DAG end-to-end (the curation filter fuses into
+    the chunker's scan); the manifest is hash-checked through a single
+    SQL chain, so a verdict leak, an off-by-one chunk window, or a
+    shard-key drift anywhere in the composition flips the hash."""
+    from vector_database_in_rust_spark.operators.pipeline import (
+        curate_chunk_shard,
+    )
+
+    return curate_chunk_shard(
+        _docs(spark, sf_dir),
+        min_quality=_CURATE_MIN_QUALITY,
+        keep_langs=_CURATE_LANGS,
+    )
+
+
 # Train/test decontamination: every 50th document plays the "leaked
 # benchmark" (it IS in the training corpus — the exact leak scenario);
 # the verdict table flags each train doc whose shingle Jaccard against
