@@ -339,3 +339,106 @@ def test_pq_save_load_roundtrip_and_pruning(spark, emb, ivf16, tmp_path):
     assert "PartitionFilters" in plan
     pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan).group(1)
     assert "cell_id" in pf, f"cell filter not pushed to partitions: {pf}"
+
+
+def test_split_hot_cells_rebalances_and_stays_exact(spark, emb):
+    """Drift repair: pile 300 clustered vectors into the index via
+    assign_new (they all land in one cell), split hot cells, and check
+    (a) no row lost or duplicated, (b) max occupancy strictly drops,
+    (c) cold cell ids unchanged, (d) full-probe search over the split
+    index is still EXACT, (e) the split is deterministic."""
+    import numpy as np
+
+    from vector_database_in_rust_spark.operators.ann import IVFIndex
+
+    rng = np.random.RandomState(7)
+    point = rng.rand(64) * 0.05 + 2.0  # far outside the unit cube
+    clustered = [
+        (1000 + i, [float(x) for x in point + rng.rand(64) * 0.01], 0)
+        for i in range(300)
+    ]
+    new = spark.createDataFrame(
+        clustered, "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT"
+    )
+
+    def build_split():
+        idx = IVFIndex.build(emb, num_cells=8, seed=42)
+        idx.assign_new(new)
+        return idx, idx.split_hot_cells(factor=2.0, seed=42)
+
+    idx, split = build_split()
+    before = {r["cell_id"]: r["n_vectors"] for r in idx.cell_stats().collect()}
+    after = {r["cell_id"]: r["n_vectors"] for r in split.cell_stats().collect()}
+
+    assert sum(after.values()) == 800
+    assert split.assignments.select("vec_id").distinct().count() == 800
+    assert max(after.values()) < max(before.values())
+    assert split.centroids.shape[0] > idx.centroids.shape[0]
+    # cold rows keep their assignment
+    hot = [c for c, n in before.items() if n > 2.0 * sum(before.values()) / len(before)]
+    cold_before = idx.assignments.filter(~F.col("cell_id").isin(hot))
+    cold_after = split.assignments.filter(
+        F.col("cell_id").isin([c for c in before if c not in hot])
+    )
+    assert cold_before.select("vec_id", "cell_id").exceptAll(
+        cold_after.select("vec_id", "cell_id")
+    ).count() == 0
+
+    # full probe == exact on the combined corpus
+    corpus = emb.select("vec_id", "embedding").unionByName(
+        new.select("vec_id", "embedding")
+    )
+    q = [float(x) for x in point]
+    exact = [r["vec_id"] for r in knn_exact(corpus, q, 10).collect()]
+    got = [
+        r["vec_id"]
+        for r in split.search(q, 10, nprobe=split.centroids.shape[0]).collect()
+    ]
+    assert got == exact
+
+    # determinism
+    _, split2 = build_split()
+    assert split.assignments.select("vec_id", "cell_id").exceptAll(
+        split2.assignments.select("vec_id", "cell_id")
+    ).count() == 0
+    assert np.allclose(split.centroids, split2.centroids)
+
+
+def test_rebalance_reaches_occupancy_bound(spark, emb):
+    """Iterated splitting must actually repair occupancy: after
+    rebalance, NO cell exceeds factor x mean (one split round cannot do
+    this when the hot cell holds a tight drift cluster — 2-means first
+    peels off the background, and only later rounds halve the cluster);
+    the index stays lossless and full-probe exact."""
+    import numpy as np
+
+    from vector_database_in_rust_spark.operators.ann import IVFIndex
+
+    rng = np.random.RandomState(7)
+    point = rng.rand(64) * 0.05 + 2.0
+    clustered = [
+        (100_000 + i, [float(x) for x in point + rng.rand(64) * 0.01], 0)
+        for i in range(300)
+    ]
+    new = spark.createDataFrame(
+        clustered, "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT"
+    )
+    idx = IVFIndex.build(emb, num_cells=16, seed=42)
+    idx.assign_new(new)
+    bal = idx.rebalance(factor=2.0, seed=42, max_rounds=6)
+
+    occ = [r["n_vectors"] for r in bal.cell_stats().collect()]
+    assert sum(occ) == 800
+    assert bal.assignments.select("vec_id").distinct().count() == 800
+    assert max(occ) <= 2.0 * (sum(occ) / len(occ)), f"still skewed: {sorted(occ)}"
+
+    corpus = emb.select("vec_id", "embedding").unionByName(
+        new.select("vec_id", "embedding")
+    )
+    q = [float(x) for x in point]
+    exact = [r["vec_id"] for r in knn_exact(corpus, q, 10).collect()]
+    got = [
+        r["vec_id"]
+        for r in bal.search(q, 10, nprobe=bal.centroids.shape[0]).collect()
+    ]
+    assert got == exact

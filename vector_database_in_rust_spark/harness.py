@@ -892,6 +892,36 @@ def ann_search_persisted(spark, sf_dir):
     return idx.search_batch_pruned(_query_vec_df(spark, sf_dir, 8), KNN_K, nprobe=4)
 
 
+@register("ann_rebalance")
+def ann_rebalance_q(spark, sf_dir):
+    """Index maintenance under drift, driver-run: 300 deterministic
+    clustered vectors (far outside the corpus cube) arrive via
+    assign_new and pile into one cell; ``rebalance`` iterates
+    split_hot_cells — local seeded 2-means fits run in parallel per
+    hot cell, cold cells and their ids untouched, only hot rows
+    re-scored against exactly 2 centroids each — until no cell exceeds
+    factor x mean occupancy. Returns the post-rebalance occupancy
+    table. Approximate (KMeans) -> rows-only; invariants (no row lost,
+    occupancy bound reached, full-probe still exact, deterministic)
+    pinned in tests/test_ann.py."""
+    import numpy as np
+
+    from vector_database_in_rust_spark.operators.ann import IVFIndex
+
+    rng = np.random.RandomState(7)
+    point = rng.rand(64) * 0.05 + 2.0
+    clustered = [
+        (100_000 + i, [float(x) for x in point + rng.rand(64) * 0.01], 0)
+        for i in range(300)
+    ]
+    new = spark.createDataFrame(
+        clustered, "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT"
+    )
+    idx = IVFIndex.build(_emb(spark, sf_dir), num_cells=16, seed=42)
+    idx.assign_new(new)
+    return idx.rebalance(factor=2.0, seed=42, max_rounds=6).cell_stats()
+
+
 # IVF-PQ: quantized serving layout, ORACLE-BACKED. At the measured
 # setting (m=16, ksub=64, full probe, refine=16) the ADC candidate set
 # contains the true top-k at both driver scales with 2x refine headroom

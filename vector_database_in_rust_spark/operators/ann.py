@@ -46,6 +46,23 @@ from vector_database_in_rust_spark.operators.knn import knn_exact
 DEFAULT_SEED = 42
 
 
+def _lloyd(x: np.ndarray, k: int, seed: int, iters: int = 15) -> np.ndarray:
+    """Seeded numpy Lloyd (same discipline as HierarchicalIVF's level-2
+    fits — no sklearn in the container). Module-level so executor-side
+    closures (PQ codebook fits, hot-cell splits) can reference it."""
+    rng = np.random.RandomState(seed)
+    k = min(k, len(x))
+    cent = x[rng.choice(len(x), size=k, replace=False)].copy()
+    for _ in range(iters):
+        d = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        lab = d.argmin(axis=1)
+        for j in range(k):
+            msk = lab == j
+            if msk.any():
+                cent[j] = x[msk].mean(axis=0)
+    return cent
+
+
 def _num_cells_default(n: int) -> int:
     return int(max(1, min(4096, round(np.sqrt(max(n, 1))))))
 
@@ -306,6 +323,139 @@ class IVFIndex:
             .agg(F.count(F.lit(1)).alias("n_vectors"))
             .orderBy("cell_id")
         )
+
+    def split_hot_cells(
+        self,
+        *,
+        factor: float = 2.0,
+        seed: int = DEFAULT_SEED,
+        max_cell_fit_rows: int = 100_000,
+    ) -> "IVFIndex":
+        """Index maintenance under drift: ``assign_new`` funnels new
+        vectors into EXISTING cells, so a shifting distribution piles
+        rows into a few cells and probe cost degrades toward a scan of
+        the hot cell. This repairs occupancy WITHOUT the full refit:
+        every cell with occupancy > ``factor`` x mean is split in two
+        by a seeded local 2-means over (a bounded sample of) its own
+        vectors; one half keeps the cell id, the other gets a fresh id
+        appended after the existing centroids — ids of cold cells (and
+        the saved parquet partitions holding them) never change.
+
+        Cost shape: the per-cell fits run in PARALLEL (one
+        ``applyInPandas`` group per hot cell — the HierarchicalIVF
+        level-2 discipline); only HOT-cell rows are re-scored, against
+        exactly 2 centroids each; cold rows are untouched. Driver-side
+        state is the occupancy table (num_cells rows) and 2 x |hot|
+        sub-centroids. Returns a NEW IVFIndex (assignments lazily
+        re-derived; the caller persists/saves as usual)."""
+        import pandas as pd
+
+        occ = {
+            r["cell_id"]: r["n_vectors"] for r in self.cell_stats().collect()
+        }
+        if not occ:
+            return self
+        mean_occ = sum(occ.values()) / len(occ)
+        hot = sorted(c for c, n in occ.items() if n > factor * mean_occ and n >= 2)
+        if not hot:
+            return self
+
+        vec_col = self.vec_col
+
+        def fit2(pdf: pd.DataFrame) -> pd.DataFrame:
+            c = int(pdf["cell_id"].iloc[0])
+            x = np.vstack(pdf[vec_col].apply(np.asarray, dtype=np.float64))
+            if len(x) > max_cell_fit_rows:
+                rng = np.random.RandomState(seed * 131 + c)
+                x = x[rng.choice(len(x), size=max_cell_fit_rows, replace=False)]
+            cent = _lloyd(x, 2, seed * 31 + c)
+            if len(cent) < 2:  # degenerate single-point cell
+                cent = np.vstack([cent[0], cent[0]])
+            return pd.DataFrame(
+                {
+                    "cell_id": [c, c],
+                    "sub": [0, 1],
+                    "centroid": [list(map(float, cent[0])), list(map(float, cent[1]))],
+                }
+            )
+
+        hot_rows = self.assignments.filter(F.col("cell_id").isin(hot))
+        subs = {
+            (r["cell_id"], r["sub"]): np.asarray(r["centroid"])
+            for r in hot_rows.groupBy("cell_id")
+            .applyInPandas(fit2, "cell_id INT, sub INT, centroid ARRAY<DOUBLE>")
+            .collect()
+        }
+
+        k_old = self.centroids.shape[0]
+        new_centroids = self.centroids.copy()
+        new_id = {}
+        appended = []
+        for i, c in enumerate(hot):
+            new_centroids[c] = subs[(c, 0)]
+            new_id[c] = k_old + i
+            appended.append(subs[(c, 1)])
+        new_centroids = np.vstack([new_centroids] + appended)
+
+        spark = self.assignments.sparkSession
+        remap = spark.createDataFrame(
+            [
+                (
+                    int(c),
+                    [float(x) for x in subs[(c, 0)]],
+                    [float(x) for x in subs[(c, 1)]],
+                    int(new_id[c]),
+                )
+                for c in hot
+            ],
+            "cell_id INT, c0 ARRAY<DOUBLE>, c1 ARRAY<DOUBLE>, new_id INT",
+        )
+        d0 = l2_squared(F.col(vec_col), F.col("c0"))
+        d1 = l2_squared(F.col(vec_col), F.col("c1"))
+        reassigned = (
+            hot_rows.join(F.broadcast(remap), on="cell_id")
+            .select(
+                self.id_col,
+                vec_col,
+                F.when(d0 <= d1, F.col("cell_id"))
+                .otherwise(F.col("new_id"))
+                .cast("int")
+                .alias("cell_id"),
+            )
+        )
+        cold = self.assignments.filter(~F.col("cell_id").isin(hot)).select(
+            self.id_col, vec_col, "cell_id"
+        )
+        return IVFIndex(
+            new_centroids,
+            cold.unionByName(reassigned),
+            id_col=self.id_col,
+            vec_col=vec_col,
+        )
+
+    def rebalance(
+        self,
+        *,
+        factor: float = 2.0,
+        seed: int = DEFAULT_SEED,
+        max_rounds: int = 4,
+    ) -> "IVFIndex":
+        """Iterate ``split_hot_cells`` until no cell exceeds ``factor``
+        x mean occupancy (or the round budget runs out). One round is
+        NOT enough when a hot cell holds a tight drift cluster plus
+        background: 2-means first separates cluster from background
+        (the right split — but the cluster side stays hot), and only
+        subsequent rounds halve the cluster itself. Each round re-seeds
+        deterministically and cuts lineage with ``localCheckpoint`` so
+        round N+1's fits don't re-execute round N's reassignment."""
+        idx = self
+        for r in range(max_rounds):
+            nxt = idx.split_hot_cells(factor=factor, seed=seed + r)
+            if nxt is idx:
+                return idx
+            nxt.assignments = nxt.assignments.localCheckpoint(eager=False)
+            idx = nxt
+        return idx
 
 
 class LSHIndex:
@@ -607,21 +757,7 @@ class IVFPQIndex:
         self.id_col = id_col
         self.vec_col = vec_col
 
-    @staticmethod
-    def _lloyd(x: np.ndarray, k: int, seed: int, iters: int = 15) -> np.ndarray:
-        """Seeded numpy Lloyd (same discipline as HierarchicalIVF's
-        level-2 fits — no sklearn in the container)."""
-        rng = np.random.RandomState(seed)
-        k = min(k, len(x))
-        cent = x[rng.choice(len(x), size=k, replace=False)].copy()
-        for _ in range(iters):
-            d = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
-            lab = d.argmin(axis=1)
-            for j in range(k):
-                msk = lab == j
-                if msk.any():
-                    cent[j] = x[msk].mean(axis=0)
-        return cent
+    _lloyd = staticmethod(_lloyd)
 
     @classmethod
     def build(
