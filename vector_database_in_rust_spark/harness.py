@@ -1403,6 +1403,39 @@ def pack_sequences_q(spark, sf_dir):
     )
 
 
+_BIN_MANIFEST_ORACLE = f"""
+WITH per_bin AS (
+  SELECT shard, bin_id, sum(n_tokens) AS fill, count(*) AS n_docs,
+         max(CASE WHEN overflow THEN 1 ELSE 0 END) AS has_overflow
+  FROM ({_PACK_ORACLE}) GROUP BY shard, bin_id
+)
+SELECT shard, count(*) AS n_bins,
+       round(avg(fill / {_PACK_CONTEXT_LEN}.0), 6) AS avg_fill,
+       round(max(fill / {_PACK_CONTEXT_LEN}.0), 6) AS max_fill,
+       cast(sum(has_overflow) AS BIGINT) AS n_overflow_bins,
+       cast(sum(fill) AS BIGINT) AS total_tokens
+FROM per_bin GROUP BY shard
+"""
+
+
+@register("pack_bin_manifest", _BIN_MANIFEST_ORACLE)
+def pack_bin_manifest_q(spark, sf_dir):
+    """Per-shard packing-efficiency manifest over the greedy first-fit
+    bins: mean/max fill ratio, overflow-bin count, token totals. The
+    oracle nests the SAME recursive packing CTE pack_sequences is
+    checked against, then aggregates — so the manifest verifies the
+    full packing state machine AND the rollup arithmetic in one hash."""
+    from vector_database_in_rust_spark.operators.packing import (
+        bin_manifest,
+        pack_sequences,
+    )
+
+    packed = pack_sequences(
+        _docs(spark, sf_dir), context_len=_PACK_CONTEXT_LEN, num_shards=_NUM_SHARDS
+    )
+    return bin_manifest(packed, context_len=_PACK_CONTEXT_LEN)
+
+
 _CHUNK_ORACLE = """
 WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
                   len(string_split(text, ' ')) AS n FROM documents),

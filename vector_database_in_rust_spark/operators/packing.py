@@ -176,3 +176,24 @@ def chunk_documents(
             F.concat_ws(" ", F.col("_c")).alias("chunk_text"),
         )
     )
+
+
+def bin_manifest(packed: DataFrame, *, context_len: int = 2048) -> DataFrame:
+    """Per-shard bin fill statistics over ``pack_sequences`` output —
+    what a training job reads to judge packing efficiency before
+    touching any shard: bins per shard, mean/max fill ratio (overflow
+    bins exceed 1.0 by construction), overflow count, token total.
+    Two map-side-combinable groupBys ((shard, bin_id) then shard) over
+    the tiny (ids, counts) relation — text never appears."""
+    per_bin = packed.groupBy("shard", "bin_id").agg(
+        F.sum("n_tokens").alias("fill"),
+        F.max(F.col("overflow").cast("int")).alias("has_overflow"),
+    )
+    ratio = F.col("fill") / F.lit(float(context_len))
+    return per_bin.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_bins"),
+        F.round(F.avg(ratio), 6).alias("avg_fill"),
+        F.round(F.max(ratio), 6).alias("max_fill"),
+        F.sum("has_overflow").cast("long").alias("n_overflow_bins"),
+        F.sum("fill").alias("total_tokens"),
+    )
