@@ -2068,6 +2068,50 @@ def tpch_q3_q(spark, sf_dir):
     )
 
 
+_ANTI_JOIN_ORACLE = """
+SELECT o_orderkey, o_orderstatus, o_totalprice
+FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+"""
+
+
+@register("orders_anti_join", _ANTI_JOIN_ORACLE)
+def orders_anti_join_q(spark, sf_dir):
+    """LEFT ANTI join (NOT EXISTS): orders with no line items. Anti
+    joins ship only probe-side columns, emit at most one row per probe
+    row (no fan-out), and reduce the build side to distinct keys
+    before any shuffle."""
+    from vector_database_in_rust_spark.operators.relational import (
+        unfulfilled_orders,
+    )
+
+    return unfulfilled_orders(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
+    )
+
+
+_SEMI_JOIN_ORACLE = """
+SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+FROM orders o
+WHERE o_totalprice >= 100000
+  AND EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+"""
+
+
+@register("orders_semi_join", _SEMI_JOIN_ORACLE)
+def orders_semi_join_q(spark, sf_dir):
+    """LEFT SEMI join (EXISTS): high-value orders that do have line
+    items — the value filter pushes to the orders scan; the lineitem
+    side contributes existence only."""
+    from vector_database_in_rust_spark.operators.relational import (
+        fulfilled_high_value_orders,
+    )
+
+    return fulfilled_high_value_orders(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
+    )
+
+
 _TPCH_Q5_ORACLE = """
 SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
 FROM customer

@@ -578,3 +578,30 @@ def tpch_q6_forecast_revenue(
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+def unfulfilled_orders(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Orders with NO line items — the LEFT ANTI join (SQL NOT EXISTS).
+    Anti/semi joins ship only the probe side's columns and keep at most
+    one output row per probe row — no fan-out, no payload from the
+    build side; the build side reduces to a distinct-key relation
+    before shuffling."""
+    keys = lineitem.select(F.col("l_orderkey")).distinct()
+    return (
+        orders.join(keys, orders.o_orderkey == keys.l_orderkey, "left_anti")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+
+
+def fulfilled_high_value_orders(
+    orders: DataFrame, lineitem: DataFrame, *, min_total: float = 100_000.0
+) -> DataFrame:
+    """High-value orders that DO have line items — the LEFT SEMI join
+    (SQL EXISTS). The value filter pushes to the orders scan before the
+    join; the lineitem side contributes existence only."""
+    keys = lineitem.select(F.col("l_orderkey")).distinct()
+    return (
+        orders.filter(F.col("o_totalprice") >= min_total)
+        .join(keys, orders.o_orderkey == keys.l_orderkey, "left_semi")
+        .select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("o_totalprice"))
+    )
