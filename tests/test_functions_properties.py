@@ -119,3 +119,34 @@ def test_greedy_packing_invariants(tokens, context):
             assert sum(n for _, n, _ in members) <= context
         ids = [d for d, _, _ in members]
         assert ids == sorted(ids)
+
+
+def test_sq8_roundtrip_error_bound(spark):
+    """Quantize -> dequantize error is bounded by one step (scale/127)
+    per component; codes are in [-127, 127]; zero vectors stay zero."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from vector_database_in_rust_spark.functions.vectors import (
+        sq8_codes,
+        sq8_dequantize,
+        sq8_scale,
+    )
+
+    rng = np.random.RandomState(3)
+    rows = [(i, [float(x) for x in rng.randn(16)]) for i in range(50)]
+    rows.append((999, [0.0] * 16))
+    df = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<FLOAT>")
+    out = df.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+        sq8_scale(F.col("embedding")).alias("scale"),
+        sq8_codes(F.col("embedding")).alias("codes"),
+    ).withColumn("deq", sq8_dequantize(F.col("codes"), F.col("scale")))
+    for r in out.collect():
+        assert all(-127 <= c <= 127 for c in r["codes"])
+        step = r["scale"] / 127.0 if r["scale"] else 0.0
+        for v, d in zip(r["v"], r["deq"]):
+            assert abs(v - d) <= step + 1e-12
+        if r["vec_id"] == 999:
+            assert r["scale"] == 0.0 and all(c == 0 for c in r["codes"])

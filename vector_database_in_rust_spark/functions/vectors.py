@@ -66,3 +66,31 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     """
     denom = l2_norm(a) * l2_norm(b)
     return F.when(denom == 0.0, F.lit(0.0)).otherwise(dot_product(a, b) / denom)
+
+
+def sq8_scale(a: Column) -> Column:
+    """Per-vector symmetric int8 scale: max(|v_i|) (the classic SQ8
+    codec — Faiss ScalarQuantizer QT_8bit-style, symmetric around 0).
+    Zero vectors get scale 0 and quantize to all-zero codes."""
+    return F.array_max(F.transform(a.cast(_D), F.abs))
+
+
+def sq8_codes(a: Column) -> Column:
+    """int8 codes: floor(v_i * 127 / scale) — floor, not round, so the
+    arithmetic is portable bit-for-bit to any engine with IEEE doubles
+    (round() ties differ across engines; floor of identical doubles
+    cannot). Every code lands in [-127, 127]; dequantization error is
+    bounded by one step (scale/127), pinned in tests."""
+    s = sq8_scale(a)
+    return F.when(s == 0.0, F.transform(a, lambda _: F.lit(0))).otherwise(
+        F.transform(a.cast(_D), lambda x: F.floor(x * F.lit(127.0) / s).cast("int"))
+    )
+
+
+def sq8_dequantize(codes: Column, scale: Column) -> Column:
+    """Reconstruct: c_i * scale / 127 (+ half a step would re-center the
+    floor bias; kept as the plain inverse so quantize->dequantize is the
+    exact arithmetic adjoint of ``sq8_codes``)."""
+    return F.transform(
+        codes, lambda c: c.cast("double") * scale / F.lit(127.0)
+    )

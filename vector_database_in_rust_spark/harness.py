@@ -892,6 +892,45 @@ def ann_search_persisted(spark, sf_dir):
     return idx.search_batch_pruned(_query_vec_df(spark, sf_dir, 8), KNN_K, nprobe=4)
 
 
+_SQ8_ORACLE = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+s AS (SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS scale FROM v),
+c AS (SELECT vec_id, scale,
+       CASE WHEN scale = 0 THEN list_transform(e, x -> 0)
+            ELSE list_transform(e, x -> cast(floor(x * 127.0 / scale) AS INT))
+       END AS codes
+      FROM s)
+SELECT vec_id, round(scale, 6) AS scale,
+       md5(array_to_string(codes, ',')) AS codes_md5
+FROM c
+"""
+
+
+@register("embedding_sq8", _SQ8_ORACLE)
+def embedding_sq8_q(spark, sf_dir):
+    """Symmetric int8 scalar quantization (SQ8) of the embedding store:
+    per-vector scale = max|v_i|, codes = floor(v*127/scale) — 4x
+    smaller than float32 with a one-step error bound (pinned in
+    tests). floor (not round) keeps the arithmetic portable
+    bit-for-bit, so every code of every vector is hash-checked via an
+    md5 digest against the identical SQL. Pure Catalyst transform —
+    zero shuffles, zero Python."""
+    from vector_database_in_rust_spark.functions.vectors import (
+        sq8_codes,
+        sq8_scale,
+    )
+
+    emb = _emb(spark, sf_dir)
+    codes = sq8_codes(F.col("embedding"))
+    return emb.select(
+        "vec_id",
+        F.round(sq8_scale(F.col("embedding")), 6).alias("scale"),
+        F.md5(
+            F.concat_ws(",", F.transform(codes, lambda c: c.cast("string")))
+        ).alias("codes_md5"),
+    )
+
+
 @register("ann_rebalance")
 def ann_rebalance_q(spark, sf_dir):
     """Index maintenance under drift, driver-run: 300 deterministic
