@@ -150,3 +150,32 @@ def test_sq8_roundtrip_error_bound(spark):
             assert abs(v - d) <= step + 1e-12
         if r["vec_id"] == 999:
             assert r["scale"] == 0.0 and all(c == 0 for c in r["codes"])
+
+
+def test_sq8_knn_recall_vs_float_store(spark):
+    """Retrieval impact of SQ8: top-10 over the dequantized store must
+    overlap the float-store top-10 heavily (measured 1.0 at smoke
+    scale — quantization error ~scale/127 vs O(1) inter-point
+    distances); the self-match must survive quantization."""
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_SMOKE
+    from vector_database_in_rust_spark.functions.vectors import (
+        sq8_codes,
+        sq8_dequantize,
+        sq8_scale,
+    )
+    from vector_database_in_rust_spark.operators.knn import knn_exact
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    deq = emb.select(
+        "vec_id",
+        sq8_dequantize(
+            sq8_codes(F.col("embedding")), sq8_scale(F.col("embedding"))
+        ).alias("embedding"),
+    )
+    q = [float(x) for x in emb.filter("vec_id = 7").first()["embedding"]]
+    exact = {r["vec_id"] for r in knn_exact(emb, q, 10).collect()}
+    quant = [r["vec_id"] for r in knn_exact(deq, q, 10).collect()]
+    assert len(exact & set(quant)) >= 9
+    assert quant[0] == 7

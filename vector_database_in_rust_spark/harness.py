@@ -931,6 +931,51 @@ def embedding_sq8_q(spark, sf_dir):
     )
 
 
+_KNN_SQ8_ORACLE = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+s AS (SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS scale FROM v),
+deq AS (
+  SELECT vec_id,
+         CASE WHEN scale = 0 THEN list_transform(e, x -> 0.0)
+              ELSE list_transform(e,
+                x -> cast(floor(x * 127.0 / scale) AS INT) * scale / 127.0)
+         END AS d
+  FROM s
+),
+q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0)
+SELECT deq.vec_id,
+       round({_sql_l2sq('deq.d', 'q.qe')}, 4) AS dist
+FROM deq CROSS JOIN q
+ORDER BY dist, vec_id LIMIT {{k}}
+""".replace("{k}", str(KNN_K))
+
+
+@register("knn_sq8", _KNN_SQ8_ORACLE)
+def knn_sq8_q(spark, sf_dir):
+    """Exact k-NN served FROM the quantized store: codes dequantize
+    on-read (c * scale / 127) and the float query ranks against the
+    reconstructed vectors — the 4x-compressed serving path. Because
+    quantization is floor-deterministic, the entire result (distances
+    included) is hash-checked against SQL that reproduces the
+    quantize -> dequantize -> rank chain; quantization's recall impact
+    vs the float store is measured in tests."""
+    from vector_database_in_rust_spark.functions.vectors import (
+        sq8_codes,
+        sq8_dequantize,
+        sq8_scale,
+    )
+    from vector_database_in_rust_spark.operators.knn import knn_exact
+
+    emb = _emb(spark, sf_dir)
+    deq = emb.select(
+        "vec_id",
+        sq8_dequantize(
+            sq8_codes(F.col("embedding")), sq8_scale(F.col("embedding"))
+        ).alias("embedding"),
+    )
+    return knn_exact(deq, _query_vec(spark, sf_dir, 0), KNN_K)
+
+
 @register("ann_rebalance")
 def ann_rebalance_q(spark, sf_dir):
     """Index maintenance under drift, driver-run: 300 deterministic
