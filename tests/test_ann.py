@@ -442,3 +442,48 @@ def test_rebalance_reaches_occupancy_bound(spark, emb):
         for r in bal.search(q, 10, nprobe=bal.centroids.shape[0]).collect()
     ]
     assert got == exact
+
+
+def test_multiprobe_lsh_self_and_recall(spark, emb):
+    """Multi-probe LSH: self-query survives; probing the +/-1 neighbor
+    buckets must recover at least as much recall as the home buckets
+    alone (the multi-probe premise), and radius-1 recall must clear a
+    measured floor on this corpus."""
+    from vector_database_in_rust_spark.operators.ann import MultiProbeLSH
+
+    idx = MultiProbeLSH.build(emb, n_tables=8, width=4.0, seed=42)
+    idx.buckets = idx.buckets.persist()
+    q = emb.filter("vec_id = 7").first()["embedding"]
+
+    top = idx.search(q, 3, emb, probe_radius=1).collect()
+    assert top[0]["vec_id"] == 7 and top[0]["dist"] == 0.0
+
+    def recall(radius):
+        hit = tot = 0
+        for r in emb.filter(F.col("vec_id") < 8).collect():
+            qq = r["embedding"]
+            exact = {x["vec_id"] for x in knn_exact(emb, [float(v) for v in qq], K).collect()}
+            got = {
+                x["vec_id"]
+                for x in idx.search(qq, K, emb, probe_radius=radius).collect()
+            }
+            hit += len(exact & got)
+            tot += len(exact)
+        return hit / tot
+
+    r0, r1 = recall(0), recall(1)
+    assert r1 >= r0
+    assert r1 >= 0.5, f"radius-1 recall {r1}"
+    idx.buckets.unpersist()
+
+
+def test_multiprobe_lsh_save_load_roundtrip(spark, emb, tmp_path):
+    from vector_database_in_rust_spark.operators.ann import MultiProbeLSH
+
+    idx = MultiProbeLSH.build(emb, n_tables=4, width=4.0, seed=7)
+    q = emb.filter("vec_id = 3").first()["embedding"]
+    before = [tuple(r) for r in idx.search(q, 5, emb, probe_radius=1).collect()]
+    idx.save(spark, str(tmp_path / "mplsh"))
+    idx2 = MultiProbeLSH.load(spark, str(tmp_path / "mplsh"))
+    after = [tuple(r) for r in idx2.search(q, 5, emb, probe_radius=1).collect()]
+    assert before == after and before

@@ -931,6 +931,31 @@ def embedding_sq8_q(spark, sf_dir):
     )
 
 
+_MPLSH_CACHE: dict[str, object] = {}
+
+
+@register("ann_multiprobe")
+def ann_multiprobe_q(spark, sf_dir):
+    """Multi-probe LSH probe (Lv et al. 2007): the query's home bucket
+    plus the +/-1 neighbor buckets per table — recall bought with a
+    longer candidate list instead of more hash tables, so the index
+    stays one copy of the id space. The bucket list is a static
+    literal (pushdown / partition pruning on a table-partitioned
+    save); candidates dedup before touching the store; emitted
+    distances are exact. Approximate recall -> rows-only; bars in
+    tests/test_ann.py."""
+    from vector_database_in_rust_spark.operators.ann import MultiProbeLSH
+
+    idx = _MPLSH_CACHE.get(sf_dir)
+    if idx is None:
+        idx = MultiProbeLSH.build(_emb(spark, sf_dir), n_tables=8, width=4.0, seed=42)
+        idx.buckets = idx.buckets.persist()
+        _MPLSH_CACHE[sf_dir] = idx
+    return idx.search(
+        _query_vec(spark, sf_dir, 0), KNN_K, _emb(spark, sf_dir), probe_radius=1
+    )
+
+
 _KNN_SQ8_ORACLE = f"""
 WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
 s AS (SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS scale FROM v),

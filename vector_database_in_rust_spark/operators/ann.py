@@ -960,3 +960,154 @@ class IVFPQIndex:
             codebooks[r["m"], r["code"]] = np.asarray(r["centroid"])
         codes = spark.read.parquet(f"{path}/codes")
         return cls(centroids, codebooks, codes, id_col=id_col, vec_col=vec_col)
+
+
+class MultiProbeLSH:
+    """Random-projection LSH with MULTI-PROBE querying (Lv et al. 2007,
+    "Multi-Probe LSH: Efficient Indexing for High-Dimensional
+    Similarity Search"): instead of adding hash tables to buy recall
+    (each table is another full copy of the id space), a query probes
+    its own bucket AND the neighboring buckets (hash +/- 1, the
+    highest-success-probability perturbations for E2LSH's floor-hash),
+    trading a slightly longer candidate list for L-times-less index
+    storage — the knob that matters when the index itself must fit
+    beside 100 TB of data.
+
+    Layout mirrors the stock ``LSHIndex``'s contract but the index IS
+    plain data, same as IVF: ``(vec_id, table, bucket)`` rows built in
+    one Arrow ``mapInPandas`` matmul pass (projections broadcast),
+    persistable partitioned by table. Search filters a static
+    ``(table, bucket) IN (...)`` candidate-bucket list — pushdown /
+    partition pruning, never a scan — dedups candidate ids, and
+    exact-re-ranks only them against the store. Approximate by recall
+    only: emitted distances are exact (same contract as every other
+    ANN path here)."""
+
+    def __init__(
+        self,
+        projections: np.ndarray,  # (L, dim)
+        offsets: np.ndarray,  # (L,)
+        width: float,
+        buckets: DataFrame,
+        *,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ):
+        self.projections = np.asarray(projections, dtype=np.float64)
+        self.offsets = np.asarray(offsets, dtype=np.float64)
+        self.width = float(width)
+        self.buckets = buckets  # vec_id, table, bucket
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    @classmethod
+    def build(
+        cls,
+        corpus: DataFrame,
+        *,
+        n_tables: int = 8,
+        width: float = 4.0,
+        dim: int | None = None,
+        seed: int = DEFAULT_SEED,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> "MultiProbeLSH":
+        if dim is None:
+            dim = len(corpus.select(vec_col).first()[0])
+        rng = np.random.RandomState(seed)
+        proj = rng.randn(n_tables, dim)
+        offs = rng.rand(n_tables) * width
+        spark = corpus.sparkSession
+        bc = spark.sparkContext.broadcast((proj, offs, width))
+
+        def hash_rows(it):
+            import pandas as pd
+
+            p, b, w = bc.value
+            for pdf in it:
+                if not len(pdf):
+                    continue
+                x = np.vstack(pdf[vec_col].apply(np.asarray, dtype=np.float64))
+                h = np.floor((x @ p.T + b) / w).astype(np.int64)  # (n, L)
+                n, L = h.shape
+                yield pd.DataFrame(
+                    {
+                        "vec_id": np.repeat(pdf[id_col].to_numpy(), L),
+                        "table": np.tile(np.arange(L, dtype=np.int32), n),
+                        "bucket": h.reshape(-1),
+                    }
+                )
+
+        buckets = corpus.select(id_col, vec_col).mapInPandas(
+            hash_rows, schema="vec_id BIGINT, table INT, bucket BIGINT"
+        )
+        return cls(proj, offs, width, buckets, id_col=id_col, vec_col=vec_col)
+
+    def _candidate_buckets(self, query, probe_radius: int) -> list[tuple[int, int]]:
+        q = np.asarray(query, dtype=np.float64)
+        h = np.floor((self.projections @ q + self.offsets) / self.width).astype(
+            np.int64
+        )
+        return [
+            (int(t), int(h[t] + d))
+            for t in range(len(h))
+            for d in range(-probe_radius, probe_radius + 1)
+        ]
+
+    def search(
+        self,
+        query,
+        k: int,
+        store: DataFrame,
+        *,
+        probe_radius: int = 1,
+    ) -> DataFrame:
+        """Top-k among multi-probe candidates, exact distances. The
+        bucket list is a static literal -> pushdown (partition pruning
+        on a table-partitioned save); candidates dedup to one id row
+        before the store join, so the store is touched only for
+        candidate rows."""
+        cand_buckets = self._candidate_buckets(query, probe_radius)
+        cond = F.concat_ws("_", F.col("table"), F.col("bucket")).isin(
+            [f"{t}_{b}" for t, b in cand_buckets]
+        )
+        cand_ids = (
+            self.buckets.filter(cond).select(self.id_col).distinct()
+        )
+        cand = store.join(cand_ids, on=self.id_col)
+        return knn_exact(
+            cand, list(map(float, query)), k, id_col=self.id_col, vec_col=self.vec_col
+        )
+
+    def save(self, spark: SparkSession, path: str) -> None:
+        self.buckets.write.mode("overwrite").partitionBy("table").parquet(
+            f"{path}/buckets"
+        )
+        meta = [
+            (int(t), [float(x) for x in self.projections[t]], float(self.offsets[t]))
+            for t in range(self.projections.shape[0])
+        ]
+        spark.createDataFrame(
+            meta, "table INT, projection ARRAY<DOUBLE>, offset DOUBLE"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+        spark.createDataFrame(
+            [(self.width,)], "width DOUBLE"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/width")
+
+    @classmethod
+    def load(
+        cls,
+        spark: SparkSession,
+        path: str,
+        *,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> "MultiProbeLSH":
+        meta = sorted(
+            spark.read.parquet(f"{path}/meta").collect(), key=lambda r: r["table"]
+        )
+        proj = np.vstack([np.asarray(r["projection"]) for r in meta])
+        offs = np.asarray([r["offset"] for r in meta])
+        width = spark.read.parquet(f"{path}/width").first()["width"]
+        buckets = spark.read.parquet(f"{path}/buckets")
+        return cls(proj, offs, width, buckets, id_col=id_col, vec_col=vec_col)
