@@ -2722,3 +2722,37 @@ def normalize_text_q(spark, sf_dir):
     from vector_database_in_rust_spark.operators.textstats import normalize_text
 
     return normalize_text(_docs(spark, sf_dir))
+
+
+_REPETITION_ORACLE = """
+WITH s AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+g AS (
+  SELECT doc_id, toks,
+         list_transform(list_zip(toks[1:len(toks)-1], toks[2:len(toks)]),
+                        z -> z[1] || ' ' || z[2]) AS bi,
+         list_transform(list_zip(toks[1:len(toks)-2], toks[2:len(toks)-1],
+                                 toks[3:len(toks)]),
+                        z -> z[1] || ' ' || z[2] || ' ' || z[3]) AS tri
+  FROM s
+)
+SELECT doc_id,
+       round(cast(list_max(list_transform(list_distinct(toks),
+                 x -> len(list_filter(toks, y -> y = x)))) AS DOUBLE)
+             / greatest(len(toks), 1), 6) AS top_token_frac,
+       round(CASE WHEN len(bi) = 0 THEN 0.0
+             ELSE 1.0 - cast(len(list_distinct(bi)) AS DOUBLE) / len(bi)
+             END, 6) AS dup_bigram_frac,
+       round(CASE WHEN len(tri) = 0 THEN 0.0
+             ELSE 1.0 - cast(len(list_distinct(tri)) AS DOUBLE) / len(tri)
+             END, 6) AS dup_trigram_frac
+FROM g
+"""
+
+
+@register("repetition_stats", _REPETITION_ORACLE)
+def repetition_stats_q(spark, sf_dir):
+    """Gopher-family repetition quality signals (top-token fraction,
+    duplicate bi/trigram fractions) — per-row HOFs, shuffle-free."""
+    from vector_database_in_rust_spark.operators.textstats import repetition_stats
+
+    return repetition_stats(_docs(spark, sf_dir))

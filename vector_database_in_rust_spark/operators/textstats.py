@@ -113,6 +113,64 @@ def corpus_stats(docs: DataFrame, *, text_col: str = "text") -> DataFrame:
     )
 
 
+def _grams(toks, n: int):
+    """Non-distinct word n-grams (repetition counting needs multiplicity,
+    unlike functions.text.word_shingles which dedups for set-Jaccard)."""
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    gram = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )
+    return F.when(F.size(toks) >= n, gram).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def _dup_frac(grams):
+    return F.when(F.size(grams) > 0, F.round(
+        1.0 - F.size(F.array_distinct(grams)) / F.size(grams), 6
+    )).otherwise(F.lit(0.0))
+
+
+def repetition_stats(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style within-document repetition signals (Rae et al. 2021,
+    "Scaling Language Models", Table A1 — the repetition family of
+    quality filters):
+
+    - ``top_token_frac``: occurrences of the single most frequent token /
+      total tokens (docs dominated by one token are boilerplate);
+    - ``dup_bigram_frac`` / ``dup_trigram_frac``: fraction of n-grams
+      that are repeats of an earlier n-gram (1 - distinct/total).
+
+    All pure per-row Catalyst higher-order functions — no explode, no
+    shuffle, codegen end-to-end; a filter on these columns composes with
+    curate_corpus as another cheap pretraining gate. The top-token scan
+    is O(distinct x total) per row — bounded by doc length, constant per
+    row at any corpus scale (the alternative, explode + window, is a
+    corpus-wide shuffle).
+    """
+    t = F.col(text_col)
+    toks = tokens(t)
+    max_freq = F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda x: F.size(F.filter(toks, lambda y: y == x)),
+        )
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.round(max_freq / F.greatest(F.size(toks), F.lit(1)), 6).alias(
+            "top_token_frac"
+        ),
+        _dup_frac(_grams(toks, 2)).alias("dup_bigram_frac"),
+        _dup_frac(_grams(toks, 3)).alias("dup_trigram_frac"),
+    )
+
+
 def normalize_text(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Canonical text normalization (the first stage of every dedup/
     quality pipeline): lowercase -> non-alphanumerics to spaces ->
