@@ -7,7 +7,10 @@ from __future__ import annotations
 
 import pytest
 
-from vector_database_in_rust_spark.operators.textstats import repetition_stats
+from vector_database_in_rust_spark.operators.textstats import (
+    redact_pii,
+    repetition_stats,
+)
 
 
 def _stats(spark, text):
@@ -48,3 +51,38 @@ def test_repetition_stats_flags_boilerplate(spark):
     got = {r["doc_id"]: r for r in repetition_stats(df).collect()}
     assert got[1]["dup_trigram_frac"] > 0.9 > got[2]["dup_trigram_frac"]
     assert got[1]["top_token_frac"] > 0.2 > got[2]["top_token_frac"]
+
+def _redact_one(spark, text):
+    df = spark.createDataFrame([(1, text)], "doc_id BIGINT, text STRING")
+    return redact_pii(df).collect()[0]
+
+
+def test_redact_pii_all_categories(spark):
+    row = _redact_one(
+        spark,
+        "mail alice.smith+x@corp.example.org server 192.168.1.254 "
+        "desk +44 123-4567 done",
+    )
+    assert row["text"] == "mail <EMAIL> server <IP> desk <PHONE> done"
+    assert (row["n_emails"], row["n_ips"], row["n_phones"]) == (1, 1, 1)
+
+
+def test_redact_pii_counts_multiple(spark):
+    row = _redact_one(spark, "a@b.co c@d.io and 10.0.0.1 10.0.0.2 10.0.0.3")
+    assert (row["n_emails"], row["n_ips"], row["n_phones"]) == (2, 3, 0)
+    assert row["text"] == "<EMAIL> <EMAIL> and <IP> <IP> <IP>"
+
+
+def test_redact_pii_clean_text_untouched(spark):
+    clean = "no personal data here just words and numbers like 42"
+    row = _redact_one(spark, clean)
+    assert row["text"] == clean
+    assert (row["n_emails"], row["n_ips"], row["n_phones"]) == (0, 0, 0)
+
+
+def test_redact_pii_ip_not_double_counted_as_phone(spark):
+    """An IP must be consumed by the IP stage, never re-matched by the
+    phone stage (stage order is part of the contract)."""
+    row = _redact_one(spark, "ping 255.255.255.255 then dial 800-555-1234")
+    assert (row["n_ips"], row["n_phones"]) == (1, 1)
+    assert row["text"] == "ping <IP> then dial <PHONE>"

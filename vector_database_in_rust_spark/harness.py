@@ -2756,3 +2756,81 @@ def repetition_stats_q(spark, sf_dir):
     from vector_database_in_rust_spark.operators.textstats import repetition_stats
 
     return repetition_stats(_docs(spark, sf_dir))
+
+
+def _pii_oracle() -> str:
+    from vector_database_in_rust_spark.operators.textstats import (
+        PII_EMAIL_PATTERN,
+        PII_IP_PATTERN,
+        PII_PHONE_PATTERN,
+    )
+
+    # .replace, not f-string: the patterns carry regex braces.
+    return (
+        """
+WITH injected AS (
+  SELECT doc_id,
+         text || ' contact user' || cast(doc_id AS VARCHAR)
+              || '@example.com from 10.0.' || cast(doc_id % 256 AS VARCHAR)
+              || '.' || cast((doc_id * 7) % 256 AS VARCHAR)
+              || ' call +1 555-' || lpad(cast(doc_id % 10000 AS VARCHAR), 4, '0')
+           AS text
+  FROM documents
+), s1 AS (
+  SELECT doc_id, len(regexp_extract_all(text, '@EMAIL@')) AS n_emails,
+         regexp_replace(text, '@EMAIL@', '<EMAIL>', 'g') AS t1
+  FROM injected
+), s2 AS (
+  SELECT doc_id, n_emails, len(regexp_extract_all(t1, '@IP@')) AS n_ips,
+         regexp_replace(t1, '@IP@', '<IP>', 'g') AS t2
+  FROM s1
+), s3 AS (
+  SELECT doc_id, n_emails, n_ips,
+         len(regexp_extract_all(t2, '@PHONE@')) AS n_phones,
+         regexp_replace(t2, '@PHONE@', '<PHONE>', 'g') AS clean
+  FROM s2
+)
+SELECT doc_id, md5(clean) AS clean_md5,
+       cast(length(clean) AS BIGINT) AS n_chars_clean,
+       cast(n_emails AS BIGINT) AS n_emails,
+       cast(n_ips AS BIGINT) AS n_ips,
+       cast(n_phones AS BIGINT) AS n_phones
+FROM s3
+"""
+        .replace("@EMAIL@", PII_EMAIL_PATTERN)
+        .replace("@IP@", PII_IP_PATTERN)
+        .replace("@PHONE@", PII_PHONE_PATTERN)
+    )
+
+
+@register("redact_pii", _pii_oracle())
+def redact_pii_q(spark, sf_dir):
+    """PII scrubbing pass over the corpus. The synthetic corpus carries
+    no real PII, so the entry injects a deterministic email/IP/phone
+    suffix derived from doc_id (identically in both dialects), then
+    verifies the redacted text md5 + per-category removal counts."""
+    from vector_database_in_rust_spark.operators.textstats import redact_pii
+
+    injected = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit("."),
+            ((F.col("doc_id") * 7) % 256).cast("string"),
+            F.lit(" call +1 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    out = redact_pii(injected)
+    return out.select(
+        "doc_id",
+        F.md5("text").alias("clean_md5"),
+        F.length("text").cast("long").alias("n_chars_clean"),
+        "n_emails",
+        "n_ips",
+        "n_phones",
+    )

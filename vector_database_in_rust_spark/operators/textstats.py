@@ -171,6 +171,43 @@ def repetition_stats(
     )
 
 
+# PII patterns, shared VERBATIM with the DuckDB oracle (harness.py).
+# Deliberately within the common Java-regex/RE2 subset: no alternation
+# (leftmost-first vs leftmost-longest would diverge), no lookaround
+# (RE2 has none) — only greedy quantifiers and \b/\d, which agree.
+PII_EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IP_PATTERN = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE_PATTERN = r"\+?\d{1,3}[- ]\d{3}[- ]\d{4}"
+
+
+def redact_pii(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """PII scrubbing, the standard pre-release curation pass: replace
+    emails, IPv4 addresses and phone numbers with typed placeholder
+    tokens, and count what was removed per doc (the counts feed audit
+    rollups / drop-thresholds; a doc that is mostly PII gets dropped,
+    not scrubbed).
+
+    Stages apply in a fixed order (email -> ip -> phone), each counting
+    on the PREVIOUS stage's output so a span is attributed to exactly
+    one category. Pure codegen string expressions — per-row, shuffle-
+    free, no Python in the path.
+    """
+    t = F.col(text_col)
+    n_emails = F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL_PATTERN), 0))
+    t1 = F.regexp_replace(t, PII_EMAIL_PATTERN, "<EMAIL>")
+    n_ips = F.size(F.regexp_extract_all(t1, F.lit(PII_IP_PATTERN), 0))
+    t2 = F.regexp_replace(t1, PII_IP_PATTERN, "<IP>")
+    n_phones = F.size(F.regexp_extract_all(t2, F.lit(PII_PHONE_PATTERN), 0))
+    clean = F.regexp_replace(t2, PII_PHONE_PATTERN, "<PHONE>")
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        clean.alias("text"),
+        n_emails.cast("long").alias("n_emails"),
+        n_ips.cast("long").alias("n_ips"),
+        n_phones.cast("long").alias("n_phones"),
+    )
+
+
 def normalize_text(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Canonical text normalization (the first stage of every dedup/
     quality pipeline): lowercase -> non-alphanumerics to spaces ->
