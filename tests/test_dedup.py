@@ -377,3 +377,26 @@ def test_contamination_pairs_cross_corpus_jaccard(spark):
         for r in dedup.contamination_pairs(train, test, threshold=0.3).collect()
     }
     assert got == {(10, 100): 1.0}
+
+
+def test_dedup_apply_keeps_canonicals_and_singletons(spark):
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(1, 7)], "doc_id BIGINT, text STRING"
+    )
+    # components {1,2,3} and {4,5}; 6 never appears in a pair
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "doc_a BIGINT, doc_b BIGINT"
+    )
+    clusters = dedup.dedup_clusters(pairs)
+    kept = sorted(
+        r["doc_id"] for r in dedup.dedup_apply(docs, clusters).collect()
+    )
+    assert kept == [1, 4, 6]
+
+
+def test_dedup_apply_empty_pairs_is_identity(spark):
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(5)], "doc_id BIGINT, text STRING"
+    )
+    clusters = spark.createDataFrame([], "doc_id BIGINT, cluster_id BIGINT")
+    assert dedup.dedup_apply(docs, clusters).count() == 5

@@ -2679,6 +2679,45 @@ def dedup_clusters_star_q(spark, sf_dir):
     return dedup_clusters_star(_jaccard_pairs_cached(spark, sf_dir, threshold=0.5))
 
 
+_DEDUP_APPLY_ORACLE = f"""
+WITH RECURSIVE {_JACCARD_CTES},
+jp AS (SELECT doc_a, doc_b FROM scored WHERE jaccard >= 0.5),
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM jp
+          UNION SELECT doc_b, doc_a FROM jp),
+reach AS (
+  SELECT src AS doc_id, src AS r FROM edges
+  UNION
+  SELECT reach.doc_id, e.dst AS r FROM reach JOIN edges e ON e.src = reach.r
+),
+clusters AS (SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id),
+dropped AS (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id)
+SELECT d.doc_id, md5(d.text) AS text_md5, d.n_chars
+FROM documents d
+LEFT JOIN dropped dr ON d.doc_id = dr.doc_id
+WHERE dr.doc_id IS NULL
+"""
+
+
+@register("dedup_apply", _DEDUP_APPLY_ORACLE)
+def dedup_apply_q(spark, sf_dir):
+    """End-to-end near-dup REMOVAL: cluster the exact-Jaccard pairs,
+    then emit the surviving corpus (cluster canonicals + unclustered
+    docs) — the step that actually produces deduplicated training
+    data, hash-checked on every surviving doc's text md5."""
+    from vector_database_in_rust_spark.operators.dedup import (
+        dedup_apply,
+        dedup_clusters_star,
+    )
+
+    clusters = dedup_clusters_star(
+        _jaccard_pairs_cached(spark, sf_dir, threshold=0.5)
+    )
+    survivors = dedup_apply(_docs(spark, sf_dir), clusters)
+    return survivors.select(
+        "doc_id", F.md5("text").alias("text_md5"), "n_chars"
+    )
+
+
 _SETOPS_ORACLE = """
 WITH f AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'),
 o AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O')

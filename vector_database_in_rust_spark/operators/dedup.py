@@ -1010,3 +1010,31 @@ def decontaminate(
     ).select(
         "doc_id", F.coalesce(F.col("_hit"), F.lit(False)).alias("contaminated")
     )
+
+
+def dedup_apply(
+    docs: DataFrame,
+    clusters: DataFrame,
+    *,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Materialize the SURVIVING corpus after near-dup clustering: keep
+    every document that is unclustered or is its cluster's canonical
+    (minimum-id) member — the final "actually emit the deduped corpus"
+    step that turns the pair/cluster analytics into training data.
+
+    ``clusters`` is the (doc_id, cluster_id) output of
+    ``dedup_clusters`` / ``dedup_clusters_star`` (only clustered docs
+    appear in it). The drop list — members whose id differs from the
+    canonical — is duplicates-only, a small fraction of the corpus
+    even at 100 TB. No forced broadcast hint: AQE converts the
+    anti-join to broadcast when the drop list is small (the common
+    case) and falls back to a shuffled join when it isn't (a forced
+    hint would OOM the driver on a billion-row drop list). Only bare
+    ids shuffle in that fallback — text payloads stream straight from
+    the scan to the output either way.
+    """
+    dropped = clusters.filter(F.col(id_col) != F.col("cluster_id")).select(
+        id_col
+    )
+    return docs.join(dropped, on=id_col, how="left_anti")
