@@ -141,3 +141,26 @@ def test_tpch_q5_pushes_dates_and_broadcasts_dims(audits):
     pf = ";".join(a.pushed_filters)
     assert "o_orderdate" in pf, f"order-date window not pushed: {pf}"
     assert a.n_broadcast_exchanges >= 1
+
+
+def test_tpch_q14_pushes_month_and_broadcasts_part(audits):
+    """Q14: the ship-date month must reach the lineitem scan as
+    PushedFilters (one month of the fact table read, not all of it);
+    part joins as a broadcast at this scale; the conditional aggregate
+    leaves a single exchange."""
+    a = audits("tpch_q14_promo")
+    pf = ";".join(a.pushed_filters)
+    assert "l_shipdate" in pf, f"ship-date window not pushed: {pf}"
+    assert "BroadcastHashJoin" in a.broadcast_joins
+    assert a.n_shuffle_exchanges <= 1
+
+
+def test_tpch_q18_single_fact_shuffle_then_broadcasts(audits):
+    """Q18: exactly one shuffle of lineitem (the quantity rollup on
+    l_orderkey); the post-HAVING sliver must broadcast against orders
+    and customer — the big tables never shuffle — and the final top-k
+    is TakeOrdered, not a global sort."""
+    a = audits("tpch_q18_large_orders")
+    assert a.n_shuffle_exchanges == 1
+    assert "BroadcastHashJoin" in a.broadcast_joins
+    assert a.has_take_ordered

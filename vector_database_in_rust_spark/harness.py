@@ -2281,6 +2281,66 @@ def tpch_q6_q(spark, sf_dir):
     return tpch_q6_forecast_revenue(load_table(spark, sf_dir, "lineitem"))
 
 
+_TPCH_Q14_ORACLE = """
+SELECT round(sum(CASE WHEN p_type LIKE 'PROMO%'
+                      THEN l_extendedprice * (1 - l_discount) ELSE 0 END), 2)
+         AS promo_revenue,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue,
+       round(100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0 END)
+                   / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+  AND l_shipdate <  TIMESTAMP '1996-04-01'
+"""
+
+
+@register("tpch_q14_promo", _TPCH_Q14_ORACLE)
+def tpch_q14_q(spark, sf_dir):
+    """TPC-H Q14: promo share of one month's revenue — conditional
+    aggregate over lineitem⋈part with the date window pushed to the
+    fact scan."""
+    from vector_database_in_rust_spark.operators.relational import (
+        tpch_q14_promo_revenue,
+    )
+
+    return tpch_q14_promo_revenue(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
+    )
+
+
+_TPCH_Q18_ORACLE = """
+WITH big AS (
+  SELECT l_orderkey, sum(l_quantity) AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 250
+)
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       round(total_qty, 2) AS total_qty
+FROM big
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+
+@register("tpch_q18_large_orders", _TPCH_Q18_ORACLE)
+def tpch_q18_q(spark, sf_dir):
+    """TPC-H Q18: orders whose line-item quantity rollup clears a
+    threshold, joined to their customers — aggregate-then-broadcast-
+    semi-join; top-k by order value."""
+    from vector_database_in_rust_spark.operators.relational import (
+        tpch_q18_large_orders,
+    )
+
+    return tpch_q18_large_orders(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
 # End-to-end pipeline composition: curation verdicts gate the chunker,
 # chunks hash-shard by (doc_id, chunk_id), and the per-shard manifest is
 # hash-checked through ONE composed SQL chain — integration, not stages.

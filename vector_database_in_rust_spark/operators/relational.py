@@ -580,6 +580,83 @@ def tpch_q6_forecast_revenue(
     )
 
 
+def tpch_q14_promo_revenue(
+    lineitem: DataFrame,
+    part: DataFrame,
+    *,
+    date_from: str = "1996-03-01",
+    date_to: str = "1996-04-01",
+) -> DataFrame:
+    """TPC-H Q14 (promotion effect): share of one month's revenue from
+    promo parts — a conditional aggregate over lineitem⋈part.
+
+    Plan shape at scale: the ship-date window pushes to the lineitem
+    scan (reads one month of a 100 TB fact table); part joins on
+    p_partkey as a plain equi-join — AQE broadcasts it at driver scale,
+    shuffles on partkey beyond — and the CASE folds into the partial
+    aggregate, so one row crosses the final exchange."""
+    li = lineitem.filter(
+        (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp"))
+    ).select(
+        "l_partkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_rev"),
+    )
+    j = li.join(
+        part.select("p_partkey", "p_type"),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    promo = F.sum(
+        F.when(F.col("p_type").like("PROMO%"), F.col("_rev")).otherwise(0.0)
+    )
+    total = F.sum("_rev")
+    return j.agg(
+        F.round(promo, 2).alias("promo_revenue"),
+        F.round(total, 2).alias("total_revenue"),
+        F.round(100.0 * promo / total, 4).alias("promo_pct"),
+    )
+
+
+def tpch_q18_large_orders(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    *,
+    min_quantity: float = 250.0,
+    limit: int = 100,
+) -> DataFrame:
+    """TPC-H Q18 (large volume customers): orders whose total line-item
+    quantity exceeds a threshold, with their customers — the
+    aggregate-then-semi-join pattern (SQL: IN over a HAVING subquery).
+
+    Plan shape at scale: the quantity rollup shuffles lineitem once on
+    l_orderkey (map-side partial sums); the HAVING filter cuts it to a
+    sliver (<1% of orders), so the subsequent joins carry a tiny build
+    side that AQE broadcasts against orders and customer — neither big
+    table shuffles again. Top-k by order value is TakeOrdered, not a
+    global sort."""
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > min_quantity)
+    )
+    j = orders.join(
+        big, F.col("o_orderkey") == F.col("l_orderkey")
+    ).join(customer, F.col("o_custkey") == F.col("c_custkey"))
+    return (
+        j.select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.round("total_qty", 2).alias("total_qty"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(limit)
+    )
+
+
 def unfulfilled_orders(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
     """Orders with NO line items — the LEFT ANTI join (SQL NOT EXISTS).
     Anti/semi joins ship only the probe side's columns and keep at most
