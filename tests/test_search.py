@@ -86,3 +86,74 @@ def test_bm25_plan_stays_jvm_side(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Generate" in plan  # the explode exists...
     assert "filter(" in plan.lower()  # ...but over the filtered hits array
+
+
+def test_mmr_skips_near_duplicate(spark):
+    """With a duplicated embedding in the pool, plain top-2 takes both
+    copies; MMR must take the top hit then the orthogonal doc."""
+    from vector_database_in_rust_spark.operators.search import mmr_rerank
+
+    rows = [
+        (7, 1, 0.99, [1.0, 0.0]),
+        (7, 2, 0.98, [1.0, 0.0]),   # duplicate direction of vec 1
+        (7, 3, 0.50, [0.0, 1.0]),   # orthogonal
+    ]
+    cand = spark.createDataFrame(
+        rows, "query_id BIGINT, vec_id BIGINT, rel DOUBLE, embedding ARRAY<DOUBLE>"
+    )
+    got = [r["vec_id"] for r in mmr_rerank(cand, k=2, lambda_=0.5).collect()]
+    assert got == [1, 3]
+
+
+def test_mmr_lambda_one_is_plain_topk(spark):
+    """lambda=1 disables the diversity term -> selection order must be
+    pure relevance (with the id tie-break)."""
+    from vector_database_in_rust_spark.operators.search import mmr_rerank
+
+    rows = [
+        (1, 10, 0.9, [1.0, 0.0]),
+        (1, 11, 0.9, [1.0, 0.0]),
+        (1, 12, 0.8, [0.5, 0.5]),
+    ]
+    cand = spark.createDataFrame(
+        rows, "query_id BIGINT, vec_id BIGINT, rel DOUBLE, embedding ARRAY<DOUBLE>"
+    )
+    got = [r["vec_id"] for r in mmr_rerank(cand, k=3, lambda_=1.0).collect()]
+    assert got == [10, 11, 12]
+
+
+def test_mmr_matches_numpy_reference(spark):
+    """The distributed applyInPandas result must equal an independent
+    driver-side NumPy greedy on the same candidate lists (sf0.001,
+    8 queries) — rank for rank, score for score."""
+    import numpy as np
+
+    from vector_database_in_rust_spark import harness
+    from vector_database_in_rust_spark.operators.search import mmr_rerank
+
+    lam, k = 0.7, 5
+    cand = harness.mmr_candidates(spark, SF_SMOKE)
+    got = [
+        (r["query_id"], r["rank"], r["vec_id"], r["mmr_score"])
+        for r in mmr_rerank(cand, k=k, lambda_=lam).collect()
+    ]
+    want = []
+    pdf = cand.toPandas()
+    for qid, grp in pdf.groupby("query_id"):
+        ids = grp["vec_id"].to_numpy()
+        rel = grp["rel"].to_numpy(dtype="float64")
+        emb = np.stack(grp["embedding"].to_numpy()).astype("float64")
+        unit = emb / np.linalg.norm(emb, axis=1)[:, None]
+        picked, max_sim = [], np.zeros(len(ids))
+        for rank in range(1, k + 1):
+            mmr = lam * rel - (1 - lam) * max_sim
+            for i in picked:
+                mmr[i] = -np.inf
+            best = mmr.max()
+            tied = np.flatnonzero(mmr == best)
+            tied = tied[np.lexsort((ids[tied], -rel[tied]))]
+            i = int(tied[0])
+            picked.append(i)
+            want.append((qid, rank, int(ids[i]), round(float(best), 6)))
+            max_sim = np.maximum(max_sim, unit @ unit[i])
+    assert sorted(got) == sorted(want)

@@ -2281,6 +2281,44 @@ def tpch_q6_q(spark, sf_dir):
     return tpch_q6_forecast_revenue(load_table(spark, sf_dir, "lineitem"))
 
 
+@register("search_mmr")
+def search_mmr_q(spark, sf_dir):
+    """MMR diversified re-ranking (Carbonell & Goldstein 1998) over the
+    top-20 cosine candidates of 8 queries, k=5, lambda=0.7 — the
+    standard retrieve -> diversify pipeline. The greedy selection is
+    inherently iterative (each pick conditions the next), so it is not
+    expressible in portable ANSI SQL -> rows-only here; pytest pins the
+    output against an independent NumPy reference implementation plus
+    a crafted duplicate-skipping case (tests/test_search.py)."""
+    from pyspark.sql import Window
+    from vector_database_in_rust_spark.operators.search import mmr_rerank
+
+    cand = mmr_candidates(spark, sf_dir)
+    return mmr_rerank(cand, k=KNN_K, lambda_=0.7)
+
+
+def mmr_candidates(spark, sf_dir, *, n_queries: int = 8, top_n: int = 20):
+    """Top-N cosine candidates per query, with the candidate embedding
+    kept for the diversity term: broadcast query set x corpus, rounded
+    rel, bounded per-query window — the knn_batch shape plus payload."""
+    from pyspark.sql import Window
+
+    q = _query_vec_df(spark, sf_dir, n_queries)
+    pairs = _emb(spark, sf_dir).join(F.broadcast(q), how="cross")
+    rel = F.round(
+        cosine_similarity(F.col("embedding"), F.col("query_embedding")), 6
+    )
+    scored = pairs.select(
+        "query_id", "vec_id", rel.alias("rel"), "embedding"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("rel").desc(), "vec_id")
+    return (
+        scored.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= top_n)
+        .drop("_r")
+    )
+
+
 _TPCH_Q14_ORACLE = """
 SELECT round(sum(CASE WHEN p_type LIKE 'PROMO%'
                       THEN l_extendedprice * (1 - l_discount) ELSE 0 END), 2)

@@ -136,3 +136,77 @@ def hybrid_search_rrf(
         .orderBy(F.col("rrf").desc(), doc_id_col)
         .limit(k)
     )
+
+
+MMR_SCHEMA = (
+    "query_id BIGINT, rank INT, vec_id BIGINT, rel DOUBLE, mmr_score DOUBLE"
+)
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    *,
+    k: int = 5,
+    lambda_: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998): greedily pick k results maximizing
+    ``lambda * rel - (1 - lambda) * max_cos_to_already_selected`` —
+    the standard diversification pass between retrieval and the user.
+
+    Input is a CANDIDATE list (query_id, vec_id, rel, embedding),
+    typically the top 3-10x k rows from knn/ANN — MMR is a re-ranker,
+    not a retriever. The greedy loop is inherently sequential per
+    query, so it runs as ``applyInPandas`` grouped by query_id: each
+    group is a few dozen rows in one task, queries parallelize across
+    executors, and nothing touches the driver. Ties break on higher
+    rel then lower id, making the selection fully deterministic.
+    """
+    import numpy as np
+    import pandas as pd
+
+    lam = float(lambda_)
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = int(pdf["query_id"].iloc[0])
+        ids = pdf[id_col].to_numpy()
+        rel = pdf[rel_col].to_numpy(dtype="float64")
+        emb = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+        norms = np.linalg.norm(emb, axis=1)
+        norms[norms == 0.0] = 1.0
+        unit = emb / norms[:, None]
+        n = len(ids)
+        chosen: list[int] = []
+        max_sim = np.zeros(n)
+        picked = np.zeros(n, dtype=bool)
+        scores: list[float] = []
+        for _ in range(min(k, n)):
+            mmr = lam * rel - (1.0 - lam) * max_sim
+            mmr[picked] = -np.inf
+            best = mmr.max()
+            # deterministic tie-break: highest rel, then lowest id
+            tied = np.flatnonzero(mmr == best)
+            tied = tied[np.lexsort((ids[tied], -rel[tied]))]
+            i = int(tied[0])
+            chosen.append(i)
+            scores.append(float(best))
+            picked[i] = True
+            max_sim = np.maximum(max_sim, unit @ unit[i])
+        return pd.DataFrame(
+            {
+                "query_id": qid,
+                "rank": np.arange(1, len(chosen) + 1, dtype="int32"),
+                "vec_id": ids[chosen],
+                "rel": np.round(rel[chosen], 6),
+                "mmr_score": np.round(scores, 6),
+            }
+        )
+
+    return (
+        candidates.groupBy("query_id")
+        .applyInPandas(fn, schema=MMR_SCHEMA)
+        .orderBy("query_id", "rank")
+    )
