@@ -2281,6 +2281,21 @@ def tpch_q6_q(spark, sf_dir):
     return tpch_q6_forecast_revenue(load_table(spark, sf_dir, "lineitem"))
 
 
+@register("approx_event_stats")
+def approx_event_stats_q(spark, sf_dir):
+    """Sketch aggregates per event_type: HLL++ distinct users +
+    approximate value percentiles (mergeable fixed-size sketches — the
+    only shape COUNT DISTINCT / percentiles take at 100 TB). Sketch
+    estimates are implementation-defined, so no portable SQL oracle ->
+    rows-only; tests/test_sketches.py bounds them against exact answers
+    (HLL within 3*rsd, quantiles within rank-error tolerance)."""
+    from vector_database_in_rust_spark.operators.sketches import (
+        approx_event_stats,
+    )
+
+    return approx_event_stats(load_table(spark, sf_dir, "events"))
+
+
 @register("search_mmr")
 def search_mmr_q(spark, sf_dir):
     """MMR diversified re-ranking (Carbonell & Goldstein 1998) over the
