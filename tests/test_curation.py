@@ -148,3 +148,47 @@ def test_pipeline_manifest_matches_stagewise_composition(spark):
     assert sum(r["total_tokens"] for r in manifest) == agg["tok"]
     # every kept doc appears in some shard (chunking emits >=1 chunk/doc)
     assert sum(r["n_docs"] for r in manifest) >= agg["docs"]
+
+
+def test_curate_repetition_gate_default_off(spark):
+    """Without thresholds the verdicts must be byte-identical to the
+    original contract — no 'repetition' reason can appear."""
+    rows = [(1, GOOD, "en"), (2, "spam spam spam spam spam", "en")]
+    reasons = {
+        r["doc_id"]: r["drop_reason"]
+        for r in curate_corpus(_docs(spark, rows), min_quality=0.0).collect()
+    }
+    assert "repetition" not in set(reasons.values())
+
+
+def test_curate_repetition_gate_flags_boilerplate(spark):
+    # NB: GOOD itself is a x5-repeated phrase — the gate would (rightly)
+    # flag it, so the kept doc here is all-distinct tokens instead.
+    rows = [
+        (1, " ".join(f"w{i}" for i in range(150)), "en"),
+        (2, "buy now " * 60, "en"),  # dup-trigram ~1, top-token 0.5
+    ]
+    got = {
+        r["doc_id"]: (r["kept"], r["drop_reason"])
+        for r in curate_corpus(
+            _docs(spark, rows),
+            min_quality=0.0,
+            max_top_token_frac=0.3,
+            max_dup_trigram_frac=0.5,
+        ).collect()
+    }
+    assert got[1] == (True, None)
+    assert got[2] == (False, "repetition")
+
+
+def test_curate_repetition_below_low_quality_precedence(spark):
+    """A doc that is both low quality and repetitive reports
+    low_quality (precedence 3 beats 4)."""
+    rows = [(1, "spam spam spam spam", "en")]
+    row = curate_corpus(
+        _docs(spark, rows),
+        min_quality=0.9,
+        max_top_token_frac=0.3,
+        max_dup_trigram_frac=0.5,
+    ).collect()[0]
+    assert row["drop_reason"] == "low_quality"

@@ -1357,6 +1357,73 @@ def curate_corpus_q(spark, sf_dir):
     )
 
 
+_CURATE_REP_TOP, _CURATE_REP_TRI = 0.15, 0.04
+
+_CURATE_REP_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, text, lang,
+         {_SQL_TOKS} AS w,
+         len(list_filter({_SQL_TOKS}, t -> t IN {_SQL_STOPWORDS})) * 1.0
+           / greatest(len({_SQL_TOKS}), 1) AS swr
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, text, lang, w,
+         round(0.4 * least(len(w) / 200.0, 1.0)
+               + 0.3 * (len(list_distinct(w)) * 1.0 / greatest(len(w), 1))
+               + 0.3 * (least(swr, 0.1) / 0.1), 6) AS quality,
+         doc_id > min(doc_id) OVER (PARTITION BY md5(text)) AS ed,
+         doc_id > min(doc_id) OVER (PARTITION BY md5(array_to_string(
+             list_sort(list_distinct(w)), ' '))) AS fd
+  FROM t
+),
+rep AS (
+  SELECT *,
+         round(cast(list_max(list_transform(list_distinct(w),
+               x -> len(list_filter(w, y -> y = x)))) AS DOUBLE)
+               / greatest(len(w), 1), 6) AS tf,
+         round(CASE WHEN len(w) < 3 THEN 0.0
+               ELSE 1.0 - cast(len(list_distinct(list_transform(
+                      list_zip(w[1:len(w)-2], w[2:len(w)-1], w[3:len(w)]),
+                      z -> z[1] || ' ' || z[2] || ' ' || z[3]))) AS DOUBLE)
+                    / (len(w) - 2) END, 6) AS d3
+  FROM scored
+)
+SELECT doc_id, lang, quality,
+       CASE WHEN ed THEN 'exact_dup'
+            WHEN fd THEN 'fingerprint_dup'
+            WHEN quality < {_CURATE_MIN_QUALITY} THEN 'low_quality'
+            WHEN tf > {_CURATE_REP_TOP} OR d3 > {_CURATE_REP_TRI}
+                 THEN 'repetition'
+            WHEN lang NOT IN ('en','de','fr') THEN 'lang' END AS drop_reason,
+       (CASE WHEN ed THEN 'exact_dup'
+             WHEN fd THEN 'fingerprint_dup'
+             WHEN quality < {_CURATE_MIN_QUALITY} THEN 'low_quality'
+             WHEN tf > {_CURATE_REP_TOP} OR d3 > {_CURATE_REP_TRI}
+                  THEN 'repetition'
+             WHEN lang NOT IN ('en','de','fr') THEN 'lang' END) IS NULL
+         AS kept
+FROM rep
+"""
+
+
+@register("curate_with_repetition", _CURATE_REP_ORACLE)
+def curate_with_repetition_q(spark, sf_dir):
+    """The curation gate with the Gopher repetition filters enabled
+    (top-token share > 0.15 or duplicate-trigram share > 0.04 drops the
+    doc as 'repetition') — same verdict contract, one more reason in
+    the precedence chain, still zero additional shuffles."""
+    from vector_database_in_rust_spark.operators.curation import curate_corpus
+
+    return curate_corpus(
+        _docs(spark, sf_dir),
+        min_quality=_CURATE_MIN_QUALITY,
+        keep_langs=_CURATE_LANGS,
+        max_top_token_frac=_CURATE_REP_TOP,
+        max_dup_trigram_frac=_CURATE_REP_TRI,
+    )
+
+
 # Per-language sampling fractions and their 6-hex-char prefix
 # thresholds (computed by the SAME helper the operator uses, inlined
 # into the oracle so both engines compare identical strings).

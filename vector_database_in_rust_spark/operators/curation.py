@@ -43,6 +43,8 @@ def curate_corpus(
     *,
     min_quality: float = 0.5,
     keep_langs: tuple[str, ...] = ("en", "de", "fr"),
+    max_top_token_frac: float | None = None,
+    max_dup_trigram_frac: float | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
     lang_col: str = "lang",
@@ -56,14 +58,23 @@ def curate_corpus(
     2. ``fingerprint_dup`` — not the minimum id for its order-insensitive
        content fingerprint (catches token permutations)
     3. ``low_quality``     — quality score below ``min_quality``
-    4. ``lang``            — language not in ``keep_langs``
+    4. ``repetition``      — Gopher-family repetition gate (only when a
+       ``max_top_token_frac`` / ``max_dup_trigram_frac`` threshold is
+       set; see textstats.repetition_stats)
+    5. ``lang``            — language not in ``keep_langs``
     kept rows carry ``drop_reason = NULL``.
 
     Dup detection keeps the MINIMUM doc id of each group (the canonical
     keeper, same convention as ``dedup_exact``/``dedup_clusters``) via
     window mins partitioned by the hash — the shuffle key is the hash,
-    so cost scales with corpus size, not pairs.
+    so cost scales with corpus size, not pairs. The repetition gates
+    are per-row expressions — enabling them adds no shuffle.
     """
+    from vector_database_in_rust_spark.operators.textstats import (
+        dup_ngram_frac_expr,
+        top_token_frac_expr,
+    )
+
     base = docs.select(
         F.col(id_col).alias("doc_id"),
         F.col(text_col).alias("_text"),
@@ -72,17 +83,26 @@ def curate_corpus(
     )
     w_md5 = Window.partitionBy(F.md5(F.col("_text")))
     w_fp = Window.partitionBy(content_fingerprint(F.col("_text")))
+    rep = F.lit(False)
+    if max_top_token_frac is not None:
+        rep = rep | (top_token_frac_expr(F.col("_text")) > max_top_token_frac)
+    if max_dup_trigram_frac is not None:
+        rep = rep | (
+            dup_ngram_frac_expr(F.col("_text"), 3) > max_dup_trigram_frac
+        )
     flagged = base.select(
         "doc_id",
         "lang",
         "quality",
         (F.col("doc_id") > F.min("doc_id").over(w_md5)).alias("_exact_dup"),
         (F.col("doc_id") > F.min("doc_id").over(w_fp)).alias("_fp_dup"),
+        rep.alias("_repetitive"),
     )
     reason = (
         F.when(F.col("_exact_dup"), F.lit("exact_dup"))
         .when(F.col("_fp_dup"), F.lit("fingerprint_dup"))
         .when(F.col("quality") < min_quality, F.lit("low_quality"))
+        .when(F.col("_repetitive"), F.lit("repetition"))
         .when(~F.col("lang").isin(*keep_langs), F.lit("lang"))
     )
     return flagged.select(

@@ -128,10 +128,26 @@ def _grams(toks, n: int):
     )
 
 
-def _dup_frac(grams):
+def dup_ngram_frac_expr(t, n: int):
+    """Fraction of word n-grams that repeat an earlier n-gram, as a
+    plain column expression (reusable by curate_corpus gates)."""
+    grams = _grams(tokens(t), n)
     return F.when(F.size(grams) > 0, F.round(
         1.0 - F.size(F.array_distinct(grams)) / F.size(grams), 6
     )).otherwise(F.lit(0.0))
+
+
+def top_token_frac_expr(t):
+    """Most-frequent-token share of the document, as a plain column
+    expression. O(distinct x total) per row — bounded by doc length."""
+    toks = tokens(t)
+    max_freq = F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda x: F.size(F.filter(toks, lambda y: y == x)),
+        )
+    )
+    return F.round(max_freq / F.greatest(F.size(toks), F.lit(1)), 6)
 
 
 def repetition_stats(
@@ -154,20 +170,11 @@ def repetition_stats(
     corpus-wide shuffle).
     """
     t = F.col(text_col)
-    toks = tokens(t)
-    max_freq = F.array_max(
-        F.transform(
-            F.array_distinct(toks),
-            lambda x: F.size(F.filter(toks, lambda y: y == x)),
-        )
-    )
     return docs.select(
         F.col(id_col).alias("doc_id"),
-        F.round(max_freq / F.greatest(F.size(toks), F.lit(1)), 6).alias(
-            "top_token_frac"
-        ),
-        _dup_frac(_grams(toks, 2)).alias("dup_bigram_frac"),
-        _dup_frac(_grams(toks, 3)).alias("dup_trigram_frac"),
+        top_token_frac_expr(t).alias("top_token_frac"),
+        dup_ngram_frac_expr(t, 2).alias("dup_bigram_frac"),
+        dup_ngram_frac_expr(t, 3).alias("dup_trigram_frac"),
     )
 
 
