@@ -192,3 +192,51 @@ def test_curate_repetition_below_low_quality_precedence(spark):
         max_dup_trigram_frac=0.5,
     ).collect()[0]
     assert row["drop_reason"] == "low_quality"
+
+
+def test_mix_corpus_integer_weight_exact_copies(spark):
+    from vector_database_in_rust_spark.operators.curation import mix_corpus
+
+    rows = [(i, f"doc {i}", "en") for i in range(10)]
+    out = mix_corpus(_docs(spark, rows), {"en": 2.0}).collect()
+    assert len(out) == 20
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r["copy"])
+    assert all(sorted(v) == [1, 2] for v in by_doc.values())
+
+
+def test_mix_corpus_fractional_weight_deterministic(spark):
+    from vector_database_in_rust_spark.operators.curation import mix_corpus
+
+    rows = [(i, f"doc {i}", "fr") for i in range(200)]
+    a = sorted(
+        (r["doc_id"], r["copy"])
+        for r in mix_corpus(_docs(spark, rows), {"fr": 1.5}).collect()
+    )
+    b = sorted(
+        (r["doc_id"], r["copy"])
+        for r in mix_corpus(
+            _docs(spark, rows).repartition(7), {"fr": 1.5}
+        ).collect()
+    )
+    assert a == b
+    n = len(a)
+    assert 200 * 1.3 < n < 200 * 1.7  # expectation 300 +/- sampling noise
+
+
+def test_mix_corpus_unlisted_language_dropped(spark):
+    from vector_database_in_rust_spark.operators.curation import mix_corpus
+
+    rows = [(1, "x", "en"), (2, "y", "zz")]
+    out = mix_corpus(_docs(spark, rows), {"en": 1.0}).collect()
+    assert [(r["doc_id"], r["lang"]) for r in out] == [(1, "en")]
+
+
+def test_mix_corpus_negative_weight_raises(spark):
+    import pytest as _pytest
+
+    from vector_database_in_rust_spark.operators.curation import mix_corpus
+
+    with _pytest.raises(ValueError):
+        mix_corpus(_docs(spark, [(1, "x", "en")]), {"en": -0.5})

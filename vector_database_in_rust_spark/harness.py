@@ -1457,6 +1457,53 @@ def sample_stratified_q(spark, sf_dir):
     return stratified_sample(_docs(spark, sf_dir), _SAMPLE_FRACTIONS)
 
 
+# Pretraining mix: downweight the head language, upweight the tail,
+# drop zh entirely (absent from the map). 2.3 = two guaranteed copies
+# + a deterministic 30% third copy.
+_MIX_WEIGHTS = {"en": 0.7, "de": 1.0, "fr": 1.6, "es": 2.3}
+
+
+def _mix_oracle() -> str:
+    import math
+
+    from vector_database_in_rust_spark.operators.curation import (
+        sample_threshold_hex,
+    )
+
+    arms = []
+    for lang, w in sorted(_MIX_WEIGHTS.items()):
+        base, frac = int(math.floor(w)), w - int(math.floor(w))
+        expr = str(base)
+        if frac > 0:
+            expr = (
+                f"{base} + (CASE WHEN substr(md5(cast(doc_id AS VARCHAR)),"
+                f" 1, 6) < '{sample_threshold_hex(frac)}' THEN 1 ELSE 0 END)"
+            )
+        arms.append(f"WHEN lang = '{lang}' THEN {expr}")
+    return f"""
+WITH c AS (
+  SELECT doc_id, lang,
+         cast(CASE {' '.join(arms)} ELSE 0 END AS INT) AS n_copies
+  FROM documents
+)
+SELECT doc_id, lang, n_copies,
+       cast(unnest(generate_series(1, n_copies)) AS INT) AS copy
+FROM c WHERE n_copies > 0
+"""
+
+
+@register("mix_corpus", _mix_oracle())
+def mix_corpus_q(spark, sf_dir):
+    """Temperature-weighted language rebalancing: each doc emitted
+    weights[lang] times in expectation, with the fractional copy chosen
+    by the deterministic md5-prefix rule — the pretraining mix step,
+    reproducible across runs/retries. Zero shuffles (per-row exprs +
+    bounded explode)."""
+    from vector_database_in_rust_spark.operators.curation import mix_corpus
+
+    return mix_corpus(_docs(spark, sf_dir), _MIX_WEIGHTS)
+
+
 _VOCAB_ORACLE = f"""
 WITH tok AS (SELECT lang, unnest({_SQL_TOKS}) AS token FROM documents),
 counts AS (SELECT lang, token, count(*) AS n FROM tok GROUP BY 1, 2),

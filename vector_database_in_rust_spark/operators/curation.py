@@ -184,3 +184,57 @@ def vocab_top_tokens(
         .filter(F.col("rank") <= k)
         .select("lang", F.col("rank").cast("long").alias("rank"), "token", "n")
     )
+
+
+def mix_corpus(
+    docs: DataFrame,
+    weights: dict[str, float],
+    *,
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Temperature-weighted data mixing: emit each document
+    ``weights[lang]`` times in expectation — the per-source/`per-language
+    rebalancing step every pretraining mix applies (upweight tail
+    languages, downweight the head; cf. the temperature-sampled mixes
+    in multilingual LM training).
+
+    A weight of 2.3 means every doc appears twice and a deterministic
+    30% of docs (selected by the same md5-prefix rule as
+    ``stratified_sample``) appear a third time; 0.4 keeps a 40% sample;
+    languages absent from ``weights`` drop. The fractional pick is a
+    pure function of the doc id — reproducible across runs, retries and
+    partitionings, unlike ``rand()``-based mixing.
+
+    Output: one row per (doc, copy) with ``copy`` in 1..n_copies.
+    Per-row expressions + a bounded ``explode`` fan-out (``ceil(w)``
+    rows max per doc) — zero shuffles at any corpus size.
+    """
+    import math
+
+    key = F.substring(F.md5(F.col(id_col).cast("string")), 1, 6)
+    expr = None
+    for lang, w in sorted(weights.items()):
+        if w < 0:
+            raise ValueError(f"negative mix weight for {lang!r}: {w}")
+        base = int(math.floor(w))
+        frac = w - base
+        n = F.lit(base)
+        if frac > 0:
+            n = n + F.when(key < sample_threshold_hex(frac), 1).otherwise(0)
+        cond = F.col(lang_col) == lang
+        expr = F.when(cond, n) if expr is None else expr.when(cond, n)
+    n_copies = (expr.otherwise(0) if expr is not None else F.lit(0)).cast(
+        "int"
+    )
+    with_n = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(lang_col).alias("lang"),
+        n_copies.alias("n_copies"),
+    ).filter(F.col("n_copies") > 0)
+    return with_n.select(
+        "doc_id",
+        "lang",
+        "n_copies",
+        F.explode(F.sequence(F.lit(1), F.col("n_copies"))).alias("copy"),
+    )
