@@ -400,3 +400,40 @@ def test_dedup_apply_empty_pairs_is_identity(spark):
     )
     clusters = spark.createDataFrame([], "doc_id BIGINT, cluster_id BIGINT")
     assert dedup.dedup_apply(docs, clusters).count() == 5
+
+
+def test_dedup_incremental_verdicts(spark):
+    corpus = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], "doc_id BIGINT, text STRING"
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "alpha"),   # corpus dup
+            (11, "gamma"),   # kept (first occurrence in batch)
+            (12, "gamma"),   # batch dup of 11
+            (13, "delta"),   # kept
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    got = {
+        r["doc_id"]: (r["kept"], r["drop_reason"])
+        for r in dedup.dedup_incremental(corpus, batch).collect()
+    }
+    assert got[10] == (False, "corpus_dup")
+    assert got[11] == (True, None)
+    assert got[12] == (False, "batch_dup")
+    assert got[13] == (True, None)
+
+
+def test_dedup_incremental_corpus_dup_outranks_batch_dup(spark):
+    """Two batch copies of a corpus text: BOTH are corpus_dup (corpus
+    precedence), not one corpus_dup + one batch_dup."""
+    corpus = spark.createDataFrame([(1, "alpha")], "doc_id BIGINT, text STRING")
+    batch = spark.createDataFrame(
+        [(10, "alpha"), (11, "alpha")], "doc_id BIGINT, text STRING"
+    )
+    reasons = {
+        r["doc_id"]: r["drop_reason"]
+        for r in dedup.dedup_incremental(corpus, batch).collect()
+    }
+    assert reasons == {10: "corpus_dup", 11: "corpus_dup"}

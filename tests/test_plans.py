@@ -164,3 +164,12 @@ def test_tpch_q18_single_fact_shuffle_then_broadcasts(audits):
     assert a.n_shuffle_exchanges == 1
     assert "BroadcastHashJoin" in a.broadcast_joins
     assert a.has_take_ordered
+
+
+def test_dedup_incremental_corpus_never_shuffles(audits):
+    """Incremental dedup: the batch md5 set must BROADCAST against the
+    corpus (semi-join probe — the 100 TB corpus side has no exchange);
+    the only shuffles are batch-sized (keys-distinct + window)."""
+    a = audits("dedup_incremental")
+    assert "BroadcastHashJoin" in a.broadcast_joins
+    assert a.n_shuffle_exchanges <= 3

@@ -2906,6 +2906,60 @@ def dedup_clusters_star_q(spark, sf_dir):
     return dedup_clusters_star(_jaccard_pairs_cached(spark, sf_dir, threshold=0.5))
 
 
+_DEDUP_INCR_ORACLE = """
+WITH batch AS (
+  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id + 20000, text || ' novel-' || cast(doc_id AS VARCHAR)
+  FROM documents WHERE doc_id % 5 = 1
+  UNION ALL
+  SELECT doc_id + 30000, text || ' novel-' || cast(doc_id AS VARCHAR)
+  FROM documents WHERE doc_id % 5 = 1 AND doc_id % 3 = 0
+),
+b AS (SELECT doc_id, md5(text) AS text_md5 FROM batch),
+flagged AS (
+  SELECT b.doc_id, b.text_md5,
+         b.text_md5 IN (SELECT DISTINCT md5(text) FROM documents) AS inc,
+         min(b.doc_id) OVER (PARTITION BY b.text_md5) AS min_b
+  FROM b
+)
+SELECT doc_id, text_md5,
+       CASE WHEN inc THEN 'corpus_dup'
+            WHEN doc_id > min_b THEN 'batch_dup' END AS drop_reason,
+       (CASE WHEN inc THEN 'corpus_dup'
+             WHEN doc_id > min_b THEN 'batch_dup' END) IS NULL AS kept
+FROM flagged
+"""
+
+
+@register("dedup_incremental", _DEDUP_INCR_ORACLE)
+def dedup_incremental_q(spark, sf_dir):
+    """Exact dedup of a NEW batch against the static corpus (the
+    daily-ingest path — no from-scratch re-dedup of the union). The
+    batch is constructed from the corpus: planted corpus dups (+10000
+    ids), novel texts (+20000), and within-batch dups of the novel
+    texts (+30000); every verdict row (corpus_dup / batch_dup / kept)
+    is hash-checked. The corpus side never shuffles — the batch md5
+    set broadcasts against it (plan pinned in tests/test_plans.py)."""
+    from vector_database_in_rust_spark.operators.dedup import dedup_incremental
+
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    dups = docs.filter(did % 5 == 0).select(
+        (did + 10000).alias("doc_id"), "text"
+    )
+    novel_text = F.concat(
+        F.col("text"), F.lit(" novel-"), did.cast("string")
+    )
+    novel = docs.filter(did % 5 == 1).select(
+        (did + 20000).alias("doc_id"), novel_text.alias("text")
+    )
+    bdups = docs.filter((did % 5 == 1) & (did % 3 == 0)).select(
+        (did + 30000).alias("doc_id"), novel_text.alias("text")
+    )
+    return dedup_incremental(docs, dups.union(novel).union(bdups))
+
+
 _DEDUP_APPLY_ORACLE = f"""
 WITH RECURSIVE {_JACCARD_CTES},
 jp AS (SELECT doc_a, doc_b FROM scored WHERE jaccard >= 0.5),

@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import logging
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 logger = logging.getLogger(__name__)
@@ -1038,3 +1038,55 @@ def dedup_apply(
         id_col
     )
     return docs.join(dropped, on=id_col, how="left_anti")
+
+
+def dedup_incremental(
+    corpus: DataFrame,
+    batch: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-dedup a NEW batch against an already-deduplicated corpus —
+    the daily-ingest shape: the corpus is huge and static, the batch is
+    small and fresh, and re-deduplicating the union from scratch every
+    day is the anti-pattern.
+
+    Verdict per batch doc, precedence fixed:
+    - ``corpus_dup``: its text md5 already exists in the corpus;
+    - ``batch_dup``: not the minimum batch id among same-md5 batch rows
+      (first occurrence within the batch is kept);
+    - kept rows carry ``drop_reason = NULL``.
+
+    Scale shape: the BATCH's distinct md5 set broadcasts against the
+    corpus (a broadcast semi-join — the 100 TB corpus never shuffles
+    and only its matching md5s, at most |batch| rows, come back); the
+    within-batch window shuffles batch-sized (md5, id) pairs only. No
+    full-corpus shuffle anywhere, which is what makes running this
+    every ingest cycle affordable.
+    """
+    b = batch.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(F.col(text_col)).alias("text_md5"),
+    )
+    b_keys = b.select("text_md5").distinct()
+    hits = (
+        corpus.select(F.md5(F.col(text_col)).alias("text_md5"))
+        .join(F.broadcast(b_keys), "text_md5", "left_semi")
+        .distinct()
+        .withColumn("_in_corpus", F.lit(True))
+    )
+    w = Window.partitionBy("text_md5")
+    flagged = (
+        b.join(F.broadcast(hits), "text_md5", "left")
+        .withColumn("_min_b", F.min("doc_id").over(w))
+    )
+    reason = F.when(
+        F.col("_in_corpus").isNotNull(), F.lit("corpus_dup")
+    ).when(F.col("doc_id") > F.col("_min_b"), F.lit("batch_dup"))
+    return flagged.select(
+        "doc_id",
+        "text_md5",
+        reason.alias("drop_reason"),
+        reason.isNull().alias("kept"),
+    )
