@@ -173,3 +173,15 @@ def test_dedup_incremental_corpus_never_shuffles(audits):
     a = audits("dedup_incremental")
     assert "BroadcastHashJoin" in a.broadcast_joins
     assert a.n_shuffle_exchanges <= 3
+
+
+def test_tpch_q10_both_facts_prefiltered(audits):
+    """Q10: the quarter must push to the orders scan AND the return
+    flag to the lineitem scan (both facts shrink before the orderkey
+    shuffle — the only big exchange); nation broadcasts; top-k is
+    TakeOrdered."""
+    a = audits("tpch_q10_returns")
+    pf = ";".join(a.pushed_filters)
+    assert "o_orderdate" in pf and "EqualTo(l_returnflag,R)" in pf, pf
+    assert a.n_shuffle_exchanges == 1
+    assert a.has_take_ordered

@@ -2448,6 +2448,40 @@ def mmr_candidates(spark, sf_dir, *, n_queries: int = 8, top_n: int = 20):
     )
 
 
+_TPCH_Q10_ORACLE = """
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       cast(round(sum(cast(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1996-04-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+@register("tpch_q10_returns", _TPCH_Q10_ORACLE)
+def tpch_q10_q(spark, sf_dir):
+    """TPC-H Q10: top customers by returned revenue for one quarter —
+    both fact scans pre-filtered by pushed predicates before the
+    orderkey shuffle; nation broadcast; TakeOrdered top-k."""
+    from vector_database_in_rust_spark.operators.relational import (
+        tpch_q10_returned_items,
+    )
+
+    return tpch_q10_returned_items(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
 _TPCH_Q14_ORACLE = """
 SELECT round(sum(CASE WHEN p_type LIKE 'PROMO%'
                       THEN l_extendedprice * (1 - l_discount) ELSE 0 END), 2)

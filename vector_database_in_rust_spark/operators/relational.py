@@ -580,6 +580,57 @@ def tpch_q6_forecast_revenue(
     )
 
 
+def tpch_q10_returned_items(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    nation: DataFrame,
+    *,
+    date_from: str = "1996-01-01",
+    date_to: str = "1996-04-01",
+    limit: int = 20,
+) -> DataFrame:
+    """TPC-H Q10 (returned item reporting): customers who returned the
+    most revenue in one quarter — fact⋈fact join + dimension lookup +
+    grouped rollup + top-k.
+
+    Plan shape at scale: the order-date quarter pushes to the orders
+    scan and ``l_returnflag = 'R'`` pushes to the lineitem scan (both
+    facts pre-filtered before the orderkey shuffle — the only big
+    exchange); nation broadcasts; the customer rollup shuffles
+    (custkey, partial sums) only; top-k is TakeOrdered."""
+    o = orders.filter(
+        (F.col("o_orderdate") >= F.lit(date_from).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(date_to).cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    # Revenue accumulates in DECIMAL: the per-customer sums here are
+    # small groups of near-boundary values, where double's partition-
+    # order non-associativity can flip a round(x, 2) (observed at
+    # sf0.01: 307843.595 rounding differently per engine). Decimal
+    # addition is exact and order-independent, so the rounded result is
+    # deterministic on any cluster layout.
+    li = lineitem.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .cast("decimal(18,4)")
+        .alias("_rev"),
+    )
+    j = (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+    )
+    return (
+        j.groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.round(F.sum("_rev"), 2).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(limit)
+    )
+
+
 def tpch_q14_promo_revenue(
     lineitem: DataFrame,
     part: DataFrame,
