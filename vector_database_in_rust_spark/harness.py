@@ -2410,16 +2410,82 @@ def approx_event_stats_q(spark, sf_dir):
     return approx_event_stats(load_table(spark, sf_dir, "events"))
 
 
-@register("search_mmr")
+def _mmr_oracle(*, k: int = KNN_K, lam: float = 0.7, top_n: int = 20,
+                n_queries: int = 8) -> str:
+    """The MMR greedy unrolled into k SQL stages (the same
+    state-machine-in-SQL trick as the pack_sequences recursive oracle,
+    but with a FIXED iteration count, so plain chained CTEs suffice):
+    stage t re-ranks the unpicked candidates by
+    lam*rel - (1-lam)*max_cos_to_picks and appends the per-query argmax
+    to the pick list. Scores stay unrounded across stages (matching the
+    operator's float64 loop); only the final projection rounds."""
+    sim = _sql_cosine("c2.embedding", "pc.embedding")
+    ctes = [
+        f"""q AS (SELECT vec_id AS query_id, embedding AS qe
+       FROM embeddings WHERE vec_id < {n_queries}),
+cand AS (
+  SELECT q.query_id, e.vec_id,
+         round({_sql_cosine('e.embedding', 'q.qe')}, 6) AS rel,
+         e.embedding,
+         row_number() OVER (
+           PARTITION BY q.query_id
+           ORDER BY round({_sql_cosine('e.embedding', 'q.qe')}, 6) DESC,
+                    e.vec_id) AS rn
+  FROM embeddings e CROSS JOIN q
+),
+c AS (SELECT query_id, vec_id, rel, embedding FROM cand WHERE rn <= {top_n}),
+picks0 AS (SELECT cast(NULL AS BIGINT) AS query_id, 0 AS rank,
+                  cast(NULL AS BIGINT) AS vec_id,
+                  cast(NULL AS DOUBLE) AS rel,
+                  cast(NULL AS DOUBLE) AS mmr WHERE FALSE)"""
+    ]
+    for t in range(1, k + 1):
+        p = t - 1
+        ctes.append(f"""ms{t} AS (
+  SELECT c2.query_id, c2.vec_id, max({sim}) AS max_sim
+  FROM c c2
+  JOIN picks{p} p ON p.query_id = c2.query_id
+  JOIN c pc ON pc.query_id = p.query_id AND pc.vec_id = p.vec_id
+  GROUP BY c2.query_id, c2.vec_id
+),
+sc{t} AS (
+  SELECT s.query_id, s.vec_id, s.rel,
+         {lam} * s.rel - {1.0 - lam} * coalesce(ms.max_sim, 0.0) AS mmr
+  FROM c s
+  LEFT JOIN ms{t} ms ON ms.query_id = s.query_id AND ms.vec_id = s.vec_id
+  WHERE NOT EXISTS (SELECT 1 FROM picks{p} p
+                    WHERE p.query_id = s.query_id AND p.vec_id = s.vec_id)
+),
+sel{t} AS (
+  SELECT query_id, vec_id, rel, mmr,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY mmr DESC, rel DESC, vec_id) AS rn
+  FROM sc{t}
+),
+picks{t} AS (
+  SELECT * FROM picks{p}
+  UNION ALL
+  SELECT query_id, {t} AS rank, vec_id, rel, mmr FROM sel{t} WHERE rn = 1
+)""")
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body}
+SELECT query_id, cast(rank AS INT) AS rank, vec_id, rel,
+       round(mmr, 6) AS mmr_score
+FROM picks{k}
+"""
+
+
+@register("search_mmr", _mmr_oracle())
 def search_mmr_q(spark, sf_dir):
     """MMR diversified re-ranking (Carbonell & Goldstein 1998) over the
     top-20 cosine candidates of 8 queries, k=5, lambda=0.7 — the
     standard retrieve -> diversify pipeline. The greedy selection is
-    inherently iterative (each pick conditions the next), so it is not
-    expressible in portable ANSI SQL -> rows-only here; pytest pins the
-    output against an independent NumPy reference implementation plus
-    a crafted duplicate-skipping case (tests/test_search.py)."""
-    from pyspark.sql import Window
+    iterative, but with FIXED k it unrolls into k chained SQL stages,
+    so this entry carries a full hash-checked oracle (argmax + max-sim
+    update per stage); pytest additionally pins an independent NumPy
+    reference and a crafted duplicate-skipping case
+    (tests/test_search.py)."""
     from vector_database_in_rust_spark.operators.search import mmr_rerank
 
     cand = mmr_candidates(spark, sf_dir)
