@@ -437,3 +437,51 @@ def test_dedup_incremental_corpus_dup_outranks_batch_dup(spark):
         for r in dedup.dedup_incremental(corpus, batch).collect()
     }
     assert reasons == {10: "corpus_dup", 11: "corpus_dup"}
+
+
+def test_minhash_incremental_finds_planted_rewrites(spark):
+    corpus = spark.createDataFrame(
+        [(i, " ".join(f"w{i}_{j}" for j in range(60))) for i in range(20)],
+        "doc_id BIGINT, text STRING",
+    )
+    # batch: doc 100 is a one-token rewrite of corpus doc 3; doc 101 is
+    # entirely novel vocabulary
+    rewrite = " ".join(f"w3_{j}" for j in range(60)) + " extra"
+    novel = " ".join(f"q{j}" for j in range(60))
+    batch = spark.createDataFrame(
+        [(100, rewrite), (101, novel)], "doc_id BIGINT, text STRING"
+    )
+    pairs = {
+        (r["batch_id"], r["corpus_id"])
+        for r in dedup.minhash_incremental(
+            corpus, batch, threshold=0.7, num_perm=64, num_bands=32
+        ).collect()
+    }
+    assert pairs == {(100, 3)}
+
+
+def test_minhash_incremental_rejects_overlapping_ids(spark):
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id BIGINT, text STRING")
+    with pytest.raises(ValueError):
+        dedup.minhash_incremental(docs, docs)
+
+
+def test_minhash_incremental_default_banding_recall(spark, docs):
+    """At the scale-default S-curve (r=4, b=16) recall vs the exact
+    cross-corpus join must stay >= 0.9 for the harness's constructed
+    batch (measured 78/79 at sf0.001 — the one miss straddles the
+    threshold)."""
+    from vector_database_in_rust_spark import harness
+
+    did = F.col("doc_id")
+    near = docs.filter(did % 7 == 0).select(
+        (did + 50000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" xtra")).alias("text"),
+    )
+    got = dedup.minhash_incremental(docs, near, threshold=0.7)
+    exact = dedup.minhash_incremental(
+        docs, near, threshold=0.7, num_perm=64, num_bands=32
+    )
+    n_got, n_exact = got.count(), exact.count()
+    assert n_exact > 0
+    assert n_got / n_exact >= 0.9

@@ -3060,6 +3060,80 @@ def dedup_incremental_q(spark, sf_dir):
     return dedup_incremental(docs, dups.union(novel).union(bdups))
 
 
+_MINHASH_INCR_ORACLE = f"""
+WITH bt AS (
+  SELECT doc_id + 50000 AS doc_id, text || ' xtra' AS text
+  FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 60000,
+         text || ' ' || array_to_string(list_transform(
+             generate_series(1, 80),
+             i -> 'z' || cast(doc_id AS VARCHAR) || '_' || cast(i AS VARCHAR)), ' ')
+  FROM documents WHERE doc_id % 7 = 1
+),
+wc AS (SELECT doc_id, {_SQL_TOKS} AS w FROM documents),
+wb AS (SELECT doc_id, {_SQL_TOKS} AS w FROM bt),
+shc AS (SELECT doc_id, unnest({_SQL_SHINGLES}) AS shingle FROM wc),
+shb AS (SELECT doc_id, unnest({_SQL_SHINGLES}) AS shingle FROM wb),
+szc AS (SELECT doc_id, count(*) AS n_sh FROM shc GROUP BY doc_id),
+szb AS (SELECT doc_id, count(*) AS n_sh FROM shb GROUP BY doc_id),
+common AS (
+  SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id, count(*) AS n_common
+  FROM shb b JOIN shc c ON b.shingle = c.shingle
+  GROUP BY 1, 2
+)
+SELECT batch_id, corpus_id,
+       round(n_common * 1.0 / (sb.n_sh + sc.n_sh - n_common), 6) AS jaccard
+FROM common
+JOIN szb sb ON sb.doc_id = batch_id
+JOIN szc sc ON sc.doc_id = corpus_id
+WHERE n_common * 1.0 / (sb.n_sh + sc.n_sh - n_common) >= 0.7
+"""
+
+
+@register("minhash_incremental", _MINHASH_INCR_ORACLE)
+def minhash_incremental_q(spark, sf_dir):
+    """NEAR-dup detection of an ingest batch against the corpus via
+    banded MinHash (the near-dup twin of dedup_incremental): batch =
+    one-token-appended rewrites (J≈0.97) + 80-token-suffixed variants
+    straddling the threshold. The corpus bands join a BROADCAST batch
+    band list (corpus never shuffles); candidates verify exactly. The
+    oracle is the EXACT cross-corpus Jaccard join — valid because this
+    entry runs HIGH-RECALL banding (r=2, b=32: per-pair miss
+    probability (1-J²)³² ≈ 4e-10 at J=0.7, verified complete at both
+    driver scales; the default r=4/b=16 measurably missed one
+    threshold-straddling pair). r=2 admits more false candidates —
+    affordable here because verification cost is bounded by the small
+    batch side, which is exactly the incremental setting; corpus-scale
+    pair mining keeps the steeper default S-curve."""
+    from vector_database_in_rust_spark.operators.dedup import (
+        minhash_incremental,
+    )
+
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    near = docs.filter(did % 7 == 0).select(
+        (did + 50000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" xtra")).alias("text"),
+    )
+    suffix = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(1), F.lit(80)),
+            lambda i: F.concat(
+                F.lit("z"), did.cast("string"), F.lit("_"), i.cast("string")
+            ),
+        ),
+    )
+    novel = docs.filter(did % 7 == 1).select(
+        (did + 60000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" "), suffix).alias("text"),
+    )
+    return minhash_incremental(
+        docs, near.union(novel), threshold=0.7, num_perm=64, num_bands=32
+    )
+
+
 _DEDUP_APPLY_ORACLE = f"""
 WITH RECURSIVE {_JACCARD_CTES},
 jp AS (SELECT doc_a, doc_b FROM scored WHERE jaccard >= 0.5),

@@ -1090,3 +1090,115 @@ def dedup_incremental(
         reason.alias("drop_reason"),
         reason.isNull().alias("kept"),
     )
+
+
+def _banded_minhash(
+    sh: DataFrame, *, num_perm: int, num_bands: int, seed: int
+) -> DataFrame:
+    """(doc_id, band_id, band_hash) rows from a shingle index — the
+    banded-LSH key material, factored out so batch and corpus sides of
+    the incremental path hash with IDENTICAL permutations."""
+    rows_per_band = num_perm // num_bands
+    h32 = F.xxhash64("shingle").bitwiseAND(F.lit((1 << 32) - 1))
+    params = minhash_permutation_params(num_perm, seed)
+    sigs = (
+        sh.select("doc_id", h32.alias("h"))
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.min(
+                    (F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_PRIME)
+                ).alias(f"s{i}")
+                for i, (a, b) in enumerate(params)
+            ]
+        )
+    )
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.xxhash64(
+                    *[
+                        F.col(f"s{b * rows_per_band + r}")
+                        for r in range(rows_per_band)
+                    ]
+                ).alias("band_hash"),
+            )
+            for b in range(num_bands)
+        ]
+    )
+    return sigs.select("doc_id", F.explode(bands).alias("band")).select(
+        "doc_id",
+        F.col("band.band_id").alias("band_id"),
+        F.col("band.band_hash").alias("band_hash"),
+    )
+
+
+def minhash_incremental(
+    corpus: DataFrame,
+    batch: DataFrame,
+    *,
+    threshold: float = 0.7,
+    n: int = 3,
+    num_perm: int = 64,
+    num_bands: int = 16,
+    seed: int = 42,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """NEAR-dup detection of a new batch against the existing corpus —
+    the MinHash twin of ``dedup_incremental``: which freshly ingested
+    documents are (near-)rewrites of something already stored?
+
+    Returns exact-verified pairs ``(batch_id, corpus_id, jaccard)``
+    with J >= threshold. Ids of the two sides MUST be disjoint (new
+    docs get new ids — enforced).
+
+    Scale shape: both sides hash with the SAME permutations (seeded),
+    so in production the corpus's banded signature index is computed
+    once and PERSISTED alongside the store, and each ingest cycle only
+    signatures the batch. The batch's band list is broadcast against
+    the corpus bands (corpus side: no shuffle, same discipline as
+    ``dedup_incremental``); exact verification expands only candidate
+    pairs against the two shingle indexes.
+    """
+    dup_ids = batch.select(F.col(id_col)).intersect(
+        corpus.select(F.col(id_col))
+    )
+    if dup_ids.limit(1).count() > 0:
+        raise ValueError(
+            "batch and corpus ids must be disjoint for minhash_incremental"
+        )
+    sh_c = _shingle_index(corpus, id_col, text_col, n).persist()
+    sh_b = _shingle_index(batch, id_col, text_col, n).persist()
+    kw = {"num_perm": num_perm, "num_bands": num_bands, "seed": seed}
+    bands_c = _banded_minhash(sh_c, **kw)
+    bands_b = _banded_minhash(sh_b, **kw)
+    candidates = (
+        bands_c.join(
+            F.broadcast(
+                bands_b.select(
+                    F.col("doc_id").alias("batch_id"), "band_id", "band_hash"
+                )
+            ),
+            on=["band_id", "band_hash"],
+        )
+        .select(
+            F.col("batch_id").alias("doc_a"),
+            F.col("doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    sh_all = sh_b.union(sh_c)
+    result = (
+        _verify_candidate_pairs(sh_all, candidates, threshold)
+        .select(
+            F.col("doc_a").alias("batch_id"),
+            F.col("doc_b").alias("corpus_id"),
+            "jaccard",
+        )
+        .localCheckpoint(eager=True)
+    )
+    sh_c.unpersist()
+    sh_b.unpersist()
+    return result
