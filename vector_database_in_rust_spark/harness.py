@@ -2863,6 +2863,81 @@ def stream_dedup_redelivery_q(spark, sf_dir):
     )
 
 
+_STREAM_CURATE_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, text, lang,
+         {_SQL_TOKS} AS w,
+         len(list_filter({_SQL_TOKS}, t -> t IN {_SQL_STOPWORDS})) * 1.0
+           / greatest(len({_SQL_TOKS}), 1) AS swr
+  FROM documents
+),
+rep AS (
+  SELECT doc_id, text, lang,
+         round(0.4 * least(len(w) / 200.0, 1.0)
+               + 0.3 * (len(list_distinct(w)) * 1.0 / greatest(len(w), 1))
+               + 0.3 * (least(swr, 0.1) / 0.1), 6) AS quality,
+         round(cast(list_max(list_transform(list_distinct(w),
+               x -> len(list_filter(w, y -> y = x)))) AS DOUBLE)
+               / greatest(len(w), 1), 6) AS tf,
+         round(CASE WHEN len(w) < 3 THEN 0.0
+               ELSE 1.0 - cast(len(list_distinct(list_transform(
+                      list_zip(w[1:len(w)-2], w[2:len(w)-1], w[3:len(w)]),
+                      z -> z[1] || ' ' || z[2] || ' ' || z[3]))) AS DOUBLE)
+                    / (len(w) - 2) END, 6) AS d3
+  FROM t
+)
+SELECT doc_id, md5(text) AS text_md5, lang, quality
+FROM rep
+WHERE quality >= {_CURATE_MIN_QUALITY} AND lang IN ('en','de','fr')
+  AND tf <= {_CURATE_REP_TOP} AND d3 <= {_CURATE_REP_TRI}
+"""
+
+_STREAM_CURATE_N = [0]
+
+
+@register("stream_curate", _STREAM_CURATE_ORACLE)
+def stream_curate_q(spark, sf_dir):
+    """Streaming curation under at-least-once delivery, driver-run:
+    the documents file staged TWICE, one micro-batch per file
+    (maxFilesPerTrigger=1), through the map-only quality/lang/
+    repetition gates + keyed exact-dedup state (streaming/curate.py).
+    The kept set must hash-match the BATCH gate over the original
+    corpus — every text passes exactly once despite double delivery,
+    and the gates behave identically in both execution models. (The
+    synthetic corpus has no intra-corpus exact dups, so first-seen ==
+    min-id and the reconciliation is order-independent.)"""
+    import os
+    import shutil
+
+    from vector_database_in_rust_spark.streaming.curate import (
+        run_curate_stream_to_memory,
+    )
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    stage = os.path.join(
+        repo_root,
+        "spark-warehouse",
+        "curate_stage",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    if not os.path.exists(os.path.join(stage, "delivery_2.parquet")):
+        os.makedirs(stage, exist_ok=True)
+        shutil.copy(f"{sf_dir}/documents.parquet", f"{stage}/delivery_1.parquet")
+        shutil.copy(f"{sf_dir}/documents.parquet", f"{stage}/delivery_2.parquet")
+
+    _STREAM_CURATE_N[0] += 1
+    table = f"curate_stream_h{_STREAM_CURATE_N[0]}"
+    return run_curate_stream_to_memory(
+        spark,
+        stage,
+        table_name=table,
+        min_quality=_CURATE_MIN_QUALITY,
+        keep_langs=_CURATE_LANGS,
+        max_top_token_frac=_CURATE_REP_TOP,
+        max_dup_trigram_frac=_CURATE_REP_TRI,
+    )
+
+
 _MOVING_AVG_ORACLE = """
 SELECT user_id, event_id,
        round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
