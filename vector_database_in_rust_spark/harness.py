@@ -1886,6 +1886,91 @@ def embed_documents_q(spark, sf_dir):
     )
 
 
+_CHUNK_EMBED_SEARCH_ORACLE = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+                  len(string_split(text, ' ')) AS n FROM documents),
+s AS (SELECT doc_id, toks, n,
+             unnest(range(0, greatest(n, 1), 24)) AS start FROM t),
+c AS (SELECT doc_id * 1000 + cast(start // 24 AS INT) AS chunk_uid,
+             array_to_string(list_slice(toks, start + 1, least(start + 32, n)),
+                             ' ') AS chunk_text
+      FROM s),
+h AS (SELECT chunk_uid, sha256(chunk_text) AS hx FROM c),
+w AS (SELECT chunk_uid, {_SHA_W8} AS w8 FROM h),
+f AS (SELECT chunk_uid, {_sha_feature_oracle(32)} AS q FROM w),
+qv AS (SELECT q AS v FROM f WHERE chunk_uid = 0),
+scored AS (
+  SELECT chunk_uid,
+         round(CASE WHEN sqrt(list_inner_product(q::DOUBLE[], q::DOUBLE[]))
+                         * sqrt(list_inner_product(v::DOUBLE[], v::DOUBLE[])) = 0
+               THEN 0.0
+               ELSE list_inner_product(q::DOUBLE[], v::DOUBLE[])
+                    / (sqrt(list_inner_product(q::DOUBLE[], q::DOUBLE[]))
+                       * sqrt(list_inner_product(v::DOUBLE[], v::DOUBLE[])))
+               END, 6) AS cos_sim
+  FROM f CROSS JOIN qv
+)
+SELECT cast(chunk_uid // 1000 AS BIGINT) AS doc_id,
+       cast(chunk_uid % 1000 AS INT) AS chunk_id,
+       chunk_uid, cos_sim
+FROM scored ORDER BY cos_sim DESC, chunk_uid LIMIT 10
+"""
+
+
+@register("pipeline_chunk_embed_search", _CHUNK_EMBED_SEARCH_ORACLE)
+def pipeline_chunk_embed_search_q(spark, sf_dir):
+    """The full retrieval pipeline composed end-to-end from engine
+    operators: documents -> overlapping chunks (packing.chunk_documents)
+    -> per-chunk embeddings (embed.encode_documents, model-per-partition
+    mapInPandas) -> brute-force cosine top-10 for a query chunk (the
+    corpus's first chunk — self-retrieval at sim 1.0 is the invariant).
+    Embeddings are projected to exact ints (round(x*1000), the
+    established digest trick), so dot products and norms are
+    integer-exact in double and the ENTIRE pipeline hash-matches the
+    SQL oracle — chunk windows, sha-derived vectors, ranking and all."""
+    from vector_database_in_rust_spark.operators.embed import encode_documents
+    from vector_database_in_rust_spark.operators.packing import chunk_documents
+
+    chunks = chunk_documents(_docs(spark, sf_dir)).select(
+        (F.col("doc_id") * 1000 + F.col("chunk_id")).alias("chunk_uid"),
+        "chunk_text",
+    )
+    emb = encode_documents(chunks, id_col="chunk_uid", text_col="chunk_text")
+    q_int = F.transform(
+        F.col("embedding"), lambda x: F.round(x * 1000).cast("int")
+    )
+    scored = emb.select(F.col("doc_id").alias("chunk_uid"), q_int.alias("q"))
+    qv = scored.filter(F.col("chunk_uid") == 0).select(
+        F.col("q").alias("v")
+    )
+    pairs = scored.join(F.broadcast(qv), how="cross")
+    dot = F.aggregate(
+        F.zip_with("q", "v", lambda a, b: (a * b).cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    sq = lambda col: F.aggregate(  # noqa: E731
+        F.transform(F.col(col), lambda x: (x * x).cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    denom = F.sqrt(sq("q")) * F.sqrt(sq("v"))
+    cos = F.when(denom == 0, F.lit(0.0)).otherwise(dot / denom)
+    return (
+        pairs.select(
+            "chunk_uid", F.round(cos, 6).alias("cos_sim")
+        )
+        .select(
+            (F.col("chunk_uid") / 1000).cast("long").alias("doc_id"),
+            (F.col("chunk_uid") % 1000).cast("int").alias("chunk_id"),
+            "chunk_uid",
+            "cos_sim",
+        )
+        .orderBy(F.col("cos_sim").desc(), "chunk_uid")
+        .limit(10)
+    )
+
+
 _RESIZE_W = _RESIZE_H = 8  # 64 output bytes -> 128 hex chars
 
 _MEDIA_RESIZE_ORACLE = f"""
