@@ -597,6 +597,49 @@ def events_hourly_rollup_q(spark, sf_dir):
     return events_hourly_rollup(load_table(spark, sf_dir, "events"))
 
 
+_EVENTS_PIVOT_ORACLE = """
+SELECT date_trunc('hour', ts) AS hour,
+       count(*) FILTER (event_type = 'click')    AS n_click,
+       count(*) FILTER (event_type = 'error')    AS n_error,
+       count(*) FILTER (event_type = 'purchase') AS n_purchase,
+       count(*) FILTER (event_type = 'signup')   AS n_signup,
+       count(*) FILTER (event_type = 'view')     AS n_view
+FROM events GROUP BY 1
+"""
+
+
+@register("events_pivot", _EVENTS_PIVOT_ORACLE)
+def events_pivot_q(spark, sf_dir):
+    """Hour × event-type count matrix via PIVOT with an explicit value
+    list (no inference scan, schema independent of the data) — one
+    groupBy with conditional partial aggregates, single shuffle."""
+    from vector_database_in_rust_spark.operators.relational import events_pivot
+
+    return events_pivot(load_table(spark, sf_dir, "events"))
+
+
+_EVENTS_HIST_ORACLE = """
+WITH b AS (
+  SELECT cast(least(greatest(floor(value / 25.0), 0), 19) AS INT) AS bin
+  FROM events
+)
+SELECT bin, bin * 25.0 AS lo, (bin + 1) * 25.0 AS hi, count(*) AS n
+FROM b GROUP BY bin
+"""
+
+
+@register("events_histogram", _EVENTS_HIST_ORACLE)
+def events_histogram_q(spark, sf_dir):
+    """Fixed-width value histogram (clamped edge bins, stable edges —
+    no data-dependent min/max pass); map-side partial counts, ~20 rows
+    cross the exchange at any input size."""
+    from vector_database_in_rust_spark.operators.relational import (
+        events_histogram,
+    )
+
+    return events_histogram(load_table(spark, sf_dir, "events"))
+
+
 _STREAM_ROLLUP_ORACLE = """
 SELECT date_trunc('hour', ts) AS hour, event_type,
        count(*) AS n_events,

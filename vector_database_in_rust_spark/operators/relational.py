@@ -733,3 +733,62 @@ def fulfilled_high_value_orders(
         .join(keys, orders.o_orderkey == keys.l_orderkey, "left_semi")
         .select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("o_totalprice"))
     )
+
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def events_pivot(events: DataFrame, *, types: tuple[str, ...] = EVENT_TYPES) -> DataFrame:
+    """Hour × event-type count matrix via PIVOT — the wide-format
+    rollup dashboards consume.
+
+    The pivot value list is EXPLICIT (never inferred): inference costs
+    an extra distinct-scan job and makes the output schema data-
+    dependent — a new event type appearing at hour N would change every
+    downstream consumer's schema. With fixed values the pivot compiles
+    to one groupBy with |types| conditional partial aggregates — the
+    same single-shuffle shape as the long-format rollup."""
+    p = (
+        events.withColumn("hour", F.date_trunc("hour", F.col("ts")))
+        .groupBy("hour")
+        .pivot("event_type", list(types))
+        .agg(F.count(F.lit(1)))
+    )
+    return p.select(
+        "hour",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
+            for t in types
+        ],
+    )
+
+
+def events_histogram(
+    events: DataFrame,
+    *,
+    value_col: str = "value",
+    bin_width: float = 25.0,
+    num_bins: int = 20,
+) -> DataFrame:
+    """Fixed-width histogram of a value column (out-of-range values
+    clamp to the edge bins). Fixed bounds on purpose: data-dependent
+    bounds (min/max) cost an extra full pass and make the bin edges
+    nondeterministic under late data — dashboards want stable edges.
+    One narrow projection + one |bins|-key groupBy: map-side partial
+    counts, a few dozen rows cross the exchange regardless of input
+    size."""
+    v = F.col(value_col)
+    bin_ = F.least(
+        F.greatest(F.floor(v / bin_width), F.lit(0)), F.lit(num_bins - 1)
+    ).cast("int")
+    return (
+        events.select(bin_.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "bin",
+            (F.col("bin") * bin_width).alias("lo"),
+            ((F.col("bin") + 1) * bin_width).alias("hi"),
+            "n",
+        )
+    )
