@@ -485,3 +485,23 @@ def test_minhash_incremental_default_banding_recall(spark, docs):
     n_got, n_exact = got.count(), exact.count()
     assert n_exact > 0
     assert n_got / n_exact >= 0.9
+
+
+def test_pagerank_hub_outranks_leaves(spark):
+    """Star graph: the hub holds the most mass; leaves tie exactly."""
+    pairs = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)], "doc_a BIGINT, doc_b BIGINT"
+    )
+    ranks = {r["doc_id"]: r["rank"] for r in dedup.pagerank(pairs).collect()}
+    assert ranks[0] > max(ranks[i] for i in range(1, 6))
+    assert len({ranks[i] for i in range(1, 6)}) == 1
+
+
+def test_pagerank_mass_conserved(spark):
+    """No dangling vertices on a symmetrized pair graph -> each
+    iteration preserves total mass; the final ranks sum to ~1."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "doc_a BIGINT, doc_b BIGINT"
+    )
+    total = sum(r["rank"] for r in dedup.pagerank(pairs).collect())
+    assert abs(total - 1.0) < 1e-4

@@ -3337,6 +3337,54 @@ def minhash_incremental_q(spark, sf_dir):
     )
 
 
+def _pagerank_oracle(*, damping: float = 0.85, iterations: int = 10) -> str:
+    """Power iteration unrolled into chained CTEs (fixed iteration
+    count — same oracle trick as search_mmr). All constants carry
+    ::DOUBLE casts: DuckDB parses bare decimal literals as DECIMAL,
+    whose exact arithmetic would diverge from Spark's IEEE doubles."""
+    d = f"cast({damping} AS DOUBLE)"
+    head = f"""jp AS (SELECT doc_a, doc_b FROM scored WHERE jaccard >= 0.5),
+edges AS (SELECT DISTINCT src, dst FROM (
+    SELECT doc_a AS src, doc_b AS dst FROM jp
+    UNION SELECT doc_b, doc_a FROM jp)),
+v AS (SELECT DISTINCT src AS doc_id FROM edges),
+nv AS (SELECT cast(count(*) AS DOUBLE) AS n FROM v),
+deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+r0 AS (SELECT doc_id, cast(1.0 AS DOUBLE) / (SELECT n FROM nv) AS rank FROM v)"""
+    steps = []
+    for t in range(1, iterations + 1):
+        steps.append(f"""r{t} AS (
+  SELECT v.doc_id,
+         (cast(1.0 AS DOUBLE) - {d}) / (SELECT n FROM nv)
+           + {d} * coalesce(s.s, cast(0.0 AS DOUBLE)) AS rank
+  FROM v LEFT JOIN (
+    SELECT e.dst, sum(r.rank / d2.deg) AS s
+    FROM edges e
+    JOIN r{t - 1} r ON r.doc_id = e.src
+    JOIN deg d2 ON d2.src = e.src
+    GROUP BY e.dst) s ON s.dst = v.doc_id
+)""")
+    body = ",\n".join([head] + steps)
+    return (
+        f"WITH {_JACCARD_CTES},\n{body}\n"
+        f"SELECT doc_id, round(rank, 6) AS rank FROM r{iterations}"
+    )
+
+
+@register("dedup_pagerank", _pagerank_oracle())
+def dedup_pagerank_q(spark, sf_dir):
+    """PageRank over the exact-Jaccard similarity graph (10 damped
+    power iterations — importance scores for duplicate-cluster
+    members; an alternative canonical-picking signal to min-id). Fixed
+    iteration count makes the result a deterministic function of the
+    graph, so the oracle unrolls the same 10 steps in SQL and every
+    rank hash-checks. Consumes the SAME materialized pair list as the
+    clustering entries."""
+    from vector_database_in_rust_spark.operators.dedup import pagerank
+
+    return pagerank(_jaccard_pairs_cached(spark, sf_dir, threshold=0.5))
+
+
 _DEDUP_APPLY_ORACLE = f"""
 WITH RECURSIVE {_JACCARD_CTES},
 jp AS (SELECT doc_a, doc_b FROM scored WHERE jaccard >= 0.5),

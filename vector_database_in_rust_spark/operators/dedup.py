@@ -1202,3 +1202,68 @@ def minhash_incremental(
     sh_c.unpersist()
     sh_b.unpersist()
     return result
+
+
+def pagerank(
+    pairs: DataFrame,
+    *,
+    damping: float = 0.85,
+    iterations: int = 10,
+) -> DataFrame:
+    """PageRank over the undirected similarity graph (power iteration,
+    fixed iteration count): importance scores for duplicate-cluster
+    members — e.g. pick the highest-centrality member as the cluster
+    canonical instead of min-id, or rank hub documents whose text is
+    echoed across the corpus.
+
+    Input: (doc_a, doc_b) pairs; both directions are materialized.
+    Output: (doc_id, rank) over every vertex with rank rounded to 6.
+
+    Fixed iterations (not convergence detection) on purpose: the
+    result is a deterministic function of the graph — oracle-checkable
+    — and 10 damped iterations bound the error at ~0.85^10 ≈ 0.2% of
+    the final mass, plenty for ranking. Each iteration is one edge⋈rank
+    join + one dst-keyed aggregation — the same shuffle profile per
+    round as dedup_clusters; lineage is cut per round (localCheckpoint)
+    so the plan does not grow with the iteration count. Degrees and
+    vertex count are computed once.
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(
+            pairs.select(
+                F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+            )
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    vertices = edges.select(F.col("src").alias("doc_id")).distinct()
+    n = vertices.count()
+    if n == 0:
+        return vertices.withColumn("rank", F.lit(0.0))
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    base = (1.0 - damping) / n
+    ranks = vertices.withColumn("rank", F.lit(1.0 / n))
+    for _ in range(iterations):
+        contribs = (
+            edges.join(ranks, edges.src == ranks.doc_id)
+            .join(deg, "src")
+            .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
+        )
+        ranks = (
+            vertices.join(
+                contribs.groupBy("dst").agg(F.sum("c").alias("s")),
+                vertices.doc_id == F.col("dst"),
+                "left",
+            )
+            .select(
+                "doc_id",
+                (
+                    F.lit(base)
+                    + damping * F.coalesce(F.col("s"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks.select("doc_id", F.round("rank", 6).alias("rank"))
