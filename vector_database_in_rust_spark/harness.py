@@ -597,6 +597,38 @@ def events_hourly_rollup_q(spark, sf_dir):
     return events_hourly_rollup(load_table(spark, sf_dir, "events"))
 
 
+_EVENTS_ANOM_ORACLE = """
+WITH st AS (
+  SELECT event_type, count(*) AS n,
+         round(sum(value), 4) AS s,
+         round(sum(value * value), 4) AS s2
+  FROM events GROUP BY event_type
+),
+m AS (
+  SELECT event_type, s / n AS mean,
+         sqrt(s2 / n - (s / n) * (s / n)) AS std
+  FROM st
+)
+SELECT e.event_id, e.event_type,
+       round(e.value, 4) AS value,
+       round((e.value - m.mean) / m.std, 4) AS z
+FROM events e JOIN m ON e.event_type = m.event_type
+WHERE abs((e.value - m.mean) / m.std) > 3.0
+"""
+
+
+@register("events_anomalies", _EVENTS_ANOM_ORACLE)
+def events_anomalies_q(spark, sf_dir):
+    """Per-type z-score outliers (|z| > 3): moments from rounded sums
+    (deterministic, unlike Welford-partial built-ins), 5-row stats
+    table broadcast back — the stream side never shuffles."""
+    from vector_database_in_rust_spark.operators.relational import (
+        events_anomalies,
+    )
+
+    return events_anomalies(load_table(spark, sf_dir, "events"))
+
+
 _EVENTS_PIVOT_ORACLE = """
 SELECT date_trunc('hour', ts) AS hour,
        count(*) FILTER (event_type = 'click')    AS n_click,

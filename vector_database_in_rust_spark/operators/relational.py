@@ -792,3 +792,46 @@ def events_histogram(
             "n",
         )
     )
+
+
+def events_anomalies(
+    events: DataFrame, *, z_threshold: float = 3.0
+) -> DataFrame:
+    """Per-event-type z-score outlier flagging — the standard
+    monitoring pass over a metric stream.
+
+    Variance comes from the explicit two-moment formula
+    (E[x²] − E[x]²) computed on ROUNDED sums, not the built-in
+    stddev aggregate: the built-ins accumulate in partition order
+    (Welford partials), so their last bits differ run to run and
+    across engines; rounded moment sums are deterministic — same
+    discipline as the rollup's avg. One groupBy over the type key
+    (map-side partials), then a broadcast join of the 5-row stats
+    table back onto the stream — the big side never shuffles."""
+    stats = (
+        events.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.round(F.sum("value"), 4).alias("_s"),
+            F.round(F.sum(F.col("value") * F.col("value")), 4).alias("_s2"),
+        )
+        .select(
+            "event_type",
+            (F.col("_s") / F.col("_n")).alias("_mean"),
+            F.sqrt(
+                F.col("_s2") / F.col("_n")
+                - (F.col("_s") / F.col("_n")) * (F.col("_s") / F.col("_n"))
+            ).alias("_std"),
+        )
+    )
+    z = (F.col("value") - F.col("_mean")) / F.col("_std")
+    return (
+        events.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(z) > z_threshold)
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 4).alias("value"),
+            F.round(z, 4).alias("z"),
+        )
+    )
