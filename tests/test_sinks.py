@@ -112,3 +112,39 @@ def test_json_reader_schema_not_inferred(spark, tmp_path):
     assert back.schema.simpleString() == "struct<a:bigint,b:string>"
     rows = sorted((r["a"], r["b"]) for r in back.collect())
     assert rows == [(1, "x"), (2, None)]
+
+
+def test_json_quarantine_lane_counts(spark, tmp_path):
+    """Good rows parse through; each malformed line lands in quarantine
+    with its raw text preserved."""
+    from vector_database_in_rust_spark.sources.text_formats import (
+        read_json_quarantine,
+    )
+
+    p = tmp_path / "in"
+    p.mkdir()
+    (p / "good.json").write_text(
+        '{"a": 1, "b": "x"}\n{"a": 2, "b": "y"}\n'
+    )
+    (p / "bad.json").write_text(
+        'not json\n{"a": "NaN-ish", "b": 3}\n'
+    )
+    good, bad = read_json_quarantine(spark, str(p), "a BIGINT, b STRING")
+    assert sorted(r["a"] for r in good.collect()) == [1, 2]
+    raws = {r["raw_record"] for r in bad.collect()}
+    assert len(raws) == 2 and any("not json" in r for r in raws)
+
+
+def test_orc_roundtrip_lossless(spark, tmp_path):
+    from vector_database_in_rust_spark.sources.sinks import (
+        read_result,
+        write_result,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", -2.25)], "k BIGINT, s STRING, v DOUBLE"
+    )
+    path = str(tmp_path / "orc")
+    write_result(df, path, fmt="orc")
+    back = read_result(spark, path, fmt="orc")
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))

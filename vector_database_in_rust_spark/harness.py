@@ -1824,6 +1824,56 @@ def json_roundtrip(spark, sf_dir):
 
 
 @register(
+    "orc_roundtrip",
+    "SELECT c_custkey, c_name, c_nationkey, c_acctbal FROM customer",
+)
+def orc_roundtrip(spark, sf_dir):
+    """customer -> ORC sink -> ORC source: the second columnar format
+    (Hive-ecosystem interchange) through the same sink/source
+    discipline; the oracle reads the ORIGINAL parquet, so any loss in
+    either direction hash-fails."""
+    from vector_database_in_rust_spark.sources.sinks import read_result
+
+    df = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal"
+    )
+    path = _roundtrip_write(spark, sf_dir, "orc_customer", df, "orc")
+    return read_result(spark, path, fmt="orc")
+
+
+@register(
+    "json_quarantine",
+    "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
+)
+def json_quarantine_q(spark, sf_dir):
+    """PERMISSIVE ingestion with a quarantine lane: the supplier JSON
+    plus a planted file of malformed lines. The GOOD lane must
+    hash-match the original supplier table exactly — corrupt rows
+    neither kill the job (FAILFAST would) nor leak in as NULL ghosts
+    (silent PERMISSIVE would); the quarantine lane's count is pinned
+    in tests/test_sinks.py."""
+    import os
+
+    from vector_database_in_rust_spark.sources.text_formats import (
+        read_json_quarantine,
+    )
+
+    ddl = "s_suppkey BIGINT, s_name STRING, s_nationkey INT, s_acctbal DOUBLE"
+    df = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )
+    path = _roundtrip_write(spark, sf_dir, "json_quarantine", df, "json")
+    planted = os.path.join(path, "corrupt-extra.json")
+    if not os.path.exists(planted):
+        with open(planted, "w") as f:
+            f.write('{"s_suppkey": "not-a-number", "s_name": 3}\n')
+            f.write("this is not json at all\n")
+            f.write('{"s_suppkey": 1, "s_acctbal": "NaN-ish"}\n')
+    good, _bad = read_json_quarantine(spark, path, ddl)
+    return good
+
+
+@register(
     "csv_vector_roundtrip",
     "SELECT vec_id, len(embedding) AS dim, "
     "round(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]), 4) "

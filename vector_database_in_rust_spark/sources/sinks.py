@@ -25,7 +25,7 @@ def write_result(
 ) -> None:
     """Write a result DataFrame. ``single_file`` coalesces to one task —
     only for small results (top-k lists, aggregates), never raw data."""
-    if fmt not in ("parquet", "csv", "json"):
+    if fmt not in ("parquet", "csv", "json", "orc"):
         raise ValueError(f"unsupported sink format {fmt!r}")
     out = df
     if fmt == "csv":
@@ -41,6 +41,8 @@ def write_result(
         writer.option("header", "true").csv(path)
     elif fmt == "json":
         writer.json(path)
+    elif fmt == "orc":
+        writer.orc(path)
     else:
         writer.parquet(path)
 
@@ -56,4 +58,6 @@ def read_result(
         ).csv(path)
     if fmt == "json":
         return spark.read.schema(schema).json(path) if schema else spark.read.json(path)
+    if fmt == "orc":
+        return spark.read.orc(path)
     return spark.read.parquet(path)

@@ -106,3 +106,40 @@ def read_json(
         .schema(target)
         .json(path)
     )
+
+
+def read_json_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str,
+) -> tuple[DataFrame, DataFrame]:
+    """PERMISSIVE JSON ingestion with an explicit quarantine lane:
+    returns ``(good, quarantined)`` — rows parsing cleanly under the
+    schema, and the raw text of rows that did not.
+
+    This is the production middle ground between FAILFAST (right for
+    curated inputs; one bad row kills a 10-hour job on uncurated ones)
+    and silent PERMISSIVE (corrupt rows become NULL-filled ghosts that
+    poison aggregates weeks later): the pipeline proceeds on clean
+    rows while every malformed line is preserved for replay/alerting —
+    same quarantine discipline as streaming/ingest. One pass, one
+    filter split on ``_corrupt_record``; both lanes are lazy."""
+    target = _parse_schema(schema)
+    with_corrupt = T.StructType(
+        target.fields
+        + [T.StructField("_corrupt_record", T.StringType(), True)]
+    )
+    raw = (
+        spark.read.option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .schema(with_corrupt)
+        .json(path)
+        .cache()
+    )
+    good = raw.filter(F.col("_corrupt_record").isNull()).drop(
+        "_corrupt_record"
+    )
+    bad = raw.filter(F.col("_corrupt_record").isNotNull()).select(
+        F.col("_corrupt_record").alias("raw_record")
+    )
+    return good, bad
