@@ -1873,6 +1873,96 @@ def json_quarantine_q(spark, sf_dir):
     return good
 
 
+def _versioned_store(spark, sf_dir):
+    """Stage the 3-version store once per (process, sf): v1 = the full
+    embeddings table, v2 = upsert relabeling vec_id < 10 to label 99,
+    v3 = delete of every row whose CURRENT (v2) label is 3."""
+    import os
+
+    from vector_database_in_rust_spark.sources.versioned import VersionedStore
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(
+        repo_root,
+        "spark-warehouse",
+        "versioned",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    store = VersionedStore(spark, path, key_col="vec_id")
+    if store.latest_version() < 3:
+        base = _emb(spark, sf_dir).select("vec_id", "embedding", "label")
+        store.commit(base)
+        store.commit(
+            base.filter(F.col("vec_id") < 10).withColumn("label", F.lit(99))
+        )
+        store.commit(store.read(2).filter(F.col("label") == 3), op="delete")
+    return store
+
+
+_STORE_VERSIONS_ORACLE = """
+WITH v1 AS (SELECT vec_id, label FROM embeddings),
+v2 AS (SELECT vec_id,
+              CASE WHEN vec_id < 10 THEN 99 ELSE label END AS label
+       FROM embeddings),
+v3 AS (SELECT * FROM v2 WHERE label <> 3)
+SELECT 1 AS version, count(*) AS n_rows, sum(vec_id) AS sum_keys,
+       count(*) FILTER (label = 99) AS n_relabeled FROM v1
+UNION ALL
+SELECT 2, count(*), sum(vec_id), count(*) FILTER (label = 99) FROM v2
+UNION ALL
+SELECT 3, count(*), sum(vec_id), count(*) FILTER (label = 99) FROM v3
+"""
+
+
+@register("store_versions", _STORE_VERSIONS_ORACLE)
+def store_versions_q(spark, sf_dir):
+    """Snapshot reads / time travel over the append-only versioned
+    store (sources/versioned.py): three commits (base, upsert-relabel,
+    tombstone delete), each historical snapshot folded from the log
+    (latest version per key wins, tombstones drop, version partitions
+    prune). Per-version digests hash-check every snapshot at once."""
+    store = _versioned_store(spark, sf_dir)
+    outs = []
+    for v in (1, 2, 3):
+        outs.append(
+            store.read(v).agg(
+                F.lit(v).alias("version"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("vec_id").alias("sum_keys"),
+                F.sum(F.when(F.col("label") == 99, 1).otherwise(0)).alias(
+                    "n_relabeled"
+                ),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out
+
+
+_STORE_DIFF_ORACLE = """
+WITH v1 AS (SELECT vec_id, label FROM embeddings),
+v2 AS (SELECT vec_id,
+              CASE WHEN vec_id < 10 THEN 99 ELSE label END AS label
+       FROM embeddings),
+v3 AS (SELECT * FROM v2 WHERE label <> 3)
+SELECT v1.vec_id,
+       CASE WHEN v3.vec_id IS NULL THEN 'removed'
+            WHEN v1.label <> v3.label THEN 'changed' END AS change
+FROM v1 LEFT JOIN v3 ON v1.vec_id = v3.vec_id
+WHERE v3.vec_id IS NULL OR v1.label <> v3.label
+"""
+
+
+@register("store_diff", _STORE_DIFF_ORACLE)
+def store_diff_q(spark, sf_dir):
+    """Version diff v1 -> v3 on the same store: relabeled keys report
+    'changed', tombstoned keys 'removed' (full-outer join of the two
+    folded snapshots on the key, payload compared by row hash)."""
+    store = _versioned_store(spark, sf_dir)
+    return store.diff(1, 3)
+
+
 @register(
     "csv_vector_roundtrip",
     "SELECT vec_id, len(embedding) AS dim, "
