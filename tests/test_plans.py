@@ -185,3 +185,22 @@ def test_tpch_q10_both_facts_prefiltered(audits):
     assert "o_orderdate" in pf and "EqualTo(l_returnflag,R)" in pf, pf
     assert a.n_shuffle_exchanges == 1
     assert a.has_take_ordered
+
+
+def test_events_pivot_two_phase_aggregate(audits):
+    """PIVOT with an explicit value list compiles to Spark's two-phase
+    pivot plan (pre-aggregate on (hour, type), then pivot on hour) —
+    two exchanges both keyed on tiny cardinalities, and crucially NO
+    value-inference scan job and no broadcast."""
+    a = audits("events_pivot")
+    assert a.n_shuffle_exchanges <= 2
+    assert a.n_broadcast_exchanges == 0
+
+
+def test_events_anomalies_stats_broadcast_back(audits):
+    """The 5-row stats table must broadcast onto the stream side — the
+    events scan itself never shuffles."""
+    a = audits("events_anomalies")
+    assert "BroadcastHashJoin" in a.broadcast_joins
+    # one exchange for the stats aggregation; none for the probe side
+    assert a.n_shuffle_exchanges <= 1

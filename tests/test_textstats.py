@@ -86,3 +86,38 @@ def test_redact_pii_ip_not_double_counted_as_phone(spark):
     row = _redact_one(spark, "ping 255.255.255.255 then dial 800-555-1234")
     assert (row["n_ips"], row["n_phones"]) == (1, 1)
     assert row["text"] == "ping <IP> then dial <PHONE>"
+
+
+def test_redact_pii_idempotent(spark):
+    """Redacting already-redacted text is a no-op: placeholders contain
+    no redactable substrings, so the pass is safely re-runnable
+    (pipeline retries must not double-mangle)."""
+    texts = [
+        "a@b.co then 10.0.0.1 then 555-123-4567",
+        "mixed a@b.co 10.0.0.1 a@b.co end",
+        "clean text with no pii at all",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id BIGINT, text STRING"
+    )
+    once = redact_pii(df).select("doc_id", "text")
+    twice = redact_pii(once).select("doc_id", "text")
+    assert sorted(map(tuple, once.collect())) == sorted(
+        map(tuple, twice.collect())
+    )
+    again = redact_pii(twice)
+    assert all(
+        r["n_emails"] == r["n_ips"] == r["n_phones"] == 0
+        for r in again.collect()
+    )
+
+
+def test_repetition_stats_bounds(spark):
+    """All three signals live in [0, 1] for arbitrary token shapes."""
+    texts = ["x", "a a", "a b c a b c " * 10, " ".join(f"t{i}" for i in range(500))]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id BIGINT, text STRING"
+    )
+    for r in repetition_stats(df).collect():
+        for c in ("top_token_frac", "dup_bigram_frac", "dup_trigram_frac"):
+            assert 0.0 <= r[c] <= 1.0, (r["doc_id"], c, r[c])
