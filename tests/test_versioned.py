@@ -62,3 +62,14 @@ def test_delete_requires_key_only(spark, tmp_path):
     s.commit(spark.createDataFrame([(1, "a")], "k BIGINT, v STRING"))
     with pytest.raises(ValueError):
         s.commit(spark.createDataFrame([(1, "a")], "k BIGINT, v STRING"), op="bad")
+
+
+def test_compact_preserves_all_snapshots(store):
+    cv = store.compact()
+    assert cv == 4
+    # latest unchanged by compaction; history intact
+    assert _rows(store.read()) == [(2, "B"), (3, "c")]
+    assert _rows(store.read(1)) == [(1, "a"), (2, "b")]
+    assert _rows(store.read(2)) == [(1, "a"), (2, "B"), (3, "c")]
+    # deleted key stays deleted at and after the compaction point
+    assert all(r["k"] != 1 for r in store.read(cv).collect())

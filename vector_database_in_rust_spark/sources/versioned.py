@@ -124,3 +124,16 @@ class VersionedStore:
             )
             .filter(F.col("change").isNotNull())
         )
+
+
+    def compact(self) -> int:
+        """Fold the whole log into one fresh 'upsert' commit of the
+        latest snapshot. Append-only discipline holds — old partitions
+        stay, so every historical read keeps working. Compaction by
+        itself does NOT make reads cheaper (a read at version v still
+        scans every partition <= v); what it buys is RETENTION: once no
+        reader needs time travel past the compaction point, the
+        pre-compaction partitions can be deleted and current reads fold
+        the compacted base plus only the commits after it."""
+        snap = self.read().localCheckpoint(eager=True)
+        return self.commit(snap)
