@@ -47,3 +47,52 @@ def test_salt_deterministic_across_runs_and_partitioning(spark):
     reshuffled = assignment(big.repartition(13)) # different physical layout
     assert first == second == reshuffled
     assert set(first.values()) == set(range(8)), "salts should cover all buckets"
+
+
+def test_salted_aggregate_equals_plain(spark):
+    from vector_database_in_rust_spark.functions.skew import salted_aggregate
+
+    df = spark.createDataFrame(
+        [(i % 3, i, float(i)) for i in range(1000)],
+        "key INT, event_id BIGINT, value DOUBLE",
+    )
+    got = {
+        r["key"]: (round(r["sum_value"], 6), r["count_event_id"])
+        for r in salted_aggregate(
+            df, ["key"], {"value": "sum", "event_id": "count"}
+        ).collect()
+    }
+    want = {
+        r["key"]: (round(r["s"], 6), r["n"])
+        for r in df.groupBy("key")
+        .agg(F.sum("value").alias("s"), F.count("event_id").alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_salted_aggregate_spreads_hot_key(spark):
+    """A single hot key must occupy multiple salt buckets in the
+    partial stage — the whole point of the rewrite."""
+    from vector_database_in_rust_spark.functions.skew import content_salt
+
+    df = spark.createDataFrame(
+        [(1, i) for i in range(500)], "key INT, event_id BIGINT"
+    )
+    n_salts = (
+        df.withColumn("_salt", content_salt(["event_id"], 8))
+        .select("_salt")
+        .distinct()
+        .count()
+    )
+    assert n_salts == 8
+
+
+def test_salted_aggregate_rejects_unknown_agg(spark):
+    import pytest
+
+    from vector_database_in_rust_spark.functions.skew import salted_aggregate
+
+    df = spark.createDataFrame([(1, 2)], "key INT, v INT")
+    with pytest.raises(ValueError):
+        salted_aggregate(df, ["key"], {"v": "avg"})

@@ -62,3 +62,55 @@ def salted_join(
         F.explode(F.sequence(F.lit(0), F.lit(salt_factor - 1)).cast("array<int>")),
     )
     return salted_big.join(replicas, on=[on, "_salt"], how=how).drop("_salt")
+
+
+def salted_aggregate(
+    df: DataFrame,
+    group_cols: list[str],
+    aggs: dict[str, str],
+    *,
+    salt_factor: int = 8,
+    salt_source_cols: list[str] | None = None,
+) -> DataFrame:
+    """Two-phase salted aggregation for skewed group keys: partial
+    aggregate on (key, salt), then final aggregate on key — a hot key
+    whose rows would all land on one reducer instead spreads across
+    ``salt_factor`` reducers, and only ``keys x salt_factor`` partial
+    rows reach the second (tiny) exchange.
+
+    NB: Spark's hash aggregate already does map-side partial
+    aggregation, which usually defuses key skew for algebraic
+    aggregates — salting matters when partial aggregation is
+    ineffective: high-cardinality DISTINCT-style state per key, or
+    collect_list/percentile-shaped aggregates whose partial state is
+    as big as the data. The mechanics here demonstrate the pattern
+    with re-aggregable (sum/count/min/max) functions, where the
+    two-phase rewrite is exact.
+
+    ``aggs`` maps column -> one of sum/count/min/max. The salt is
+    content-derived (``content_salt``) — retry-deterministic, like
+    ``salted_join``.
+    """
+    _FINAL = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+    _PARTIAL = {"sum": F.sum, "count": F.count, "min": F.min, "max": F.max}
+    for c, fn in aggs.items():
+        if fn not in _PARTIAL:
+            raise ValueError(
+                f"unsupported agg {fn!r} for {c!r} (use sum/count/min/max)"
+            )
+    salt_cols = salt_source_cols or list(aggs)
+    salted = df.withColumn(
+        "_salt", content_salt(salt_cols, salt_factor)
+    )
+    partial = salted.groupBy(*group_cols, "_salt").agg(
+        *[
+            _PARTIAL[fn](F.col(c)).alias(f"_p_{c}_{fn}")
+            for c, fn in aggs.items()
+        ]
+    )
+    return partial.groupBy(*group_cols).agg(
+        *[
+            _FINAL[fn](F.col(f"_p_{c}_{fn}")).alias(f"{fn}_{c}")
+            for c, fn in aggs.items()
+        ]
+    )

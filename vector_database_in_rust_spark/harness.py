@@ -597,6 +597,35 @@ def events_hourly_rollup_q(spark, sf_dir):
     return events_hourly_rollup(load_table(spark, sf_dir, "events"))
 
 
+_SALTED_AGG_ORACLE = """
+SELECT event_type, round(sum(value), 4) AS sum_value,
+       count(event_id) AS count_event_id
+FROM events GROUP BY event_type
+"""
+
+
+@register("events_salted_agg", _SALTED_AGG_ORACLE)
+def events_salted_agg_q(spark, sf_dir):
+    """Two-phase salted aggregation (partial on (key, salt), final on
+    key) over the events stream — the explicit skew rewrite for
+    aggregates whose partial state map-side combine can't shrink.
+    Exactness of the rewrite is the point: same answer as the plain
+    groupBy, hash-checked."""
+    from vector_database_in_rust_spark.functions.skew import salted_aggregate
+
+    out = salted_aggregate(
+        load_table(spark, sf_dir, "events"),
+        ["event_type"],
+        {"value": "sum", "event_id": "count"},
+        salt_source_cols=["event_id"],
+    )
+    return out.select(
+        "event_type",
+        F.round("sum_value", 4).alias("sum_value"),
+        "count_event_id",
+    )
+
+
 _EVENTS_ANOM_ORACLE = """
 WITH st AS (
   SELECT event_type, count(*) AS n,
