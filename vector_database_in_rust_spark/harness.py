@@ -3139,6 +3139,151 @@ def search_hybrid_rrf_q(spark, sf_dir):
     )
 
 
+# TF-IDF vector-space lane + 3-way RRF fusion (BM25 + TF-IDF + kNN).
+_TFIDF_BODY = f"""
+vbase AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS dl,
+         list_filter(string_split(text, ' '),
+                     t -> t IN {_BM25_TERMS}) AS hits
+  FROM documents
+),
+vstats AS (SELECT count(*) AS n FROM vbase),
+vtf AS (
+  SELECT doc_id, dl, term, count(*) AS tf
+  FROM vbase, unnest(hits) AS u(term)
+  GROUP BY doc_id, dl, term
+),
+vdf AS (SELECT term, count(*) AS df FROM vtf GROUP BY term),
+vsm AS (
+  SELECT doc_id, round(sum(
+    (1.0 + ln(tf)) * (ln((1.0 + n) / (1.0 + df)) + 1.0) / sqrt(dl)
+  ), 4) AS tfidf
+  FROM vtf JOIN vdf USING (term) CROSS JOIN vstats
+  GROUP BY doc_id
+)
+"""
+
+_SEARCH_TFIDF_ORACLE = f"""
+WITH {_TFIDF_BODY}
+SELECT doc_id, tfidf FROM vsm ORDER BY tfidf DESC, doc_id LIMIT 10
+"""
+
+_SEARCH_HYBRID3_ORACLE = f"""
+WITH {_BM25_BODY},
+{_TFIDF_BODY},
+lex AS (
+  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank
+  FROM (SELECT * FROM bm ORDER BY bm25 DESC, doc_id LIMIT 20)
+),
+vrank AS (
+  SELECT doc_id, row_number() OVER (ORDER BY tfidf DESC, doc_id) AS vsm_rank
+  FROM (SELECT * FROM vsm ORDER BY tfidf DESC, doc_id LIMIT 20)
+),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+knn AS (
+  SELECT e.vec_id, round({_sql_l2sq('e.embedding', 'q.qe')}, 4) AS dist
+  FROM embeddings e CROSS JOIN q
+  ORDER BY dist, vec_id LIMIT 20
+),
+sem AS (SELECT vec_id, row_number() OVER (ORDER BY dist, vec_id) AS sem_rank FROM knn),
+fused AS (
+  SELECT coalesce(lex.doc_id, vrank.doc_id, sem.vec_id) AS doc_id,
+         coalesce(1.0 / (60 + lex_rank), 0)
+         + coalesce(1.0 / (60 + vsm_rank), 0)
+         + coalesce(1.0 / (60 + sem_rank), 0) AS rrf
+  FROM lex
+  FULL OUTER JOIN vrank ON lex.doc_id = vrank.doc_id
+  FULL OUTER JOIN sem ON coalesce(lex.doc_id, vrank.doc_id) = sem.vec_id
+)
+SELECT doc_id, round(rrf, 6) AS rrf FROM fused ORDER BY rrf DESC, doc_id LIMIT 10
+"""
+
+
+@register("search_tfidf", _SEARCH_TFIDF_ORACLE)
+def search_tfidf_q(spark, sf_dir):
+    """Vector-space TF-IDF top-10 for the same 3-term query BM25 serves
+    — SMART "ltn" weighting (log tf, smoothed always-positive idf,
+    sqrt-length damping). Same scale shape as BM25: only query-term
+    hits explode, df broadcasts back, corpus stats are one 1-row agg.
+    Both engines rank the ROUNDED score."""
+    from vector_database_in_rust_spark.operators.search import tfidf_scores
+
+    return tfidf_scores(_docs(spark, sf_dir), list(_BM25_TERMS), top_n=10)
+
+
+@register("search_hybrid_rrf3", _SEARCH_HYBRID3_ORACLE)
+def search_hybrid_rrf3_q(spark, sf_dir):
+    """Three-lane RRF: BM25 + TF-IDF + exact kNN, fused by
+    1/(60+rank) over three 20-row rank lists. The two extra fusion
+    joins move 60 rows total regardless of corpus size — adding a
+    lane costs one corpus scan, not a new shuffle of the corpus."""
+    from vector_database_in_rust_spark.operators.search import (
+        hybrid_search_rrf3,
+    )
+
+    return hybrid_search_rrf3(
+        _docs(spark, sf_dir),
+        _emb(spark, sf_dir),
+        list(_BM25_TERMS),
+        _query_vec(spark, sf_dir, 0),
+        k=10,
+        depth=20,
+    )
+
+
+# Unigram LM quality scoring: train-on-corpus perplexity gate.
+_LM_SCORE_ORACLE = f"""
+WITH tok AS (SELECT doc_id, unnest({_SQL_TOKS}) AS token FROM documents),
+vocab AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+total AS (SELECT count(*) AS tt FROM tok)
+SELECT doc_id, count(*) AS n_tokens,
+       round(sum(ln(c * 1.0 / tt)) / count(*), 6) AS avg_logprob
+FROM tok JOIN vocab USING (token) CROSS JOIN total
+GROUP BY doc_id
+"""
+
+
+@register("lm_score", _LM_SCORE_ORACLE)
+def lm_score_q(spark, sf_dir):
+    """Unigram-LM (perplexity-style) quality scoring: token counts form
+    the LM in one word-count pass, every doc token joins its corpus
+    log-prob, per-doc mean log-prob comes out of a map-side partial
+    agg. The CCNet/KenLM quality gate reduced to its unigram form —
+    trained and applied in a single Catalyst DAG, no model artifact."""
+    from vector_database_in_rust_spark.operators.textstats import (
+        unigram_lm_scores,
+    )
+
+    return unigram_lm_scores(_docs(spark, sf_dir))
+
+
+# Inverted index materialization: the lexical index as a DataFrame.
+_INVIDX_ORACLE = f"""
+WITH tok AS (SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents),
+tf AS (SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY term, doc_id),
+idx AS (
+  SELECT term, count(*) AS df, cast(sum(tf) AS BIGINT) AS cf,
+         md5(string_agg(doc_id || ':' || tf, ' ' ORDER BY doc_id)) AS posting_md5
+  FROM tf GROUP BY term
+)
+SELECT term, df, cf, posting_md5 FROM idx ORDER BY cf DESC, term LIMIT 100
+"""
+
+
+@register("inverted_index", _INVIDX_ORACLE)
+def inverted_index_q(spark, sf_dir):
+    """Materialized inverted index, top-100 terms by collection
+    frequency: (term, df, cf, md5 of the doc_id:tf posting list sorted
+    by doc_id). The digest makes variable-length posting lists
+    hash-checkable; both shuffles are token-count-shaped with map-side
+    combine."""
+    from vector_database_in_rust_spark.operators.search import (
+        build_inverted_index,
+    )
+
+    return build_inverted_index(_docs(spark, sf_dir), top_terms=100)
+
+
 # Streaming at-least-once repair: the events file is staged TWICE
 # (simulated duplicate delivery); row-level streaming dedup on event_id
 # must reconstruct EXACTLY the original table — full-row hash check.

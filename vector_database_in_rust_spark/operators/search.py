@@ -75,6 +75,130 @@ def bm25_scores(
     )
 
 
+def tfidf_scores(
+    docs: DataFrame,
+    query_terms: list[str],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_n: int = 10,
+) -> DataFrame:
+    """Vector-space TF-IDF top-N for a bag of query terms — the third
+    lexical lane next to BM25 (SMART "ltn" weighting with doc-length
+    damping): score(d) = sum_t (1 + ln(tf)) * (ln((1+N)/(1+df)) + 1)
+    / sqrt(dl). The smoothed idf (sklearn's smooth_idf form) is always
+    positive; sqrt-of-length damping approximates cosine normalization
+    without materializing the full-vocabulary weight vector per doc
+    (which would force tokenizing ALL terms, not just query hits).
+
+    Same scale shape as :func:`bm25_scores`: only query-term hits are
+    exploded (|docs| x |query| worst case), df aggregates into a
+    query-sized broadcast, corpus length stats are one 1-row aggregate,
+    everything stays in whole-stage codegen.
+    """
+    toks = F.split(F.col(text_col), " ")
+    base = docs.select(
+        F.col(id_col),
+        F.size(toks).alias("dl"),
+        F.filter(toks, lambda t: t.isin(*query_terms)).alias("_hits"),
+    )
+    n = base.count()
+
+    tf = (
+        base.select(id_col, "dl", F.explode("_hits").alias("term"))
+        .groupBy(id_col, "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log((1.0 + float(n)) / (1.0 + F.col("df"))) + 1.0
+    term_score = (1.0 + F.log(F.col("tf"))) * idf / F.sqrt(F.col("dl"))
+    return (
+        tf.join(F.broadcast(df_), on="term")
+        .groupBy(id_col)
+        .agg(F.round(F.sum(term_score), 4).alias("tfidf"))
+        .orderBy(F.col("tfidf").desc(), id_col)
+        .limit(top_n)
+    )
+
+
+def hybrid_search_rrf3(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    query_terms: list[str],
+    query_vec: list[float],
+    *,
+    k: int = 10,
+    depth: int = 20,
+    rrf_k: int = 60,
+    doc_id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    text_col: str = "text",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Three-lane reciprocal-rank fusion: BM25 + TF-IDF + exact kNN.
+
+    Same RRF contract as :func:`hybrid_search_rrf` extended to three
+    rankers — the standard ensemble shape when a probabilistic ranker
+    (BM25), a vector-space ranker (TF-IDF) and a semantic ranker
+    disagree on the tail. Each rank list is ``depth`` rows, so the
+    two fusion joins move 3 x ``depth`` rows total regardless of
+    corpus size; the corpus itself is scanned once per lane and never
+    re-read by the fusion.
+    """
+    from pyspark.sql import Window
+
+    from vector_database_in_rust_spark.operators.knn import knn_exact
+
+    lex = bm25_scores(
+        docs, query_terms, id_col=doc_id_col, text_col=text_col, top_n=depth
+    ).withColumn(
+        "lex_rank",
+        F.row_number().over(
+            Window.orderBy(F.col("bm25").desc(), F.col(doc_id_col))
+        ),
+    )
+    vsm = tfidf_scores(
+        docs, query_terms, id_col=doc_id_col, text_col=text_col, top_n=depth
+    ).withColumn(
+        "vsm_rank",
+        F.row_number().over(
+            Window.orderBy(F.col("tfidf").desc(), F.col(doc_id_col))
+        ),
+    )
+    sem = knn_exact(
+        embeddings, query_vec, depth, id_col=vec_id_col, vec_col=vec_col
+    ).withColumn(
+        "sem_rank",
+        F.row_number().over(Window.orderBy(F.col("dist"), F.col(vec_id_col))),
+    )
+    fused = (
+        lex.select(F.col(doc_id_col).alias("_id"), "lex_rank")
+        .join(
+            vsm.select(F.col(doc_id_col).alias("_id"), "vsm_rank"),
+            on="_id",
+            how="full_outer",
+        )
+        .join(
+            sem.select(F.col(vec_id_col).alias("_id"), "sem_rank"),
+            on="_id",
+            how="full_outer",
+        )
+    )
+    contrib = (
+        F.coalesce(1.0 / (F.lit(rrf_k) + F.col("lex_rank")), F.lit(0.0))
+        + F.coalesce(1.0 / (F.lit(rrf_k) + F.col("vsm_rank")), F.lit(0.0))
+        + F.coalesce(1.0 / (F.lit(rrf_k) + F.col("sem_rank")), F.lit(0.0))
+    )
+    return (
+        fused.select(
+            F.col("_id").alias(doc_id_col),
+            F.round(contrib, 6).alias("rrf"),
+        )
+        .orderBy(F.col("rrf").desc(), doc_id_col)
+        .limit(k)
+    )
+
+
 def hybrid_search_rrf(
     docs: DataFrame,
     embeddings: DataFrame,
@@ -136,6 +260,53 @@ def hybrid_search_rrf(
         .orderBy(F.col("rrf").desc(), doc_id_col)
         .limit(k)
     )
+
+
+def build_inverted_index(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_terms: int | None = None,
+) -> DataFrame:
+    """Materialize the lexical inverted index as a DataFrame — the
+    artifact BM25/TF-IDF implicitly recompute per query, built once so
+    repeated retrieval amortizes the tokenization pass:
+
+    ``(term, df, cf, posting_md5)`` where df = document frequency,
+    cf = collection frequency, and posting_md5 digests the full
+    ``doc_id:tf`` posting list sorted by doc_id (the digest makes a
+    variable-length list hash-checkable; a production sink would keep
+    the list column itself).
+
+    Scale shape: explode -> (term, doc) partial-agg -> per-term agg.
+    Both shuffles are token-count-shaped with map-side combine; the
+    posting list concentrates per term, so a degenerate stop-word term
+    concentrates its postings on one reducer — cap with ``top_terms``
+    or pre-filter a stop list if the term distribution is Zipfian and
+    the full lists (not digests) are materialized.
+    """
+    toks = F.split(F.col(text_col), " ")
+    tf = (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    posting = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("doc_id", "tf"))),
+            lambda s: F.concat_ws(":", s["doc_id"], s["tf"]),
+        ),
+        " ",
+    )
+    out = tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("tf").alias("cf"),
+        F.md5(posting).alias("posting_md5"),
+    )
+    if top_terms is not None:
+        out = out.orderBy(F.col("cf").desc(), "term").limit(top_terms)
+    return out
 
 
 MMR_SCHEMA = (

@@ -215,6 +215,49 @@ def redact_pii(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text
     )
 
 
+def unigram_lm_scores(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Unigram language-model scoring — the KenLM-style perplexity
+    quality filter (CCNet, Wenzek et al. 2020) reduced to its unigram
+    form, trained on the corpus itself in the same pass that scores it:
+
+    1. token counts (word-count shuffle, map-side combine) -> the LM;
+    2. every doc token joins its corpus probability ln(c / T);
+    3. per-doc mean token log-prob = sum(ln p) / n_tokens.
+
+    Docs far below the corpus-mean log-prob are gibberish / boilerplate
+    candidates — the standard perplexity gate, with the model a
+    DataFrame instead of a binary artifact. Scale shape: both sides of
+    the token join are token-count-shaped relations keyed by token
+    (AQE broadcasts the vocab side when it fits — vocabularies are
+    ~1e7 rows even at web scale); the per-doc reduce is a map-side
+    partial agg. No Python in the path.
+
+    No OOV smoothing is needed when scoring the training corpus (every
+    token has c >= 1); scoring an external corpus against this LM would
+    add a coalesce(logp, ln(1/(T+V))) floor on the join.
+    """
+    toks = tokens(F.col(text_col))
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(toks).alias("token")
+    )
+    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    # T from a shuffle-free corpus pass (sum of per-row lengths), NOT by
+    # re-aggregating `vocab` — that would tokenize the corpus a second
+    # time through the groupBy just to produce one number.
+    total = docs.select(F.sum(F.size(toks))).first()[0]
+    logp = F.log(F.col("c") / F.lit(float(total)))
+    return (
+        tok.join(vocab, on="token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.sum(logp) / F.count(F.lit(1)), 6).alias("avg_logprob"),
+        )
+    )
+
+
 def normalize_text(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Canonical text normalization (the first stage of every dedup/
     quality pipeline): lowercase -> non-alphanumerics to spaces ->
