@@ -505,3 +505,33 @@ def test_pagerank_mass_conserved(spark):
     )
     total = sum(r["rank"] for r in dedup.pagerank(pairs).collect())
     assert abs(total - 1.0) < 1e-4
+
+
+def test_duplicated_span_stats_constructed(spark):
+    """Hand-checkable corpus for the substring detector: a block copied
+    across docs, a within-doc repeat, a unique doc, and a doc shorter
+    than the gram length (must surface with zero grams, not vanish)."""
+    block = " ".join(f"w{i}" for i in range(8))  # exactly one 8-gram
+    uniq = " ".join(f"u{i}" for i in range(10))  # 3 grams, all unique
+    rows = [
+        (0, block),                # copied to doc 1 -> its 1 gram is dup
+        (1, block),
+        (2, block + " " + block),  # 9 grams; within+cross dups
+        (3, uniq),
+        (4, "too short"),          # < 8 tokens -> 0 grams
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in dedup.duplicated_span_stats(
+            spark.createDataFrame(rows, "doc_id long, text string"), n=8
+        ).collect()
+    }
+    assert out[0]["n_grams"] == 1 and out[0]["n_dup_grams"] == 1
+    assert out[1]["dup_frac"] == 1.0
+    # doc 2: 16 tokens -> 9 grams. Every gram of doc 2 contains the
+    # wrap-around except positions 1 and 9 (the block itself, dup'd via
+    # docs 0/1 AND its own repeat); the 7 wrap grams are unique.
+    assert out[2]["n_grams"] == 9
+    assert out[2]["n_dup_grams"] == 2
+    assert out[3]["n_dup_grams"] == 0 and out[3]["n_grams"] == 3
+    assert out[4]["n_grams"] == 0 and out[4]["dup_frac"] == 0.0

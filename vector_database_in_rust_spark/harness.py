@@ -3284,6 +3284,46 @@ def inverted_index_q(spark, sf_dir):
     return build_inverted_index(_docs(spark, sf_dir), top_terms=100)
 
 
+# Exact duplicated-substring stats (token-8-gram approximation of
+# suffix-array substring dedup).
+_DUP_SPAN_ORACLE = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+g AS (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 7),
+                 i -> array_to_string(w[i:i+7], ' '))) AS gram
+  FROM t WHERE len(w) >= 8
+),
+pd AS (SELECT doc_id, gram, count(*) AS c_dg FROM g GROUP BY doc_id, gram),
+tot AS (SELECT gram, sum(c_dg) AS c_g FROM pd GROUP BY gram),
+dup AS (
+  SELECT doc_id, cast(sum(c_dg) AS BIGINT) AS n_grams,
+         cast(sum(CASE WHEN c_g >= 2 THEN c_dg ELSE 0 END) AS BIGINT)
+           AS n_dup_grams
+  FROM pd JOIN tot USING (gram) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(n_grams, 0) AS n_grams,
+       coalesce(n_dup_grams, 0) AS n_dup_grams,
+       round(coalesce(n_dup_grams * 1.0 / n_grams, 0.0), 6) AS dup_frac
+FROM documents d LEFT JOIN dup USING (doc_id)
+"""
+
+
+@register("dedup_substring", _DUP_SPAN_ORACLE)
+def dedup_substring_q(spark, sf_dir):
+    """Duplicated-substring fractions via exact token-8-gram counting —
+    the distributed stand-in for suffix-array substring dedup (Lee et
+    al. 2022): a position is duplicated when its 8-gram occurs >= 2
+    times corpus-wide (across docs or within one). Per-(doc, gram)
+    counts partial-aggregate map-side; the verdict join moves one row
+    per DISTINCT gram per doc, not per position."""
+    from vector_database_in_rust_spark.operators.dedup import (
+        duplicated_span_stats,
+    )
+
+    return duplicated_span_stats(_docs(spark, sf_dir), n=8)
+
+
 # Streaming at-least-once repair: the events file is staged TWICE
 # (simulated duplicate delivery); row-level streaming dedup on event_id
 # must reconstruct EXACTLY the original table — full-row hash check.

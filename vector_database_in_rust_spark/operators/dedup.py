@@ -1267,3 +1267,61 @@ def pagerank(
             .localCheckpoint(eager=False)
         )
     return ranks.select("doc_id", F.round("rank", 6).alias("rank"))
+
+def duplicated_span_stats(
+    docs: DataFrame,
+    *,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact duplicated-substring statistics — the token-n-gram
+    approximation of suffix-array substring dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): a
+    token position is DUPLICATED when the n-gram starting there occurs
+    at least twice anywhere in the corpus (another doc or the same
+    one). Per doc: total n-gram positions, duplicated positions, and
+    the duplicated fraction — the signal pipelines threshold to drop
+    or trim boilerplate-heavy documents.
+
+    The suffix-array original is a single global sorted structure —
+    exactly what a shared-nothing cluster cannot hold; fixed-length
+    gram counting is the standard distributed reduction (same family
+    as MinHash shingling) and is exact for spans >= n tokens. Scale
+    shape: per-(doc, gram) counts partial-aggregate map-side; the
+    global per-gram total reuses those counts (token-count-shaped
+    shuffle keyed by gram); the verdict join is per-DISTINCT-gram per
+    doc, not per position. Short docs (< n tokens) surface with zero
+    grams via the left join back onto the corpus.
+    """
+    from vector_database_in_rust_spark.operators.textstats import _grams
+
+    toks = F.split(F.col(text_col), " ")
+    grams = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(_grams(toks, n)).alias("gram"),
+    )
+    per_doc = grams.groupBy("doc_id", "gram").agg(
+        F.count(F.lit(1)).alias("c_dg")
+    )
+    totals = per_doc.groupBy("gram").agg(F.sum("c_dg").alias("c_g"))
+    dup = (
+        per_doc.join(totals, on="gram")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c_dg").alias("n_grams"),
+            F.sum(F.when(F.col("c_g") >= 2, F.col("c_dg")).otherwise(0)).alias(
+                "n_dup_grams"
+            ),
+        )
+    )
+    return docs.select(F.col(id_col).alias("doc_id")).join(
+        dup, on="doc_id", how="left"
+    ).select(
+        "doc_id",
+        F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+        F.coalesce("n_dup_grams", F.lit(0)).alias("n_dup_grams"),
+        F.round(
+            F.coalesce(F.col("n_dup_grams") / F.col("n_grams"), F.lit(0.0)), 6
+        ).alias("dup_frac"),
+    )
