@@ -204,3 +204,22 @@ def test_events_anomalies_stats_broadcast_back(audits):
     assert "BroadcastHashJoin" in a.broadcast_joins
     # one exchange for the stats aggregation; none for the probe side
     assert a.n_shuffle_exchanges <= 1
+
+
+def test_bm25_corpus_stats_inside_dag(audits):
+    """The lexical lanes must carry corpus stats (N, avgdl) as a
+    broadcast 1-row aggregate INSIDE the single plan — a driver-side
+    .first()/.count() probe per query was the r03 scale caveat
+    (search.py): an extra full-scan action per query at 100 TB."""
+    a = audits("search_bm25")
+    # the avg(dl) aggregate appears in the same physical plan
+    assert "avg(" in a.formatted
+    assert a.broadcast_joins  # df_ and stats both broadcast back
+
+
+def test_tfidf_corpus_stats_inside_dag(audits):
+    a = audits("search_tfidf")
+    assert a.broadcast_joins
+    # stats subtree: a count(1) aggregate feeding a broadcast, not a
+    # literal folded in on the driver
+    assert "count(1)" in a.formatted

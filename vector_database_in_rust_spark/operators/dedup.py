@@ -535,14 +535,19 @@ def embedding_cosine_pairs(
     vec_col: str = "embedding",
     impl: str = "auto",
     max_exact_rows: int = MAX_EXACT_COSINE_ROWS,
+    known_count: int | None = None,
 ) -> DataFrame:
     """Embedding-space near-dup pairs: cosine >= threshold, doc_a < doc_b.
 
     ``impl="auto"`` (default) routes by corpus size: EXACT pairwise up
     to ``max_exact_rows`` rows, the bucketed LSH similarity join
     (``lsh_cosine_pairs``) above it — so no corpus-sized driver collect
-    is reachable from the default path at scale. The size probe is one
-    ``count()`` over the id column (metadata-cheap on parquet).
+    is reachable from the default path at scale. Callers that already
+    know the corpus size pass ``known_count`` and the probe job
+    disappears entirely (the r03->r02 bench regression on this operator
+    was exactly this extra ``count()`` action per call); otherwise the
+    probe is one ``count()`` over the id column (metadata-cheap on
+    parquet).
 
     Exact implementations behind one contract (SURVEY §2.2's "UDFs are
     the fallback, measure first" policy, resolved by measurement here):
@@ -562,7 +567,7 @@ def embedding_cosine_pairs(
     (src/lib.rs:43-45): zero vectors normalize to zero -> dot 0.
     """
     if impl == "auto":
-        n = emb.select(id_col).count()
+        n = known_count if known_count is not None else emb.select(id_col).count()
         if n > max_exact_rows:
             logger.info(
                 "embedding_cosine_pairs: %d rows > %d — routing to "

@@ -49,10 +49,14 @@ def bm25_scores(
         F.size(toks).alias("dl"),
         F.filter(toks, lambda t: t.isin(*query_terms)).alias("_hits"),
     )
+    # Corpus stats (N, avgdl) stay IN the DAG as a broadcast 1-row
+    # aggregate — a `.first()` here would be an extra full scan action
+    # per query on the driver (the same pattern events_anomalies
+    # broadcasts its stats; pinned in tests/test_plans.py).
     stats = base.agg(
-        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
-    ).first()
-    n, avgdl = stats["n"], stats["avgdl"]
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.avg("dl").alias("_avgdl"),
+    )
 
     tf = (
         base.select(id_col, "dl", F.explode("_hits").alias("term"))
@@ -60,14 +64,15 @@ def bm25_scores(
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    idf = F.log((F.lit(float(n)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    idf = F.log((F.col("_n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
     term_score = idf * (
         F.col("tf")
         * (k1 + 1.0)
-        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(float(avgdl))))
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("_avgdl")))
     )
     return (
         tf.join(F.broadcast(df_), on="term")
+        .join(F.broadcast(stats))
         .groupBy(id_col)
         .agg(F.round(F.sum(term_score), 4).alias("bm25"))
         .orderBy(F.col("bm25").desc(), id_col)
@@ -102,7 +107,9 @@ def tfidf_scores(
         F.size(toks).alias("dl"),
         F.filter(toks, lambda t: t.isin(*query_terms)).alias("_hits"),
     )
-    n = base.count()
+    # N folded into the DAG as a broadcast 1-row aggregate, not a
+    # driver-side count() action — see bm25_scores.
+    stats = base.agg(F.count(F.lit(1)).cast("double").alias("_n"))
 
     tf = (
         base.select(id_col, "dl", F.explode("_hits").alias("term"))
@@ -110,10 +117,11 @@ def tfidf_scores(
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    idf = F.log((1.0 + float(n)) / (1.0 + F.col("df"))) + 1.0
+    idf = F.log((1.0 + F.col("_n")) / (1.0 + F.col("df"))) + 1.0
     term_score = (1.0 + F.log(F.col("tf"))) * idf / F.sqrt(F.col("dl"))
     return (
         tf.join(F.broadcast(df_), on="term")
+        .join(F.broadcast(stats))
         .groupBy(id_col)
         .agg(F.round(F.sum(term_score), 4).alias("tfidf"))
         .orderBy(F.col("tfidf").desc(), id_col)

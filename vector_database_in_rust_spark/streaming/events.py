@@ -20,25 +20,33 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from vector_database_in_rust_spark.schemas import TABLE_NAMES  # noqa: F401  (package coherence)
-
-EVENTS_DDL = (
-    "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, "
-    "value DOUBLE, props STRING"
+from vector_database_in_rust_spark.sources.tables import (
+    canonicalize_timestamps,
+    configure_reader,
 )
 
 
 def read_events_stream(
     spark: SparkSession, path: str, *, max_files_per_trigger: int = 1
 ) -> DataFrame:
-    """File-source stream over driver-format events parquet (nanosecond
-    timestamps read as int64, converted exactly like the batch loader)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    """File-source stream over driver-format events parquet.
+
+    The file source needs an explicit schema; rather than hard-coding one
+    timestamp representation (the bug class that broke when the driver
+    switched TIMESTAMP(NANOS) -> timestamp[us]), infer the ACTUAL schema
+    from the files already present with a zero-row batch read, then
+    normalize through the same ``canonicalize_timestamps`` contract as
+    the batch loader. One code path for every encoding; the batch/stream
+    equivalence is pinned in tests/test_loader_contract.py.
+    """
+    configure_reader(spark)
+    schema = spark.read.parquet(path).schema
     raw = (
-        spark.readStream.schema(EVENTS_DDL)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(path)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return canonicalize_timestamps(raw)
 
 
 def hourly_rollup_stream(
