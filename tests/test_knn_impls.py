@@ -45,3 +45,94 @@ def test_pandas_impl_k_larger_than_corpus(spark, emb, queries):
     for q, v, d in got:
         per_q.setdefault(q, []).append(v)
     assert all(len(vs) == 5 for vs in per_q.values())
+
+
+# ---------------------------------------------------------------------------
+# Binary quantization + funnel retrieval (round 4)
+# ---------------------------------------------------------------------------
+
+
+def _qvec(emb, vec_id=0):
+    row = emb.filter(F.col("vec_id") == vec_id).select("embedding").first()
+    return [float(x) for x in row["embedding"]]
+
+
+def test_sign_pack_matches_numpy(spark, emb):
+    """Packed words must equal a straightforward numpy sign-pack for
+    every vector — bit j of word w iff v[w*32+j] > 0."""
+    import numpy as np
+
+    from vector_database_in_rust_spark.functions.vectors import sign_pack_words
+
+    rows = (
+        emb.select("vec_id", sign_pack_words(F.col("embedding")).alias("w"),
+                   "embedding")
+        .orderBy("vec_id")
+        .limit(64)
+        .collect()
+    )
+    for r in rows:
+        v = np.array(r["embedding"], dtype=np.float64)
+        want = [0, 0]
+        for i, x in enumerate(v):
+            if x > 0:
+                want[i // 32] |= 1 << (i % 32)
+        assert list(r["w"]) == want, r["vec_id"]
+
+
+def test_hamming_self_query_is_zero(spark, emb):
+    from vector_database_in_rust_spark.operators.knn import knn_hamming
+
+    q = _qvec(emb, 7)
+    top = knn_hamming(emb, q, 5).collect()
+    assert top[0]["vec_id"] == 7
+    assert top[0]["hamming"] == 0
+    hams = [r["hamming"] for r in top]
+    assert hams == sorted(hams)
+
+
+def test_hamming_equals_sign_disagreements(spark, emb):
+    """bit_count(xor(packed)) must equal the per-dimension sign
+    disagreement count computed directly on the floats."""
+    import numpy as np
+
+    from vector_database_in_rust_spark.operators.knn import knn_hamming
+
+    q = np.array(_qvec(emb, 0), dtype=np.float64)
+    got = {
+        r["vec_id"]: r["hamming"]
+        for r in knn_hamming(emb, list(q), 20).collect()
+    }
+    mats = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in emb.filter(F.col("vec_id").isin(list(got))).collect()
+    }
+    for vid, ham in got.items():
+        want = int(((mats[vid] > 0) != (q > 0)).sum())
+        assert ham == want, vid
+
+
+def test_funnel_recall_vs_exact(spark, emb):
+    """With refine_factor=4 on this corpus the funnel must recover most
+    of the true top-10 (the prefix carries half the dimensions); at
+    refine covering the whole corpus it must recover it exactly."""
+    from vector_database_in_rust_spark.operators.knn import knn_exact, knn_funnel
+
+    q = _qvec(emb, 0)
+    exact = {r["vec_id"] for r in knn_exact(emb, q, 10).collect()}
+    funnel = {r["vec_id"] for r in knn_funnel(emb, q, 10).collect()}
+    assert len(exact & funnel) / 10 >= 0.5
+    n = emb.count()
+    full = knn_funnel(emb, q, 10, refine_factor=(n // 10) + 1).collect()
+    assert {r["vec_id"] for r in full} == exact
+    # full-refine distances equal the exact path's, row for row
+    exact_rows = [(r["vec_id"], r["dist"]) for r in knn_exact(emb, q, 10).collect()]
+    assert [(r["vec_id"], r["dist"]) for r in full] == exact_rows
+
+
+def test_funnel_self_query_first(spark, emb):
+    from vector_database_in_rust_spark.operators.knn import knn_funnel
+
+    q = _qvec(emb, 3)
+    top = knn_funnel(emb, q, 5).collect()
+    assert top[0]["vec_id"] == 3 and top[0]["dist"] == 0.0

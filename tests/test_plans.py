@@ -223,3 +223,22 @@ def test_tfidf_corpus_stats_inside_dag(audits):
     # stats subtree: a count(1) aggregate feeding a broadcast, not a
     # literal folded in on the driver
     assert "count(1)" in a.formatted
+
+
+def test_knn_hamming_take_ordered_no_shuffle(audits):
+    """Compressed-domain scan must keep the exact path's shape: packing
+    + popcount fold inside the scan stage, TakeOrderedAndProject on
+    top, zero shuffle — a full-corpus candidate pass that moves k rows."""
+    a = audits("knn_hamming")
+    assert a.has_take_ordered
+    assert a.n_shuffle_exchanges == 0
+    assert a.n_broadcast_exchanges == 0
+
+
+def test_knn_funnel_broadcasts_candidates(audits):
+    """Funnel stage 2: the k*refine candidate ids broadcast back onto
+    the corpus (BroadcastHashJoin); the corpus itself never shuffles."""
+    a = audits("knn_funnel")
+    assert "BroadcastHashJoin" in a.broadcast_joins
+    assert a.n_shuffle_exchanges == 0
+    assert a.has_take_ordered

@@ -94,3 +94,61 @@ def sq8_dequantize(codes: Column, scale: Column) -> Column:
     return F.transform(
         codes, lambda c: c.cast("double") * scale / F.lit(127.0)
     )
+
+
+WORD_BITS = 32
+
+
+def sign_pack_words(a: Column) -> Column:
+    """Binary quantization: pack the SIGN of each dimension into 32-bit
+    words — ``ARRAY<BIGINT>`` of ``ceil(dim/32)`` words, bit ``j`` of
+    word ``w`` set iff ``v[w*32+j] > 0``. One bit per dimension is the
+    strongest compression a float column admits (256x vs float64 math,
+    32x vs the raw float32 store) and the modern vector-db fast path
+    (binary quantization in Qdrant/Weaviate/Milvus; rank order under
+    Hamming distance approximates angular order, Charikar 2002).
+
+    32-bit words (not 64) keep every word value exact, positive, and
+    engine-portable inside a BIGINT: no sign-bit ambiguity, and
+    ``pow(2, j)`` stays integral in an IEEE double, so the SAME
+    arithmetic is expressible in the DuckDB oracle. Pure Catalyst —
+    codegen'd, no UDF."""
+    wb = F.lit(WORD_BITS)
+    bits = F.zip_with(
+        a.cast(_D),
+        F.sequence(F.lit(0), F.size(a) - 1),
+        lambda x, i: F.when(
+            x > 0, F.pow(F.lit(2.0), F.pmod(i, wb)).cast("long")
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    n_words = F.ceil(F.size(a) / WORD_BITS).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), n_words - 1),
+        lambda w: F.aggregate(
+            F.slice(bits, w * WORD_BITS + 1, WORD_BITS),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ),
+    )
+
+
+def hamming_distance(a_words: Column, b_words: Column) -> Column:
+    """Hamming distance between two sign-packed word arrays:
+    popcount(xor) per word, summed — `bit_count` and `^` are JVM
+    intrinsics, so a full-corpus Hamming scan is bandwidth-bound, not
+    compute-bound."""
+    return F.aggregate(
+        F.zip_with(a_words, b_words, lambda x, y: F.bit_count(x.bitwiseXOR(y))),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def sign_pack_literal(vec: Sequence[float]) -> Column:
+    """Driver-side sign-pack of a query vector into the same word layout
+    as :func:`sign_pack_words`, embedded as a plan literal."""
+    words = [0] * ((len(vec) + WORD_BITS - 1) // WORD_BITS)
+    for i, x in enumerate(vec):
+        if float(x) > 0:
+            words[i // WORD_BITS] |= 1 << (i % WORD_BITS)
+    return F.array(*[F.lit(w).cast("long") for w in words])

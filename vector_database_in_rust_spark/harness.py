@@ -3996,6 +3996,108 @@ def redact_pii_q(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Binary quantization (sign-bit codes + Hamming search) and Matryoshka
+# funnel retrieval — round-4 compressed-serving surface.
+# ---------------------------------------------------------------------------
+
+# Sign-pack per 32-bit word with the SAME arithmetic in both dialects:
+# bit j of word w set iff embedding[w*32 + j] > 0 (1-based SQL slicing;
+# DuckDB's (x, i) lambda index is 1-based).
+_SQL_BQ_WORD = (
+    "cast(coalesce(list_sum(list_transform(embedding[{lo}:{hi}], "
+    "(x, i) -> CASE WHEN x > 0 THEN (1::BIGINT << (i - 1)) "
+    "ELSE 0 END)), 0) AS BIGINT)"
+)
+
+_BQ_ORACLE = f"""
+SELECT vec_id,
+       {_SQL_BQ_WORD.format(lo=1, hi=32)} AS word_lo,
+       {_SQL_BQ_WORD.format(lo=33, hi=64)} AS word_hi
+FROM embeddings
+"""
+
+
+@register("embedding_bq", _BQ_ORACLE)
+def embedding_bq_q(spark, sf_dir):
+    """Binary-quantization codec: every vector's sign bits packed into
+    32-bit words (functions/vectors.sign_pack_words — pure Catalyst,
+    1 bit/dim = a 32x smaller companion column for the float32 store).
+    Both words of every code are hash-checked against the identical
+    shift-and-sum arithmetic in DuckDB."""
+    from vector_database_in_rust_spark.functions.vectors import sign_pack_words
+
+    words = sign_pack_words(F.col("embedding"))
+    return _emb(spark, sf_dir).select(
+        "vec_id",
+        F.element_at(words, 1).alias("word_lo"),
+        F.element_at(words, 2).alias("word_hi"),
+    )
+
+
+_KNN_HAMMING_K = 10
+
+_KNN_HAMMING_ORACLE = f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id,
+       cast(len(list_filter(list_zip(e.embedding, q.qe),
+            z -> (z[1] > 0) <> (z[2] > 0))) AS BIGINT) AS hamming
+FROM embeddings e CROSS JOIN q
+ORDER BY hamming, vec_id LIMIT {_KNN_HAMMING_K}
+"""
+
+
+@register("knn_hamming", _KNN_HAMMING_ORACLE)
+def knn_hamming_q(spark, sf_dir):
+    """Top-k by Hamming distance over the binary-quantized codes
+    (operators/knn.knn_hamming): popcount(xor) per 32-bit word +
+    TakeOrderedAndProject — the compressed-domain candidate scan that
+    fronts an exact re-rank at scale. The oracle computes the same
+    distance straight from the float signs (no packing), so the check
+    proves pack + popcount == per-dimension sign disagreement exactly.
+    Self-query invariant: vec 0 at hamming 0 first."""
+    return knn_ops.knn_hamming(
+        _emb(spark, sf_dir), _query_vec(spark, sf_dir), _KNN_HAMMING_K
+    )
+
+
+_FUNNEL_K = 10
+_FUNNEL_REFINE = 4
+_FUNNEL_PREFIX = 16
+
+_KNN_FUNNEL_ORACLE = f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+cand AS (
+  SELECT e.vec_id,
+         round({_sql_l2sq('e.embedding[1:16]', 'q.qe[1:16]')}, 4) AS d_prefix
+  FROM embeddings e CROSS JOIN q
+  ORDER BY d_prefix, vec_id LIMIT {_FUNNEL_K * _FUNNEL_REFINE}
+)
+SELECT e.vec_id, round({_sql_l2sq('e.embedding', 'q.qe')}, 4) AS dist
+FROM embeddings e JOIN cand USING (vec_id) CROSS JOIN q
+ORDER BY dist, vec_id LIMIT {_FUNNEL_K}
+"""
+
+
+@register("knn_funnel", _KNN_FUNNEL_ORACLE)
+def knn_funnel_q(spark, sf_dir):
+    """Matryoshka funnel retrieval (operators/knn.knn_funnel): coarse
+    rank on the first 16 dims (zero-shuffle TakeOrdered), exact
+    re-rank of k*4 candidates via a broadcast semi-join. Both stages
+    are deterministic ((dist, vec_id) ties on rounded distances), so
+    the full funnel — including which candidates survive stage 1 — is
+    hash-checked against the identical two-stage SQL. Recall vs the
+    unfunneled exact top-k is pinned separately in
+    tests/test_knn_impls.py."""
+    return knn_ops.knn_funnel(
+        _emb(spark, sf_dir),
+        _query_vec(spark, sf_dir),
+        _FUNNEL_K,
+        prefix_dim=_FUNNEL_PREFIX,
+        refine_factor=_FUNNEL_REFINE,
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver verification-window rotation (round 4, stated openly in NOTES_r3.md)
 #
 # The correctness driver hashes only the FIRST 50 registered queries in
@@ -4062,14 +4164,18 @@ _ROUND4_WINDOW = [
     "pack_sequences",
     "pack_bin_manifest",
     "chunk_documents",
-    # sources / sinks / versioned store
+    # sources / sinks / versioned store (representatives; the remaining
+    # format roundtrips — json/orc/csv_vector — are displaced to the
+    # round-5 window by the three new round-4 operators below and stay
+    # covered by the pytest parity mirror meanwhile)
     "csv_roundtrip",
-    "json_roundtrip",
-    "orc_roundtrip",
     "json_quarantine",
-    "csv_vector_roundtrip",
     "store_versions",
     "store_diff",
+    # round-4 additions: binary quantization + funnel retrieval
+    "embedding_bq",
+    "knn_hamming",
+    "knn_funnel",
 ]
 
 

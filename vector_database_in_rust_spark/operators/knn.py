@@ -266,3 +266,95 @@ def _knn_batch_pandas(
         .drop("_r")
         .orderBy("query_id", "dist", "vec_id")
     )
+
+
+def knn_hamming(
+    corpus: DataFrame,
+    query: Sequence[float],
+    k: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k by HAMMING distance over binary-quantized (sign-bit)
+    codes — the compressed-domain twin of :func:`knn_exact`.
+
+    The corpus packs to 1 bit/dimension in-plan (``sign_pack_words``;
+    in production the packed column is materialized once next to the
+    embeddings, 32x smaller than the float32 store, and this scan reads
+    ONLY the codes). The query packs driver-side into a plan literal.
+    ``bit_count(xor)`` per word + ``orderBy().limit(k)`` compiles to
+    the same zero-shuffle TakeOrderedAndProject as the exact path —
+    a full-corpus candidate scan at memory bandwidth, the standard
+    first stage in front of an exact re-rank (see ``knn_funnel`` for
+    the funnel composition).
+
+    Deterministic: ties break on (hamming, vec_id). Returns
+    ``(vec_id, hamming)`` ascending.
+    """
+    from vector_database_in_rust_spark.functions.vectors import (
+        hamming_distance,
+        sign_pack_literal,
+        sign_pack_words,
+    )
+
+    q_words = sign_pack_literal(query)
+    ham = hamming_distance(sign_pack_words(F.col(vec_col)), q_words)
+    return (
+        corpus.select(F.col(id_col).alias("vec_id"), ham.alias("hamming"))
+        .orderBy("hamming", "vec_id")
+        .limit(k)
+    )
+
+
+def knn_funnel(
+    corpus: DataFrame,
+    query: Sequence[float],
+    k: int,
+    *,
+    prefix_dim: int = 16,
+    refine_factor: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Matryoshka-style funnel retrieval: rank cheaply on the FIRST
+    ``prefix_dim`` dimensions, keep ``k * refine_factor`` candidates,
+    re-rank exactly on the full vector (MRL — Kusupati et al. 2022:
+    embedding models trained so prefixes are themselves valid coarse
+    embeddings; funnel retrieval is its standard serving shape).
+
+    Scale shape: stage 1 is a zero-shuffle TakeOrderedAndProject over
+    the prefix slice (at scale the prefix lives as its own 4x-smaller
+    materialized column/table, so the coarse scan reads prefix bytes
+    only); stage 2 broadcasts the tiny candidate id set back onto the
+    corpus — a broadcast semi-join + exact re-rank over
+    ``k * refine_factor`` rows. The corpus never shuffles in either
+    stage.
+
+    Deterministic at both stages ((dist, vec_id) ties), so the funnel
+    is exactly SQL-reproducible; whether it RECALLS the true top-k
+    depends on prefix informativeness (the MRL training contract),
+    pinned separately by a recall bar in tests.
+    """
+    q = [float(x) for x in query]
+    q_prefix = query_vector_literal(q[:prefix_dim])
+    d16 = F.round(
+        l2_squared(F.slice(F.col(vec_col), 1, prefix_dim), q_prefix),
+        round_digits,
+    )
+    candidates = (
+        corpus.select(F.col(id_col).alias("_cand_id"), d16.alias("d_prefix"))
+        .orderBy("d_prefix", "_cand_id")
+        .limit(k * refine_factor)
+        .select("_cand_id")
+    )
+    d_full = F.round(l2_squared(F.col(vec_col), query_vector_literal(q)), round_digits)
+    return (
+        corpus.join(
+            F.broadcast(candidates), on=F.col(id_col) == F.col("_cand_id")
+        )
+        .select(F.col(id_col).alias("vec_id"), d_full.alias("dist"))
+        .orderBy("dist", "vec_id")
+        .limit(k)
+    )
