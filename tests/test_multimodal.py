@@ -65,3 +65,96 @@ def test_frame_sample_exact_frames(spark):
         n_frames = len(payload) // mm.FRAME_BYTES
         want_idx = set(range(0, n_frames, 3))
         assert seen.get(mid, set()) == want_idx
+
+
+# ---------------------------------------------------------------------------
+# REAL decoders (round 4): PGM hand parser + stdlib WAV
+# ---------------------------------------------------------------------------
+
+
+class TestRealDecoders:
+    def test_pgm_roundtrip_golden(self):
+        import numpy as np
+
+        from vector_database_in_rust_spark.operators.multimodal import (
+            decode_pgm,
+            synth_pgm_bytes,
+        )
+
+        px = decode_pgm(synth_pgm_bytes(7, w=5, h=3))
+        assert px.shape == (3, 5)
+        want = [[(3 * x + y * y + 7) % 256 for x in range(5)] for y in range(3)]
+        assert px.tolist() == want
+        assert px.dtype == np.uint8
+
+    def test_pgm_parses_comments_and_whitespace(self):
+        from vector_database_in_rust_spark.operators.multimodal import decode_pgm
+
+        raw = b"P5 # magic\n# a comment line\n 2\t3 # dims\n255\n" + bytes(
+            range(6)
+        )
+        px = decode_pgm(raw)
+        assert px.shape == (3, 2)
+        assert px.flatten().tolist() == [0, 1, 2, 3, 4, 5]
+
+    def test_pgm_rejects_bad_magic_and_truncation(self):
+        import pytest as _pytest
+
+        from vector_database_in_rust_spark.operators.multimodal import (
+            decode_pgm,
+            synth_pgm_bytes,
+        )
+
+        with _pytest.raises(ValueError, match="P5"):
+            decode_pgm(b"P6\n2 2\n255\n" + bytes(12))
+        with _pytest.raises(ValueError, match="truncated"):
+            decode_pgm(synth_pgm_bytes(0)[:-10])
+
+    def test_wav_roundtrip_golden(self):
+        from vector_database_in_rust_spark.operators.multimodal import (
+            decode_wav,
+            synth_wav_bytes,
+        )
+
+        rate, s = decode_wav(synth_wav_bytes(5, n=100, rate=4000))
+        assert rate == 4000
+        assert len(s) == 100
+        k = 5 % 127 + 1
+        assert s.tolist() == [((i * k) % 2048) - 1024 for i in range(100)]
+
+    def test_wav_is_a_real_riff_file(self):
+        from vector_database_in_rust_spark.operators.multimodal import (
+            synth_wav_bytes,
+        )
+
+        b = synth_wav_bytes(1)
+        assert b[:4] == b"RIFF" and b[8:12] == b"WAVE"
+
+    def test_image_stats_and_resize_consistent(self, spark):
+        """Spark-side decode stats must equal numpy recomputation on the
+        same payloads; the 1x1 'resize' equals the global mean."""
+        import numpy as np
+
+        from vector_database_in_rust_spark.operators.multimodal import (
+            attach_pgm_payload,
+            decode_pgm,
+            image_decode_stats,
+            image_resize_real,
+            synth_pgm_bytes,
+        )
+
+        from pyspark.sql import functions as F
+
+        docs = spark.range(6).select(F.col("id").alias("doc_id"))
+        media = attach_pgm_payload(docs)
+        stats = {
+            r["media_id"]: r for r in image_decode_stats(media).collect()
+        }
+        for did in range(6):
+            px = decode_pgm(synth_pgm_bytes(did)).astype(np.int64)
+            assert stats[did]["mean_px"] == round(px.sum() / px.size, 6)
+            assert stats[did]["corner_px"] == px[0, 0]
+        one = image_resize_real(media, out_w=1, out_h=1).collect()
+        for r in one:
+            px = decode_pgm(synth_pgm_bytes(r["media_id"])).astype(np.int64)
+            assert r["px_mean"] == round(px.sum() / px.size, 6)
