@@ -87,3 +87,20 @@ def test_upsert_replaces_and_appends(spark):
     eng.delete(spark.createDataFrame([(0,)], "vec_id BIGINT"))
     assert {r["vec_id"] for r in eng.df.select("vec_id").collect()} == {1, 5}
     assert eng.index is None
+
+
+def test_engine_search_hamming_and_funnel(spark):
+    """Facade round-trip for the round-4 compressed serving modes:
+    self-query invariants hold through the VectorEngine API."""
+    from vector_database_in_rust_spark.engine import VectorEngine
+    from tests.conftest import SF_SMOKE
+
+    eng = VectorEngine(spark, f"{SF_SMOKE}/embeddings.parquet")
+    q = [
+        float(x)
+        for x in eng.df.filter("vec_id = 0").select("embedding").first()[0]
+    ]
+    ham = eng.search_hamming(q, 5).collect()
+    assert ham[0]["vec_id"] == 0 and ham[0]["hamming"] == 0
+    fun = eng.search_funnel(q, 5).collect()
+    assert fun[0]["vec_id"] == 0 and fun[0]["dist"] == 0.0

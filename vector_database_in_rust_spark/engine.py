@@ -113,6 +113,36 @@ class VectorEngine:
             self.df, query, k, id_col=self.id_col, vec_col=self.vec_col
         )
 
+    def search_hamming(self, query: Sequence[float], k: int) -> DataFrame:
+        """Compressed-domain candidate search over binary-quantized
+        (sign-bit) codes — 1 bit/dim, popcount(xor) scan (beyond the
+        reference; see operators/knn.knn_hamming). Returns
+        ``(vec_id, hamming)``."""
+        return knn_ops.knn_hamming(
+            self.df, query, k, id_col=self.id_col, vec_col=self.vec_col
+        )
+
+    def search_funnel(
+        self,
+        query: Sequence[float],
+        k: int,
+        *,
+        prefix_dim: int = 16,
+        refine_factor: int = 4,
+    ) -> DataFrame:
+        """Matryoshka funnel retrieval: coarse rank on the embedding
+        prefix, exact re-rank of ``k * refine_factor`` candidates
+        (operators/knn.knn_funnel)."""
+        return knn_ops.knn_funnel(
+            self.df,
+            query,
+            k,
+            prefix_dim=prefix_dim,
+            refine_factor=refine_factor,
+            id_col=self.id_col,
+            vec_col=self.vec_col,
+        )
+
     # -- ANN index (src/lib.rs:126-302 -> IVF) ----------------------------
 
     def build_index(

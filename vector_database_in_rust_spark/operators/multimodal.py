@@ -1,12 +1,20 @@
 """Multimodal column operators (north-star extension).
 
 Treats image/audio/video as opaque ``BINARY`` columns with typed
-metadata, processed by Arrow-batched ``mapInPandas`` — the Spark-side
-plumbing (schema, batching, partitioning) is real and tested; the actual
-media DECODE step is stubbed (this container ships no image/audio libs)
-behind ``decode_media``: a clearly-marked deterministic fake, with the
-real-library path raising ``NotImplementedError`` until PIL/librosa are
-installed.
+metadata, processed by Arrow-batched ``mapInPandas``.
+
+Two decode paths coexist:
+
+- **Real decoders, zero dependencies** (bottom of this module): netpbm
+  PGM images via a hand parser (``decode_pgm``) and RIFF/WAV audio via
+  the stdlib ``wave`` module (``decode_wav``), with real synthesized
+  files and analytically-verified oracles — actual byte-level media
+  decoding, hash-checked by the driver.
+- **Stub path for compressed formats** (``decode_media`` below): JPEG/
+  MP4/etc. need PIL/pyav, which this container does not ship; the stub
+  is a clearly-marked deterministic fake that keeps the plumbing
+  (schema, batching, partitioning) testable, with the real-library slot
+  raising ``NotImplementedError`` until the libraries exist.
 
 Scale notes:
 - media bytes never leave the executor except through Arrow batches;
