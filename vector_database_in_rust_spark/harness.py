@@ -4098,6 +4098,66 @@ def knn_funnel_q(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# TPC-H Q4/Q12 shapes (round 4): grouped EXISTS semi-join and
+# conditional aggregation over a fact-to-fact join.
+# ---------------------------------------------------------------------------
+
+_TPCH_Q4_ORACLE = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register("tpch_q4_order_priority", _TPCH_Q4_ORACLE)
+def tpch_q4_q(spark, sf_dir):
+    """TPC-H Q4 shape: per-priority count of date-window orders with at
+    least one returned lineitem — LEFT SEMI join (true EXISTS semantics,
+    no duplicate-then-distinct), date window pushed to the orders scan,
+    returnflag pushed to the probe side."""
+    from vector_database_in_rust_spark.operators.relational import (
+        tpch_q4_order_priority,
+    )
+
+    return tpch_q4_order_priority(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
+    )
+
+
+_TPCH_Q12_ORACLE = """
+SELECT l_linestatus,
+       cast(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       cast(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+"""
+
+
+@register("tpch_q12_shipmode", _TPCH_Q12_ORACLE)
+def tpch_q12_q(spark, sf_dir):
+    """TPC-H Q12 shape: conditional aggregation (high/low priority
+    counts) over the year's lineitems joined to orders — shipdate
+    window pushed to the fact scan, orders pruned to two columns."""
+    from vector_database_in_rust_spark.operators.relational import (
+        tpch_q12_shipmode,
+    )
+
+    return tpch_q12_shipmode(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
+    )
+
+
+# ---------------------------------------------------------------------------
 # REAL media decode (round 4): PGM images (hand parser) and RIFF/WAV
 # audio (stdlib wave) — no media libraries needed. Payloads are real
 # files synthesized from an integer formula, so the oracle verifies the

@@ -835,3 +835,75 @@ def events_anomalies(
             F.round(z, 4).alias("z"),
         )
     )
+
+
+def tpch_q4_order_priority(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    *,
+    date_from: str = "1996-01-01",
+    date_to: str = "1996-04-01",
+) -> DataFrame:
+    """TPC-H Q4 shape (order priority checking), adapted to the driver
+    schema: count orders per priority in a date window having AT LEAST
+    ONE returned lineitem (the testdata lacks commit/receipt dates, so
+    ``l_returnflag = 'R'`` stands in for the late-delivery EXISTS —
+    the plan shape is identical: grouped LEFT SEMI join).
+
+    Scale: the orders side is pre-filtered by the pushed date window
+    BEFORE the semi join; the lineitem probe side carries only
+    (l_orderkey) after its pushed returnflag filter. The semi join
+    never duplicates orders rows (EXISTS semantics, not inner-join +
+    distinct), and the final agg is 5 groups."""
+    window = orders.filter(
+        (F.col("o_orderdate") >= F.lit(date_from).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(date_to).cast("timestamp"))
+    )
+    returned = lineitem.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey"
+    )
+    return (
+        window.join(
+            returned,
+            on=window.o_orderkey == returned.l_orderkey,
+            how="left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def tpch_q12_shipmode(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    *,
+    date_from: str = "1996-01-01",
+    date_to: str = "1997-01-01",
+) -> DataFrame:
+    """TPC-H Q12 shape (shipping modes / order priority), adapted:
+    group the year's lineitems by ``l_linestatus`` (the schema's stand-in
+    for shipmode) and count high-priority (1-URGENT/2-HIGH) vs
+    low-priority orders per group — the classic conditional-aggregation-
+    over-a-join probe.
+
+    Scale: lineitem pre-filters on the pushed shipdate window; orders
+    projects only (o_orderkey, o_orderpriority). The join is
+    fact-to-fact on orderkey — at 100 TB both sides shuffle on the key
+    once (AQE may broadcast the filtered orders side); the conditional
+    sums are map-side partials into a 2-group exchange."""
+    li = lineitem.filter(
+        (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp"))
+    ).select("l_orderkey", "l_linestatus")
+    ords = orders.select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(ords, on=li.l_orderkey == ords.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
