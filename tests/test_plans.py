@@ -242,3 +242,21 @@ def test_knn_funnel_broadcasts_candidates(audits):
     assert "BroadcastHashJoin" in a.broadcast_joins
     assert a.n_shuffle_exchanges == 0
     assert a.has_take_ordered
+
+
+def test_tpch_q4_semi_join_with_pushed_window(audits):
+    """Q4 must compile to a LEFT SEMI join (EXISTS semantics — orders
+    rows never duplicate) with the date window pushed to the orders
+    scan and the returnflag filter pushed to the probe side."""
+    a = audits("tpch_q4_order_priority")
+    assert "LeftSemi" in a.formatted or "left_semi" in a.formatted.lower()
+    assert any("o_orderdate" in f for f in a.pushed_filters)
+    assert any("l_returnflag" in f for f in a.pushed_filters)
+
+
+def test_tpch_q12_pushes_shipdate(audits):
+    """Q12's year window must reach the lineitem scan; the orders side
+    is pruned to (o_orderkey, o_orderpriority)."""
+    a = audits("tpch_q12_shipmode")
+    assert any("l_shipdate" in f for f in a.pushed_filters)
+    assert "o_orderpriority" in a.formatted
