@@ -240,3 +240,44 @@ def test_mix_corpus_negative_weight_raises(spark):
 
     with _pytest.raises(ValueError):
         mix_corpus(_docs(spark, [(1, "x", "en")]), {"en": -0.5})
+
+
+class TestShuffleAndBuckets:
+    def test_corpus_shuffle_is_a_permutation_and_seed_sensitive(self, spark):
+        from pyspark.sql import functions as F
+
+        from vector_database_in_rust_spark.operators.curation import corpus_shuffle
+        from tests.conftest import SF_SMOKE
+
+        docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        n = docs.count()
+        s1 = corpus_shuffle(docs, seed=42)
+        rows = s1.collect()
+        assert sorted(r["position"] for r in rows) == list(range(1, n + 1))
+        assert len({r["doc_id"] for r in rows}) == n
+        # deterministic: same seed -> same order; new seed -> new order
+        again = {r["doc_id"]: r["position"] for r in corpus_shuffle(docs, seed=42).collect()}
+        assert all(again[r["doc_id"]] == r["position"] for r in rows)
+        other = {r["doc_id"]: r["position"] for r in corpus_shuffle(docs, seed=7).collect()}
+        assert any(other[r["doc_id"]] != r["position"] for r in rows)
+
+    def test_length_buckets_monotone_and_balanced(self, spark):
+        from vector_database_in_rust_spark.operators.curation import length_buckets
+        from tests.conftest import SF_SMOKE
+
+        docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        rows = length_buckets(docs, n_buckets=8).collect()
+        n = len(rows)
+        # bucket sizes differ by at most 1 (NTILE contract)
+        from collections import Counter
+
+        sizes = Counter(r["bucket"] for r in rows)
+        assert set(sizes) == set(range(1, 9))
+        assert max(sizes.values()) - min(sizes.values()) <= 1
+        # monotone: every doc in bucket b is no longer than any doc in b+1
+        by_bucket = {}
+        for r in rows:
+            by_bucket.setdefault(r["bucket"], []).append(r["n_tokens"])
+        for b in range(1, 8):
+            # ties may straddle the boundary, hence <= not <
+            assert max(by_bucket[b]) <= min(by_bucket[b + 1])

@@ -4098,6 +4098,49 @@ def knn_funnel_q(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Training-order shuffle + length bucketing (round 4): the last two
+# output-shaping steps of a pretraining data pipeline.
+# ---------------------------------------------------------------------------
+
+_CORPUS_SHUFFLE_ORACLE = """
+SELECT row_number() OVER (ORDER BY md5('42:' || doc_id)) AS position,
+       doc_id,
+       md5('42:' || doc_id) AS shuffle_key
+FROM documents
+"""
+
+
+@register("corpus_shuffle", _CORPUS_SHUFFLE_ORACLE)
+def corpus_shuffle_q(spark, sf_dir):
+    """Deterministic global training-order shuffle: position by
+    md5(seed:doc_id) — a pure function of (seed, id), reproducible
+    across runs/retries; a new seed is a fresh epoch order. One
+    range-partitioned sort; every position hash-checked."""
+    from vector_database_in_rust_spark.operators.curation import corpus_shuffle
+
+    return corpus_shuffle(_docs(spark, sf_dir), seed=42)
+
+
+_LENGTH_BUCKETS_ORACLE = f"""
+SELECT doc_id,
+       cast(len({_SQL_TOKS}) AS BIGINT) AS n_tokens,
+       cast(ntile(8) OVER (ORDER BY len({_SQL_TOKS}), doc_id) AS BIGINT)
+         AS bucket
+FROM documents
+"""
+
+
+@register("length_buckets", _LENGTH_BUCKETS_ORACLE)
+def length_buckets_q(spark, sf_dir):
+    """Quantile length-bucketing (NTILE over token count, id
+    tie-break) for padding-efficient batching — every doc's bucket
+    assignment hash-checked."""
+    from vector_database_in_rust_spark.operators.curation import length_buckets
+
+    return length_buckets(_docs(spark, sf_dir), n_buckets=8)
+
+
+# ---------------------------------------------------------------------------
 # TPC-H Q4/Q12 shapes (round 4): grouped EXISTS semi-join and
 # conditional aggregation over a fact-to-fact join.
 # ---------------------------------------------------------------------------

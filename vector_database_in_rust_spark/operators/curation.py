@@ -238,3 +238,59 @@ def mix_corpus(
         "n_copies",
         F.explode(F.sequence(F.lit(1), F.col("n_copies"))).alias("copy"),
     )
+
+
+def corpus_shuffle(
+    docs: DataFrame,
+    *,
+    seed: int = 42,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic global training-order shuffle: every document gets
+    a pseudo-random position by sorting on ``md5(seed || doc_id)`` —
+    the final "randomize example order" step of a pretraining data
+    pipeline, as a pure function of (seed, id): reproducible across
+    runs, partitionings and retries, and a different seed is a fresh
+    epoch-order.
+
+    Scale: one range-partitioned global sort on a 32-hex-char key (the
+    standard distributed shuffle-the-dataset operation); emitting the
+    position via a single ascending row_number window over the sort
+    keeps key comparisons, not data, as the moving cost — rows carry
+    (id, key) only, and the payload is re-joined downstream if needed.
+    """
+    key = F.md5(F.concat(F.lit(str(seed)), F.lit(":"), F.col(id_col).cast("string")))
+    w = Window.orderBy("shuffle_key")
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), key.alias("shuffle_key"))
+        .withColumn("position", F.row_number().over(w).cast("long"))
+        .select("position", "doc_id", "shuffle_key")
+    )
+
+
+def length_buckets(
+    docs: DataFrame,
+    *,
+    n_buckets: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quantile length-bucketing for padding-efficient batching: NTILE
+    over token count assigns each doc to one of ``n_buckets``
+    near-equal-size buckets of similar length — batches drawn within a
+    bucket minimize padding waste (the standard bucketed-batching step
+    in front of sequence packing). Deterministic: the NTILE ordering
+    tie-breaks on doc id.
+
+    Scale note: a single global NTILE window is one range sort; at
+    fleet scale replace with approx_percentile cut points broadcast
+    into a CASE (sketch-sized exchange) — the exact NTILE is kept here
+    because it is portably oracle-checkable and the bucket SIZES (not
+    boundaries) are the contract."""
+    n_tokens = F.size(F.split(F.col(text_col), " "))
+    w = Window.orderBy("n_tokens", "doc_id")
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), n_tokens.alias("n_tokens"))
+        .withColumn("bucket", F.ntile(n_buckets).over(w).cast("long"))
+        .select("doc_id", F.col("n_tokens").cast("long").alias("n_tokens"), "bucket")
+    )
