@@ -179,3 +179,88 @@ def test_sq8_knn_recall_vs_float_store(spark):
     quant = [r["vec_id"] for r in knn_exact(deq, q, 10).collect()]
     assert len(exact & set(quant)) >= 9
     assert quant[0] == 7
+
+
+# ---------------------------------------------------------------------------
+# Binary quantization properties (round 4)
+# ---------------------------------------------------------------------------
+
+vec_any_len = st.lists(finite_f, min_size=1, max_size=70)
+
+
+@settings(max_examples=25, deadline=None)
+@given(a=vec_any_len)
+def test_sign_pack_matches_python_reference(spark, a):
+    """Packed words equal the bit-twiddled python reference for any
+    length (incl. non-multiples of 32), any sign mix, zeros included
+    (zero is NOT positive -> bit clear)."""
+    from vector_database_in_rust_spark.functions.vectors import (
+        query_vector_literal as qvl,
+        sign_pack_words,
+    )
+
+    got = _eval(spark, sign_pack_words(qvl(a)))
+    want = [0] * ((len(a) + 31) // 32)
+    for i, x in enumerate(a):
+        if np.float64(np.float32(x)) > 0:
+            want[i // 32] |= 1 << (i % 32)
+    assert list(got) == want
+
+
+@settings(max_examples=25, deadline=None)
+@given(a=vec_any_len.filter(lambda v: len(v) >= 2))
+def test_hamming_is_sign_disagreement_metric(spark, a):
+    """hamming(pack(a), pack(b)) == per-dim sign disagreements; and the
+    metric axioms hamming(a,a)=0, symmetry."""
+    from vector_database_in_rust_spark.functions.vectors import (
+        hamming_distance,
+        sign_pack_literal,
+        sign_pack_words,
+        query_vector_literal as qvl,
+    )
+
+    b = list(reversed(a))
+    pa_, pb = sign_pack_words(qvl(a)), sign_pack_words(qvl(b))
+    ham = _eval(spark, hamming_distance(pa_, pb))
+    aa = [np.float64(np.float32(x)) > 0 for x in a]
+    bb = [np.float64(np.float32(x)) > 0 for x in b]
+    assert ham == sum(x != y for x, y in zip(aa, bb))
+    assert _eval(spark, hamming_distance(pa_, pa_)) == 0
+    assert _eval(spark, hamming_distance(pb, pa_)) == ham
+    # driver-side literal packer agrees with the Catalyst packer
+    assert list(_eval(spark, sign_pack_literal(a))) == list(_eval(spark, pa_))
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    seed=st.integers(min_value=0, max_value=10_000),
+    w=st.integers(min_value=1, max_value=40),
+    h=st.integers(min_value=1, max_value=40),
+)
+def test_pgm_roundtrip_any_shape(seed, w, h):
+    from vector_database_in_rust_spark.operators.multimodal import (
+        decode_pgm,
+        synth_pgm_bytes,
+    )
+
+    px = decode_pgm(synth_pgm_bytes(seed, w=w, h=h))
+    assert px.shape == (h, w)
+    assert int(px[0, 0]) == seed % 256
+    assert int(px[h - 1, w - 1]) == (3 * (w - 1) + (h - 1) ** 2 + seed) % 256
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    seed=st.integers(min_value=0, max_value=10_000),
+    n=st.integers(min_value=1, max_value=500),
+)
+def test_wav_roundtrip_any_length(seed, n):
+    from vector_database_in_rust_spark.operators.multimodal import (
+        decode_wav,
+        synth_wav_bytes,
+    )
+
+    rate, s = decode_wav(synth_wav_bytes(seed, n=n))
+    k = seed % 127 + 1
+    assert len(s) == n
+    assert s.tolist() == [((i * k) % 2048) - 1024 for i in range(n)]
