@@ -1974,12 +1974,15 @@ v2 AS (SELECT vec_id,
               CASE WHEN vec_id < 10 THEN 99 ELSE label END AS label
        FROM embeddings),
 v3 AS (SELECT * FROM v2 WHERE label <> 3)
-SELECT 1 AS version, count(*) AS n_rows, sum(vec_id) AS sum_keys,
+SELECT 1 AS version, count(*) AS n_rows,
+       cast(sum(vec_id) AS BIGINT) AS sum_keys,
        count(*) FILTER (label = 99) AS n_relabeled FROM v1
 UNION ALL
-SELECT 2, count(*), sum(vec_id), count(*) FILTER (label = 99) FROM v2
+SELECT 2, count(*), cast(sum(vec_id) AS BIGINT),
+       count(*) FILTER (label = 99) FROM v2
 UNION ALL
-SELECT 3, count(*), sum(vec_id), count(*) FILTER (label = 99) FROM v3
+SELECT 3, count(*), cast(sum(vec_id) AS BIGINT),
+       count(*) FILTER (label = 99) FROM v3
 """
 
 
