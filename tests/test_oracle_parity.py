@@ -34,3 +34,33 @@ def test_range_search_nonempty(spark):
     import vector_database_in_rust_spark.harness as h
 
     assert h.QUERIES["range_search"](spark, SF_SMOKE).count() >= 1
+
+
+def test_round4_window_composition():
+    """The driver hashes only queries()[:50] in dict order. Pin the
+    round-4 rotation: the repaired streaming queries and every round-4
+    addition must sit INSIDE the window, and the window must contain no
+    duplicates. An accidental registration reorder (e.g. a new
+    @register placed before the rotation call) silently un-verifies
+    queries — this test makes that loud."""
+    window = list(harness.QUERIES)[:50]
+    assert len(set(window)) == 50
+    must_have = {
+        "stream_hourly_rollup",
+        "stream_sessionize",
+        "sessionize_events",
+        "events_range_join",
+        "embedding_bq",
+        "knn_hamming",
+        "knn_funnel",
+        "media_decode_image",
+        "media_decode_audio",
+        "media_resize_real",
+        "dedup_substring",
+        "search_bm25",
+        "tpch_q3_shipping",
+        "decontaminate_corpus",
+        "store_versions",
+    }
+    missing = must_have - set(window)
+    assert not missing, f"rotated out of the driver window: {missing}"

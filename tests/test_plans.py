@@ -260,3 +260,15 @@ def test_tpch_q12_pushes_shipdate(audits):
     a = audits("tpch_q12_shipmode")
     assert any("l_shipdate" in f for f in a.pushed_filters)
     assert "o_orderpriority" in a.formatted
+
+
+def test_profile_events_single_pass(audits):
+    """The profiler must compute every column's aggregates in ONE scan
+    (a single wide aggregate), not one job per column."""
+    a = audits("profile_events")
+    import re as _re
+
+    # formatted mode lists each node once in the tree and once in the
+    # details section — count the numbered detail nodes only
+    scans = _re.findall(r"\(\d+\) Scan parquet", a.formatted)
+    assert len(scans) == 1, f"expected one scan, plan has {len(scans)}"

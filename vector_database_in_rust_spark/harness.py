@@ -4101,6 +4101,38 @@ def knn_funnel_q(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# One-pass table profiling (round 4): the trust-the-new-drop check.
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = ("event_id", "user_id", "event_type")
+
+_PROFILE_ORACLE = " UNION ALL ".join(
+    f"""
+SELECT '{c}' AS column, count(*) AS n_rows,
+       cast(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       count(DISTINCT {c}) AS n_distinct,
+       min(cast({c} AS VARCHAR)) AS min_str,
+       max(cast({c} AS VARCHAR)) AS max_str
+FROM events"""
+    for c in _PROFILE_COLS
+)
+
+
+@register("profile_events", _PROFILE_ORACLE)
+def profile_events_q(spark, sf_dir):
+    """One-pass column profiler over events (row/null/distinct counts,
+    stringified min/max per column): a single wide HashAggregate with
+    map-side partials — never one job per column. Exact distinct here
+    (oracle-checkable); approx_count_distinct is the documented fleet
+    variant (sketches module)."""
+    from vector_database_in_rust_spark.operators.relational import profile_table
+
+    return profile_table(
+        load_table(spark, sf_dir, "events"), columns=list(_PROFILE_COLS)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Training-order shuffle + length bucketing (round 4): the last two
 # output-shaping steps of a pretraining data pipeline.
 # ---------------------------------------------------------------------------

