@@ -157,3 +157,58 @@ def test_mmr_matches_numpy_reference(spark):
             want.append((qid, rank, int(ids[i]), round(float(best), 6)))
             max_sim = np.maximum(max_sim, unit @ unit[i])
     assert sorted(got) == sorted(want)
+
+
+class TestHashedEmbeddings:
+    def test_self_retrieval_at_cosine_one(self, spark):
+        from vector_database_in_rust_spark.operators.embed import hashed_search
+        from tests.conftest import SF_SMOKE
+
+        docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        top = hashed_search(docs, query_doc_id=3, k=5).collect()
+        assert top[0]["doc_id"] == 3
+        assert top[0]["cosine"] == 1.0
+        cosines = [r["cosine"] for r in top]
+        assert cosines == sorted(cosines, reverse=True)
+
+    def test_shared_vocabulary_ranks_above_disjoint(self, spark):
+        """A real encoder must rank a vocabulary-sharing doc above a
+        vocabulary-disjoint one — the semantic property the sha stub
+        lacks."""
+        from vector_database_in_rust_spark.operators.embed import hashed_search
+
+        rows = [
+            (0, "alpha beta gamma delta"),
+            (1, "alpha beta gamma epsilon"),  # 3/4 tokens shared with 0
+            (2, "zeta eta theta iota"),  # disjoint
+        ]
+        docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+        got = {r["doc_id"]: r["cosine"] for r in hashed_search(docs, 0, 3).collect()}
+        assert got[0] == 1.0
+        assert got[1] > got.get(2, -1.0)
+
+    def test_sparse_weights_match_dense_reference(self, spark):
+        """Sparse (doc, bucket, weight) rows must equal a python
+        reference computing the same md5 bucket/sign arithmetic."""
+        import hashlib
+
+        from vector_database_in_rust_spark.operators.embed import (
+            HASH_DIM,
+            hashed_embedding_weights,
+        )
+
+        rows = [(0, "a b c a"), (1, "x y"), (2, "")]
+        docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+        got = {
+            (r["doc_id"], r["bucket"]): r["weight"]
+            for r in hashed_embedding_weights(docs).collect()
+        }
+        want = {}
+        for did, text in rows:
+            for tok in text.split(" "):
+                h = hashlib.md5(tok.encode()).hexdigest()
+                b = int(h[:6], 16) % HASH_DIM
+                s = 1 if int(h[6], 16) % 2 == 0 else -1
+                want[(did, b)] = want.get((did, b), 0) + s
+        want = {k: v for k, v in want.items() if v != 0}
+        assert got == want

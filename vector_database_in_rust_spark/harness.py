@@ -4101,6 +4101,70 @@ def knn_funnel_q(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Feature-hashing encoder (round 4): a REAL zero-dependency text
+# embedding (hashing trick, Weinberger et al. 2009) with meaningful
+# cosine semantics, sparse end to end — upgrades O15 beyond the sha
+# stub (the transformer slot in operators/embed.py remains documented).
+# ---------------------------------------------------------------------------
+
+_HASHED_W_SQL = """
+tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+sw AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(token), 1, 6))::BIGINT % 64 AS bucket,
+         CASE WHEN ('0x' || substr(md5(token), 7, 1))::BIGINT % 2 = 0
+              THEN 1 ELSE -1 END AS s
+  FROM tok
+),
+w AS (
+  SELECT doc_id, bucket, cast(sum(s) AS BIGINT) AS weight
+  FROM sw GROUP BY doc_id, bucket HAVING sum(s) <> 0
+)
+"""
+
+_EMBED_HASHED_ORACLE = f"WITH {_HASHED_W_SQL} SELECT doc_id, bucket, weight FROM w"
+
+
+@register("embed_hashed", _EMBED_HASHED_ORACLE)
+def embed_hashed_q(spark, sf_dir):
+    """Sparse feature-hashing embeddings: every (doc, bucket, weight)
+    row hash-checked — the md5 bucket/sign arithmetic is shared
+    verbatim with the oracle. Pure Catalyst (explode -> one grouped
+    aggregation with map-side combine); no dense vectors anywhere."""
+    from vector_database_in_rust_spark.operators.embed import (
+        hashed_embedding_weights,
+    )
+
+    return hashed_embedding_weights(_docs(spark, sf_dir))
+
+
+_EMBED_HASHED_SEARCH_ORACLE = f"""
+WITH {_HASHED_W_SQL},
+norms AS (SELECT doc_id, sqrt(sum(weight * weight)) AS norm FROM w GROUP BY doc_id),
+qw AS (SELECT bucket, weight AS q_weight FROM w WHERE doc_id = 0),
+qn AS (SELECT norm AS q_norm FROM norms WHERE doc_id = 0),
+dots AS (
+  SELECT w.doc_id, sum(w.weight * qw.q_weight) AS dot
+  FROM w JOIN qw USING (bucket) GROUP BY w.doc_id
+)
+SELECT d.doc_id, round(d.dot / (n.norm * qn.q_norm), 6) AS cosine
+FROM dots d JOIN norms n USING (doc_id) CROSS JOIN qn
+ORDER BY cosine DESC, doc_id LIMIT 10
+"""
+
+
+@register("embed_hashed_search", _EMBED_HASHED_SEARCH_ORACLE)
+def embed_hashed_search_q(spark, sf_dir):
+    """End-to-end REAL retrieval with the hashed encoder: doc 0's
+    top-10 cosine neighbors, computed sparsely (query weights
+    broadcast, bucket equi-join, grouped dot products). Self-retrieval
+    invariant: doc 0 first at cosine 1.0. Fully hash-checked."""
+    from vector_database_in_rust_spark.operators.embed import hashed_search
+
+    return hashed_search(_docs(spark, sf_dir), query_doc_id=0, k=10)
+
+
+# ---------------------------------------------------------------------------
 # One-pass table profiling (round 4): the trust-the-new-drop check.
 # ---------------------------------------------------------------------------
 
