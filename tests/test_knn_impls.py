@@ -136,3 +136,20 @@ def test_funnel_self_query_first(spark, emb):
     q = _qvec(emb, 3)
     top = knn_funnel(emb, q, 5).collect()
     assert top[0]["vec_id"] == 3 and top[0]["dist"] == 0.0
+
+
+def test_refine_bq_full_refine_equals_exact(spark, emb):
+    """With refine covering the whole corpus the BQ funnel must equal
+    the exact top-k row for row; at refine_factor=4 it must keep the
+    self-query first."""
+    from vector_database_in_rust_spark.operators.knn import knn_exact, knn_refine_bq
+
+    q = _qvec(emb, 0)
+    n = emb.count()
+    full = knn_refine_bq(emb, q, 10, refine_factor=(n // 10) + 1).collect()
+    exact = knn_exact(emb, q, 10).collect()
+    assert [(r["vec_id"], r["dist"]) for r in full] == [
+        (r["vec_id"], r["dist"]) for r in exact
+    ]
+    top = knn_refine_bq(emb, q, 5).collect()
+    assert top[0]["vec_id"] == 0 and top[0]["dist"] == 0.0

@@ -4100,6 +4100,33 @@ def knn_funnel_q(spark, sf_dir):
     )
 
 
+_KNN_REFINE_BQ_ORACLE = f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+cand AS (
+  SELECT e.vec_id,
+         cast(len(list_filter(list_zip(e.embedding, q.qe),
+              z -> (z[1] > 0) <> (z[2] > 0))) AS BIGINT) AS hamming
+  FROM embeddings e CROSS JOIN q
+  ORDER BY hamming, vec_id LIMIT {KNN_K * 4}
+)
+SELECT e.vec_id, round({_sql_l2sq('e.embedding', 'q.qe')}, 4) AS dist
+FROM embeddings e JOIN cand USING (vec_id) CROSS JOIN q
+ORDER BY dist, vec_id LIMIT {KNN_K}
+"""
+
+
+@register("knn_refine_bq", _KNN_REFINE_BQ_ORACLE)
+def knn_refine_bq_q(spark, sf_dir):
+    """The production binary-quantization serving shape
+    (operators/knn.knn_refine_bq): Hamming candidate scan over the
+    1-bit codes, exact L2 re-rank of the k*4 survivors. Both stages
+    deterministic, whole funnel hash-checked against the two-stage
+    sign-disagreement SQL."""
+    return knn_ops.knn_refine_bq(
+        _emb(spark, sf_dir), _query_vec(spark, sf_dir), KNN_K, refine_factor=4
+    )
+
+
 # ---------------------------------------------------------------------------
 # Feature-hashing encoder (round 4): a REAL zero-dependency text
 # embedding (hashing trick, Weinberger et al. 2009) with meaningful

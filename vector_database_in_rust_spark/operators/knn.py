@@ -358,3 +358,38 @@ def knn_funnel(
         .orderBy("dist", "vec_id")
         .limit(k)
     )
+
+
+def knn_refine_bq(
+    corpus: DataFrame,
+    query: Sequence[float],
+    k: int,
+    *,
+    refine_factor: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """The production binary-quantization serving shape: Hamming
+    candidate scan over the 1-bit codes (``knn_hamming``), then exact
+    L2 re-rank of the ``k * refine_factor`` survivors — compression
+    does the corpus pass, full precision only touches candidates.
+
+    Deterministic at both stages ((hamming, id) then (dist, id) ties),
+    so the whole funnel is SQL-reproducible; recall vs the unfunneled
+    exact top-k is the refine_factor trade pinned in tests."""
+    candidates = knn_hamming(
+        corpus, query, k * refine_factor, id_col=id_col, vec_col=vec_col
+    ).select(F.col("vec_id").alias("_cand_id"))
+    q = [float(x) for x in query]
+    d_full = F.round(
+        l2_squared(F.col(vec_col), query_vector_literal(q)), round_digits
+    )
+    return (
+        corpus.join(
+            F.broadcast(candidates), on=F.col(id_col) == F.col("_cand_id")
+        )
+        .select(F.col(id_col).alias("vec_id"), d_full.alias("dist"))
+        .orderBy("dist", "vec_id")
+        .limit(k)
+    )
