@@ -153,3 +153,15 @@ def test_refine_bq_full_refine_equals_exact(spark, emb):
     ]
     top = knn_refine_bq(emb, q, 5).collect()
     assert top[0]["vec_id"] == 0 and top[0]["dist"] == 0.0
+
+
+def test_sign_pack_empty_vector_is_empty(spark):
+    from vector_database_in_rust_spark.functions.vectors import sign_pack_words
+    from pyspark.sql import functions as F
+
+    row = (
+        spark.range(1)
+        .select(sign_pack_words(F.array().cast("array<float>")).alias("w"))
+        .first()
+    )
+    assert list(row["w"]) == []

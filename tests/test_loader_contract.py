@@ -144,3 +144,78 @@ def test_sentinel_writer_matches_source_schema(tmp_path):
         assert [
             (got.field(i).name, got.field(i).type) for i in range(len(got.names))
         ] == [(src.field(i).name, src.field(i).type) for i in range(len(src.names))]
+
+
+def test_raw_int64_nanos_encoding(spark, tmp_path):
+    """A RAW (unannotated) INT64 epoch-nanos ts column — the loader's
+    bigint branch — must canonicalize identically, and the sentinel
+    writer must emit NANOS for it (a plain timestamp->int64 cast would
+    be 1000x off)."""
+    d = tmp_path / "rawns"
+    d.mkdir()
+    _write_events(
+        d, pa.array([_naive_epoch_us(t) * 1000 for t in TS_VALUES], pa.int64())
+    )
+    df = load_table(spark, str(d), "events")
+    assert dict(df.dtypes)["ts"] == "timestamp"
+    got = sorted(
+        r["us"] for r in df.select(F.unix_micros("ts").alias("us")).collect()
+    )
+    assert got == EXPECTED_US
+
+    from vector_database_in_rust_spark.harness import _write_parquet_like
+
+    out = d / "sentinel.parquet"
+    _write_parquet_like(
+        str(d / "events.parquet"),
+        str(out),
+        {
+            "event_id": [-1],
+            "ts": [dt.datetime(2100, 1, 1)],
+            "user_id": [-1],
+            "event_type": ["flush"],
+            "value": [0.0],
+            "props": ["{}"],
+        },
+    )
+    tbl = pq.read_table(str(out))
+    assert tbl.schema.field("ts").type == pa.int64()
+    want_ns = _naive_epoch_us(dt.datetime(2100, 1, 1)) * 1000
+    assert tbl.column("ts").to_pylist() == [want_ns]
+
+
+def test_staging_is_crash_safe(spark, tmp_path, monkeypatch):
+    """A process killed mid-stage must NOT poison the stage dir: the
+    guard keys on the _STAGED marker written last, so a partial stage
+    is wiped and rebuilt on the next call."""
+    import os
+
+    from vector_database_in_rust_spark.harness import _ensure_staged
+
+    stage = str(tmp_path / "stage")
+    calls = []
+
+    def crashing_build(d):
+        calls.append("crash")
+        (tmp_path / "stage" / "partial.txt").write_text("half")
+        raise RuntimeError("killed mid-stage")
+
+    try:
+        _ensure_staged(stage, crashing_build)
+    except RuntimeError:
+        pass
+    assert os.path.exists(os.path.join(stage, "partial.txt"))
+    assert not os.path.exists(os.path.join(stage, "_STAGED"))
+
+    def good_build(d):
+        calls.append("good")
+        (tmp_path / "stage" / "real.txt").write_text("all")
+
+    _ensure_staged(stage, good_build)
+    # the partial artifact was wiped, the real one staged, marker last
+    assert not os.path.exists(os.path.join(stage, "partial.txt"))
+    assert os.path.exists(os.path.join(stage, "real.txt"))
+    assert os.path.exists(os.path.join(stage, "_STAGED"))
+    # a third call is a no-op
+    _ensure_staged(stage, good_build)
+    assert calls == ["crash", "good"]

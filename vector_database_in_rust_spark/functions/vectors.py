@@ -122,7 +122,7 @@ def sign_pack_words(a: Column) -> Column:
         ).otherwise(F.lit(0).cast("long")),
     )
     n_words = F.ceil(F.size(a) / WORD_BITS).cast("int")
-    return F.transform(
+    packed = F.transform(
         F.sequence(F.lit(0), n_words - 1),
         lambda w: F.aggregate(
             F.slice(bits, w * WORD_BITS + 1, WORD_BITS),
@@ -130,6 +130,11 @@ def sign_pack_words(a: Column) -> Column:
             lambda acc, v: acc + v,
         ),
     )
+    # sequence(0, -1) DESCENDS in Spark (auto step -1), so an empty
+    # input would otherwise yield two garbage words instead of [].
+    return F.when(
+        F.size(a) == 0, F.array().cast("array<bigint>")
+    ).otherwise(packed)
 
 
 def hamming_distance(a_words: Column, b_words: Column) -> Column:

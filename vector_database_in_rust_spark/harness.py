@@ -88,6 +88,24 @@ def _stage_dir(kind: str, *source_files: str) -> str:
     )
 
 
+def _ensure_staged(stage: str, build) -> str:
+    """Crash-safe staging: run ``build(stage)`` only when the _STAGED
+    marker is absent, wiping any half-written stage first and writing
+    the marker LAST — a process killed mid-stage can never leave a
+    directory the guard mistakes for complete. The marker's leading
+    underscore makes Spark's file sources (batch and stream) ignore it."""
+    import os
+    import shutil
+
+    marker = os.path.join(stage, "_STAGED")
+    if not os.path.exists(marker):
+        shutil.rmtree(stage, ignore_errors=True)
+        os.makedirs(stage, exist_ok=True)
+        build(stage)
+        open(marker, "w").close()
+    return stage
+
+
 def _write_parquet_like(src_parquet: str, out_path: str, rows: dict) -> None:
     """Write a tiny parquet whose schema — including the PHYSICAL
     timestamp encoding — matches ``src_parquet`` exactly, so a streaming
@@ -100,7 +118,18 @@ def _write_parquet_like(src_parquet: str, out_path: str, rows: dict) -> None:
 
     src = pq.read_schema(src_parquet)
     schema = pa.schema([src.field(i) for i in range(len(src.names))])
-    cols = [pa.array(rows[f.name]).cast(f.type) for f in schema]
+    cols = []
+    for f in schema:
+        arr = pa.array(rows[f.name])
+        if pa.types.is_integer(f.type) and pa.types.is_timestamp(arr.type):
+            # Raw (unannotated) INT64 timestamp columns are epoch NANOS
+            # by the loader contract (canonicalize_timestamps' bigint
+            # branch divides by 1000) — a direct timestamp->int64 cast
+            # would emit the array's own unit (micros: 1000x off).
+            arr = arr.cast(pa.timestamp("ns"))
+            cols.append(arr.cast(pa.int64()))
+            continue
+        cols.append(arr.cast(f.type))
     pq.write_table(pa.table(cols, schema=schema), out_path)
 
 
@@ -794,10 +823,10 @@ def stream_hourly_rollup_q(spark, sf_dir):
     # The file-stream source needs a DIRECTORY; stage the static events
     # parquet into one (once per content hash — the copy is not part of
     # what the query measures).
-    stage = _stage_dir("stream_stage", f"{sf_dir}/events.parquet")
-    if not os.path.exists(os.path.join(stage, "events.parquet")):
-        os.makedirs(stage, exist_ok=True)
-        shutil.copy(f"{sf_dir}/events.parquet", stage)
+    stage = _ensure_staged(
+        _stage_dir("stream_stage", f"{sf_dir}/events.parquet"),
+        lambda d: shutil.copy(f"{sf_dir}/events.parquet", d),
+    )
 
     _STREAM_ROLLUP_N[0] += 1
     table = f"rollup_stream_h{_STREAM_ROLLUP_N[0]}"
@@ -852,18 +881,17 @@ def stream_sessionize_q(spark, sf_dir):
     )
 
     src = f"{sf_dir}/events.parquet"
-    stage = _stage_dir("stream_sessions", src)
-    if not os.path.exists(os.path.join(stage, "events.parquet")):
-        os.makedirs(stage, exist_ok=True)
-        shutil.copy(src, stage)
-        base = os.path.getmtime(os.path.join(stage, "events.parquet"))
+
+    def build(d):
+        shutil.copy(src, d)
+        base = os.path.getmtime(os.path.join(d, "events.parquet"))
         # Two sentinels (one per trailing micro-batch): the FIRST raises
         # the watermark past every real session's horizon; timeouts fire
         # while processing the SECOND — no reliance on a no-data batch.
         # Written with the source file's own physical schema so the
         # stream's inferred schema covers every staged file identically.
         for i, ts in enumerate((2100, 2200), start=1):
-            p = os.path.join(stage, f"zz_flush{i}.parquet")
+            p = os.path.join(d, f"zz_flush{i}.parquet")
             _write_parquet_like(
                 src,
                 p,
@@ -877,6 +905,8 @@ def stream_sessionize_q(spark, sf_dir):
                 },
             )
             os.utime(p, (base + 60 * i, base + 60 * i))
+
+    stage = _ensure_staged(_stage_dir("stream_sessions", src), build)
 
     _STREAM_SESSIONIZE_N[0] += 1
     df = run_sessionize_to_memory(
@@ -3395,11 +3425,13 @@ def stream_dedup_redelivery_q(spark, sf_dir):
         run_redelivery_dedup_to_memory,
     )
 
-    stage = _stage_dir("redelivery_stage", f"{sf_dir}/events.parquet")
-    if not os.path.exists(os.path.join(stage, "delivery_2.parquet")):
-        os.makedirs(stage, exist_ok=True)
-        shutil.copy(f"{sf_dir}/events.parquet", f"{stage}/delivery_1.parquet")
-        shutil.copy(f"{sf_dir}/events.parquet", f"{stage}/delivery_2.parquet")
+    def build(d):
+        shutil.copy(f"{sf_dir}/events.parquet", f"{d}/delivery_1.parquet")
+        shutil.copy(f"{sf_dir}/events.parquet", f"{d}/delivery_2.parquet")
+
+    stage = _ensure_staged(
+        _stage_dir("redelivery_stage", f"{sf_dir}/events.parquet"), build
+    )
 
     _STREAM_DEDUP_N[0] += 1
     table = f"dedup_stream_h{_STREAM_DEDUP_N[0]}"
@@ -3464,11 +3496,13 @@ def stream_curate_q(spark, sf_dir):
         run_curate_stream_to_memory,
     )
 
-    stage = _stage_dir("curate_stage", f"{sf_dir}/documents.parquet")
-    if not os.path.exists(os.path.join(stage, "delivery_2.parquet")):
-        os.makedirs(stage, exist_ok=True)
-        shutil.copy(f"{sf_dir}/documents.parquet", f"{stage}/delivery_1.parquet")
-        shutil.copy(f"{sf_dir}/documents.parquet", f"{stage}/delivery_2.parquet")
+    def build(d):
+        shutil.copy(f"{sf_dir}/documents.parquet", f"{d}/delivery_1.parquet")
+        shutil.copy(f"{sf_dir}/documents.parquet", f"{d}/delivery_2.parquet")
+
+    stage = _ensure_staged(
+        _stage_dir("curate_stage", f"{sf_dir}/documents.parquet"), build
+    )
 
     _STREAM_CURATE_N[0] += 1
     table = f"curate_stream_h{_STREAM_CURATE_N[0]}"
@@ -4442,16 +4476,19 @@ def media_resize_real_q(spark, sf_dir):
 # Driver verification-window rotation (round 4, stated openly in NOTES_r3.md)
 #
 # The correctness driver hashes only the FIRST 50 registered queries in
-# dict order. Rounds 1-3 verified a cumulative 67 of the 112 registered
-# queries; the 45 never-driver-verified ones are rotated to the front
-# here, together with the two repaired streaming queries
+# dict order. Rounds 1-3 verified a cumulative 67 of the 112 queries
+# registered entering round 4; the window below front-loads the
+# never-driver-verified ones, the two repaired streaming queries
 # (stream_hourly_rollup / stream_sessionize — red in r03 via the
-# timestamp-encoding break, fixed this round) and three re-verify
-# candidates whose implementations changed materially since their r01
-# check (sessionize_events, multimodal_features, dedup_clusters). After
-# this round every registered query has at least one driver-verified row.
-# Rotation only PERMUTES the registry — no query is added or removed, and
-# oracle pairings are untouched.
+# timestamp-encoding break, fixed this round), re-verify candidates
+# whose implementations changed materially since their r01 check, and
+# six of this round's additions. Round 4 also registered more queries
+# than the window holds: the displaced/new remainder (four format
+# roundtrips, two stub-media entries, and the later round-4 additions —
+# see NOTES_r3.md §2 for the exact list) carries pytest-parity coverage
+# only until the round-5 rotation. Cumulative driver-verified after
+# r04: 112 of the full registry. Rotation only PERMUTES the registry —
+# no query is added or removed, and oracle pairings are untouched.
 # ---------------------------------------------------------------------------
 
 _ROUND4_WINDOW = [
