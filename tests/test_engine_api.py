@@ -104,3 +104,16 @@ def test_engine_search_hamming_and_funnel(spark):
     assert ham[0]["vec_id"] == 0 and ham[0]["hamming"] == 0
     fun = eng.search_funnel(q, 5).collect()
     assert fun[0]["vec_id"] == 0 and fun[0]["dist"] == 0.0
+
+
+def test_engine_search_refine_bq(spark):
+    from vector_database_in_rust_spark.engine import VectorEngine
+    from tests.conftest import SF_SMOKE
+
+    eng = VectorEngine(spark, f"{SF_SMOKE}/embeddings.parquet")
+    q = [
+        float(x)
+        for x in eng.df.filter("vec_id = 2").select("embedding").first()[0]
+    ]
+    top = eng.search_refine_bq(q, 5).collect()
+    assert top[0]["vec_id"] == 2 and top[0]["dist"] == 0.0

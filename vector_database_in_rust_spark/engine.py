@@ -143,6 +143,21 @@ class VectorEngine:
             vec_col=self.vec_col,
         )
 
+    def search_refine_bq(
+        self, query: Sequence[float], k: int, *, refine_factor: int = 4
+    ) -> DataFrame:
+        """Binary-quantization serving funnel: Hamming candidate scan
+        over the 1-bit codes, exact L2 re-rank of ``k * refine_factor``
+        survivors (operators/knn.knn_refine_bq)."""
+        return knn_ops.knn_refine_bq(
+            self.df,
+            query,
+            k,
+            refine_factor=refine_factor,
+            id_col=self.id_col,
+            vec_col=self.vec_col,
+        )
+
     # -- ANN index (src/lib.rs:126-302 -> IVF) ----------------------------
 
     def build_index(
