@@ -225,6 +225,18 @@ def test_tfidf_corpus_stats_inside_dag(audits):
     assert "count(1)" in a.formatted
 
 
+def test_lm_score_corpus_total_inside_dag(audits):
+    """The unigram LM's corpus token total must be a broadcast 1-row
+    aggregate INSIDE the plan (textstats.py unigram_lm_scores) — the
+    r04 efficiency defect was a driver-side .first() full-tokenize
+    scan per invocation. The pin: the token-total sum aggregates
+    map-side in the same physical plan, and no collected literal
+    stands in for it."""
+    a = audits("lm_score")
+    assert "partial_sum(size(" in a.formatted
+    assert a.n_broadcast_exchanges >= 1
+
+
 def test_knn_hamming_take_ordered_no_shuffle(audits):
     """Compressed-domain scan must keep the exact path's shape: packing
     + popcount fold inside the scan stage, TakeOrderedAndProject on

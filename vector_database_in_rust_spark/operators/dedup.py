@@ -874,11 +874,13 @@ def dedup_clusters_star(
     frontier-incident part.
 
     Fixpoint detection: a round that changes no edges (symmetric
-    difference empty — two O(1)-row count actions on the
-    ``exceptAll``s, not a collect). At the fixpoint the edge list IS
-    the star forest (v -> component min), so labels fall out without a
-    final propagation pass. ``localCheckpoint`` per round cuts the
-    iterative lineage, same discipline as ``dedup_clusters``.
+    difference empty — the two ``exceptAll`` halves union into ONE
+    ``isEmpty()`` action per round, which short-circuits on the first
+    surviving row; not a collect, not two jobs). At the fixpoint the
+    edge list IS the star forest (v -> component min), so labels fall
+    out without a final propagation pass. ``localCheckpoint`` per
+    round cuts the iterative lineage, same discipline as
+    ``dedup_clusters``.
     """
     edges = (
         pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
@@ -889,10 +891,7 @@ def dedup_clusters_star(
     converged = False
     for _ in range(max_iterations):
         nxt = _small_star(_large_star(edges)).localCheckpoint(eager=False)
-        if (
-            nxt.exceptAll(edges).count() == 0
-            and edges.exceptAll(nxt).count() == 0
-        ):
+        if nxt.exceptAll(edges).unionAll(edges.exceptAll(nxt)).isEmpty():
             converged = True
             edges = nxt
             break

@@ -245,11 +245,17 @@ def unigram_lm_scores(
     vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
     # T from a shuffle-free corpus pass (sum of per-row lengths), NOT by
     # re-aggregating `vocab` — that would tokenize the corpus a second
-    # time through the groupBy just to produce one number.
-    total = docs.select(F.sum(F.size(toks))).first()[0]
-    logp = F.log(F.col("c") / F.lit(float(total)))
+    # time through the groupBy just to produce one number. The total
+    # stays IN the DAG as a broadcast 1-row aggregate (same pattern as
+    # bm25_scores' N/avgdl): a `.first()` here would be an eager
+    # full-tokenize scan action on the driver per invocation.
+    total = docs.agg(
+        F.sum(F.size(toks)).cast("double").alias("_total")
+    )
+    logp = F.log(F.col("c") / F.col("_total"))
     return (
         tok.join(vocab, on="token")
+        .join(F.broadcast(total))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
