@@ -2797,19 +2797,37 @@ def tpch_q6_q(spark, sf_dir):
     return tpch_q6_forecast_revenue(load_table(spark, sf_dir, "lineitem"))
 
 
-@register("approx_event_stats")
+_APPROX_EVENT_STATS_ORACLE = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       TRUE AS users_within_bounds,
+       TRUE AS p50_within_bounds,
+       TRUE AS p95_within_bounds,
+       TRUE AS p99_within_bounds
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("approx_event_stats", _APPROX_EVENT_STATS_ORACLE)
 def approx_event_stats_q(spark, sf_dir):
     """Sketch aggregates per event_type: HLL++ distinct users +
     approximate value percentiles (mergeable fixed-size sketches — the
     only shape COUNT DISTINCT / percentiles take at 100 TB). Sketch
-    estimates are implementation-defined, so no portable SQL oracle ->
-    rows-only; tests/test_sketches.py bounds them against exact answers
-    (HLL within 3*rsd, quantiles within rank-error tolerance)."""
+    estimates are implementation-defined, so they can't be hashed
+    directly against portable SQL; instead the query emits the VERDICT
+    TABLE (exact n_events + in-plan within-bounds booleans vs exact
+    answers, sketches.approx_event_stats_verdict) and the oracle
+    asserts the expected verdict — all booleans true. A sketch
+    drifting out of its guarantee flips the hash red.
+    tests/test_sketches.py keeps the tighter quantitative bars; the
+    production (estimates-only) operator is
+    sketches.approx_event_stats."""
     from vector_database_in_rust_spark.operators.sketches import (
-        approx_event_stats,
+        approx_event_stats_verdict,
     )
 
-    return approx_event_stats(load_table(spark, sf_dir, "events"))
+    return approx_event_stats_verdict(load_table(spark, sf_dir, "events"))
 
 
 def _mmr_oracle(*, k: int = KNN_K, lam: float = 0.7, top_n: int = 20,
@@ -4439,6 +4457,45 @@ def media_decode_audio_q(spark, sf_dir):
     )
 
     return audio_decode_stats(attach_wav_payload(_docs(spark, sf_dir)))
+
+
+_PNG_DECODE_ORACLE = """
+WITH px AS (
+  SELECT d.doc_id AS media_id,
+         ((7 * x.i + y.i * y.i + 2 * d.doc_id) % 256) AS v
+  FROM documents d, generate_series(0, 31) AS x(i), generate_series(0, 31) AS y(i)
+)
+SELECT media_id,
+       32 AS width, 32 AS height,
+       round(sum(v) * 1.0 / 1024, 6) AS mean_px,
+       round(sqrt(sum(v * v) * 1.0 / 1024
+                  - (sum(v) * 1.0 / 1024) * (sum(v) * 1.0 / 1024)), 6) AS std_px,
+       cast((2 * media_id) % 256 AS INTEGER) AS corner_px
+FROM px GROUP BY media_id
+"""
+
+
+@register("media_decode_png", _PNG_DECODE_ORACLE)
+def media_decode_png_q(spark, sf_dir):
+    """REAL COMPRESSED-format decode (round 5): synthesize a real PNG
+    per doc — DEFLATE-compressed IDAT, CRC'd chunks, scanline filter
+    type cycling y%5 so all five PNG filters appear in every image —
+    and decode it with the zero-dependency parser
+    (multimodal.decode_png: signature, chunk CRC verification, zlib
+    inflate, None/Sub/Up/Average/Paeth defilter). The oracle recomputes
+    pixel statistics from the generative formula WITHOUT decoding, so a
+    broken Paeth predictor, a skipped CRC, or an off-by-one defilter
+    flips the hash. Pixel formula differs from the PGM lane
+    (7x + y^2 + 2*seed vs 3x + y^2 + seed) so the two lanes cannot mask
+    each other."""
+    from vector_database_in_rust_spark.operators.multimodal import (
+        attach_png_payload,
+        decode_png,
+        image_decode_stats,
+    )
+
+    media = attach_png_payload(_docs(spark, sf_dir))
+    return image_decode_stats(media, decoder=decode_png)
 
 
 _RESIZE_REAL_ORACLE = """

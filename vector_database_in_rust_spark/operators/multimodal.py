@@ -6,12 +6,13 @@ metadata, processed by Arrow-batched ``mapInPandas``.
 Two decode paths coexist:
 
 - **Real decoders, zero dependencies** (bottom of this module): netpbm
-  PGM images via a hand parser (``decode_pgm``) and RIFF/WAV audio via
-  the stdlib ``wave`` module (``decode_wav``), with real synthesized
-  files and analytically-verified oracles — actual byte-level media
-  decoding, hash-checked by the driver.
-- **Stub path for compressed formats** (``decode_media`` below): JPEG/
-  MP4/etc. need PIL/pyav, which this container does not ship; the stub
+  PGM images via a hand parser (``decode_pgm``), RIFF/WAV audio via
+  the stdlib ``wave`` module (``decode_wav``), and COMPRESSED PNG via
+  a hand chunk/CRC/defilter parser over stdlib zlib (``decode_png``),
+  with real synthesized files and analytically-verified oracles —
+  actual byte-level media decoding, hash-checked by the driver.
+- **Stub path for remaining compressed formats** (``decode_media``
+  below): JPEG/MP4 need PIL/pyav, which this container does not ship; the stub
   is a clearly-marked deterministic fake that keeps the plumbing
   (schema, batching, partitioning) testable, with the real-library slot
   raising ``NotImplementedError`` until the libraries exist.
@@ -375,16 +376,20 @@ def attach_wav_payload(docs: DataFrame) -> DataFrame:
     )
 
 
-def image_decode_stats(media: DataFrame) -> DataFrame:
+def image_decode_stats(media: DataFrame, *, decoder=None) -> DataFrame:
     """REAL decode -> per-image statistics: (width, height, mean and
     std of the pixel values, corner pixel). Integer-exact sums inside
-    the task; only 5 scalars per image leave the executor."""
+    the task; only 5 scalars per image leave the executor.
+
+    ``decoder`` is any bytes -> 2-D uint8 array parser (default
+    :func:`decode_pgm`; pass :func:`decode_png` for PNG payloads)."""
+    decoder = decoder or decode_pgm
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             ws, hs, means, stds, corners = [], [], [], [], []
             for c in pdf["content"]:
-                px = decode_pgm(bytes(c)).astype(np.int64)
+                px = decoder(bytes(c)).astype(np.int64)
                 h, w = px.shape
                 n = h * w
                 s, s2 = int(px.sum()), int((px * px).sum())
@@ -445,6 +450,177 @@ def audio_decode_stats(media: DataFrame) -> DataFrame:
             "media_id BIGINT, sample_rate INT, n_samples BIGINT, "
             "rms DOUBLE, n_sign_flips BIGINT"
         ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# REAL PNG codec (round 5): closes the "compressed format decode" stub
+# honestly with ZERO new dependencies — DEFLATE via stdlib ``zlib``,
+# chunk CRCs via ``zlib.crc32``, and a full scanline defilter
+# (None/Sub/Up/Average/Paeth, RFC 2083 §6). The synthesizer cycles the
+# filter type per row (row % 5), so every reconstruction path is
+# exercised in every image and a broken Paeth predictor or a
+# CRC-skipping parser flips the driver's analytic hash. JPEG/MP4 (lossy
+# / container formats genuinely needing PIL/pyav) remain the documented
+# stubs behind REAL_DECODERS_AVAILABLE.
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Paeth predictor (RFC 2083 §6.6), vectorized: pick whichever of
+    left/up/up-left is closest to a + b - c, ties resolved a, b, c."""
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def synth_png_bytes(seed: int, w: int = IMG_W, h: int = IMG_H) -> bytes:
+    """A REAL 8-bit grayscale PNG: pixel(x, y) = (7x + y^2 + 2*seed) % 256
+    (a different formula from the PGM lane, so the two oracles cannot
+    mask each other), scanlines filtered with type = y % 5 — all five
+    PNG filters appear in every image — DEFLATE-compressed IDAT, CRC'd
+    chunks."""
+    import struct
+    import zlib
+
+    xs = np.arange(w, dtype=np.int64)[None, :]
+    ys = np.arange(h, dtype=np.int64)[:, None]
+    px = ((7 * xs + ys * ys + 2 * int(seed)) % 256).astype(np.int64)
+
+    raw = bytearray()
+    prev = np.zeros(w, dtype=np.int64)
+    for y in range(h):
+        line = px[y]
+        left = np.concatenate(([0], line[:-1]))
+        up_left = np.concatenate(([0], prev[:-1]))
+        ftype = y % 5
+        if ftype == 0:
+            filt = line
+        elif ftype == 1:
+            filt = line - left
+        elif ftype == 2:
+            filt = line - prev
+        elif ftype == 3:
+            filt = line - (left + prev) // 2
+        else:
+            filt = line - _paeth(left, prev, up_left)
+        raw.append(ftype)
+        raw.extend((filt % 256).astype(np.uint8).tobytes())
+        prev = line
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(content: bytes) -> np.ndarray:
+    """REAL PNG decode, zero dependencies: signature check, chunk walk
+    with CRC-32 verification, IHDR validation (8-bit grayscale,
+    non-interlaced), multi-IDAT concatenation, zlib inflate, and full
+    scanline defiltering (None/Sub/Up/Average/Paeth reconstruction).
+    Raises ValueError on anything malformed — bad magic, CRC mismatch,
+    truncated inflate output, unsupported color mode."""
+    import struct
+    import zlib
+
+    if not content.startswith(_PNG_SIG):
+        raise ValueError("not a PNG payload (bad signature)")
+    pos = len(_PNG_SIG)
+    ihdr = None
+    idat = bytearray()
+    while pos + 8 <= len(content):
+        (length,) = struct.unpack_from(">I", content, pos)
+        ctype = content[pos + 4 : pos + 8]
+        data = content[pos + 8 : pos + 8 + length]
+        if len(data) < length:
+            raise ValueError(f"truncated {ctype!r} chunk")
+        (crc,) = struct.unpack_from(">I", content, pos + 8 + length)
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"CRC mismatch in {ctype!r} chunk")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None:
+        raise ValueError("missing IHDR")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if (depth, color, comp, filt, interlace) != (8, 0, 0, 0, 0):
+        raise ValueError(
+            "only 8-bit grayscale non-interlaced PNG supported, got "
+            f"depth={depth} color={color} interlace={interlace}"
+        )
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != h * (w + 1):
+        raise ValueError(
+            f"inflated scanline data is {len(raw)} bytes, want {h * (w + 1)}"
+        )
+    out = np.zeros((h, w), dtype=np.int64)
+    prev = np.zeros(w, dtype=np.int64)
+    for y in range(h):
+        row = raw[y * (w + 1) : (y + 1) * (w + 1)]
+        ftype = row[0]
+        filt_b = np.frombuffer(row, dtype=np.uint8, count=w, offset=1).astype(
+            np.int64
+        )
+        if ftype == 0:
+            recon = filt_b
+        elif ftype == 2:
+            recon = (filt_b + prev) % 256
+        elif ftype in (1, 3, 4):
+            # left-dependent filters reconstruct sequentially
+            recon = np.zeros(w, dtype=np.int64)
+            for x in range(w):
+                a = recon[x - 1] if x else 0
+                b = prev[x]
+                c = prev[x - 1] if x else 0
+                if ftype == 1:
+                    pred = a
+                elif ftype == 3:
+                    pred = (a + b) // 2
+                else:
+                    pred = int(_paeth(np.int64(a), np.int64(b), np.int64(c)))
+                recon[x] = (filt_b[x] + pred) % 256
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out[y] = recon
+        prev = recon
+    return out.astype(np.uint8)
+
+
+def attach_png_payload(docs: DataFrame) -> DataFrame:
+    """documents -> media table whose content is a REAL PNG file per row
+    (seeded by doc_id) — same executor-side Arrow synthesis shape as
+    :func:`attach_pgm_payload`."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "media_type": "image/png",
+                    "content": [synth_png_bytes(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        batches, schema="media_id BIGINT, media_type STRING, content BINARY"
     )
 
 

@@ -45,3 +45,68 @@ def approx_event_stats(
             f"p{int(p * 100)}", F.round(F.col("_pct")[i], 4)
         )
     return out.drop("_pct")
+
+
+def approx_event_stats_verdict(
+    events: DataFrame,
+    *,
+    rsd: float = 0.05,
+    percentiles: tuple[float, ...] = (0.5, 0.95, 0.99),
+    accuracy: int = 10_000,
+    rank_slack: float = 0.005,
+) -> DataFrame:
+    """Verdict-table form of :func:`approx_event_stats` so the sketch
+    lane can hold a HASH-verifIABLE driver-correctness row (the same
+    trick ``curate_corpus`` uses for its gate booleans): alongside the
+    exact per-type row count, emit per-sketch ``*_within_bounds``
+    BOOLEANS computed in-plan against exact answers —
+
+    - ``users_within_bounds``: |HLL estimate - exact COUNT DISTINCT|
+      <= 3*rsd * exact (the standard 3-sigma bar for HLL++);
+    - ``p*_within_bounds``: each approximate percentile lies between
+      the EXACT percentiles at ranks p +- ``rank_slack`` (the sketch
+      guarantees 1/accuracy = 1e-4 rank error; the verdict allows 50x
+      that, so the boolean is stable under any partitioning/merge
+      order while a broken sketch — off by whole ranks — still trips).
+
+    The SQL oracle asserts the EXPECTED verdict (all booleans true)
+    next to the exact counts, so a sketch drifting out of bounds flips
+    the value hash red. Estimates themselves stay out of the hash —
+    they are implementation-defined.
+
+    Scale note: this variant is the VERIFICATION harness — it pays for
+    exact COUNT(DISTINCT) and exact percentiles, which is exactly what
+    sketches exist to avoid at 100 TB. Production uses
+    :func:`approx_event_stats`; this runs at driver-check scale.
+    """
+    pct = F.percentile_approx(
+        "value", [float(p) for p in percentiles], accuracy
+    )
+    exact_lo = F.percentile(
+        F.col("value"),
+        F.array(*[F.lit(max(0.0, p - rank_slack)) for p in percentiles]),
+    )
+    exact_hi = F.percentile(
+        F.col("value"),
+        F.array(*[F.lit(min(1.0, p + rank_slack)) for p in percentiles]),
+    )
+    out = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.approx_count_distinct("user_id", rsd).alias("_approx_users"),
+        F.count_distinct("user_id").alias("_exact_users"),
+        pct.alias("_pct"),
+        exact_lo.alias("_lo"),
+        exact_hi.alias("_hi"),
+    )
+    users_ok = (
+        F.abs(F.col("_approx_users") - F.col("_exact_users"))
+        <= 3.0 * rsd * F.col("_exact_users")
+    )
+    out = out.withColumn("users_within_bounds", users_ok)
+    for i, p in enumerate(percentiles):
+        out = out.withColumn(
+            f"p{int(p * 100)}_within_bounds",
+            (F.col("_pct")[i] >= F.col("_lo")[i])
+            & (F.col("_pct")[i] <= F.col("_hi")[i]),
+        )
+    return out.drop("_approx_users", "_exact_users", "_pct", "_lo", "_hi")
