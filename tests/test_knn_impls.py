@@ -165,3 +165,51 @@ def test_sign_pack_empty_vector_is_empty(spark):
         .first()
     )
     assert list(row["w"]) == []
+
+
+def test_prepacked_codes_identical_to_inplan(spark, emb):
+    """knn_hamming/knn_refine_bq over a materialized bq_codes column
+    (pack_codes — the 32x-smaller serving path) must return exactly the
+    rows of the in-plan packing path."""
+    from vector_database_in_rust_spark.operators.knn import (
+        knn_hamming,
+        knn_refine_bq,
+        pack_codes,
+    )
+
+    q = _qvec(emb, 0)
+    packed = pack_codes(emb).cache()
+    try:
+        for k in (5, 10):
+            inplan = knn_hamming(emb, q, k).collect()
+            pre = knn_hamming(packed, q, k, codes_col="bq_codes").collect()
+            assert [(r["vec_id"], r["hamming"]) for r in inplan] == [
+                (r["vec_id"], r["hamming"]) for r in pre
+            ]
+        a = knn_refine_bq(emb, q, 10).collect()
+        b = knn_refine_bq(packed, q, 10, codes_col="bq_codes").collect()
+        assert [(r["vec_id"], r["dist"]) for r in a] == [
+            (r["vec_id"], r["dist"]) for r in b
+        ]
+    finally:
+        packed.unpersist()
+
+
+def test_sign_pack_nan_is_zero_bit(spark):
+    """NaN dimensions must pack as bit 0 (explicit isnan guard) — the
+    same convention the DuckDB oracles now carry, so a NaN in
+    regenerated testdata cannot silently flip BQ hashes."""
+    from vector_database_in_rust_spark.functions.vectors import (
+        sign_pack_literal,
+        sign_pack_words,
+    )
+
+    vec = [float("nan"), 1.0, -2.0, float("nan")]
+    row = (
+        spark.range(1)
+        .select(sign_pack_words(F.array(*[F.lit(v) for v in vec])).alias("w"))
+        .first()
+    )
+    assert list(row["w"]) == [2]  # only dimension 1 sets its bit
+    lit = spark.range(1).select(sign_pack_literal(vec).alias("w")).first()
+    assert list(lit["w"]) == [2]

@@ -185,10 +185,12 @@ def test_raw_int64_nanos_encoding(spark, tmp_path):
 
 
 def test_staging_is_crash_safe(spark, tmp_path, monkeypatch):
-    """A process killed mid-stage must NOT poison the stage dir: the
-    guard keys on the _STAGED marker written last, so a partial stage
-    is wiped and rebuilt on the next call."""
+    """A process killed mid-stage must NOT poison the stage dir: builds
+    run in a temp sibling and publish atomically via rename, so a crash
+    leaves NO stage directory at all (and no temp litter), and the next
+    call rebuilds cleanly."""
     import os
+    import pathlib
 
     from vector_database_in_rust_spark.harness import _ensure_staged
 
@@ -197,25 +199,49 @@ def test_staging_is_crash_safe(spark, tmp_path, monkeypatch):
 
     def crashing_build(d):
         calls.append("crash")
-        (tmp_path / "stage" / "partial.txt").write_text("half")
+        (pathlib.Path(d) / "partial.txt").write_text("half")
         raise RuntimeError("killed mid-stage")
 
-    try:
+    with pytest.raises(RuntimeError):
         _ensure_staged(stage, crashing_build)
-    except RuntimeError:
-        pass
-    assert os.path.exists(os.path.join(stage, "partial.txt"))
-    assert not os.path.exists(os.path.join(stage, "_STAGED"))
+    # atomic publish: the half-written build never becomes visible
+    assert not os.path.exists(stage)
+    assert not any(p.name.startswith("stage.tmp") for p in tmp_path.iterdir())
 
     def good_build(d):
         calls.append("good")
-        (tmp_path / "stage" / "real.txt").write_text("all")
+        (pathlib.Path(d) / "real.txt").write_text("all")
 
     _ensure_staged(stage, good_build)
-    # the partial artifact was wiped, the real one staged, marker last
     assert not os.path.exists(os.path.join(stage, "partial.txt"))
     assert os.path.exists(os.path.join(stage, "real.txt"))
     assert os.path.exists(os.path.join(stage, "_STAGED"))
     # a third call is a no-op
     _ensure_staged(stage, good_build)
     assert calls == ["crash", "good"]
+
+
+def test_staging_loser_defers_to_published_stage(tmp_path):
+    """Two processes racing the same content-hash key: if another
+    builder publishes the stage while ours is mid-build, our rename
+    loses and our temp is discarded — the winner's files survive
+    untouched (both builds are content-identical by key construction,
+    so deferring is correct)."""
+    import os
+    import pathlib
+
+    from vector_database_in_rust_spark.harness import _ensure_staged
+
+    stage = str(tmp_path / "stage")
+
+    def racing_build(d):
+        # simulate the OTHER process winning while we build
+        os.makedirs(stage)
+        (pathlib.Path(stage) / "winner.txt").write_text("w")
+        open(os.path.join(stage, "_STAGED"), "w").close()
+        (pathlib.Path(d) / "loser.txt").write_text("l")
+
+    _ensure_staged(stage, racing_build)
+    assert os.path.exists(os.path.join(stage, "winner.txt"))
+    assert not os.path.exists(os.path.join(stage, "loser.txt"))
+    assert not any(p.name.startswith("stage.tmp") for p in tmp_path.iterdir())

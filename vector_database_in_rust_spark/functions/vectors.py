@@ -112,13 +112,21 @@ def sign_pack_words(a: Column) -> Column:
     engine-portable inside a BIGINT: no sign-bit ambiguity, and
     ``pow(2, j)`` stays integral in an IEEE double, so the SAME
     arithmetic is expressible in the DuckDB oracle. Pure Catalyst —
-    codegen'd, no UDF."""
+    codegen'd, no UDF.
+
+    NaN is EXPLICITLY non-positive (bit 0) via an isnan guard — Spark
+    and DuckDB disagree on ``NaN > 0`` (Spark orders NaN above all
+    values; so do DuckDB's comparisons, but not identically through
+    lambda rewrites), so without the guard a NaN dimension would
+    silently diverge from the oracle's arithmetic. The oracle SQL
+    carries the same ``NOT isnan(x)`` guard."""
     wb = F.lit(WORD_BITS)
     bits = F.zip_with(
         a.cast(_D),
         F.sequence(F.lit(0), F.size(a) - 1),
         lambda x, i: F.when(
-            x > 0, F.pow(F.lit(2.0), F.pmod(i, wb)).cast("long")
+            (~F.isnan(x)) & (x > 0),
+            F.pow(F.lit(2.0), F.pmod(i, wb)).cast("long"),
         ).otherwise(F.lit(0).cast("long")),
     )
     n_words = F.ceil(F.size(a) / WORD_BITS).cast("int")
@@ -151,7 +159,9 @@ def hamming_distance(a_words: Column, b_words: Column) -> Column:
 
 def sign_pack_literal(vec: Sequence[float]) -> Column:
     """Driver-side sign-pack of a query vector into the same word layout
-    as :func:`sign_pack_words`, embedded as a plan literal."""
+    as :func:`sign_pack_words`, embedded as a plan literal. Python's
+    ``nan > 0`` is already False, matching the isnan-guarded column
+    form: NaN packs as bit 0 everywhere."""
     words = [0] * ((len(vec) + WORD_BITS - 1) // WORD_BITS)
     for i, x in enumerate(vec):
         if float(x) > 0:

@@ -89,20 +89,42 @@ def _stage_dir(kind: str, *source_files: str) -> str:
 
 
 def _ensure_staged(stage: str, build) -> str:
-    """Crash-safe staging: run ``build(stage)`` only when the _STAGED
-    marker is absent, wiping any half-written stage first and writing
-    the marker LAST — a process killed mid-stage can never leave a
-    directory the guard mistakes for complete. The marker's leading
-    underscore makes Spark's file sources (batch and stream) ignore it."""
+    """Crash-safe AND concurrency-safe staging: build into a pid-keyed
+    temp sibling, write the _STAGED marker inside it LAST, then
+    ``os.rename`` the whole directory into place — one atomic publish,
+    so a process killed mid-stage can never leave a directory the guard
+    mistakes for complete, and two processes racing the same
+    content-hash key (pytest-xdist, parallel harness runs) can never
+    interleave writes inside one directory: the loser's rename fails
+    against the winner's already-published stage (content-identical by
+    construction of the key) and its temp is discarded. The marker's
+    leading underscore makes Spark's file sources (batch and stream)
+    ignore it."""
     import os
     import shutil
 
     marker = os.path.join(stage, "_STAGED")
-    if not os.path.exists(marker):
-        shutil.rmtree(stage, ignore_errors=True)
-        os.makedirs(stage, exist_ok=True)
-        build(stage)
-        open(marker, "w").close()
+    if os.path.exists(marker):
+        return stage
+    tmp = f"{stage}.tmp.{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
+    try:
+        build(tmp)
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+    open(os.path.join(tmp, "_STAGED"), "w").close()
+    try:
+        os.rename(tmp, stage)
+    except OSError:
+        if os.path.exists(marker):
+            # a concurrent builder published the (identical) stage first
+            shutil.rmtree(tmp, ignore_errors=True)
+        else:
+            # torn directory from a crashed pre-atomic build: replace it
+            shutil.rmtree(stage, ignore_errors=True)
+            os.rename(tmp, stage)
     return stage
 
 
@@ -4056,11 +4078,14 @@ def redact_pii_q(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 # Sign-pack per 32-bit word with the SAME arithmetic in both dialects:
-# bit j of word w set iff embedding[w*32 + j] > 0 (1-based SQL slicing;
-# DuckDB's (x, i) lambda index is 1-based).
+# bit j of word w set iff embedding[w*32 + j] > 0 AND is not NaN
+# (1-based SQL slicing; DuckDB's (x, i) lambda index is 1-based). The
+# NOT isnan guard mirrors sign_pack_words' — the two engines order NaN
+# differently in bare comparisons, so NaN is pinned to bit 0 on BOTH
+# sides rather than left to dialect semantics.
 _SQL_BQ_WORD = (
     "cast(coalesce(list_sum(list_transform(embedding[{lo}:{hi}], "
-    "(x, i) -> CASE WHEN x > 0 THEN (1::BIGINT << (i - 1)) "
+    "(x, i) -> CASE WHEN x > 0 AND NOT isnan(x) THEN (1::BIGINT << (i - 1)) "
     "ELSE 0 END)), 0) AS BIGINT)"
 )
 
@@ -4095,7 +4120,8 @@ _KNN_HAMMING_ORACLE = f"""
 WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
 SELECT e.vec_id,
        cast(len(list_filter(list_zip(e.embedding, q.qe),
-            z -> (z[1] > 0) <> (z[2] > 0))) AS BIGINT) AS hamming
+            z -> (z[1] > 0 AND NOT isnan(z[1]))
+                 <> (z[2] > 0 AND NOT isnan(z[2])))) AS BIGINT) AS hamming
 FROM embeddings e CROSS JOIN q
 ORDER BY hamming, vec_id LIMIT {_KNN_HAMMING_K}
 """
@@ -4157,7 +4183,8 @@ WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
 cand AS (
   SELECT e.vec_id,
          cast(len(list_filter(list_zip(e.embedding, q.qe),
-              z -> (z[1] > 0) <> (z[2] > 0))) AS BIGINT) AS hamming
+              z -> (z[1] > 0 AND NOT isnan(z[1]))
+                   <> (z[2] > 0 AND NOT isnan(z[2])))) AS BIGINT) AS hamming
   FROM embeddings e CROSS JOIN q
   ORDER BY hamming, vec_id LIMIT {KNN_K * 4}
 )

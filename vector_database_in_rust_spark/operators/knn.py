@@ -268,6 +268,23 @@ def _knn_batch_pandas(
     )
 
 
+def pack_codes(
+    corpus: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    codes_col: str = "bq_codes",
+) -> DataFrame:
+    """Materialize the binary-quantization companion column: the corpus
+    with ``codes_col`` (``ARRAY<BIGINT>`` sign-packed words,
+    1 bit/dimension) appended. Write this ONCE next to the float store
+    — the packed column is 32x smaller than float32 — then serve
+    :func:`knn_hamming`/:func:`knn_refine_bq` with ``codes_col=`` so
+    the candidate scan reads only the codes."""
+    from vector_database_in_rust_spark.functions.vectors import sign_pack_words
+
+    return corpus.withColumn(codes_col, sign_pack_words(F.col(vec_col)))
+
+
 def knn_hamming(
     corpus: DataFrame,
     query: Sequence[float],
@@ -275,19 +292,24 @@ def knn_hamming(
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    codes_col: str | None = None,
 ) -> DataFrame:
     """Top-k by HAMMING distance over binary-quantized (sign-bit)
     codes — the compressed-domain twin of :func:`knn_exact`.
 
-    The corpus packs to 1 bit/dimension in-plan (``sign_pack_words``;
-    in production the packed column is materialized once next to the
-    embeddings, 32x smaller than the float32 store, and this scan reads
-    ONLY the codes). The query packs driver-side into a plan literal.
-    ``bit_count(xor)`` per word + ``orderBy().limit(k)`` compiles to
-    the same zero-shuffle TakeOrderedAndProject as the exact path —
-    a full-corpus candidate scan at memory bandwidth, the standard
-    first stage in front of an exact re-rank (see ``knn_funnel`` for
-    the funnel composition).
+    With ``codes_col`` naming a pre-packed ``ARRAY<BIGINT>`` column
+    (materialized once via :func:`pack_codes`), the candidate scan
+    reads ONLY the codes — 32x less I/O than the float32 store, which
+    is the production serving shape. Without it the codes pack in-plan
+    from the floats (``sign_pack_words``): correctness-identical and
+    still zero-shuffle, but the scan reads the full float column, so
+    per-query cost matches the exact scan — use the in-plan form for
+    ad-hoc queries, the materialized column for serving. The query
+    packs driver-side into a plan literal. ``bit_count(xor)`` per word
+    + ``orderBy().limit(k)`` compiles to the same zero-shuffle
+    TakeOrderedAndProject as the exact path — the standard first stage
+    in front of an exact re-rank (see ``knn_funnel`` for the funnel
+    composition).
 
     Deterministic: ties break on (hamming, vec_id). Returns
     ``(vec_id, hamming)`` ascending.
@@ -299,7 +321,10 @@ def knn_hamming(
     )
 
     q_words = sign_pack_literal(query)
-    ham = hamming_distance(sign_pack_words(F.col(vec_col)), q_words)
+    corpus_words = (
+        F.col(codes_col) if codes_col else sign_pack_words(F.col(vec_col))
+    )
+    ham = hamming_distance(corpus_words, q_words)
     return (
         corpus.select(F.col(id_col).alias("vec_id"), ham.alias("hamming"))
         .orderBy("hamming", "vec_id")
@@ -368,18 +393,27 @@ def knn_refine_bq(
     refine_factor: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    codes_col: str | None = None,
     round_digits: int = 4,
 ) -> DataFrame:
     """The production binary-quantization serving shape: Hamming
     candidate scan over the 1-bit codes (``knn_hamming``), then exact
-    L2 re-rank of the ``k * refine_factor`` survivors — compression
-    does the corpus pass, full precision only touches candidates.
+    L2 re-rank of the ``k * refine_factor`` survivors — with a
+    materialized ``codes_col`` (:func:`pack_codes`) the corpus pass
+    reads only the 32x-smaller codes and full precision touches only
+    candidates; without it the codes pack in-plan (same answers, float
+    column still read — see :func:`knn_hamming`).
 
     Deterministic at both stages ((hamming, id) then (dist, id) ties),
     so the whole funnel is SQL-reproducible; recall vs the unfunneled
     exact top-k is the refine_factor trade pinned in tests."""
     candidates = knn_hamming(
-        corpus, query, k * refine_factor, id_col=id_col, vec_col=vec_col
+        corpus,
+        query,
+        k * refine_factor,
+        id_col=id_col,
+        vec_col=vec_col,
+        codes_col=codes_col,
     ).select(F.col("vec_id").alias("_cand_id"))
     q = [float(x) for x in query]
     d_full = F.round(

@@ -41,7 +41,18 @@ def configure_reader(spark: SparkSession) -> None:
     """Session confs the ingest contract depends on: UTC session zone
     (calendar functions on canonicalized TIMESTAMP must match the naive
     oracle) and nanos-as-long (so TIMESTAMP(NANOS) files load at all
-    instead of PARQUET_TYPE_ILLEGAL)."""
+    instead of PARQUET_TYPE_ILLEGAL).
+
+    .. warning:: SESSION-WIDE side effect. These two confs apply to the
+       whole ``SparkSession``, not just this load — every
+       ``load_table``/``read_events_stream`` call pins the session to
+       UTC timestamp semantics, which changes how unrelated code
+       sharing the session renders/parses timestamps. This is the
+       engine's declared ingest contract (every operator and oracle in
+       this repo assumes it); an application embedding the engine in a
+       session it also uses with local-zone semantics should either
+       apply UTC at session construction (the recommendation — it makes
+       the pin explicit) or use a separate session."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
