@@ -36,33 +36,46 @@ def test_range_search_nonempty(spark):
     assert h.QUERIES["range_search"](spark, SF_SMOKE).count() >= 1
 
 
-def test_round4_window_composition():
+def test_round5_window_composition():
     """The driver hashes only queries()[:50] in dict order. Pin the
-    round-4 rotation: the repaired streaming queries and the round-4
-    additions that claimed window slots must sit INSIDE the window
-    (later additions are deferred to round 5 by design — NOTES_r3.md
-    §2), and the window must contain no duplicates. An accidental
-    registration reorder (e.g. a new @register placed before the
-    rotation call) silently un-verifies queries — this test makes
-    that loud."""
+    round-5 rotation: the window IS _ROUND5_WINDOW verbatim — the 14
+    queries that had never held a driver slot claim the front, then
+    this round's additions (media_decode_png, the oracle-backed
+    approx_event_stats verdict), then the materially-changed and
+    high-churn re-verification set. An accidental registration reorder
+    (e.g. a new @register placed before the rotation call) silently
+    un-verifies queries — this test makes that loud."""
     window = list(harness.QUERIES)[:50]
     assert len(set(window)) == 50
-    must_have = {
-        "stream_hourly_rollup",
-        "stream_sessionize",
-        "sessionize_events",
-        "events_range_join",
-        "embedding_bq",
-        "knn_hamming",
-        "knn_funnel",
-        "media_decode_image",
-        "media_decode_audio",
-        "media_resize_real",
-        "dedup_substring",
-        "search_bm25",
-        "tpch_q3_shipping",
-        "decontaminate_corpus",
-        "store_versions",
+    assert window == harness._ROUND5_WINDOW
+    never_verified = {
+        "csv_roundtrip",
+        "json_roundtrip",
+        "orc_roundtrip",
+        "csv_vector_roundtrip",
+        "media_resize",
+        "media_frames",
+        "knn_refine_bq",
+        "embed_hashed",
+        "embed_hashed_search",
+        "profile_events",
+        "corpus_shuffle",
+        "length_buckets",
+        "tpch_q4_order_priority",
+        "tpch_q12_shipmode",
     }
-    missing = must_have - set(window)
-    assert not missing, f"rotated out of the driver window: {missing}"
+    missing = never_verified - set(window[:14])
+    assert not missing, f"never-verified query lost its front slot: {missing}"
+    # every window member must verify something: all 50 are oracle-backed
+    # (approx_event_stats included, via its round-5 verdict table)
+    no_oracle = [q for q in window if q not in harness.ORACLES]
+    assert not no_oracle, f"window slots without an oracle: {no_oracle}"
+
+
+def test_rotation_is_a_pure_permutation():
+    """Rotation must only PERMUTE the registry: every registered query
+    appears exactly once, and every oracle key still names a registered
+    query — no adds, drops, or re-pairings."""
+    names = list(harness.QUERIES)
+    assert len(names) == len(set(names))
+    assert set(harness.ORACLES) <= set(names)

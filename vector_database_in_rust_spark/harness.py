@@ -4561,18 +4561,32 @@ def media_resize_real_q(spark, sf_dir):
 #
 # The correctness driver hashes only the FIRST 50 registered queries in
 # dict order. Rounds 1-3 verified a cumulative 67 of the 112 queries
-# registered entering round 4; the window below front-loads the
-# never-driver-verified ones, the two repaired streaming queries
-# (stream_hourly_rollup / stream_sessionize — red in r03 via the
-# timestamp-encoding break, fixed this round), re-verify candidates
-# whose implementations changed materially since their r01 check, and
-# six of this round's additions. Round 4 also registered more queries
-# than the window holds: the displaced/new remainder (four format
-# roundtrips, two stub-media entries, and the later round-4 additions —
-# see NOTES_r3.md §2 for the exact list) carries pytest-parity coverage
-# only until the round-5 rotation. Cumulative driver-verified after
-# r04: 112 of the full registry. Rotation only PERMUTES the registry —
-# no query is added or removed, and oracle pairings are untouched.
+# registered entering round 4; the round-4 window front-loaded the
+# never-driver-verified ones, the repaired streaming queries, and six
+# round-4 additions, scoring 49/49 on its oracle-backed members.
+# Cumulative driver-verified after r04: 112 of 126. Rotation only
+# PERMUTES the registry — no query is added or removed, and oracle
+# pairings are untouched.
+#
+# _ROUND5_WINDOW (below, the active rotation) closes the loop:
+#   1-14   the 14 queries that had NEVER held a window slot (format
+#          roundtrips, stub-media plumbing, knn_refine_bq, the hashed
+#          encoder pair, profiler, corpus shuffle, length buckets,
+#          TPC-H Q4/Q12) — after r05 every registered query has a
+#          driver-verified row;
+#   15-16  round-5 additions/repairs: media_decode_png (new REAL
+#          compressed-format decoder) and approx_event_stats (now
+#          emits an oracle-able verdict table instead of a rows-only
+#          row — its r04 slot recorded err: no_oracle);
+#   17-28  queries whose implementation or oracle changed materially
+#          THIS round (lm_score's in-DAG corpus total,
+#          dedup_clusters_star's single-action fixpoint, the
+#          NaN-guarded BQ lane) plus the r01-era high-churn set the
+#          r4 verdict called out (knn_exact, knn_batch, l2_distance,
+#          cosine_similarity, dedup_exact, text_stats,
+#          dedup_embedding_cosine);
+#   29-50  r01-verified queries under code that has since churned —
+#          proving rotation never trades old coverage for new.
 # ---------------------------------------------------------------------------
 
 _ROUND4_WINDOW = [
@@ -4644,6 +4658,70 @@ _ROUND4_WINDOW = [
 ]
 
 
+_ROUND5_WINDOW = [
+    # --- first claim: the 14 never-driver-verified queries ---
+    "csv_roundtrip",
+    "json_roundtrip",
+    "orc_roundtrip",
+    "csv_vector_roundtrip",
+    "media_resize",
+    "media_frames",
+    "knn_refine_bq",
+    "embed_hashed",
+    "embed_hashed_search",
+    "profile_events",
+    "corpus_shuffle",
+    "length_buckets",
+    "tpch_q4_order_priority",
+    "tpch_q12_shipmode",
+    # --- round-5 additions / repairs ---
+    "media_decode_png",
+    "approx_event_stats",
+    # --- changed materially this round ---
+    "lm_score",
+    "dedup_clusters_star",
+    "embedding_bq",
+    "knn_hamming",
+    "knn_funnel",
+    # --- r01-era high-churn re-verification (r4 verdict item 2) ---
+    "knn_exact",
+    "knn_batch",
+    "l2_distance",
+    "cosine_similarity",
+    "dedup_exact",
+    "text_stats",
+    "dedup_embedding_cosine",
+    # --- r01-verified, code churned since: rotation must not trade
+    #     old coverage for new ---
+    "scan_embeddings",
+    "count_vectors",
+    "fetch_by_id",
+    "validate_dims",
+    "knn_join_documents",
+    "dedup_ngram_jaccard",
+    "dedup_fingerprint",
+    # (dedup_minhash_lsh / dedup_simhash are rows-only by design — a
+    # window slot would record err: no_oracle forever, the exact waste
+    # the r4 verdict flagged for approx_event_stats; their quality bars
+    # live in tests/test_dedup.py)
+    "events_asof_join",
+    "curate_corpus",
+    "token_count",
+    "lang_id",
+    "quality_score",
+    "doc_fingerprint",
+    "multimodal_join",
+    "events_hourly_rollup",
+    "events_salted_agg",
+    "events_anomalies",
+    "events_pivot",
+    "events_histogram",
+    "events_json_stats",
+    "tpch_q1_pricing",
+    "top_customers_by_region",
+]
+
+
 def _rotate_registry(front: list[str]) -> None:
     missing = [k for k in front if k not in QUERIES]
     assert not missing, f"rotation names unknown queries: {missing}"
@@ -4656,4 +4734,4 @@ def _rotate_registry(front: list[str]) -> None:
         )
 
 
-_rotate_registry(_ROUND4_WINDOW)
+_rotate_registry(_ROUND5_WINDOW)
