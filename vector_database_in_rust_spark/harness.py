@@ -4141,6 +4141,24 @@ def knn_hamming_q(spark, sf_dir):
     )
 
 
+@register("knn_hamming_packed", _KNN_HAMMING_ORACLE)
+def knn_hamming_packed_q(spark, sf_dir):
+    """The PRODUCTION serving shape of the Hamming scan (round 5,
+    advisory fix): the corpus's sign codes are materialized once
+    (operators/knn.pack_codes — the 32x-smaller companion column) and
+    the scan reads ONLY the codes via ``codes_col=``. Same oracle as
+    ``knn_hamming`` — materialization must be answer-invariant; a
+    packed column that drifts from the floats it mirrors flips the
+    hash."""
+    packed = knn_ops.pack_codes(_emb(spark, sf_dir))
+    return knn_ops.knn_hamming(
+        packed,
+        _query_vec(spark, sf_dir),
+        _KNN_HAMMING_K,
+        codes_col="bq_codes",
+    )
+
+
 _FUNNEL_K = 10
 _FUNNEL_REFINE = 4
 _FUNNEL_PREFIX = 16
@@ -4682,6 +4700,7 @@ _ROUND5_WINDOW = [
     "dedup_clusters_star",
     "embedding_bq",
     "knn_hamming",
+    "knn_hamming_packed",
     "knn_funnel",
     # --- r01-era high-churn re-verification (r4 verdict item 2) ---
     "knn_exact",
@@ -4709,7 +4728,9 @@ _ROUND5_WINDOW = [
     "token_count",
     "lang_id",
     "quality_score",
-    "doc_fingerprint",
+    # (doc_fingerprint yields its tail slot to knn_hamming_packed —
+    # its twin dedup_fingerprint keeps one, and it stays green in the
+    # pytest parity mirror)
     "multimodal_join",
     "events_hourly_rollup",
     "events_salted_agg",
