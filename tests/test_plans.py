@@ -247,6 +247,18 @@ def test_knn_hamming_take_ordered_no_shuffle(audits):
     assert a.n_broadcast_exchanges == 0
 
 
+def test_knn_hamming_packed_reads_codes_only(audits):
+    """The materialized-codes serving path must scan ONLY the persisted
+    (vec_id, bq_codes) table — no float embedding column anywhere in
+    the plan (the 32x I/O claim), same TakeOrdered zero-shuffle shape
+    as the in-plan variant."""
+    a = audits("knn_hamming_packed")
+    assert "embedding" not in a.formatted
+    assert "bq_codes" in a.formatted
+    assert a.has_take_ordered
+    assert a.n_shuffle_exchanges == 0
+
+
 def test_knn_funnel_broadcasts_candidates(audits):
     """Funnel stage 2: the k*refine candidate ids broadcast back onto
     the corpus (BroadcastHashJoin); the corpus itself never shuffles."""

@@ -4141,18 +4141,44 @@ def knn_hamming_q(spark, sf_dir):
     )
 
 
+_BQ_CODES_SAVED: dict[str, str] = {}
+
+
+def _bq_codes_table(spark, sf_dir):
+    """The MATERIALIZED binary-quantization companion table: pack the
+    sign codes once (operators/knn.pack_codes), persist (vec_id,
+    bq_codes) as parquet keyed by the embeddings' content hash, and
+    read it back — the 32x-smaller store the compressed scan serves
+    from. Build-once semantics mirror _ivf_persisted."""
+    import os
+
+    path = _BQ_CODES_SAVED.get(sf_dir)
+    if path is None:
+        path = _stage_dir("bq_codes", f"{sf_dir}/embeddings.parquet")
+
+        def build(d):
+            knn_ops.pack_codes(_emb(spark, sf_dir)).select(
+                "vec_id", "bq_codes"
+            ).write.mode("overwrite").parquet(os.path.join(d, "codes.parquet"))
+
+        _ensure_staged(path, build)
+        _BQ_CODES_SAVED[sf_dir] = path
+    return spark.read.parquet(f"{path}/codes.parquet")
+
+
 @register("knn_hamming_packed", _KNN_HAMMING_ORACLE)
 def knn_hamming_packed_q(spark, sf_dir):
     """The PRODUCTION serving shape of the Hamming scan (round 5,
-    advisory fix): the corpus's sign codes are materialized once
-    (operators/knn.pack_codes — the 32x-smaller companion column) and
-    the scan reads ONLY the codes via ``codes_col=``. Same oracle as
+    advisory fix): the corpus's sign codes are materialized ONCE into
+    a persisted (vec_id, bq_codes) parquet table (_bq_codes_table —
+    32x smaller than the float32 store) and the query scans ONLY that
+    table via ``codes_col=`` — no float column exists in the plan at
+    all (pinned in tests/test_plans.py). Same oracle as
     ``knn_hamming`` — materialization must be answer-invariant; a
     packed column that drifts from the floats it mirrors flips the
     hash."""
-    packed = knn_ops.pack_codes(_emb(spark, sf_dir))
     return knn_ops.knn_hamming(
-        packed,
+        _bq_codes_table(spark, sf_dir),
         _query_vec(spark, sf_dir),
         _KNN_HAMMING_K,
         codes_col="bq_codes",
