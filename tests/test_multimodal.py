@@ -264,3 +264,72 @@ class TestPngCodec:
                                           - (px.sum() / px.size) ** 2, 0.0))), 6
             )
             assert stats[did]["corner_px"] == px[0, 0]
+
+    def test_png_decode_property_random_pixels_any_filters(self):
+        """Property: for ANY pixel matrix and ANY per-row filter
+        choice, a spec-conformant encode must decode back exactly —
+        pins the defilter reconstruction against arbitrary data, not
+        just the formula images."""
+        import struct
+        import zlib
+
+        import numpy as np
+        from hypothesis import given, settings, strategies as st
+
+        from vector_database_in_rust_spark.operators.multimodal import (
+            _paeth,
+            decode_png,
+        )
+
+        def encode(px: np.ndarray, ftypes: list[int]) -> bytes:
+            h, w = px.shape
+            raw = bytearray()
+            prev = np.zeros(w, dtype=np.int64)
+            for y in range(h):
+                line = px[y].astype(np.int64)
+                left = np.concatenate(([0], line[:-1]))
+                ul = np.concatenate(([0], prev[:-1]))
+                ft = ftypes[y]
+                pred = [
+                    np.zeros(w, dtype=np.int64),
+                    left,
+                    prev,
+                    (left + prev) // 2,
+                    _paeth(left, prev, ul),
+                ][ft]
+                raw.append(ft)
+                raw.extend(((line - pred) % 256).astype(np.uint8).tobytes())
+                prev = line
+
+            def chunk(t, d):
+                return (
+                    struct.pack(">I", len(d)) + t + d
+                    + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+                )
+
+            ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+            return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                    + chunk(b"IDAT", zlib.compress(bytes(raw)))
+                    + chunk(b"IEND", b""))
+
+        @settings(max_examples=40, deadline=None)
+        @given(st.data())
+        def run(data):
+            w = data.draw(st.integers(1, 12))
+            h = data.draw(st.integers(1, 12))
+            px = np.array(
+                data.draw(
+                    st.lists(
+                        st.lists(st.integers(0, 255), min_size=w, max_size=w),
+                        min_size=h,
+                        max_size=h,
+                    )
+                ),
+                dtype=np.uint8,
+            )
+            ftypes = data.draw(
+                st.lists(st.integers(0, 4), min_size=h, max_size=h)
+            )
+            assert decode_png(encode(px, ftypes)).tolist() == px.tolist()
+
+        run()
