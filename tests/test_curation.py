@@ -281,3 +281,60 @@ class TestShuffleAndBuckets:
         for b in range(1, 8):
             # ties may straddle the boundary, hence <= not <
             assert max(by_bucket[b]) <= min(by_bucket[b + 1])
+
+
+def test_holdout_split_covers_all_and_is_stable(spark):
+    """Every doc lands in exactly one split; assignment is a pure
+    function of (salt, id) — stable under re-computation and corpus
+    growth; shares track the fractions."""
+    from vector_database_in_rust_spark.operators.curation import holdout_split
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    n = docs.count()
+    out = holdout_split(docs).collect()
+    assert len(out) == n
+    by_split = {}
+    assign = {}
+    for r in out:
+        by_split[r["split"]] = by_split.get(r["split"], 0) + 1
+        assign[r["doc_id"]] = r["split"]
+    assert set(by_split) <= {"train", "val", "test"}
+    assert by_split["train"] / n > 0.8  # 0.9 nominal, small-sample slack
+    # growth stability: splitting HALF the corpus gives identical
+    # assignments for the shared ids
+    half = holdout_split(docs.filter(F.col("doc_id") % 2 == 0)).collect()
+    for r in half:
+        assert assign[r["doc_id"]] == r["split"]
+    # a different salt reshuffles at least something
+    other = holdout_split(docs, salt="epoch2").collect()
+    assert any(assign[r["doc_id"]] != r["split"] for r in other)
+
+
+def test_holdout_split_validates_fractions(spark):
+    import pytest as _pytest
+
+    from vector_database_in_rust_spark.operators.curation import holdout_split
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    with _pytest.raises(ValueError, match="sum to 1"):
+        holdout_split(docs, [("train", 0.5), ("val", 0.1)])
+    with _pytest.raises(ValueError, match="two splits"):
+        holdout_split(docs, [("train", 1.0)])
+
+
+def test_cluster_size_histogram_counts(spark):
+    """Histogram must invert to the labeling: sum(size * n_clusters)
+    == labeled docs, and a hand-built labeling reproduces exactly."""
+    from vector_database_in_rust_spark.operators.dedup import (
+        cluster_size_histogram,
+    )
+
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4), (5, 4), (6, 6)],
+        "doc_id LONG, cluster_id LONG",
+    )
+    got = {
+        r["cluster_size"]: r["n_clusters"]
+        for r in cluster_size_histogram(labels).collect()
+    }
+    assert got == {3: 1, 2: 1, 1: 1}

@@ -4390,6 +4390,98 @@ def length_buckets_q(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Round-5 pipeline additions: deterministic holdout split, per-source
+# corpus profile, duplicate-cluster size histogram.
+# ---------------------------------------------------------------------------
+
+_CORPUS_SPLIT_ORACLE = """
+WITH k AS (
+  SELECT doc_id,
+         substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 6) AS split_key
+  FROM documents
+)
+SELECT doc_id, split_key,
+       CASE WHEN split_key < 'e66666' THEN 'train'
+            WHEN split_key < 'f33333' THEN 'val'
+            ELSE 'test' END AS split
+FROM k
+"""
+
+
+@register("corpus_split", _CORPUS_SPLIT_ORACLE)
+def corpus_split_q(spark, sf_dir):
+    """Deterministic train/val/test holdout assignment (90/5/5,
+    curation.holdout_split): split = CASE on the md5-prefix key
+    against cumulative hex thresholds — a pure function of (salt, id),
+    so documents keep their split across runs, partitionings and
+    corpus growth (no val->train leakage on refresh). Every doc's
+    assignment hash-checked; zero shuffle (map-side projection)."""
+    from vector_database_in_rust_spark.operators.curation import holdout_split
+
+    return holdout_split(_docs(spark, sf_dir))
+
+
+_PROFILE_SOURCES_ORACLE = """
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(length(text)) AS BIGINT) AS total_chars,
+       round(avg(length(text)), 4) AS mean_chars,
+       round(avg(len(string_split(text, ' '))), 4) AS mean_tokens,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+FROM documents GROUP BY source
+"""
+
+
+@register("profile_sources", _PROFILE_SOURCES_ORACLE)
+def profile_sources_q(spark, sf_dir):
+    """Per-source corpus profile (curation.source_stats): doc counts,
+    character volume, mean token count, language spread — the
+    domain-skew diagnostic a crawl-mix review starts from. One
+    map-side-combinable groupBy keyed on source (domain-cardinality,
+    orders below row count at 100 TB)."""
+    from vector_database_in_rust_spark.operators.curation import source_stats
+
+    return source_stats(_docs(spark, sf_dir))
+
+
+_CLUSTER_SIZES_ORACLE = f"""
+WITH RECURSIVE {_JACCARD_CTES},
+jp AS (SELECT doc_a, doc_b FROM scored WHERE jaccard >= 0.5),
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM jp
+          UNION SELECT doc_b, doc_a FROM jp),
+reach AS (
+  SELECT src AS doc_id, src AS r FROM edges
+  UNION
+  SELECT reach.doc_id, e.dst AS r FROM reach JOIN edges e ON e.src = reach.r
+),
+labels AS (SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id),
+csizes AS (SELECT cluster_id, count(*) AS cluster_size
+           FROM labels GROUP BY cluster_id)
+SELECT cluster_size, count(*) AS n_clusters
+FROM csizes GROUP BY cluster_size
+"""
+
+
+@register("dedup_cluster_sizes", _CLUSTER_SIZES_ORACLE)
+def dedup_cluster_sizes_q(spark, sf_dir):
+    """Duplicate-cluster size histogram (dedup.cluster_size_histogram)
+    over the exact-Jaccard connected components — the post-dedup
+    diagnostic (pair-dominated vs boilerplate fat tail; a collapsed
+    threshold shows up as a giant component). Reuses the SAME
+    materialized pair list as dedup_clusters, and the oracle extends
+    the same recursive-CTE closure with the two-level size rollup, so
+    the histogram is hash-checked end to end."""
+    from vector_database_in_rust_spark.operators.dedup import (
+        cluster_size_histogram,
+        dedup_clusters,
+    )
+
+    return cluster_size_histogram(
+        dedup_clusters(_jaccard_pairs_cached(spark, sf_dir, threshold=0.5))
+    )
+
+
+# ---------------------------------------------------------------------------
 # TPC-H Q4/Q12 shapes (round 4): grouped EXISTS semi-join and
 # conditional aggregation over a fact-to-fact join.
 # ---------------------------------------------------------------------------
@@ -4751,12 +4843,14 @@ _ROUND5_WINDOW = [
     # live in tests/test_dedup.py)
     "events_asof_join",
     "curate_corpus",
-    "token_count",
-    "lang_id",
-    "quality_score",
-    # (doc_fingerprint yields its tail slot to knn_hamming_packed —
-    # its twin dedup_fingerprint keeps one, and it stays green in the
-    # pytest parity mirror)
+    # round-5 pipeline additions claim three tail slots (displacing
+    # token_count / lang_id / quality_score, which hold r01 driver
+    # rows and stay green in the pytest parity mirror; likewise
+    # doc_fingerprint yields its slot to knn_hamming_packed — its
+    # twin dedup_fingerprint keeps one)
+    "corpus_split",
+    "profile_sources",
+    "dedup_cluster_sizes",
     "multimodal_join",
     "events_hourly_rollup",
     "events_salted_agg",

@@ -294,3 +294,71 @@ def length_buckets(
         .withColumn("bucket", F.ntile(n_buckets).over(w).cast("long"))
         .select("doc_id", F.col("n_tokens").cast("long").alias("n_tokens"), "bucket")
     )
+
+
+def holdout_split(
+    docs: DataFrame,
+    fractions: list[tuple[str, float]] | None = None,
+    *,
+    id_col: str = "doc_id",
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment — the canonical holdout
+    split of a training-data pipeline, as a pure function of
+    (salt, id): ``split = CASE`` on the md5-prefix key against
+    cumulative fraction thresholds (same hex-threshold convention as
+    :func:`stratified_sample`). Reproducible across runs, partitionings
+    and retries; documents keep their split when the corpus grows (no
+    val->train leakage on refresh); a different ``salt`` is a fresh
+    independent split. The last named split absorbs the remainder, so
+    every document lands in exactly one bucket.
+
+    Scale: pure map-side projection — zero shuffle, zero Python; the
+    assignment pushes through any downstream filter (training readers
+    scan only their split's predicate).
+    """
+    fractions = fractions or [("train", 0.9), ("val", 0.05), ("test", 0.05)]
+    if len(fractions) < 2:
+        raise ValueError("need at least two splits")
+    total = sum(f for _, f in fractions)
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    key = F.substring(F.md5(F.concat(F.lit(salt), F.lit(":"), F.col(id_col).cast("string"))), 1, 6)
+    expr = F.lit(fractions[-1][0])
+    cum = 0.0
+    branches = []
+    for name, frac in fractions[:-1]:
+        cum += frac
+        branches.append((name, sample_threshold_hex(cum)))
+    for name, threshold in reversed(branches):
+        expr = F.when(key < threshold, F.lit(name)).otherwise(expr)
+    return docs.select(
+        F.col(id_col).alias("doc_id"), key.alias("split_key"), expr.alias("split")
+    )
+
+
+def source_stats(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Per-source corpus profile — the first diagnostic of a web-scale
+    crawl mix (domain skew, per-source quality drift): document count,
+    total/mean character volume, mean token count, distinct languages.
+    One map-side-combinable groupBy keyed on the source; at 100 TB the
+    group count is domain-sized (~1e7), orders below the row count, so
+    the shuffle moves partial aggregates only."""
+    n_tokens = F.size(F.split(F.col(text_col), " "))
+    return (
+        docs.groupBy(F.col(source_col).alias("source"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length(text_col)).cast("long").alias("total_chars"),
+            F.round(F.avg(F.length(text_col)), 4).alias("mean_chars"),
+            F.round(F.avg(n_tokens), 4).alias("mean_tokens"),
+            F.count_distinct(F.col(lang_col)).alias("n_langs"),
+        )
+    )

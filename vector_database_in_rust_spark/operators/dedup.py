@@ -1329,3 +1329,21 @@ def duplicated_span_stats(
             F.coalesce(F.col("n_dup_grams") / F.col("n_grams"), F.lit(0.0)), 6
         ).alias("dup_frac"),
     )
+
+
+def cluster_size_histogram(labels: DataFrame) -> DataFrame:
+    """Distribution of duplicate-cluster sizes over a (doc_id,
+    cluster_id) labeling — the standard post-dedup diagnostic (how much
+    of the corpus sits in 2-doc pairs vs giant boilerplate components;
+    a sudden fat tail means the similarity threshold collapsed). Two
+    map-side-combinable aggregations: per-cluster size, then clusters
+    per size; both shuffles move count partials keyed far below row
+    cardinality."""
+    sizes = labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .select(F.col("cluster_size").cast("long"), F.col("n_clusters"))
+    )
