@@ -286,6 +286,25 @@ def test_tpch_q12_pushes_shipdate(audits):
     assert "o_orderpriority" in a.formatted
 
 
+def test_corpus_split_is_map_only(audits):
+    """The holdout split must stay a shuffle-free scan+project — no
+    exchange, no aggregate, no join: the split predicate rides the
+    scan at any scale."""
+    a = audits("corpus_split")
+    assert a.n_shuffle_exchanges == 0
+    assert a.n_broadcast_exchanges == 0
+    assert a.n_hash_aggregates == 0
+
+
+def test_profile_sources_two_phase_aggregate(audits):
+    """The per-source profile must partially aggregate map-side before
+    its single exchange (domain-cardinality shuffle of partials, never
+    rows)."""
+    a = audits("profile_sources")
+    assert a.n_hash_aggregates >= 2
+    assert a.n_shuffle_exchanges <= 2  # count_distinct expands to two-phase
+
+
 def test_profile_events_single_pass(audits):
     """The profiler must compute every column's aggregates in ONE scan
     (a single wide aggregate), not one job per column."""
