@@ -121,3 +121,60 @@ def test_repetition_stats_bounds(spark):
     for r in repetition_stats(df).collect():
         for c in ("top_token_frac", "dup_bigram_frac", "dup_trigram_frac"):
             assert 0.0 <= r[c] <= 1.0, (r["doc_id"], c, r[c])
+
+
+def test_bigram_lm_golden_and_contract(spark):
+    """Golden: in a one-doc corpus 'a b a b', every transition is
+    certain (P(b|a)=1, P(a|b)=1) -> avg_logprob exactly 0. Contract:
+    n_bigrams == n_tokens - 1; sub-2-token docs are omitted."""
+    from vector_database_in_rust_spark.operators.textstats import (
+        bigram_lm_scores,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "x")], "doc_id LONG, text STRING"
+    )
+    rows = {r["doc_id"]: r for r in bigram_lm_scores(docs).collect()}
+    assert set(rows) == {1}  # doc 2 has no bigrams
+    assert rows[1]["n_bigrams"] == 3
+    assert rows[1]["avg_logprob"] == 0.0
+
+
+def test_bigram_lm_penalizes_rare_transitions(spark):
+    """Two docs over the same unigram vocabulary: the doc whose word
+    ORDER matches the corpus majority must outscore the scrambled one
+    — the axis unigram LM cannot separate."""
+    from vector_database_in_rust_spark.operators.textstats import (
+        bigram_lm_scores,
+        unigram_lm_scores,
+    )
+
+    common = [(i, "the cat sat on the mat") for i in range(1, 9)]
+    docs = spark.createDataFrame(
+        common + [(9, "mat the on sat cat the")],
+        "doc_id LONG, text STRING",
+    )
+    bi = {r["doc_id"]: r["avg_logprob"] for r in bigram_lm_scores(docs).collect()}
+    assert bi[1] > bi[9]
+    uni = {r["doc_id"]: r["avg_logprob"] for r in unigram_lm_scores(docs).collect()}
+    assert uni[1] == uni[9]  # unigram frequencies identical
+
+
+def test_boilerplate_ngrams_counts_docs_not_repeats(spark):
+    """A shared header counts each doc once (per-doc distinct), even
+    when a doc repeats the header internally."""
+    from vector_database_in_rust_spark.operators.textstats import (
+        boilerplate_ngrams,
+    )
+
+    header = "terms of use apply here"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{header} unique body one"),
+            (2, f"{header} {header} other body"),
+            (3, "completely different text with no shared prefix at all"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    top = {r["ngram"]: r["df"] for r in boilerplate_ngrams(docs, top_k=5).collect()}
+    assert top[header] == 2

@@ -4444,6 +4444,74 @@ def profile_sources_q(spark, sf_dir):
     return source_stats(_docs(spark, sf_dir))
 
 
+_BIGRAM_LM_ORACLE = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks)),
+                               i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+  FROM t WHERE len(toks) >= 2
+),
+cbg AS (SELECT bigram, count(*) AS cb FROM bg GROUP BY bigram),
+cw AS (SELECT string_split(bigram, ' ')[1] AS prefix, count(*) AS cp
+       FROM bg GROUP BY prefix)
+SELECT doc_id,
+       count(*) AS n_bigrams,
+       round(sum(ln(cb * 1.0 / cp)) / count(*), 6) AS avg_logprob
+FROM bg
+JOIN cbg USING (bigram)
+JOIN cw ON string_split(bg.bigram, ' ')[1] = cw.prefix
+GROUP BY doc_id
+"""
+
+
+@register("lm_score_bigram", _BIGRAM_LM_ORACLE)
+def lm_score_bigram_q(spark, sf_dir):
+    """Bigram LM scoring (textstats.bigram_lm_scores): per-doc mean
+    ln P(w2|w1) under the corpus-trained conditional model — the
+    transition-probability quality axis unigram frequency can't see
+    (garbled word order scores low even when every word is common).
+    Counts and prefix totals stay in the DAG (word-count-shaped
+    shuffles); every doc's score hash-checked against the identical
+    SQL."""
+    from vector_database_in_rust_spark.operators.textstats import (
+        bigram_lm_scores,
+    )
+
+    return bigram_lm_scores(_docs(spark, sf_dir))
+
+
+_BOILERPLATE_ORACLE = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+g0 AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks) - 3),
+                               i -> array_to_string(toks[i : i + 4], ' ')))
+           AS ngram
+  FROM t WHERE len(toks) >= 5
+),
+g AS (SELECT DISTINCT doc_id, ngram FROM g0)
+SELECT ngram, count(*) AS df
+FROM g GROUP BY ngram
+ORDER BY df DESC, ngram LIMIT 20
+"""
+
+
+@register("boilerplate_ngrams", _BOILERPLATE_ORACLE)
+def boilerplate_ngrams_q(spark, sf_dir):
+    """Boilerplate detector (textstats.boilerplate_ngrams): top-20
+    word 5-grams by document frequency (per-doc distinct, so a doc
+    repeating its own header counts once) — the table a shared
+    header/footer/disclaimer removal list is built from. Word-count
+    shuffle on n-gram keys + TakeOrdered over the aggregated relation;
+    deterministic (df desc, ngram) ties hash-checked."""
+    from vector_database_in_rust_spark.operators.textstats import (
+        boilerplate_ngrams,
+    )
+
+    return boilerplate_ngrams(_docs(spark, sf_dir))
+
+
 _CLUSTER_SIZES_ORACLE = f"""
 WITH RECURSIVE {_JACCARD_CTES},
 jp AS (SELECT doc_a, doc_b FROM scored WHERE jaccard >= 0.5),
@@ -4853,11 +4921,13 @@ _ROUND5_WINDOW = [
     "dedup_cluster_sizes",
     "multimodal_join",
     "events_hourly_rollup",
-    "events_salted_agg",
+    # (events_salted_agg / events_json_stats — r01 driver rows, code
+    # stable since — yield slots to the round-5 text additions)
+    "lm_score_bigram",
+    "boilerplate_ngrams",
     "events_anomalies",
     "events_pivot",
     "events_histogram",
-    "events_json_stats",
     "tpch_q1_pricing",
     "top_customers_by_region",
 ]

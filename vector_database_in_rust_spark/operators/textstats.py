@@ -281,3 +281,94 @@ def normalize_text(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "
         F.md5(norm).alias("norm_md5"),
         F.length(norm).cast("long").alias("n_chars_norm"),
     )
+
+
+def _word_ngrams(text_col: str, n: int):
+    """ARRAY<STRING> of space-joined word n-grams of ``text_col`` —
+    transform over a 0-based index sequence, slicing the token array.
+    Pure Catalyst; empty when the doc has fewer than ``n`` tokens."""
+    toks = tokens(F.col(text_col))
+    return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        )
+    )
+
+
+def bigram_lm_scores(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Bigram language-model scoring — the conditional upgrade of
+    :func:`unigram_lm_scores` (one step closer to the KenLM perplexity
+    gate of CCNet, Wenzek et al. 2020), trained on the corpus in the
+    same pass that scores it:
+
+    1. per-doc bigram explode (w1 w2 pairs of adjacent tokens);
+    2. corpus counts C(w1,w2) and prefix counts C(w1·) =
+       occurrences of w1 as a bigram prefix — both word-count-shaped
+       shuffles with map-side combine;
+    3. per-doc mean ln P(w2|w1) = mean ln(C(w1,w2) / C(w1·)).
+
+    Repetitive boilerplate scores HIGH (its bigrams dominate their
+    prefixes); rare/garbled transitions score LOW — the
+    perplexity-style axis unigram frequency alone can't see. Docs with
+    fewer than 2 tokens have no bigrams and are omitted (no
+    conditional to evaluate). Scale shape: both count relations key on
+    bigram/prefix strings at vocabulary² cardinality bounds (far below
+    token count in practice); the per-doc reduce is a partial agg. No
+    driver actions, no Python.
+    """
+    bg = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(_word_ngrams(text_col, 2)).alias("bigram"),
+    )
+    cbg = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c_bigram"))
+    w1 = F.substring_index(F.col("bigram"), " ", 1)
+    cw1 = (
+        bg.select(w1.alias("prefix"))
+        .groupBy("prefix")
+        .agg(F.count(F.lit(1)).alias("c_prefix"))
+    )
+    scored = (
+        bg.join(cbg, on="bigram")
+        .withColumn("prefix", w1)
+        .join(cw1, on="prefix")
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.sum(F.log(F.col("c_bigram") / F.col("c_prefix")))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_logprob"),
+        )
+    )
+
+
+def boilerplate_ngrams(
+    docs: DataFrame,
+    *,
+    n: int = 5,
+    top_k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k word n-grams by DOCUMENT frequency — the boilerplate
+    detector (shared headers/footers/disclaimers surface as long
+    n-grams appearing across many documents; the standard removal list
+    is built from exactly this table). Per-doc DISTINCT n-grams (a doc
+    repeating its own header doesn't inflate df) -> doc-frequency
+    count -> deterministic top-k ((df desc, ngram) ties).
+
+    Scale: explode + distinct + count is the word-count shuffle shape
+    on n-gram keys; the top-k is a TakeOrdered over the aggregated
+    (ngram, df) relation, never over raw rows."""
+    grams = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(_word_ngrams(text_col, n))).alias("ngram"),
+    )
+    df_ = grams.groupBy("ngram").agg(F.count(F.lit(1)).alias("df"))
+    return df_.orderBy(F.col("df").desc(), "ngram").limit(top_k)
