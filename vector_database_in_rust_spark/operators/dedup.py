@@ -1347,3 +1347,48 @@ def cluster_size_histogram(labels: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_clusters"))
         .select(F.col("cluster_size").cast("long"), F.col("n_clusters"))
     )
+
+
+def pairs_recall_verdict(
+    approx_pairs: DataFrame,
+    exact_pairs: DataFrame,
+    *,
+    min_recall: float,
+    count_false_positives: bool = True,
+) -> DataFrame:
+    """Single-row verdict table comparing an approximate pair list to
+    the exact one — the trick that makes hash-seeded LSH lanes
+    driver-hash-verifiable (same pattern as the sketch lane's
+    ``approx_event_stats_verdict``): the approximate set itself is
+    deterministic but not portable SQL (Spark ``xxhash64`` seeds the
+    signatures), so the query emits only what the oracle CAN predict —
+    the exact pair count, the false-positive count (provably 0 when
+    candidates are exactly re-verified, as in ``minhash_lsh_pairs``),
+    and a ``recall_ok`` boolean against ``min_recall``. A banding bug,
+    a broken verification join, or collapsed recall flips the hash.
+
+    All three scalars are 1-row aggregates cross-joined inside ONE
+    plan — no driver actions; the join inputs are pair-list-sized, not
+    corpus-sized.
+    """
+    a = approx_pairs.select("doc_a", "doc_b")
+    e = exact_pairs.select("doc_a", "doc_b")
+    n_exact = e.agg(F.count(F.lit(1)).alias("n_exact_pairs"))
+    n_hit = a.join(e, on=["doc_a", "doc_b"]).agg(
+        F.count(F.lit(1)).alias("_n_hit")
+    )
+    out = n_exact.join(F.broadcast(n_hit))
+    cols = [F.col("n_exact_pairs")]
+    if count_false_positives:
+        n_fp = a.join(e, on=["doc_a", "doc_b"], how="left_anti").agg(
+            F.count(F.lit(1)).alias("n_false_positives")
+        )
+        out = out.join(F.broadcast(n_fp))
+        cols.append(F.col("n_false_positives"))
+    cols.append(
+        (
+            F.col("_n_hit")
+            >= F.lit(float(min_recall)) * F.col("n_exact_pairs")
+        ).alias("recall_ok")
+    )
+    return out.select(*cols)
