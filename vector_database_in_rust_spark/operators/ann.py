@@ -1111,3 +1111,51 @@ class MultiProbeLSH:
         width = spark.read.parquet(f"{path}/width").first()["width"]
         buckets = spark.read.parquet(f"{path}/buckets")
         return cls(proj, offs, width, buckets, id_col=id_col, vec_col=vec_col)
+
+
+def topk_recall_verdict(
+    exact: DataFrame,
+    pruned: DataFrame,
+    full: DataFrame,
+    *,
+    k: int,
+    min_recall: float,
+) -> DataFrame:
+    """Single-row verdict making the (deterministic, seeded, but not
+    SQL-portable) ANN probe driver-hash-verifiable — the same trick as
+    the sketch and LSH-dedup verdict lanes: emit only what the oracle
+    can predict. Inputs are (query_id, vec_id, ...) top-k results.
+    Columns: n_queries; k; ``full_probe_exact`` (probing every cell
+    must reproduce the exact top-k row set — approximation comes only
+    from pruning, the IVF design invariant); ``pruned_recall_ok``
+    (recall at the pruned nprobe clears ``min_recall``). All 1-row
+    aggregates joined in ONE plan; no driver actions beyond the index
+    build itself."""
+    nq = (
+        exact.select("query_id")
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n_queries"))
+    )
+    total = exact.agg(F.count(F.lit(1)).alias("_n_exact_rows"))
+    hits_p = pruned.join(exact, on=["query_id", "vec_id"]).agg(
+        F.count(F.lit(1)).alias("_hits_pruned")
+    )
+    hits_f = full.join(exact, on=["query_id", "vec_id"]).agg(
+        F.count(F.lit(1)).alias("_hits_full")
+    )
+    row = (
+        nq.join(F.broadcast(total))
+        .join(F.broadcast(hits_p))
+        .join(F.broadcast(hits_f))
+    )
+    return row.select(
+        "n_queries",
+        F.lit(k).cast("long").alias("k"),
+        (F.col("_hits_full") == F.col("_n_exact_rows")).alias(
+            "full_probe_exact"
+        ),
+        (
+            F.col("_hits_pruned")
+            >= F.lit(float(min_recall)) * F.col("_n_exact_rows")
+        ).alias("pruned_recall_ok"),
+    )
