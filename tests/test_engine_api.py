@@ -117,3 +117,28 @@ def test_engine_search_refine_bq(spark):
     ]
     top = eng.search_refine_bq(q, 5).collect()
     assert top[0]["vec_id"] == 2 and top[0]["dist"] == 0.0
+
+
+def test_pack_codes_identical_results_and_invalidation(spark, eng):
+    """pack_codes must not change any answer (materialization is
+    answer-invariant) and must be invalidated by mutation."""
+    from vector_database_in_rust_spark.harness import _query_vec
+
+    def hpairs(df):
+        return [(r["vec_id"], r["hamming"]) for r in df.collect()]
+
+    q = _query_vec(spark, SF_SMOKE, 0)
+    before_h = hpairs(eng.search_hamming(q, 10))
+    before_r = to_pairs(eng.search_refine_bq(q, 5))
+    eng.pack_codes()
+    assert eng._packed is not None
+    assert hpairs(eng.search_hamming(q, 10)) == before_h
+    assert to_pairs(eng.search_refine_bq(q, 5)) == before_r
+    # mutation drops the materialized codes (stale codes would serve
+    # wrong candidates silently)
+    new = spark.createDataFrame(
+        [(999_999, [float(i % 7) for i in range(64)])],
+        "vec_id LONG, embedding ARRAY<FLOAT>",
+    )
+    eng.add(new)
+    assert eng._packed is None

@@ -70,6 +70,7 @@ class VectorEngine:
         else:
             self.df = spark.read.parquet(source)
         self.index: IVFIndex | None = None
+        self._packed: DataFrame | None = None
 
     # -- store ops --------------------------------------------------------
 
@@ -80,10 +81,16 @@ class VectorEngine:
     def validate(self) -> DataFrame:
         return validate_dims(self.df, self.dimensions, vec_col=self.vec_col)
 
+    def _invalidate(self) -> None:
+        self.index = None
+        if self._packed is not None:
+            self._packed.unpersist()
+            self._packed = None
+
     def add(self, new: DataFrame) -> "VectorEngine":
         """== ``add_vector`` (src/lib.rs:62-72): dimension-checked append."""
         self.df = add_vectors(self.df, new, self.dimensions)
-        self.index = None  # the reference also indexes only post-ingest
+        self._invalidate()  # the reference also indexes only post-ingest
         return self
 
     def upsert(self, updates: DataFrame) -> "VectorEngine":
@@ -94,7 +101,7 @@ class VectorEngine:
         self.df = upsert_vectors(
             self.df, updates, self.dimensions, id_col=self.id_col
         )
-        self.index = None
+        self._invalidate()
         return self
 
     def delete(self, ids: DataFrame) -> "VectorEngine":
@@ -103,7 +110,7 @@ class VectorEngine:
         from vector_database_in_rust_spark.operators.validate import delete_vectors
 
         self.df = delete_vectors(self.df, ids, id_col=self.id_col)
-        self.index = None
+        self._invalidate()
         return self
 
     # -- exact search (src/lib.rs:74-97) ----------------------------------
@@ -113,11 +120,34 @@ class VectorEngine:
             self.df, query, k, id_col=self.id_col, vec_col=self.vec_col
         )
 
+    def pack_codes(self) -> "VectorEngine":
+        """Materialize the binary-quantization companion column ONCE
+        (operators/knn.pack_codes, cached): subsequent
+        :meth:`search_hamming` / :meth:`search_refine_bq` calls scan
+        only the 32x-smaller codes instead of re-packing the float
+        column per query — the production serving shape. Invalidated
+        automatically by ``add``/``upsert``/``delete``."""
+        if self._packed is None:
+            self._packed = knn_ops.pack_codes(
+                self.df, vec_col=self.vec_col
+            ).cache()
+        return self
+
     def search_hamming(self, query: Sequence[float], k: int) -> DataFrame:
         """Compressed-domain candidate search over binary-quantized
         (sign-bit) codes — 1 bit/dim, popcount(xor) scan (beyond the
-        reference; see operators/knn.knn_hamming). Returns
-        ``(vec_id, hamming)``."""
+        reference; see operators/knn.knn_hamming). Scans the
+        materialized code column when :meth:`pack_codes` has run,
+        else packs in-plan. Returns ``(vec_id, hamming)``."""
+        if self._packed is not None:
+            return knn_ops.knn_hamming(
+                self._packed,
+                query,
+                k,
+                id_col=self.id_col,
+                vec_col=self.vec_col,
+                codes_col="bq_codes",
+            )
         return knn_ops.knn_hamming(
             self.df, query, k, id_col=self.id_col, vec_col=self.vec_col
         )
@@ -148,7 +178,19 @@ class VectorEngine:
     ) -> DataFrame:
         """Binary-quantization serving funnel: Hamming candidate scan
         over the 1-bit codes, exact L2 re-rank of ``k * refine_factor``
-        survivors (operators/knn.knn_refine_bq)."""
+        survivors (operators/knn.knn_refine_bq). Uses the materialized
+        code column for the candidate scan when :meth:`pack_codes` has
+        run."""
+        if self._packed is not None:
+            return knn_ops.knn_refine_bq(
+                self._packed,
+                query,
+                k,
+                refine_factor=refine_factor,
+                id_col=self.id_col,
+                vec_col=self.vec_col,
+                codes_col="bq_codes",
+            )
         return knn_ops.knn_refine_bq(
             self.df,
             query,
