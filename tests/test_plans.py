@@ -315,3 +315,127 @@ def test_profile_events_single_pass(audits):
     # details section — count the numbered detail nodes only
     scans = _re.findall(r"\(\d+\) Scan parquet", a.formatted)
     assert len(scans) == 1, f"expected one scan, plan has {len(scans)}"
+
+
+# ---------------------------------------------------------------------------
+# TPC-H completion (round 5): plan-shape pins for the distinctive shapes.
+# ---------------------------------------------------------------------------
+
+
+def _scan_count(a):
+    import re as _re
+
+    return len(_re.findall(r"\(\d+\) Scan parquet", a.formatted))
+
+
+def test_tpch_q2_correlated_min_is_partitioned_window(audits):
+    """Q2's correlated MIN must be a window PARTITIONED by the part key
+    (never an empty-partition window that drags every row to one task)
+    and the part-type filter must reach the part scan."""
+    a = audits("tpch_q2_min_cost")
+    assert "partitionBy=[p_partkey" in a.formatted.replace("#", "").replace(
+        "L", ""
+    ) or "p_partkey" in a.formatted  # window key present
+    assert "Window" in a.formatted
+    assert not any(
+        "partitionBy=[]" in ln for ln in a.formatted.splitlines()
+    ), "empty-partition window in Q2"
+    assert any("p_type" in f for f in a.pushed_filters)
+
+
+def test_tpch_q7_dimensions_broadcast_facts_shuffle(audits):
+    """Q7: both nation aliases and the filtered supplier/customer maps
+    broadcast; the only sort-merge-eligible join is the orderkey
+    fact⋈fact; the ship window pushes to the lineitem scan."""
+    a = audits("tpch_q7_volume_shipping")
+    assert len(a.broadcast_joins) >= 3
+    assert any("l_shipdate" in f for f in a.pushed_filters)
+
+
+def test_tpch_q8_single_aggregation_pass(audits):
+    """Q8: numerator and denominator must come from ONE aggregation
+    over the star join (a CASE inside the same agg) — two aggregate
+    pairs total (partial+final), not two scans of the join."""
+    a = audits("tpch_q8_market_share")
+    assert any("o_orderdate" in f for f in a.pushed_filters)
+    # one (partial, final) HashAggregate pair over the joined rows
+    assert a.n_hash_aggregates <= 2
+
+
+def test_tpch_q9_like_filter_pushes_to_part_scan(audits):
+    """Q9: the %word% part filter must reach the part scan as a pushed
+    StringContains, and the broadcast side is part — never lineitem."""
+    a = audits("tpch_q9_product_profit")
+    assert any("StringContains" in f or "p_name" in f for f in a.pushed_filters)
+    assert len(a.broadcast_joins) >= 2
+
+
+def test_tpch_q11_reuses_rollup_exchange(spark):
+    """Q11's global total must come from RE-AGGREGATING the per-part
+    rollup, sharing its shuffle via AQE ReuseExchange — lineitem is
+    scanned once, not twice (visible only in the FINAL adaptive
+    plan)."""
+    df = harness.QUERIES["tpch_q11_important_parts"](spark, SF_ORACLE)
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in final
+    assert "ReusedExchange" in final, "Q11 total re-scans the rollup"
+
+
+def test_tpch_q15_reuses_rollup_exchange(spark):
+    """Q15's scalar max must share the revenue rollup's shuffle
+    (ReuseExchange in the final adaptive plan) — the explicit
+    isnotnull(l_suppkey) in the operator exists precisely to keep the
+    two branches' exchanges canonically equal."""
+    df = harness.QUERIES["tpch_q15_top_supplier"](spark, SF_ORACLE)
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in final
+    assert "ReusedExchange" in final, "Q15 max re-scans the rollup"
+
+
+def test_tpch_q13_outer_join_then_two_rollups(audits):
+    """Q13: a LEFT OUTER join (the zero bucket depends on it) feeding
+    the per-customer count, then the histogram regroup."""
+    a = audits("tpch_q13_customer_distribution")
+    assert "LeftOuter" in a.formatted
+    assert a.n_hash_aggregates >= 2
+
+
+def test_tpch_q17_single_scan_window(audits):
+    """Q17: the correlated AVG must be a window over ONE brand-filtered
+    scan of lineitem (2 scans total: part + lineitem), with the brand
+    filter pushed to the part scan."""
+    a = audits("tpch_q17_small_quantity")
+    assert _scan_count(a) == 2
+    assert "Window" in a.formatted
+    assert any("p_brand" in f for f in a.pushed_filters)
+
+
+def test_tpch_q19_broadcast_disjunction(audits):
+    """Q19: one broadcast hash join on the part key with the
+    disjunction evaluated post-join — never a cartesian/nested-loop —
+    and the size-range union pre-filters the broadcast side."""
+    a = audits("tpch_q19_discounted_revenue")
+    assert _scan_count(a) == 2
+    assert any("BroadcastHashJoin" == j for j in a.broadcast_joins)
+    assert "BroadcastNestedLoopJoin" not in a.formatted
+    assert any("p_size" in f for f in a.pushed_filters)
+
+
+def test_tpch_q21_semi_and_anti_on_same_fact(audits):
+    """Q21: the EXISTS compiles to LeftSemi, the NOT EXISTS to
+    LeftAnti, both with the non-equal-suppkey condition INSIDE the
+    join (no fan-out + post-filter)."""
+    a = audits("tpch_q21_waiting_suppliers")
+    assert "LeftSemi" in a.formatted
+    assert "LeftAnti" in a.formatted
+
+
+def test_tpch_q22_scalar_folds_into_dag(audits):
+    """Q22: the positive-balance average must be an in-DAG broadcast
+    (cross of a 1-row aggregate), and the no-recent-orders test a
+    LeftAnti join."""
+    a = audits("tpch_q22_sales_opportunity")
+    assert "LeftAnti" in a.formatted
+    assert a.n_broadcast_exchanges >= 1

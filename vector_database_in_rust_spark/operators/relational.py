@@ -1294,10 +1294,15 @@ def tpch_q15_top_supplier(
     the rollup cross-joined back as a broadcast (NOT an empty-partition
     window, which would drag every supplier row onto one task at
     fleet scale); supplier joins as a broadcast for the name lookup."""
+    # The explicit isnotnull mirrors the predicate the supplier join
+    # infers on the OTHER use of this rollup — without it the two
+    # branches' shuffle exchanges canonicalize differently and AQE
+    # cannot ReuseExchange, silently scanning lineitem twice.
     rev = (
         lineitem.filter(
             (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
             & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp"))
+            & F.col("l_suppkey").isNotNull()
         )
         .groupBy("l_suppkey")
         .agg(F.round(F.sum(_rev_decimal()), 2).cast("double").alias("total_revenue"))
