@@ -439,3 +439,22 @@ def test_tpch_q22_scalar_folds_into_dag(audits):
     a = audits("tpch_q22_sales_opportunity")
     assert "LeftAnti" in a.formatted
     assert a.n_broadcast_exchanges >= 1
+
+
+def test_diversity_sample_map_side_group_limit(audits):
+    """The per-bucket quota must group-limit map-side (Partial
+    WindowGroupLimit below the bucket exchange) — at most
+    partitions × buckets × quota rows ever shuffle."""
+    a = audits("diversity_sample")
+    assert a.has_partial_window_group_limit
+    assert a.n_shuffle_exchanges <= 1
+
+
+def test_cooccurrence_pmi_vocab_broadcasts(audits):
+    """PMI: the df-thresholded vocab must broadcast against the
+    incidence list, and the corpus size must fold into the DAG (a
+    broadcast nested-loop of the 1-row count — never a driver
+    action)."""
+    a = audits("cooccurrence_pmi")
+    assert a.n_broadcast_exchanges >= 2
+    assert a.has_take_ordered  # top-k by pmi, not a global sort

@@ -5349,6 +5349,131 @@ def tpch_q22_q(spark, sf_dir):
     )
 
 
+
+
+# ---------------------------------------------------------------------------
+# Round-5 pipeline additions: PMI co-occurrence mining, model-based
+# (fixed-weight logistic) quality filtering, embedding-space diversity
+# sampling.
+# ---------------------------------------------------------------------------
+
+_PMI_ORACLE = """
+WITH inc AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
+  FROM documents
+), inc2 AS (
+  SELECT doc_id, w FROM inc WHERE w <> ''
+), dfc AS (
+  SELECT w, count(*) AS df FROM inc2 GROUP BY w
+), vocab AS (
+  SELECT w, df FROM dfc WHERE df >= 20
+), n AS (
+  SELECT count(*) AS n_docs FROM documents
+), vinc AS (
+  SELECT i.doc_id, i.w, v.df FROM inc2 i JOIN vocab v USING (w)
+), pairs AS (
+  SELECT a.w AS w1, b.w AS w2, a.df AS df1, b.df AS df2,
+         count(*) AS n_pair
+  FROM vinc a JOIN vinc b ON a.doc_id = b.doc_id AND a.w < b.w
+  GROUP BY 1, 2, 3, 4
+)
+SELECT w1, w2, n_pair,
+       round(ln((n_pair * 1.0 * n_docs) / (df1 * 1.0 * df2)), 6) AS pmi
+FROM pairs, n
+WHERE n_pair >= 5
+ORDER BY pmi DESC, w1, w2
+LIMIT 100
+"""
+
+
+@register("cooccurrence_pmi", _PMI_ORACLE)
+def cooccurrence_pmi_q(spark, sf_dir):
+    """Top document-level word collocations by PMI — association
+    mining over the corpus with df-threshold vocab pruning and
+    in-DAG corpus scalars."""
+    from vector_database_in_rust_spark.operators.textstats import (
+        cooccurrence_pmi,
+    )
+
+    return cooccurrence_pmi(_docs(spark, sf_dir))
+
+
+_QUALITY_LOGISTIC_ORACLE = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS w, len(text) AS n_chars
+  FROM documents
+), f AS (
+  SELECT doc_id,
+         len(w) AS n_words,
+         len(list_filter(w, x -> x IN
+             ('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it'))) * 1.0
+           / greatest(len(w), 1) AS stop_r,
+         len(list_distinct(w)) * 1.0 / greatest(len(w), 1) AS dist_r,
+         (n_chars - (len(w) - 1)) * 1.0 / len(w) AS mean_wl
+  FROM t
+)
+SELECT doc_id,
+       round(1.0 / (1.0 + exp(-(-2.0 + 0.55 * ln(1.0 + n_words)
+             + 2.0 * stop_r + 1.5 * dist_r - 0.25 * mean_wl))), 6)
+         AS quality_prob,
+       round(1.0 / (1.0 + exp(-(-2.0 + 0.55 * ln(1.0 + n_words)
+             + 2.0 * stop_r + 1.5 * dist_r - 0.25 * mean_wl))), 6) >= 0.5
+         AS kept
+FROM f
+"""
+
+
+@register("quality_logistic", _QUALITY_LOGISTIC_ORACLE)
+def quality_logistic_q(spark, sf_dir):
+    """Fixed-weight logistic quality filter over deterministic text
+    features — the classifier-based curation gate's plumbing, fully
+    hash-checked."""
+    from vector_database_in_rust_spark.operators.textstats import (
+        quality_logistic,
+    )
+
+    return quality_logistic(_docs(spark, sf_dir))
+
+
+_DIVERSITY_SAMPLE_ORACLE = """
+WITH coded AS (
+  SELECT vec_id,
+         (CASE WHEN NOT isnan(embedding[1]) AND embedding[1] > 0
+               THEN 1 ELSE 0 END
+        + CASE WHEN NOT isnan(embedding[2]) AND embedding[2] > 0
+               THEN 2 ELSE 0 END
+        + CASE WHEN NOT isnan(embedding[3]) AND embedding[3] > 0
+               THEN 4 ELSE 0 END
+        + CASE WHEN NOT isnan(embedding[4]) AND embedding[4] > 0
+               THEN 8 ELSE 0 END
+        + CASE WHEN NOT isnan(embedding[5]) AND embedding[5] > 0
+               THEN 16 ELSE 0 END
+        + CASE WHEN NOT isnan(embedding[6]) AND embedding[6] > 0
+               THEN 32 ELSE 0 END)::BIGINT AS bucket
+  FROM embeddings
+), ranked AS (
+  SELECT bucket, vec_id,
+         row_number() OVER (PARTITION BY bucket
+                            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+           AS rk
+  FROM coded
+)
+SELECT bucket, rk::BIGINT AS rk, vec_id FROM ranked WHERE rk <= 4
+"""
+
+
+@register("diversity_sample", _DIVERSITY_SAMPLE_ORACLE)
+def diversity_sample_q(spark, sf_dir):
+    """Sign-prefix-bucketed diversity sample of the embedding corpus —
+    cluster-balanced subsampling with an id-hash quota, map-side
+    group-limited."""
+    from vector_database_in_rust_spark.operators.curation import (
+        diversity_sample,
+    )
+
+    return diversity_sample(load_table(spark, sf_dir, "embeddings"))
+
+
 # ---------------------------------------------------------------------------
 # Driver verification-window rotation (round 4, stated openly in NOTES_r3.md)
 #

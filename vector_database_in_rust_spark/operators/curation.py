@@ -362,3 +362,47 @@ def source_stats(
             F.count_distinct(F.col(lang_col)).alias("n_langs"),
         )
     )
+
+
+def diversity_sample(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    prefix_bits: int = 6,
+    per_bucket: int = 4,
+) -> DataFrame:
+    """Embedding-space diversity sampling: partition the corpus into
+    sign-prefix buckets (the first ``prefix_bits`` dimensions' sign
+    bits — a deterministic, training-free stand-in for the k-means
+    cells a SemDeDup-style cluster-balanced subsample uses) and keep a
+    fixed quota per bucket, selected by md5-hash rank so the choice is
+    a pure function of the id (reproducible across runs, partitionings
+    and corpus growth — same discipline as ``stratified_sample``).
+
+    Scale: the bucket id is a narrow per-row expression (no shuffle);
+    the per-bucket quota is a ranking window whose WindowGroupLimit
+    runs map-side BEFORE the bucket exchange, so at most
+    partitions × 2^prefix_bits × per_bucket rows shuffle regardless of
+    corpus size. NaN dimensions count as non-positive in BOTH dialects
+    (explicit isnan guard — the BQ lane's NaN rule)."""
+    el = lambda i: F.element_at(F.col(vec_col), i + 1)  # noqa: E731
+    bucket = None
+    for i in range(prefix_bits):
+        bit = F.when(
+            ~F.isnan(el(i)) & (el(i) > 0), F.lit(1 << i)
+        ).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    ranked = emb.select(
+        F.col(id_col).alias("vec_id"), bucket.cast("long").alias("bucket")
+    ).withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("bucket").orderBy(
+                F.md5(F.col("vec_id").cast("string")), F.col("vec_id")
+            )
+        ),
+    )
+    return ranked.filter(F.col("rk") <= per_bucket).select(
+        "bucket", F.col("rk").cast("long").alias("rk"), "vec_id"
+    )

@@ -372,3 +372,120 @@ def boilerplate_ngrams(
     )
     df_ = grams.groupBy("ngram").agg(F.count(F.lit(1)).alias("df"))
     return df_.orderBy(F.col("df").desc(), "ngram").limit(top_k)
+
+
+def cooccurrence_pmi(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 20,
+    min_pair_count: int = 5,
+    top_k: int = 100,
+) -> DataFrame:
+    """Document-level word co-occurrence with pointwise mutual
+    information — the association-mining pass behind collocation
+    detection, topic seeding, and template discovery in a pretraining
+    corpus. PMI(w1,w2) = ln(P(w1,w2) / (P(w1)P(w2))) over document
+    incidence.
+
+    Scale: the quadratic danger is per-document pair generation
+    (d distinct tokens → d² pairs). Two cuts bound it: (1) the
+    vocabulary is restricted to words with document frequency ≥
+    ``min_df`` BEFORE pairing — the df rollup is a word-keyed shuffle
+    of (word, partial count) partials, and the qualifying vocab
+    broadcasts; (2) pairs below ``min_pair_count`` die in the pair
+    rollup. The pair generation itself is a self-equi-join on doc_id
+    of the vocab-filtered distinct (doc, word) incidence list with
+    ``w1 < w2`` inside the join — at 100 TB both sides partition on
+    doc_id, so pairing is co-located and the only global exchange is
+    the (w1, w2)-keyed count rollup. The corpus size N and the df map
+    fold into the DAG as broadcasts (no driver action). All PMI inputs
+    are exact integers; the final ln/round(6) is IEEE-identical across
+    engines.
+    """
+    inc = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("w"),
+        )
+        .filter(F.col("w") != "")
+    )
+    df_counts = inc.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    vocab = df_counts.filter(F.col("df") >= min_df)
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    vinc = inc.join(F.broadcast(vocab), "w").select("doc_id", "w", "df")
+    left = vinc.select(
+        "doc_id", F.col("w").alias("w1"), F.col("df").alias("df1")
+    )
+    right = vinc.select(
+        F.col("doc_id").alias("_d2"), F.col("w").alias("w2"),
+        F.col("df").alias("df2"),
+    )
+    pairs = left.join(
+        right,
+        (F.col("doc_id") == F.col("_d2")) & (F.col("w1") < F.col("w2")),
+    )
+    agg = (
+        pairs.groupBy("w1", "w2", "df1", "df2")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= min_pair_count)
+    )
+    scored = agg.crossJoin(F.broadcast(n_docs)).select(
+        "w1",
+        "w2",
+        "n_pair",
+        F.round(
+            F.log(
+                (F.col("n_pair").cast("double") * F.col("n_docs"))
+                / (F.col("df1").cast("double") * F.col("df2"))
+            ),
+            6,
+        ).alias("pmi"),
+    )
+    return scored.orderBy(
+        F.col("pmi").desc(), "w1", "w2"
+    ).limit(top_k)
+
+
+def quality_logistic(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Model-based quality filtering with a FIXED, interpretable
+    logistic model over the same deterministic text features the
+    heuristic gate uses — the plumbing of a fasttext/classifier-based
+    quality filter (the industry-standard curation step), with
+    hand-set public weights standing in for trained ones (no model
+    runtime in the container; the weights are the documented slot a
+    trained model drops into).
+
+    Features: ln(1+n_words), stopword ratio, distinct ratio, mean word
+    length. score = sigmoid(w·x + b), kept ∈ score ≥ threshold. All
+    features derive from exact integer counts per row (shuffle-free
+    higher-order functions); ln/exp on identical doubles round(6)
+    identically across engines — the same discipline the LM scorers
+    already rely on.
+    """
+    t = tokens(F.col(text_col))
+    n_words = F.size(t)
+    n_chars = F.length(F.col(text_col))
+    stop_r = stopword_ratio(F.col(text_col))
+    dist_r = distinct_ratio(F.col(text_col))
+    mean_wl = (n_chars - (n_words - 1)).cast("double") / n_words
+    z = (
+        F.lit(-2.0)
+        + 0.55 * F.log(1.0 + n_words)
+        + 2.0 * stop_r
+        + 1.5 * dist_r
+        - 0.25 * mean_wl
+    )
+    score = 1.0 / (1.0 + F.exp(-z))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.round(score, 6).alias("quality_prob"),
+        (F.round(score, 6) >= threshold).alias("kept"),
+    )
