@@ -333,3 +333,157 @@ class TestPngCodec:
             assert decode_png(encode(px, ftypes)).tolist() == px.tolist()
 
         run()
+
+
+# ---------------------------------------------------------------------------
+# REAL baseline JPEG codec (round 5): Annex K Huffman tables, DC-diff +
+# AC run-length entropy coding, byte stuffing, IDCT — compressed-format
+# decode #2.
+# ---------------------------------------------------------------------------
+
+
+class TestJpegCodec:
+    def test_jpeg_flat_blocks_lossless(self):
+        """Block-constant images with all-ones quantization roundtrip
+        EXACTLY (only integer DC coefficients survive the DCT), at
+        several seeds and a non-square size."""
+        import numpy as np
+
+        from vector_database_in_rust_spark.operators.multimodal import (
+            decode_jpeg,
+            synth_jpeg_bytes,
+        )
+
+        for seed in (0, 1, 42, 255, 99991):
+            px = decode_jpeg(synth_jpeg_bytes(seed))
+            bxs = np.arange(4, dtype=np.int64)[None, :]
+            bys = np.arange(4, dtype=np.int64)[:, None]
+            blocks = (17 * bxs + 29 * bys * bys + 5 * seed + 13) % 256
+            want = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)
+            assert px.shape == (32, 32)
+            assert (px == want).all()
+            assert px.dtype == np.uint8
+
+    def test_jpeg_is_a_real_jfif_file(self):
+        """SOI/APP0-JFIF/DQT/SOF0/DHT/SOS/EOI marker layout, and the
+        entropy stream is genuinely compressed (flat blocks cost ~2
+        symbols each, far under raw size)."""
+        from vector_database_in_rust_spark.operators.multimodal import (
+            IMG_H,
+            IMG_W,
+            synth_jpeg_bytes,
+        )
+
+        b = synth_jpeg_bytes(0)
+        assert b[:2] == b"\xff\xd8" and b[-2:] == b"\xff\xd9"
+        assert b[2:4] == b"\xff\xe0" and b[6:11] == b"JFIF\x00"
+        for marker in (b"\xff\xdb", b"\xff\xc0", b"\xff\xc4", b"\xff\xda"):
+            assert marker in b
+        assert len(b) < IMG_W * IMG_H
+
+    def test_jpeg_general_image_coefficient_exact(self):
+        """On arbitrary images the codec is lossy ONLY through
+        coefficient quantization: decode(encode(img)) must equal the
+        independently-computed round(IDCT(round(DCT(img))))
+        reconstruction bit-for-bit — Huffman/RLE/stuffing add no
+        error. Amplitudes span DC categories and AC runs incl. ZRL."""
+        import numpy as np
+
+        from vector_database_in_rust_spark.operators.multimodal import (
+            _DCT8,
+            decode_jpeg,
+            encode_jpeg_gray,
+        )
+
+        rng = np.random.default_rng(1234)
+        for shape in ((8, 8), (16, 40), (32, 32)):
+            img = rng.integers(96, 160, size=shape).astype(np.uint8)
+            # sprinkle flat regions to force long zero runs / ZRL / EOB
+            img[: shape[0] // 2, : shape[1] // 2] = 128
+            out = decode_jpeg(encode_jpeg_gray(img))
+            sh = img.astype(np.float64) - 128.0
+            rec = np.zeros_like(img)
+            for by in range(shape[0] // 8):
+                for bx in range(shape[1] // 8):
+                    b = sh[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                    coef = np.rint(_DCT8 @ b @ _DCT8.T)
+                    px = _DCT8.T @ coef @ _DCT8 + 128.0
+                    rec[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
+                        np.rint(px), 0, 255
+                    )
+            assert (out == rec).all()
+
+    def test_jpeg_property_random_images(self):
+        """Hypothesis: any low-contrast random image (AC categories in
+        range) roundtrips coefficient-exactly; decoded size matches."""
+        import numpy as np
+        from hypothesis import given, settings, strategies as st
+
+        from vector_database_in_rust_spark.operators.multimodal import (
+            _DCT8,
+            decode_jpeg,
+            encode_jpeg_gray,
+        )
+
+        @settings(max_examples=20, deadline=None)
+        @given(
+            st.integers(0, 2**31 - 1),
+            st.sampled_from([(8, 8), (8, 16), (24, 8)]),
+        )
+        def check(seed, shape):
+            rng = np.random.default_rng(seed)
+            img = rng.integers(64, 192, size=shape).astype(np.uint8)
+            out = decode_jpeg(encode_jpeg_gray(img))
+            assert out.shape == shape
+            sh = img.astype(np.float64) - 128.0
+            for by in range(shape[0] // 8):
+                for bx in range(shape[1] // 8):
+                    b = sh[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                    coef = np.rint(_DCT8 @ b @ _DCT8.T)
+                    px = np.clip(
+                        np.rint(_DCT8.T @ coef @ _DCT8 + 128.0), 0, 255
+                    )
+                    got = out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                    assert (got == px).all()
+
+        check()
+
+    def test_jpeg_rejects_malformed(self):
+        import pytest as _pytest
+
+        from vector_database_in_rust_spark.operators.multimodal import (
+            decode_jpeg,
+            synth_jpeg_bytes,
+        )
+
+        with _pytest.raises(ValueError, match="SOI"):
+            decode_jpeg(b"definitely not a jpeg")
+        good = synth_jpeg_bytes(5)
+        # progressive SOF2 must be rejected, not misparsed
+        bad = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+        with _pytest.raises(ValueError, match="non-baseline"):
+            decode_jpeg(bad)
+        # truncate before the scan
+        with _pytest.raises((ValueError, IndexError)):
+            decode_jpeg(good[:40])
+
+    def test_jpeg_quant_table_is_read_from_file(self):
+        """The decoder must dequantize with the table IN THE FILE, not
+        an assumed one: encoding with quant=2 halves the coefficients
+        and the decoder must multiply them back."""
+        import numpy as np
+
+        from vector_database_in_rust_spark.operators.multimodal import (
+            _DCT8,
+            decode_jpeg,
+            encode_jpeg_gray,
+        )
+
+        img = np.full((8, 8), 200, dtype=np.uint8)
+        img[0, 0] = 100
+        q = np.full((8, 8), 2, dtype=np.int64)
+        out = decode_jpeg(encode_jpeg_gray(img, quant=q))
+        sh = img.astype(np.float64) - 128.0
+        coef = np.rint((_DCT8 @ sh @ _DCT8.T) / 2.0)
+        rec = np.clip(np.rint(_DCT8.T @ (coef * 2.0) @ _DCT8 + 128.0), 0, 255)
+        assert (out == rec).all()

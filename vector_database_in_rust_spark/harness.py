@@ -5474,6 +5474,49 @@ def diversity_sample_q(spark, sf_dir):
     return diversity_sample(load_table(spark, sf_dir, "embeddings"))
 
 
+
+
+_JPEG_DECODE_ORACLE = """
+WITH px AS (
+  SELECT d.doc_id AS media_id,
+         ((17 * (x.i // 8) + 29 * (y.i // 8) * (y.i // 8)
+           + 5 * d.doc_id + 13) % 256) AS v
+  FROM documents d, generate_series(0, 31) AS x(i), generate_series(0, 31) AS y(i)
+)
+SELECT media_id,
+       32 AS width, 32 AS height,
+       round(sum(v) * 1.0 / 1024, 6) AS mean_px,
+       round(sqrt(sum(v * v) * 1.0 / 1024
+                  - (sum(v) * 1.0 / 1024) * (sum(v) * 1.0 / 1024)), 6) AS std_px,
+       cast((5 * media_id + 13) % 256 AS INTEGER) AS corner_px
+FROM px GROUP BY media_id
+"""
+
+
+@register("media_decode_jpeg", _JPEG_DECODE_ORACLE)
+def media_decode_jpeg_q(spark, sf_dir):
+    """REAL baseline-JPEG decode (round 5, compressed format #2):
+    synthesize a real JFIF file per doc — Annex K Huffman tables,
+    byte-stuffed entropy stream, all-ones quantization over
+    block-constant pixels so the codec is exactly lossless — and
+    decode it with the zero-dependency baseline parser
+    (multimodal.decode_jpeg: marker walk, DQT/DHT from the file's own
+    bytes, canonical Huffman, DC-diff + AC run-length decode,
+    dequantize, de-zigzag, IDCT). The oracle recomputes pixel stats
+    from the BLOCK-grained generative formula without decoding, so a
+    wrong zigzag, a broken EXTEND sign, a mis-built Huffman table, or
+    a transposed IDCT flips the hash. Lossy general-image behavior is
+    pinned by coefficient-exact roundtrip property tests."""
+    from vector_database_in_rust_spark.operators.multimodal import (
+        attach_jpeg_payload,
+        decode_jpeg,
+        image_decode_stats,
+    )
+
+    media = attach_jpeg_payload(_docs(spark, sf_dir))
+    return image_decode_stats(media, decoder=decode_jpeg)
+
+
 # ---------------------------------------------------------------------------
 # Driver verification-window rotation (round 4, stated openly in NOTES_r3.md)
 #
@@ -5655,7 +5698,11 @@ _ROUND5_WINDOW = [
     "tpch_q2_min_cost",
     "tpch_q7_volume_shipping",
     "tpch_q8_market_share",
-    "tpch_q9_product_profit",
+    # (tpch_q9 — a third multi-join star, shape-covered by q7/q8 —
+    # yields its slot to media_decode_jpeg, the round-5 baseline-JPEG
+    # decoder's first driver evidence; q9 joins q16/q19/q20 in the r6
+    # front under the pytest mirror)
+    "media_decode_jpeg",
     "tpch_q11_important_parts",
     "tpch_q13_customer_distribution",
     "tpch_q15_top_supplier",

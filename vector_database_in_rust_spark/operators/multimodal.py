@@ -7,12 +7,14 @@ Two decode paths coexist:
 
 - **Real decoders, zero dependencies** (bottom of this module): netpbm
   PGM images via a hand parser (``decode_pgm``), RIFF/WAV audio via
-  the stdlib ``wave`` module (``decode_wav``), and COMPRESSED PNG via
-  a hand chunk/CRC/defilter parser over stdlib zlib (``decode_png``),
-  with real synthesized files and analytically-verified oracles —
-  actual byte-level media decoding, hash-checked by the driver.
-- **Stub path for remaining compressed formats** (``decode_media``
-  below): JPEG/MP4 need PIL/pyav, which this container does not ship; the stub
+  the stdlib ``wave`` module (``decode_wav``), COMPRESSED PNG via a
+  hand chunk/CRC/defilter parser over stdlib zlib (``decode_png``),
+  and COMPRESSED baseline JPEG via a hand marker/Huffman/IDCT decoder
+  (``decode_jpeg``), with real synthesized files and
+  analytically-verified oracles — actual byte-level media decoding,
+  hash-checked by the driver.
+- **Stub path for the remaining format** (``decode_media`` below):
+  MP4/video needs pyav, which this container does not ship; the stub
   is a clearly-marked deterministic fake that keeps the plumbing
   (schema, batching, partitioning) testable, with the real-library slot
   raising ``NotImplementedError`` until the libraries exist.
@@ -83,9 +85,11 @@ def decode_media(content: bytes, media_type: str) -> np.ndarray:
     from the payload bytes (sha256-seeded), so the full pipeline is
     testable end-to-end without media libraries.
 
-    Real implementation slot: PIL.Image.open for images, librosa.load
-    for audio, frame sampling for video — NotImplementedError until the
-    libraries exist in the runtime.
+    Real implementation slot: frame sampling for video (pyav) —
+    NotImplementedError until the libraries exist in the runtime. For
+    PGM/WAV/PNG/baseline-JPEG this module already ships real
+    zero-dependency decoders (see ``decode_pgm``/``decode_wav``/
+    ``decode_png``/``decode_jpeg`` below).
     """
     if REAL_DECODERS_AVAILABLE:  # pragma: no cover
         raise NotImplementedError(
@@ -254,8 +258,9 @@ def media_stats(media: DataFrame) -> DataFrame:
 # deterministic integer formula, so the DuckDB oracle can verify every
 # decoded statistic ANALYTICALLY from the formula — the decode path is
 # real (magic numbers, header parsing, PCM frames), and its correctness
-# is hash-checked, not assumed. PIL/pyav slots for compressed formats
-# (JPEG/MP4) remain behind REAL_DECODERS_AVAILABLE above.
+# is hash-checked, not assumed. The pyav slot for video (MP4) remains
+# behind REAL_DECODERS_AVAILABLE above; PNG and baseline JPEG are real
+# hand decoders below.
 # ---------------------------------------------------------------------------
 
 IMG_W, IMG_H = 32, 32
@@ -662,4 +667,416 @@ def image_resize_real(
     return media.mapInPandas(
         batches,
         schema="media_id BIGINT, out_y INT, out_x INT, px_mean DOUBLE",
+    )
+
+
+# ---------------------------------------------------------------------------
+# REAL JPEG (baseline DCT, grayscale) — round 5. Zero dependencies:
+# the encoder below exists to SYNTHESIZE valid JFIF files (and to
+# exercise the decoder's Huffman/RLE paths in property tests); the
+# decoder is a genuine baseline-JPEG parser — marker walk, DQT/DHT/
+# SOF0/SOS parsing, canonical Huffman table construction from the
+# file's own BITS/HUFFVAL, byte-unstuffed bit reading, DC-diff +
+# AC run-length coefficient decode (EOB/ZRL included), dequantize,
+# de-zigzag, separable float IDCT, level shift. The driver oracle
+# feeds it block-constant images quantized losslessly (all-ones
+# tables), so every decoded pixel is analytically predictable while
+# the full real decode path runs; lossy behavior on general images is
+# covered by coefficient-exact roundtrip property tests.
+#
+# The reference repo has no media path at all (SURVEY.md §2.3 —
+# north-star surface); the public JPEG spec (ITU T.81) defines the
+# format, including the Annex K example Huffman tables used here.
+# ---------------------------------------------------------------------------
+
+_ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+# Annex K (ITU T.81) example luminance tables — the de-facto standard.
+_DC_BITS = (0, 0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)  # [1..16]
+_DC_VALS = tuple(range(12))
+_AC_BITS = (0, 0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D)
+_AC_VALS = (
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+)
+
+
+def _dct_matrix() -> np.ndarray:
+    """Orthonormal 8-point DCT-II basis: A[u, x] = C(u)/2 * cos((2x+1)uπ/16).
+    2-D DCT of a block b is A @ b @ A.T; IDCT is A.T @ F @ A."""
+    a = np.zeros((8, 8))
+    for u in range(8):
+        c = np.sqrt(0.5) if u == 0 else 1.0
+        for x in range(8):
+            a[u, x] = 0.5 * c * np.cos((2 * x + 1) * u * np.pi / 16.0)
+    return a
+
+
+_DCT8 = _dct_matrix()
+
+
+def _canonical_codes(bits, vals):
+    """BITS/HUFFVAL → {symbol: (code, length)} per T.81 C.2 (canonical
+    Huffman: codes of each length assigned in HUFFVAL order)."""
+    codes = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+class _BitWriter:
+    """MSB-first bit accumulator with JPEG byte stuffing (0xFF → 0xFF00)."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def put(self, value: int, nbits: int) -> None:
+        if nbits == 0:
+            return
+        self._acc = (self._acc << nbits) | (value & ((1 << nbits) - 1))
+        self._n += nbits
+        while self._n >= 8:
+            self._n -= 8
+            byte = (self._acc >> self._n) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)
+
+    def flush(self) -> None:
+        if self._n:
+            # pad with 1-bits per the spec
+            pad = 8 - self._n
+            self.put((1 << pad) - 1, pad)
+
+
+def _category(v: int) -> int:
+    return int(v).bit_length() if v > 0 else int(-v).bit_length()
+
+
+def _amplitude_bits(v: int, cat: int) -> int:
+    """T.81 F.1.2.1: negative values encode as v - 1 + 2^cat (i.e. the
+    one's complement of |v| in cat bits)."""
+    return v if v >= 0 else v - 1 + (1 << cat)
+
+
+def encode_jpeg_gray(img: np.ndarray, *, quant: np.ndarray | None = None) -> bytes:
+    """A REAL baseline JFIF encoder for 8-bit grayscale: level shift,
+    per-block orthonormal DCT, quantization, zigzag, DC-difference +
+    AC run-length (EOB/ZRL) Huffman coding with byte stuffing. Exists
+    to synthesize valid files and to adversarially exercise
+    :func:`decode_jpeg`; with an all-ones quantization table and
+    block-constant input the codec is exactly lossless, which is what
+    the analytic driver oracle relies on."""
+    h, w = img.shape
+    if h % 8 or w % 8:
+        raise ValueError("encoder requires 8-aligned dimensions")
+    q = np.ones((8, 8), dtype=np.int64) if quant is None else quant.astype(np.int64)
+    dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _canonical_codes(_AC_BITS, _AC_VALS)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, bytes([0x00]) + bytes(int(q.flat[zi]) for zi in _ZIGZAG))
+    out += seg(
+        0xC0,
+        bytes([8])
+        + h.to_bytes(2, "big")
+        + w.to_bytes(2, "big")
+        + bytes([1, 1, 0x11, 0]),
+    )
+    out += seg(0xC4, bytes([0x00]) + bytes(_DC_BITS[1:]) + bytes(_DC_VALS))
+    out += seg(0xC4, bytes([0x10]) + bytes(_AC_BITS[1:]) + bytes(_AC_VALS))
+    out += seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+
+    bw = _BitWriter()
+    prev_dc = 0
+    shifted = img.astype(np.float64) - 128.0
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            block = shifted[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+            coef = np.rint((_DCT8 @ block @ _DCT8.T) / q).astype(np.int64)
+            zz = coef.flatten()[_ZIGZAG]
+            diff = int(zz[0]) - prev_dc
+            prev_dc = int(zz[0])
+            cat = _category(diff)
+            if cat > 11:
+                raise ValueError(f"DC difference {diff} exceeds category 11")
+            code, ln = dc_codes[cat]
+            bw.put(code, ln)
+            bw.put(_amplitude_bits(diff, cat), cat)
+            run = 0
+            last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+            for k in range(1, last_nz + 1):
+                v = int(zz[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = ac_codes[0xF0]  # ZRL
+                    bw.put(code, ln)
+                    run -= 16
+                cat = _category(v)
+                if cat > 10:
+                    raise ValueError(f"AC coefficient {v} exceeds category 10")
+                code, ln = ac_codes[(run << 4) | cat]
+                bw.put(code, ln)
+                bw.put(_amplitude_bits(v, cat), cat)
+                run = 0
+            if last_nz < 63:
+                code, ln = ac_codes[0x00]  # EOB
+                bw.put(code, ln)
+    bw.flush()
+    out += bw.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00
+    unstuffing; raises on unexpected markers or exhaustion."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self._acc = 0
+        self._n = 0
+
+    def _fill(self) -> None:
+        b = self.data[self.pos]
+        if b == 0xFF:
+            nxt = self.data[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2  # stuffed literal 0xFF
+            else:
+                raise ValueError(f"unexpected marker 0xFF{nxt:02X} in scan")
+        else:
+            self.pos += 1
+        self._acc = (self._acc << 8) | b
+        self._n += 8
+
+    def bits(self, n: int) -> int:
+        while self._n < n:
+            self._fill()
+        self._n -= n
+        v = (self._acc >> self._n) & ((1 << n) - 1)
+        return v
+
+    def bit(self) -> int:
+        return self.bits(1)
+
+
+def _huff_decoder(bits, vals):
+    """BITS/HUFFVAL → {(length, code): symbol} for bit-serial decode."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _read_symbol(br: _BitReader, table) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code in scan")
+
+
+def _extend(v: int, cat: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map cat received bits to the signed value."""
+    if cat == 0:
+        return 0
+    return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
+
+
+def decode_jpeg(content: bytes) -> np.ndarray:
+    """REAL baseline JPEG decode (8-bit grayscale, one non-subsampled
+    component, no restart markers): marker walk with segment-length
+    validation, DQT (8-bit, multi-table), DHT (canonical Huffman from
+    the file's BITS/HUFFVAL), SOF0, SOS; then byte-unstuffed bit-serial
+    entropy decode of DC differences and AC (run, size) pairs with
+    EOB/ZRL, dequantize, de-zigzag, separable orthonormal IDCT, +128
+    level shift, round, clamp, block assembly. Raises on malformed
+    input — progressive (SOF2), multi-component, subsampled, or
+    restart-interval streams are explicitly rejected, not misparsed."""
+    if content[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[tuple[int, int], dict] = {}
+    h = w = None
+    comp_q = None
+    dc_id = ac_id = None
+    while True:
+        if content[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}")
+        marker = content[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI with no scan
+            raise ValueError("EOI before scan data")
+        ln = int.from_bytes(content[pos : pos + 2], "big")
+        seg = content[pos + 2 : pos + ln]
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 0x0F
+                if pq != 0:
+                    raise ValueError("16-bit quantization tables unsupported")
+                zz = np.frombuffer(seg[i + 1 : i + 65], dtype=np.uint8)
+                q = np.zeros(64, dtype=np.int64)
+                q[_ZIGZAG] = zz
+                qtables[tq] = q.reshape(8, 8)
+                i += 65
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 0x0F
+                bits = (0,) + tuple(seg[i + 1 : i + 17])
+                n = sum(bits)
+                vals = tuple(seg[i + 17 : i + 17 + n])
+                htables[(tc, th)] = _huff_decoder(bits, vals)
+                i += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            if seg[0] != 8:
+                raise ValueError("only 8-bit precision supported")
+            h = int.from_bytes(seg[1:3], "big")
+            w = int.from_bytes(seg[3:5], "big")
+            if seg[5] != 1:
+                raise ValueError("only single-component (grayscale) supported")
+            if seg[7] != 0x11:
+                raise ValueError("subsampling unsupported")
+            comp_q = seg[8]
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7):
+            raise ValueError(f"non-baseline SOF 0xFF{marker:02X} unsupported")
+        elif marker == 0xDD:
+            raise ValueError("restart intervals unsupported")
+        elif marker == 0xDA:  # SOS
+            if seg[0] != 1:
+                raise ValueError("single-component scan required")
+            dc_id, ac_id = seg[2] >> 4, seg[2] & 0x0F
+            if tuple(seg[3:6]) != (0, 63, 0):
+                raise ValueError("non-baseline spectral selection")
+            pos += ln
+            break
+        pos += ln
+    if h is None or comp_q not in qtables:
+        raise ValueError("missing SOF0 or quantization table")
+    dc_tab = htables.get((0, dc_id))
+    ac_tab = htables.get((1, ac_id))
+    if dc_tab is None or ac_tab is None:
+        raise ValueError("missing Huffman tables for scan")
+    q = qtables[comp_q]
+    bh, bw_ = (h + 7) // 8, (w + 7) // 8
+    img = np.zeros((bh * 8, bw_ * 8), dtype=np.uint8)
+    br = _BitReader(content, pos)
+    prev_dc = 0
+    for by in range(bh):
+        for bx in range(bw_):
+            zz = np.zeros(64, dtype=np.int64)
+            cat = _read_symbol(br, dc_tab)
+            prev_dc += _extend(br.bits(cat), cat)
+            zz[0] = prev_dc
+            k = 1
+            while k < 64:
+                sym = _read_symbol(br, ac_tab)
+                if sym == 0x00:  # EOB
+                    break
+                if sym == 0xF0:  # ZRL
+                    k += 16
+                    continue
+                run, size = sym >> 4, sym & 0x0F
+                k += run
+                if k > 63:
+                    raise ValueError("AC run past end of block")
+                zz[k] = _extend(br.bits(size), size)
+                k += 1
+            coef = np.zeros(64, dtype=np.int64)
+            coef[_ZIGZAG] = zz
+            block = coef.reshape(8, 8) * q
+            px = _DCT8.T @ block.astype(np.float64) @ _DCT8 + 128.0
+            img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
+                np.rint(px), 0, 255
+            ).astype(np.uint8)
+    return img[:h, :w]
+
+
+def synth_jpeg_bytes(seed: int, w: int = IMG_W, h: int = IMG_H) -> bytes:
+    """A real baseline JFIF file whose 8x8 blocks are CONSTANT:
+    block(bx, by) = (17*bx + 29*by^2 + 5*seed + 13) % 256. Flat blocks
+    with all-ones quantization make the codec exactly lossless (the
+    only nonzero coefficient is the integer DC; IDCT reproduces the
+    constant to <1e-12 before rounding), so the analytic oracle
+    predicts every decoded pixel while the full real decode path —
+    Huffman DC categories up to 11, byte unstuffing, dequantize,
+    IDCT — still executes. The formula is block-grained (the JPEG
+    block grid is load-bearing) and distinct from the PGM/PNG lanes."""
+    bxs = np.arange(w // 8, dtype=np.int64)[None, :]
+    bys = np.arange(h // 8, dtype=np.int64)[:, None]
+    blocks = (17 * bxs + 29 * bys * bys + 5 * int(seed) + 13) % 256
+    img = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1).astype(np.uint8)
+    return encode_jpeg_gray(img)
+
+
+def attach_jpeg_payload(docs: DataFrame) -> DataFrame:
+    """documents -> media table with a REAL baseline JPEG per row
+    (seeded block formula). Synthesis runs executor-side in Arrow
+    batches; bytes never shuffle."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "media_type": "image/jpeg",
+                    "content": [synth_jpeg_bytes(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        batches, schema="media_id BIGINT, media_type STRING, content BINARY"
     )
