@@ -5517,6 +5517,45 @@ def media_decode_jpeg_q(spark, sf_dir):
     return image_decode_stats(media, decoder=decode_jpeg)
 
 
+
+
+_FRAMES_REAL_ORACLE = """
+WITH fr AS (
+  SELECT d.doc_id AS media_id, f.i AS frame_idx
+  FROM documents d, (SELECT unnest([0, 2, 4]) AS i) f
+), px AS (
+  SELECT fr.media_id, fr.frame_idx,
+         ((11 * x.i + 5 * y.i + 19 * fr.frame_idx + 7 * fr.media_id) % 256) AS v
+  FROM fr, generate_series(0, 15) AS x(i), generate_series(0, 15) AS y(i)
+)
+SELECT media_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+       round(sum(v) * 1.0 / 256, 6) AS mean_px,
+       CAST((19 * frame_idx + 7 * media_id) % 256 AS INTEGER) AS corner_px
+FROM px GROUP BY media_id, frame_idx
+"""
+
+
+@register("media_frames_real", _FRAMES_REAL_ORACLE)
+def media_frames_real_q(spark, sf_dir):
+    """REAL video frame sampling (round 5): synthesize a real ISO BMFF
+    file per doc (ftyp/mdat/moov with genuine stsd/stts/stsz/stsc/stco
+    sample tables, samples split across two chunks), demux it with the
+    zero-dependency box parser (multimodal.parse_mp4_frames — the same
+    sample→chunk→offset walk any MP4 demuxer runs), keep every 2nd
+    frame, and emit per-frame stats. The oracle recomputes them from
+    the frame-dependent generative formula WITHOUT demuxing, so a
+    mis-sliced frame boundary, a wrong chunk offset, or a bad stsc run
+    expansion flips the hash. The video ESSENCE is uncompressed
+    grayscale ('raw ' entry) — codec decode is the one documented
+    media stub left."""
+    from vector_database_in_rust_spark.operators.multimodal import (
+        attach_mp4_payload,
+        video_frame_stats,
+    )
+
+    return video_frame_stats(attach_mp4_payload(_docs(spark, sf_dir)), every_n=2)
+
+
 # ---------------------------------------------------------------------------
 # Driver verification-window rotation (round 4, stated openly in NOTES_r3.md)
 #

@@ -1080,3 +1080,278 @@ def attach_jpeg_payload(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id").mapInPandas(
         batches, schema="media_id BIGINT, media_type STRING, content BINARY"
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL MP4 / ISO BMFF container (round 5): box-structured parse + frame
+# extraction. Zero dependencies. The CONTAINER layer is the real thing —
+# nested box walk, stsd/stts/stsz/stsc/stco sample tables driving frame
+# boundaries exactly as a demuxer does; the video ESSENCE inside the
+# samples is uncompressed grayscale (a 'raw ' sample entry), because an
+# H.264/H.265 transform decoder is out of scope for a zero-dependency
+# container (that slot stays behind REAL_DECODERS_AVAILABLE). Frame
+# sampling over this path is real demuxing, not the sha stub.
+# ---------------------------------------------------------------------------
+
+VID_W, VID_H, VID_FRAMES = 16, 16, 6
+
+
+def _box(btype: bytes, payload: bytes) -> bytes:
+    return (len(payload) + 8).to_bytes(4, "big") + btype + payload
+
+
+def synth_mp4_bytes(
+    seed: int, n_frames: int = VID_FRAMES, w: int = VID_W, h: int = VID_H
+) -> bytes:
+    """A real ISO BMFF file: ftyp + mdat of raw grayscale frames +
+    moov/trak/mdia/minf/stbl with genuine sample tables. Frame f's
+    pixel(x, y) = (11x + 5y + 19f + 7*seed) % 256 — frame-dependent so
+    a demuxer that mis-slices frame boundaries changes the answer.
+    Samples are split across TWO chunks (stsc with two entries, two
+    stco offsets) so the chunk-mapping logic is exercised, not just
+    the trivial one-chunk layout."""
+    frames = []
+    xs = np.arange(w, dtype=np.int64)[None, :]
+    ys = np.arange(h, dtype=np.int64)[:, None]
+    for f in range(n_frames):
+        px = ((11 * xs + 5 * ys + 19 * f + 7 * int(seed)) % 256).astype(np.uint8)
+        frames.append(px.tobytes())
+    fsz = w * h
+    ftyp = _box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+    mdat_payload = b"".join(frames)
+    # chunk 1 = first half of the samples, chunk 2 = the rest
+    c1_n = max(1, n_frames // 2)
+    mdat = _box(b"mdat", mdat_payload)
+    mdat_off = len(ftyp) + 8  # absolute offset of first sample
+    c2_off = mdat_off + c1_n * fsz
+
+    stsd_entry = (
+        (86).to_bytes(4, "big") + b"raw " + bytes(6) + (1).to_bytes(2, "big")
+        + bytes(16)
+        + w.to_bytes(2, "big") + h.to_bytes(2, "big")
+        + (0x480000).to_bytes(4, "big") * 2 + bytes(4)
+        + (1).to_bytes(2, "big") + bytes(32)
+        + (8).to_bytes(2, "big") + (0xFFFF).to_bytes(2, "big")
+    )
+    stsd = _box(b"stsd", bytes(4) + (1).to_bytes(4, "big") + stsd_entry)
+    stts = _box(
+        b"stts",
+        bytes(4) + (1).to_bytes(4, "big")
+        + n_frames.to_bytes(4, "big") + (1).to_bytes(4, "big"),
+    )
+    stsz = _box(
+        b"stsz",
+        bytes(4) + bytes(4) + n_frames.to_bytes(4, "big")
+        + b"".join(fsz.to_bytes(4, "big") for _ in range(n_frames)),
+    )
+    stsc = _box(
+        b"stsc",
+        bytes(4) + (2).to_bytes(4, "big")
+        + (1).to_bytes(4, "big") + c1_n.to_bytes(4, "big") + (1).to_bytes(4, "big")
+        + (2).to_bytes(4, "big") + (n_frames - c1_n).to_bytes(4, "big")
+        + (1).to_bytes(4, "big"),
+    )
+    stco = _box(
+        b"stco",
+        bytes(4) + (2).to_bytes(4, "big")
+        + mdat_off.to_bytes(4, "big") + c2_off.to_bytes(4, "big"),
+    )
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    dref = _box(
+        b"dref", bytes(4) + (1).to_bytes(4, "big")
+        + _box(b"url ", b"\x00\x00\x00\x01")
+    )
+    dinf = _box(b"dinf", dref)
+    vmhd = _box(b"vmhd", b"\x00\x00\x00\x01" + bytes(8))
+    minf = _box(b"minf", vmhd + dinf + stbl)
+    hdlr = _box(b"hdlr", bytes(8) + b"vide" + bytes(12) + b"VideoHandler\x00")
+    mdhd = _box(
+        b"mdhd",
+        bytes(4) + bytes(8) + (1).to_bytes(4, "big")
+        + n_frames.to_bytes(4, "big") + (0x55C4).to_bytes(2, "big") + bytes(2),
+    )
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    tkhd = _box(
+        b"tkhd",
+        b"\x00\x00\x00\x07" + bytes(8) + (1).to_bytes(4, "big") + bytes(4)
+        + n_frames.to_bytes(4, "big") + bytes(52)
+        + (w << 16).to_bytes(4, "big") + (h << 16).to_bytes(4, "big"),
+    )
+    trak = _box(b"trak", tkhd + mdia)
+    mvhd = _box(
+        b"mvhd",
+        bytes(4) + bytes(8) + (1).to_bytes(4, "big")
+        + n_frames.to_bytes(4, "big") + bytes(80),
+    )
+    moov = _box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov
+
+
+def _walk_boxes(data: bytes, start: int, end: int):
+    """Yield (type, payload_start, payload_end) for each box in a range;
+    validates sizes (including 64-bit largesize boxes)."""
+    pos = start
+    while pos < end:
+        if pos + 8 > end:
+            raise ValueError("truncated box header")
+        size = int.from_bytes(data[pos : pos + 4], "big")
+        btype = data[pos + 4 : pos + 8]
+        hdr = 8
+        if size == 1:
+            size = int.from_bytes(data[pos + 8 : pos + 16], "big")
+            hdr = 16
+        elif size == 0:
+            size = end - pos
+        if size < hdr or pos + size > end:
+            raise ValueError(f"bad box size {size} for {btype!r}")
+        yield btype, pos + hdr, pos + size
+        pos += size
+
+
+def _find_box(data: bytes, start: int, end: int, *path: bytes):
+    for btype, ps, pe in _walk_boxes(data, start, end):
+        if btype == path[0]:
+            if len(path) == 1:
+                return ps, pe
+            return _find_box(data, ps, pe, *path[1:])
+    raise ValueError(f"missing box {path[0]!r}")
+
+
+def parse_mp4_frames(content: bytes) -> list[np.ndarray]:
+    """REAL ISO BMFF demux: box walk, sample-table interpretation
+    (stsd for dimensions, stsz for sample sizes, stsc for the
+    sample→chunk mapping with arbitrary entries, stco for chunk
+    offsets), then frame extraction by ABSOLUTE file offset — the same
+    logic any MP4 demuxer runs. Supports the uncompressed grayscale
+    'raw ' sample entry this repo synthesizes; compressed codecs raise
+    (that is the documented essence-decoder stub)."""
+    if len(content) < 12:
+        raise ValueError("not an MP4: too short")
+    top = list(_walk_boxes(content, 0, len(content)))
+    types = [t for t, _, _ in top]
+    if b"ftyp" not in types or b"moov" not in types:
+        raise ValueError("not an MP4: missing ftyp/moov")
+    moov_s, moov_e = next((s, e) for t, s, e in top if t == b"moov")
+    stbl_s, stbl_e = _find_box(
+        content, moov_s, moov_e, b"trak", b"mdia", b"minf", b"stbl"
+    )
+    boxes = {t: (s, e) for t, s, e in _walk_boxes(content, stbl_s, stbl_e)}
+    for req in (b"stsd", b"stsz", b"stsc", b"stco"):
+        if req not in boxes:
+            raise ValueError(f"missing sample table {req!r}")
+    # stsd: first sample entry → format + dimensions
+    s, e = boxes[b"stsd"]
+    n_entries = int.from_bytes(content[s + 4 : s + 8], "big")
+    if n_entries < 1:
+        raise ValueError("empty stsd")
+    entry_fmt = content[s + 12 : s + 16]
+    if entry_fmt != b"raw ":
+        raise ValueError(
+            f"compressed video essence {entry_fmt!r} unsupported "
+            "(container demux is real; codec decode is the documented stub)"
+        )
+    w = int.from_bytes(content[s + 40 : s + 42], "big")
+    h = int.from_bytes(content[s + 42 : s + 44], "big")
+    # stsz: per-sample sizes
+    s, e = boxes[b"stsz"]
+    fixed = int.from_bytes(content[s + 4 : s + 8], "big")
+    n_samples = int.from_bytes(content[s + 8 : s + 12], "big")
+    if fixed:
+        sizes = [fixed] * n_samples
+    else:
+        sizes = [
+            int.from_bytes(content[s + 12 + 4 * i : s + 16 + 4 * i], "big")
+            for i in range(n_samples)
+        ]
+    # stco: chunk offsets
+    s, e = boxes[b"stco"]
+    n_chunks = int.from_bytes(content[s + 4 : s + 8], "big")
+    offsets = [
+        int.from_bytes(content[s + 8 + 4 * i : s + 12 + 4 * i], "big")
+        for i in range(n_chunks)
+    ]
+    # stsc: (first_chunk, samples_per_chunk) runs → per-chunk counts
+    s, e = boxes[b"stsc"]
+    n_runs = int.from_bytes(content[s + 4 : s + 8], "big")
+    runs = [
+        (
+            int.from_bytes(content[s + 8 + 12 * i : s + 12 + 12 * i], "big"),
+            int.from_bytes(content[s + 12 + 12 * i : s + 16 + 12 * i], "big"),
+        )
+        for i in range(n_runs)
+    ]
+    per_chunk = []
+    for ri, (first, spc) in enumerate(runs):
+        last = runs[ri + 1][0] - 1 if ri + 1 < len(runs) else n_chunks
+        per_chunk += [spc] * (last - first + 1)
+    if len(per_chunk) != n_chunks or sum(per_chunk) != n_samples:
+        raise ValueError("inconsistent stsc/stco/stsz sample mapping")
+    frames = []
+    si = 0
+    for ci, off in enumerate(offsets):
+        pos = off
+        for _ in range(per_chunk[ci]):
+            sz = sizes[si]
+            if sz != w * h:
+                raise ValueError(f"sample {si} size {sz} != {w}x{h}")
+            if pos + sz > len(content):
+                raise ValueError(f"sample {si} runs past end of file")
+            frames.append(
+                np.frombuffer(content, dtype=np.uint8, count=sz, offset=pos)
+                .reshape(h, w)
+            )
+            pos += sz
+            si += 1
+    return frames
+
+
+def attach_mp4_payload(docs: DataFrame) -> DataFrame:
+    """documents -> media table with a REAL ISO BMFF file per row
+    (seeded frame formula). Synthesis runs executor-side in Arrow
+    batches; bytes never shuffle."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "media_type": "video/mp4",
+                    "content": [synth_mp4_bytes(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        batches, schema="media_id BIGINT, media_type STRING, content BINARY"
+    )
+
+
+def video_frame_stats(media: DataFrame, *, every_n: int = 2) -> DataFrame:
+    """REAL frame sampling: demux the container, keep every n-th frame,
+    emit per-frame statistics — the video twin of image_decode_stats.
+    Only (id, frame_idx, 4 scalars) leave the executor; the frame
+    bytes never shuffle."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, means, corners = [], [], [], []
+            for mid, c in zip(pdf["media_id"], pdf["content"]):
+                frames = parse_mp4_frames(bytes(c))
+                for fi in range(0, len(frames), every_n):
+                    px = frames[fi].astype(np.int64)
+                    ids.append(mid)
+                    idxs.append(fi)
+                    means.append(round(int(px.sum()) / px.size, 6))
+                    corners.append(int(px[0, 0]))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "mean_px": means,
+                    "corner_px": pd.Series(corners, dtype="int32"),
+                }
+            )
+
+    return media.mapInPandas(
+        batches,
+        schema="media_id BIGINT, frame_idx INT, mean_px DOUBLE, corner_px INT",
+    )
