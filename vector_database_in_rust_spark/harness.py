@@ -5556,6 +5556,39 @@ def media_frames_real_q(spark, sf_dir):
     return video_frame_stats(attach_mp4_payload(_docs(spark, sf_dir)), every_n=2)
 
 
+
+
+_HEAVY_HITTERS_ORACLE = """
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+), tok2 AS (
+  SELECT token FROM tok WHERE token <> ''
+), total AS (
+  SELECT count(*) AS n_tokens FROM tok2
+)
+SELECT n_tokens,
+       (SELECT count(*) FROM (
+          SELECT token FROM tok2 GROUP BY token
+          HAVING count(*) * 50 > (SELECT n_tokens FROM total))) AS n_heavy,
+       true AS all_present
+FROM total
+"""
+
+
+@register("heavy_hitters_verdict", _HEAVY_HITTERS_ORACLE)
+def heavy_hitters_verdict_q(spark, sf_dir):
+    """Frequent-items sketch (Misra-Gries via freqItems) under the
+    verdict-table hash check: the exact heavy-hitter set (freq > n/k)
+    must be fully contained in the sketch's output — guaranteed by the
+    algorithm, so the oracle asserts it; the sketch's extra items stay
+    out of the hash."""
+    from vector_database_in_rust_spark.operators.sketches import (
+        heavy_hitters_verdict,
+    )
+
+    return heavy_hitters_verdict(_docs(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # Driver verification-window rotation (round 4, stated openly in NOTES_r3.md)
 #

@@ -110,3 +110,57 @@ def approx_event_stats_verdict(
             & (F.col("_pct")[i] <= F.col("_hi")[i]),
         )
     return out.drop("_approx_users", "_exact_users", "_pct", "_lo", "_hi")
+
+
+def heavy_hitters_verdict(
+    docs: DataFrame,
+    *,
+    k: int = 50,
+    text_col: str = "text",
+) -> DataFrame:
+    """Misra-Gries heavy hitters over the token stream
+    (``DataFrame.stat.freqItems`` — Spark's single-pass, mergeable
+    frequent-items sketch), in verdict-table form so the lane holds a
+    hash-verifiable driver row (the ``approx_event_stats_verdict``
+    trick).
+
+    The sketch guarantees every item with frequency > n/k appears in
+    its result (false positives allowed, false negatives impossible).
+    The verdict computes the EXACT heavy-hitter set at driver-check
+    scale and emits (n_tokens, n_heavy, all_present): ``all_present``
+    must be true by the guarantee, so a broken sketch — or a support
+    mis-wiring — flips the value hash red, while the sketch's
+    implementation-defined extra items stay OUT of the hash.
+
+    Scale: the production path is the sketch alone (fixed-size state,
+    map-side mergeable — the 100 TB vocabulary profiler); the exact
+    side exists only for this verdict. One token-keyed shuffle for the
+    exact counts; the 1-row sketch result and the 1-row token total
+    broadcast."""
+    from vector_database_in_rust_spark.functions.text import tokens
+
+    tok = docs.select(
+        F.explode(tokens(F.col(text_col))).alias("token")
+    ).filter(F.col("token") != "")
+    total = tok.agg(F.count(F.lit(1)).alias("n_tokens"))
+    heavy = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("_n") * k > F.col("n_tokens"))
+    )
+    sketch = tok.stat.freqItems(["token"], support=1.0 / k)
+    return (
+        heavy.crossJoin(F.broadcast(sketch))
+        .select(
+            "n_tokens",
+            F.array_contains(F.col("token_freqItems"), F.col("token")).alias(
+                "_present"
+            ),
+        )
+        .groupBy("n_tokens")
+        .agg(
+            F.count(F.lit(1)).alias("n_heavy"),
+            F.min("_present").alias("all_present"),
+        )
+    )
