@@ -571,3 +571,190 @@ class TestMp4Demux:
 
         frames = parse_mp4_frames(synth_mp4_bytes(3, n_frames=5))
         assert len(frames) == 5
+
+
+# ---------------------------------------------------------------------------
+# G.711 mu-law WAV (round 5, second half): companded-audio decode.
+# ---------------------------------------------------------------------------
+
+
+class TestMulaw:
+    def test_g711_table_extremes(self):
+        """The four classic G.711 spot values pin the expansion: 0xFF
+        and 0x7F are plus/minus zero, 0x00 and 0x80 are the +-32124
+        extremes."""
+        import numpy as np
+
+        from vector_database_in_rust_spark.operators.multimodal import (
+            mulaw_expand,
+        )
+
+        got = mulaw_expand(np.array([0xFF, 0x7F, 0x00, 0x80], dtype=np.uint8))
+        assert got.tolist() == [0, 0, -32124, 32124]
+
+    def test_mulaw_expansion_is_monotone_per_sign(self):
+        """Within each sign half, decreasing codewords (after the
+        complement) must expand to strictly non-decreasing magnitudes —
+        the segment structure of the companding law."""
+        import numpy as np
+
+        from vector_database_in_rust_spark.operators.multimodal import (
+            mulaw_expand,
+        )
+
+        # positive half: bytes 0xFF (zero) down to 0x80 (max)
+        pos = mulaw_expand(np.arange(0xFF, 0x7F, -1, dtype=np.uint8))
+        assert (np.diff(pos) >= 0).all() and pos[0] == 0 and pos[-1] == 32124
+        neg = mulaw_expand(np.arange(0x7F, -1, -1, dtype=np.uint8))
+        assert (np.diff(neg) <= 0).all() and neg[-1] == -32124
+
+    def test_mulaw_wav_roundtrip_golden(self):
+        import numpy as np
+
+        from vector_database_in_rust_spark.operators.multimodal import (
+            decode_wav_mulaw,
+            mulaw_expand,
+            synth_wav_mulaw_bytes,
+        )
+
+        for seed in (0, 9, 999):
+            rate, s = decode_wav_mulaw(synth_wav_mulaw_bytes(seed))
+            codes = ((13 * np.arange(1024) + 7 * seed + 5) % 256).astype(
+                np.uint8
+            )
+            assert rate == 8000 and (s == mulaw_expand(codes)).all()
+
+    def test_mulaw_wav_is_a_real_riff_file(self):
+        from vector_database_in_rust_spark.operators.multimodal import (
+            synth_wav_mulaw_bytes,
+        )
+
+        b = synth_wav_mulaw_bytes(1)
+        assert b[:4] == b"RIFF" and b[8:12] == b"WAVE"
+        assert b"fmt " in b and b"data" in b
+        i = b.index(b"fmt ")
+        assert int.from_bytes(b[i + 8 : i + 10], "little") == 7  # MULAW tag
+
+    def test_mulaw_rejects_malformed(self):
+        import pytest as _pytest
+
+        from vector_database_in_rust_spark.operators.multimodal import (
+            decode_wav_mulaw,
+            synth_wav_bytes,
+            synth_wav_mulaw_bytes,
+        )
+
+        with _pytest.raises(ValueError):
+            decode_wav_mulaw(b"not a riff")
+        # a PCM (format tag 1) file must be refused, not silently
+        # expanded as if companded
+        with _pytest.raises(ValueError, match="not WAVE_FORMAT_MULAW"):
+            decode_wav_mulaw(synth_wav_bytes(3))
+        good = synth_wav_mulaw_bytes(3)
+        with _pytest.raises(ValueError):
+            decode_wav_mulaw(good[:40])
+
+    def test_mulaw_odd_data_chunk_pad(self):
+        """RIFF chunks are word-aligned: an odd-length data chunk is
+        followed by a pad byte the walker must skip to find later
+        chunks."""
+        import numpy as np
+
+        from vector_database_in_rust_spark.operators.multimodal import (
+            decode_wav_mulaw,
+            synth_wav_mulaw_bytes,
+        )
+
+        rate, s = decode_wav_mulaw(synth_wav_mulaw_bytes(2, n=777))
+        assert len(s) == 777
+
+
+# ---------------------------------------------------------------------------
+# Motion-JPEG in MP4 (round 5, second half): compressed video ESSENCE
+# decoded for real — demux + per-sample baseline-JPEG decode.
+# ---------------------------------------------------------------------------
+
+
+class TestMjpegMp4:
+    def test_mjpeg_frames_lossless_roundtrip(self):
+        """All-ones quantization over block-constant frames makes the
+        in-container JPEG codec exactly lossless, so every demuxed and
+        entropy-decoded frame must equal the generative block
+        formula."""
+        import numpy as np
+
+        from vector_database_in_rust_spark.operators.multimodal import (
+            parse_mp4_frames,
+            synth_mp4_bytes,
+        )
+
+        for seed in (0, 17, 500):
+            frames = parse_mp4_frames(synth_mp4_bytes(seed, codec="mjpg"))
+            assert len(frames) == 6
+            bxs = np.arange(2, dtype=np.int64)[None, :]
+            bys = np.arange(2, dtype=np.int64)[:, None]
+            for f, fr in enumerate(frames):
+                blocks = (13 * bxs + 31 * bys + 23 * f + 7 * seed + 11) % 256
+                want = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)
+                assert (fr.astype(np.int64) == want).all()
+
+    def test_mjpeg_samples_are_complete_jfif_files(self):
+        """Each sample in the mdat must start with SOI and end with EOI
+        at exactly the stsz-recorded boundary — a demuxer mis-slice
+        would hand the JPEG parser a stream without its markers."""
+        from vector_database_in_rust_spark.operators.multimodal import (
+            synth_mp4_bytes,
+        )
+
+        b = synth_mp4_bytes(11, codec="mjpg")
+        i = b.index(b"stsz")
+        n = int.from_bytes(b[i + 12 : i + 16], "big")
+        sizes = [
+            int.from_bytes(b[i + 16 + 4 * k : i + 20 + 4 * k], "big")
+            for k in range(n)
+        ]
+        assert len(set(sizes)) > 1  # variable-size path genuinely exercised
+        i = b.index(b"stco")
+        offs = [
+            int.from_bytes(b[i + 12 : i + 16], "big"),
+            int.from_bytes(b[i + 16 : i + 20], "big"),
+        ]
+        pos, c1 = offs[0], 3
+        for k, sz in enumerate(sizes):
+            if k == c1:
+                pos = offs[1]
+            assert b[pos : pos + 2] == b"\xff\xd8"
+            assert b[pos + sz - 2 : pos + sz] == b"\xff\xd9"
+            pos += sz
+
+    def test_mjpeg_dimension_mismatch_rejected(self):
+        """If stsd claims different dimensions than the JPEG frames
+        decode to, the demuxer must refuse rather than emit frames
+        that contradict the sample description."""
+        import pytest as _pytest
+
+        from vector_database_in_rust_spark.operators.multimodal import (
+            parse_mp4_frames,
+            synth_mp4_bytes,
+        )
+
+        good = synth_mp4_bytes(4, codec="mjpg")
+        i = good.index(b"mjpg")  # stsd sample entry fourcc
+        # width field sits 28 bytes after the fourcc in the entry
+        bad = bytearray(good)
+        bad[i + 28 : i + 30] = (24).to_bytes(2, "big")
+        with _pytest.raises(ValueError, match="stsd says"):
+            parse_mp4_frames(bytes(bad))
+
+    def test_raw_and_mjpeg_share_the_demux_path(self):
+        """The sample-table walk is codec-agnostic: both payloads must
+        report the same frame count and chunk split."""
+        from vector_database_in_rust_spark.operators.multimodal import (
+            parse_mp4_frames,
+            synth_mp4_bytes,
+        )
+
+        raw = parse_mp4_frames(synth_mp4_bytes(9))
+        mj = parse_mp4_frames(synth_mp4_bytes(9, codec="mjpg"))
+        assert len(raw) == len(mj) == 6
+        assert raw[0].shape == mj[0].shape == (16, 16)

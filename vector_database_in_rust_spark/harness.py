@@ -5558,6 +5558,94 @@ def media_frames_real_q(spark, sf_dir):
 
 
 
+_MULAW_DECODE_ORACLE = """
+WITH cw AS (
+  SELECT d.doc_id AS media_id, g.i,
+         (255 - ((13 * g.i + 7 * d.doc_id + 5) % 256)) AS u
+  FROM documents d, generate_series(0, 1023) AS g(i)
+), lin AS (
+  SELECT media_id, i,
+         CASE WHEN u >= 128 THEN -1 ELSE 1 END
+           * ((((u % 128) % 16) * 8 + 132) * (1 << ((u % 128) // 16)) - 132)
+           AS v
+  FROM cw
+), lagged AS (
+  SELECT media_id, v,
+         lag(v) OVER (PARTITION BY media_id ORDER BY i) AS pv
+  FROM lin
+)
+SELECT media_id,
+       8000 AS sample_rate,
+       count(*) AS n_samples,
+       round(sqrt(sum(v * v) * 1.0 / count(*)), 6) AS rms,
+       cast(sum(CASE WHEN v * pv < 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_sign_flips
+FROM lagged GROUP BY media_id
+"""
+
+
+@register("media_decode_mulaw", _MULAW_DECODE_ORACLE)
+def media_decode_mulaw_q(spark, sf_dir):
+    """REAL companded-audio decode (round 5, compressed format #4):
+    synthesize a real RIFF/WAVE file per doc with format tag 7
+    (WAVE_FORMAT_MULAW) and decode it with the zero-dependency G.711
+    mu-law expander (multimodal.decode_wav_mulaw: hand-rolled RIFF
+    chunk walk — the stdlib wave module refuses non-PCM — then the
+    closed-form complement/sign/exponent/mantissa expansion). The
+    oracle recomputes the SAME closed form in SQL over the codeword
+    generator, so a wrong complement, a swapped sign convention, or an
+    off-by-one in the 0x84 bias flips the hash."""
+    from vector_database_in_rust_spark.operators.multimodal import (
+        attach_mulaw_payload,
+        audio_decode_stats,
+        decode_wav_mulaw,
+    )
+
+    return audio_decode_stats(
+        attach_mulaw_payload(_docs(spark, sf_dir)), decoder=decode_wav_mulaw
+    )
+
+
+_FRAMES_MJPEG_ORACLE = """
+WITH fr AS (
+  SELECT d.doc_id AS media_id, f.i AS frame_idx
+  FROM documents d, (SELECT unnest([0, 2, 4]) AS i) f
+), blk AS (
+  SELECT fr.media_id, fr.frame_idx,
+         ((13 * x.i + 31 * y.i + 23 * fr.frame_idx + 7 * fr.media_id + 11)
+          % 256) AS v
+  FROM fr, generate_series(0, 1) AS x(i), generate_series(0, 1) AS y(i)
+)
+SELECT media_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+       round(sum(v) * 1.0 / 4, 6) AS mean_px,
+       CAST((23 * frame_idx + 7 * media_id + 11) % 256 AS INTEGER) AS corner_px
+FROM blk GROUP BY media_id, frame_idx
+"""
+
+
+@register("media_frames_mjpeg", _FRAMES_MJPEG_ORACLE)
+def media_frames_mjpeg_q(spark, sf_dir):
+    """REAL compressed-essence video pipeline (round 5, second half):
+    synthesize an ISO BMFF file per doc whose samples are genuine
+    Motion-JPEG — each frame a complete baseline JFIF file from the
+    repo's own encoder, per-frame-varying sample sizes — then demux
+    (box walk, stsd/stsz/stsc/stco) AND entropy-decode every sampled
+    frame with the zero-dependency JPEG parser. Container demux and
+    essence decode are both real; only inter-frame (H.264-class)
+    codecs remain the documented stub. The oracle recomputes frame
+    stats from the block-grained generative formula without touching
+    a single byte of the file, so a mis-sliced sample, a wrong chunk
+    offset, or any JPEG decode defect flips the hash."""
+    from vector_database_in_rust_spark.operators.multimodal import (
+        attach_mp4_payload,
+        video_frame_stats,
+    )
+
+    return video_frame_stats(
+        attach_mp4_payload(_docs(spark, sf_dir), codec="mjpg"), every_n=2
+    )
+
+
 _HEAVY_HITTERS_ORACLE = """
 WITH tok AS (
   SELECT unnest(string_split(text, ' ')) AS token FROM documents

@@ -345,6 +345,104 @@ def decode_wav(content: bytes) -> tuple[int, np.ndarray]:
     return rate, samples.astype(np.int64)
 
 
+MULAW_N, MULAW_RATE = 1024, 8000
+
+
+def mulaw_expand(codes: np.ndarray) -> np.ndarray:
+    """ITU-T G.711 mu-law expansion, vectorized and integer-exact:
+    complement the codeword, split sign/exponent/mantissa, rebuild the
+    13-bit magnitude ``((mant<<3 | 0x84) << exp) - 0x84``. Spot values
+    pin the table: 0xFF -> 0, 0x7F -> -0, 0x00 -> -32124, 0x80 ->
+    +32124 (the classic G.711 extremes)."""
+    u = (~codes.astype(np.int64)) & 0xFF
+    sign = u >= 0x80
+    u7 = u & 0x7F
+    exp = u7 >> 4
+    mant = u7 & 0x0F
+    mag = (((mant << 3) + 0x84) << exp) - 0x84
+    return np.where(sign, -mag, mag)
+
+
+def synth_wav_mulaw_bytes(seed: int, n: int = MULAW_N, rate: int = MULAW_RATE) -> bytes:
+    """A real RIFF/WAVE file with format tag 7 (WAVE_FORMAT_MULAW,
+    8-bit companded mono) — hand-assembled because the stdlib ``wave``
+    module writes PCM only. Codeword(i) = (13*i + 7*seed + 5) % 256,
+    so the expanded linear samples are SQL-reproducible through the
+    closed-form G.711 formula."""
+    codes = ((13 * np.arange(n, dtype=np.int64) + 7 * int(seed) + 5) % 256).astype(
+        np.uint8
+    )
+    data = codes.tobytes()
+    fmt = (
+        (7).to_bytes(2, "little")  # WAVE_FORMAT_MULAW
+        + (1).to_bytes(2, "little")  # mono
+        + rate.to_bytes(4, "little")
+        + rate.to_bytes(4, "little")  # byte rate (1 byte/sample)
+        + (1).to_bytes(2, "little")  # block align
+        + (8).to_bytes(2, "little")  # bits per sample
+    )
+    chunks = (
+        b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+        + b"data" + len(data).to_bytes(4, "little") + data
+    )
+    return b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
+
+
+def decode_wav_mulaw(content: bytes) -> tuple[int, np.ndarray]:
+    """REAL G.711 mu-law WAV decode with a hand-rolled RIFF chunk walk
+    (the stdlib ``wave`` module refuses non-PCM): validate the RIFF/
+    WAVE header, iterate chunks honoring pad bytes, require format
+    tag 7 / mono / 8-bit, then expand every codeword to 16-bit linear
+    via :func:`mulaw_expand`."""
+    if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, rate, data = 12, None, None
+    while pos + 8 <= len(content):
+        cid = content[pos : pos + 4]
+        sz = int.from_bytes(content[pos + 4 : pos + 8], "little")
+        body = content[pos + 8 : pos + 8 + sz]
+        if len(body) != sz:
+            raise ValueError(f"truncated {cid!r} chunk")
+        if cid == b"fmt ":
+            tag = int.from_bytes(body[0:2], "little")
+            ch = int.from_bytes(body[2:4], "little")
+            bits = int.from_bytes(body[14:16], "little")
+            if tag != 7:
+                raise ValueError(f"format tag {tag} is not WAVE_FORMAT_MULAW")
+            if ch != 1 or bits != 8:
+                raise ValueError("only 8-bit mono mu-law supported")
+            rate = int.from_bytes(body[4:8], "little")
+        elif cid == b"data":
+            data = body
+        pos += 8 + sz + (sz & 1)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("missing fmt or data chunk")
+    codes = np.frombuffer(data, dtype=np.uint8)
+    return rate, mulaw_expand(codes)
+
+
+def attach_mulaw_payload(docs: DataFrame) -> DataFrame:
+    """documents -> media table with a REAL mu-law WAV per row.
+    Synthesis runs executor-side in Arrow batches; bytes never
+    shuffle."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "media_type": "audio/basic",
+                    "content": [
+                        synth_wav_mulaw_bytes(int(d)) for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        batches, schema="media_id BIGINT, media_type STRING, content BINARY"
+    )
+
+
 def attach_pgm_payload(docs: DataFrame) -> DataFrame:
     """documents -> media table whose content is a REAL PGM file per row
     (seeded by doc_id). Synthesis runs executor-side in Arrow batches;
@@ -425,16 +523,21 @@ def image_decode_stats(media: DataFrame, *, decoder=None) -> DataFrame:
     )
 
 
-def audio_decode_stats(media: DataFrame) -> DataFrame:
+def audio_decode_stats(media: DataFrame, *, decoder=None) -> DataFrame:
     """REAL WAV decode -> (sample_rate, n_samples, rms, n_sign_flips):
     rms from integer-exact sum of squares; a sign flip counts adjacent
-    samples with strictly opposite signs (zero is neither)."""
+    samples with strictly opposite signs (zero is neither).
+
+    ``decoder`` is any bytes -> (rate, int64 samples) parser (default
+    :func:`decode_wav`; pass :func:`decode_wav_mulaw` for G.711
+    mu-law payloads)."""
+    decoder = decoder or decode_wav
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rates, ns, rms, flips = [], [], [], []
             for c in pdf["content"]:
-                rate, s = decode_wav(bytes(c))
+                rate, s = decoder(bytes(c))
                 rates.append(rate)
                 ns.append(len(s))
                 rms.append(round(float(np.sqrt((s * s).sum() / len(s))), 6))
@@ -1087,10 +1190,15 @@ def attach_jpeg_payload(docs: DataFrame) -> DataFrame:
 # extraction. Zero dependencies. The CONTAINER layer is the real thing —
 # nested box walk, stsd/stts/stsz/stsc/stco sample tables driving frame
 # boundaries exactly as a demuxer does; the video ESSENCE inside the
-# samples is uncompressed grayscale (a 'raw ' sample entry), because an
-# H.264/H.265 transform decoder is out of scope for a zero-dependency
-# container (that slot stays behind REAL_DECODERS_AVAILABLE). Frame
-# sampling over this path is real demuxing, not the sha stub.
+# samples is either uncompressed grayscale (a 'raw ' sample entry) or —
+# since round 5's second half — REAL Motion-JPEG ('mjpg'): every sample
+# is a complete baseline JFIF file decoded by this module's own
+# zero-dependency JPEG parser, with per-frame-varying sample sizes
+# driving the variable stsz/chunk-offset arithmetic. Inter-frame
+# codecs (H.264/H.265 transform + motion compensation) remain out of
+# scope for a zero-dependency container (that slot stays behind
+# REAL_DECODERS_AVAILABLE). Frame sampling over these paths is real
+# demuxing + real essence decode, not the sha stub.
 # ---------------------------------------------------------------------------
 
 VID_W, VID_H, VID_FRAMES = 16, 16, 6
@@ -1101,32 +1209,58 @@ def _box(btype: bytes, payload: bytes) -> bytes:
 
 
 def synth_mp4_bytes(
-    seed: int, n_frames: int = VID_FRAMES, w: int = VID_W, h: int = VID_H
+    seed: int,
+    n_frames: int = VID_FRAMES,
+    w: int = VID_W,
+    h: int = VID_H,
+    codec: str = "raw ",
 ) -> bytes:
-    """A real ISO BMFF file: ftyp + mdat of raw grayscale frames +
-    moov/trak/mdia/minf/stbl with genuine sample tables. Frame f's
-    pixel(x, y) = (11x + 5y + 19f + 7*seed) % 256 — frame-dependent so
-    a demuxer that mis-slices frame boundaries changes the answer.
-    Samples are split across TWO chunks (stsc with two entries, two
-    stco offsets) so the chunk-mapping logic is exercised, not just
-    the trivial one-chunk layout."""
+    """A real ISO BMFF file: ftyp + mdat of grayscale frames +
+    moov/trak/mdia/minf/stbl with genuine sample tables. Samples are
+    split across TWO chunks (stsc with two entries, two stco offsets)
+    so the chunk-mapping logic is exercised, not just the trivial
+    one-chunk layout.
+
+    ``codec="raw "``: uncompressed samples, frame f's pixel(x, y) =
+    (11x + 5y + 19f + 7*seed) % 256 — frame-dependent so a demuxer
+    that mis-slices frame boundaries changes the answer.
+
+    ``codec="mjpg"``: Motion-JPEG essence — every sample is a REAL
+    baseline JFIF file produced by :func:`encode_jpeg_gray` over
+    block-constant pixels block(bx, by) = (13bx + 31by + 23f + 7*seed
+    + 11) % 256 (all-ones quantization keeps the codec exactly
+    lossless, so the analytic oracle still predicts every decoded
+    pixel). Sample sizes VARY per frame, exercising the
+    variable-size stsz path and cumulative chunk-offset arithmetic
+    that constant-size raw frames cannot."""
     frames = []
-    xs = np.arange(w, dtype=np.int64)[None, :]
-    ys = np.arange(h, dtype=np.int64)[:, None]
-    for f in range(n_frames):
-        px = ((11 * xs + 5 * ys + 19 * f + 7 * int(seed)) % 256).astype(np.uint8)
-        frames.append(px.tobytes())
-    fsz = w * h
+    if codec == "raw ":
+        xs = np.arange(w, dtype=np.int64)[None, :]
+        ys = np.arange(h, dtype=np.int64)[:, None]
+        for f in range(n_frames):
+            px = ((11 * xs + 5 * ys + 19 * f + 7 * int(seed)) % 256).astype(np.uint8)
+            frames.append(px.tobytes())
+    elif codec == "mjpg":
+        bxs = np.arange(w // 8, dtype=np.int64)[None, :]
+        bys = np.arange(h // 8, dtype=np.int64)[:, None]
+        for f in range(n_frames):
+            blocks = (13 * bxs + 31 * bys + 23 * f + 7 * int(seed) + 11) % 256
+            img = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1).astype(np.uint8)
+            frames.append(encode_jpeg_gray(img))
+    else:
+        raise ValueError(f"unknown synth codec {codec!r}")
+    sizes = [len(fb) for fb in frames]
     ftyp = _box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
     mdat_payload = b"".join(frames)
     # chunk 1 = first half of the samples, chunk 2 = the rest
     c1_n = max(1, n_frames // 2)
     mdat = _box(b"mdat", mdat_payload)
     mdat_off = len(ftyp) + 8  # absolute offset of first sample
-    c2_off = mdat_off + c1_n * fsz
+    c2_off = mdat_off + sum(sizes[:c1_n])
 
     stsd_entry = (
-        (86).to_bytes(4, "big") + b"raw " + bytes(6) + (1).to_bytes(2, "big")
+        (86).to_bytes(4, "big") + codec.encode("ascii") + bytes(6)
+        + (1).to_bytes(2, "big")
         + bytes(16)
         + w.to_bytes(2, "big") + h.to_bytes(2, "big")
         + (0x480000).to_bytes(4, "big") * 2 + bytes(4)
@@ -1142,7 +1276,7 @@ def synth_mp4_bytes(
     stsz = _box(
         b"stsz",
         bytes(4) + bytes(4) + n_frames.to_bytes(4, "big")
-        + b"".join(fsz.to_bytes(4, "big") for _ in range(n_frames)),
+        + b"".join(sz.to_bytes(4, "big") for sz in sizes),
     )
     stsc = _box(
         b"stsc",
@@ -1245,10 +1379,11 @@ def parse_mp4_frames(content: bytes) -> list[np.ndarray]:
     if n_entries < 1:
         raise ValueError("empty stsd")
     entry_fmt = content[s + 12 : s + 16]
-    if entry_fmt != b"raw ":
+    if entry_fmt not in (b"raw ", b"mjpg"):
         raise ValueError(
-            f"compressed video essence {entry_fmt!r} unsupported "
-            "(container demux is real; codec decode is the documented stub)"
+            f"video essence {entry_fmt!r} unsupported: 'raw ' and 'mjpg' "
+            "(Motion-JPEG via the baseline decoder) decode for real; "
+            "inter-frame codecs (H.264-class) are the documented stub"
         )
     w = int.from_bytes(content[s + 40 : s + 42], "big")
     h = int.from_bytes(content[s + 42 : s + 44], "big")
@@ -1292,23 +1427,31 @@ def parse_mp4_frames(content: bytes) -> list[np.ndarray]:
         pos = off
         for _ in range(per_chunk[ci]):
             sz = sizes[si]
-            if sz != w * h:
-                raise ValueError(f"sample {si} size {sz} != {w}x{h}")
             if pos + sz > len(content):
                 raise ValueError(f"sample {si} runs past end of file")
-            frames.append(
-                np.frombuffer(content, dtype=np.uint8, count=sz, offset=pos)
-                .reshape(h, w)
-            )
+            if entry_fmt == b"raw ":
+                if sz != w * h:
+                    raise ValueError(f"sample {si} size {sz} != {w}x{h}")
+                frame = np.frombuffer(
+                    content, dtype=np.uint8, count=sz, offset=pos
+                ).reshape(h, w)
+            else:  # mjpg: each sample is a complete baseline JFIF file
+                frame = decode_jpeg(content[pos : pos + sz])
+                if frame.shape != (h, w):
+                    raise ValueError(
+                        f"sample {si} decodes to {frame.shape}, stsd says {h}x{w}"
+                    )
+            frames.append(frame)
             pos += sz
             si += 1
     return frames
 
 
-def attach_mp4_payload(docs: DataFrame) -> DataFrame:
+def attach_mp4_payload(docs: DataFrame, *, codec: str = "raw ") -> DataFrame:
     """documents -> media table with a REAL ISO BMFF file per row
-    (seeded frame formula). Synthesis runs executor-side in Arrow
-    batches; bytes never shuffle."""
+    (seeded frame formula; ``codec="mjpg"`` packs Motion-JPEG essence).
+    Synthesis runs executor-side in Arrow batches; bytes never
+    shuffle."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -1316,7 +1459,10 @@ def attach_mp4_payload(docs: DataFrame) -> DataFrame:
                 {
                     "media_id": pdf["doc_id"],
                     "media_type": "video/mp4",
-                    "content": [synth_mp4_bytes(int(d)) for d in pdf["doc_id"]],
+                    "content": [
+                        synth_mp4_bytes(int(d), codec=codec)
+                        for d in pdf["doc_id"]
+                    ],
                 }
             )
 
