@@ -5646,6 +5646,39 @@ def media_frames_mjpeg_q(spark, sf_dir):
     )
 
 
+_BPE_VERDICT_ORACLE = """
+SELECT doc_id,
+       CAST(length(list_filter(regexp_split_to_array(text, '\\s+'),
+                               x -> x <> '')) AS BIGINT) AS n_words,
+       true AS roundtrip_ok,
+       true AS tokens_le_init,
+       true AS tokens_ge_words
+FROM documents
+"""
+
+
+@register("tokenize_bpe", _BPE_VERDICT_ORACLE)
+def tokenize_bpe_q(spark, sf_dir):
+    """REAL corpus-trained BPE tokenizer (round 5): distributed
+    word-type counts -> bounded top-K dictionary -> incremental driver
+    merge loop (the architecture every production BPE trainer uses) ->
+    broadcast ranks -> Arrow-batched distributed encode. Upgrades the
+    declared "BPE-ish" regex stand-in (textstats.py:22) to the genuine
+    merge-table algorithm. BPE is not portable SQL, so the driver
+    hash-checks the verdict table: exact per-doc word counts plus the
+    algorithm's guaranteed invariants (greedy-merge encoding is
+    exactly invertible; token counts bounded by initial symbols above
+    and words below). Compression bars live in tests/test_bpe.py."""
+    from vector_database_in_rust_spark.operators.bpe import (
+        bpe_roundtrip_verdict,
+        train_bpe_merges,
+    )
+
+    docs = _docs(spark, sf_dir)
+    merges = train_bpe_merges(docs, num_merges=64)
+    return bpe_roundtrip_verdict(docs, merges)
+
+
 _HEAVY_HITTERS_ORACLE = """
 WITH tok AS (
   SELECT unnest(string_split(text, ' ')) AS token FROM documents
