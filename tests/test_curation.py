@@ -338,3 +338,56 @@ def test_cluster_size_histogram_counts(spark):
         for r in cluster_size_histogram(labels).collect()
     }
     assert got == {3: 1, 2: 1, 1: 1}
+
+
+def test_dsir_tilts_toward_target_language(spark):
+    """The defining DSIR property: documents whose token distribution
+    matches the target slice must outscore off-target documents. Build
+    a corpus where 'en' docs share a vocabulary and 'fr' docs use a
+    disjoint one — every selected top doc must be 'en', and every 'en'
+    doc must carry positive weight."""
+    import pandas as pd
+
+    from vector_database_in_rust_spark.operators.curation import dsir_select
+
+    en = ["alpha beta gamma delta"] * 6
+    fr = ["zut alors voila bien"] * 6
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": range(12),
+                "text": en + fr,
+                "lang": ["en"] * 6 + ["fr"] * 6,
+            }
+        )
+    )
+    out = dsir_select(docs, k=6).collect()
+    assert [r["doc_id"] for r in out] == [0, 1, 2, 3, 4, 5]
+    assert all(r["weight"] > 0 for r in out)
+    # off-target docs score strictly negative under the ratio
+    all12 = dsir_select(docs, k=12).collect()
+    assert all(r["weight"] < 0 for r in all12 if r["doc_id"] >= 6)
+
+
+def test_dsir_weight_is_order_invariant(spark):
+    """Same corpus, different row order: identical weights (the LM
+    tables and totals are aggregates, so input order cannot leak)."""
+    import pandas as pd
+
+    from vector_database_in_rust_spark.operators.curation import dsir_select
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": ["a b c", "a a b", "x y z", "c b a"],
+            "lang": ["en", "en", "fr", "de"],
+        }
+    )
+    w1 = {r["doc_id"]: r["weight"] for r in dsir_select(spark.createDataFrame(pdf), k=4).collect()}
+    w2 = {
+        r["doc_id"]: r["weight"]
+        for r in dsir_select(
+            spark.createDataFrame(pdf.iloc[::-1]), k=4
+        ).collect()
+    }
+    assert w1 == w2

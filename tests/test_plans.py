@@ -458,3 +458,13 @@ def test_cooccurrence_pmi_vocab_broadcasts(audits):
     a = audits("cooccurrence_pmi")
     assert a.n_broadcast_exchanges >= 2
     assert a.has_take_ordered  # top-k by pmi, not a global sort
+
+
+def test_dsir_lm_tables_broadcast_topk_take_ordered(audits):
+    """DSIR: both LM tables and the corpus totals must broadcast onto
+    the per-doc counts (B-row and 1-row aggregates — never a shuffle
+    join against the corpus), and the final top-k must be
+    TakeOrderedAndProject, not a global sort."""
+    a = audits("dsir_select")
+    assert a.has_take_ordered
+    assert a.n_broadcast_exchanges >= 2

@@ -5646,6 +5646,53 @@ def media_frames_mjpeg_q(spark, sf_dir):
     )
 
 
+_DSIR_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5(token), 1, 6))::BIGINT % 1024 AS bucket
+  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+        FROM documents)
+  WHERE token <> ''
+), doc_b AS (
+  SELECT doc_id, bucket, count(*) AS cnt FROM tok GROUP BY doc_id, bucket
+), raw_lm AS (
+  SELECT bucket, count(*) AS raw_cnt FROM tok GROUP BY bucket
+), tgt_lm AS (
+  SELECT bucket, count(*) AS tgt_cnt FROM tok WHERE lang = 'en'
+  GROUP BY bucket
+), tot AS (
+  SELECT count(*) AS raw_total,
+         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS tgt_total
+  FROM tok
+), w AS (
+  SELECT d.doc_id,
+         round(sum(d.cnt *
+             (ln((coalesce(t.tgt_cnt, 0) + 1.0) / (tot.tgt_total + 1024.0))
+            - ln((r.raw_cnt + 1.0) / (tot.raw_total + 1024.0)))), 6) AS weight
+  FROM doc_b d
+  JOIN raw_lm r USING (bucket)
+  LEFT JOIN tgt_lm t USING (bucket)
+  CROSS JOIN tot
+  GROUP BY d.doc_id
+)
+SELECT doc_id, weight FROM w ORDER BY weight DESC, doc_id LIMIT 100
+"""
+
+
+@register("dsir_select", _DSIR_ORACLE)
+def dsir_select_q(spark, sf_dir):
+    """DSIR-shaped importance resampling (Xie et al. 2023): score every
+    doc by a hashed-unigram LM log-likelihood ratio (target = the 'en'
+    slice vs the raw corpus, add-one smoothing over 1024 md5-derived
+    buckets — arithmetic shared verbatim with the oracle) and keep the
+    top-100. One word-count-shaped shuffle; LM tables and corpus
+    totals broadcast in-DAG; top-k via TakeOrderedAndProject. Every
+    selected (doc_id, weight) row hash-checked."""
+    from vector_database_in_rust_spark.operators.curation import dsir_select
+
+    return dsir_select(_docs(spark, sf_dir))
+
+
 _BPE_VERDICT_ORACLE = """
 SELECT doc_id,
        CAST(length(list_filter(regexp_split_to_array(text, '\\s+'),

@@ -406,3 +406,87 @@ def diversity_sample(
     return ranked.filter(F.col("rk") <= per_bucket).select(
         "bucket", F.col("rk").cast("long").alias("rk"), "vec_id"
     )
+
+
+def dsir_select(
+    docs: DataFrame,
+    *,
+    target_lang: str = "en",
+    num_buckets: int = 1024,
+    k: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR-shaped, Xie et
+    al. 2023, public): score every document by the log-likelihood
+    ratio of a hashed-unigram LM fit on the TARGET slice (here: the
+    ``target_lang`` documents) vs one fit on the RAW corpus, and keep
+    the top-``k`` — the data-selection gate that tilts a 100 TB crawl
+    toward a target distribution without training a model.
+
+    weight(doc) = sum over tokens t of
+        ln((tgt[b(t)]+1)/(tgt_total+B)) - ln((raw[b(t)]+1)/(raw_total+B))
+
+    with b(t) the md5-derived feature bucket (shared verbatim with the
+    DuckDB oracle, same arithmetic as the hashed encoder) and add-one
+    smoothing over B buckets.
+
+    Scale design: the corpus tokenizes and buckets ONCE (map-side);
+    per-(doc,bucket) counts are one word-count-shaped shuffle; both LM
+    tables are B-row aggregates joined by BROADCAST, and the corpus
+    totals fold in as an in-DAG one-row broadcast aggregate (the BM25
+    N/avgdl pattern — no driver action). Top-k is orderBy+limit ->
+    TakeOrderedAndProject. Nothing corpus-sized crosses the driver.
+    Deterministic: ordered by (rounded weight desc, doc_id)."""
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("token")), 1, 6), 16, 10).cast("long")
+        % num_buckets
+    )
+    tok = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(lang_col).alias("lang"),
+            F.explode(F.split(F.col(text_col), " ")).alias("token"),
+        )
+        .where(F.col("token") != "")
+        .select("doc_id", "lang", bucket.alias("bucket"))
+    )
+    doc_b = tok.groupBy("doc_id", "bucket").agg(F.count("*").alias("cnt"))
+    raw_lm = tok.groupBy("bucket").agg(F.count("*").alias("raw_cnt"))
+    tgt_lm = (
+        tok.where(F.col("lang") == target_lang)
+        .groupBy("bucket")
+        .agg(F.count("*").alias("tgt_cnt"))
+    )
+    lm = F.broadcast(
+        raw_lm.join(tgt_lm, "bucket", "left").select(
+            "bucket",
+            "raw_cnt",
+            F.coalesce(F.col("tgt_cnt"), F.lit(0)).alias("tgt_cnt"),
+        )
+    )
+    totals = F.broadcast(
+        tok.agg(
+            F.count("*").alias("raw_total"),
+            F.sum(
+                F.when(F.col("lang") == target_lang, F.lit(1)).otherwise(0)
+            ).alias("tgt_total"),
+        )
+    )
+    B = F.lit(float(num_buckets))
+    contrib = F.col("cnt") * (
+        F.log((F.col("tgt_cnt") + 1.0) / (F.col("tgt_total") + B))
+        - F.log((F.col("raw_cnt") + 1.0) / (F.col("raw_total") + B))
+    )
+    weights = (
+        doc_b.join(lm, "bucket")
+        .crossJoin(totals)
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(contrib), 6).alias("weight"))
+    )
+    return (
+        weights.orderBy(F.col("weight").desc(), F.col("doc_id"))
+        .limit(k)
+        .select("doc_id", "weight")
+    )
