@@ -5646,6 +5646,67 @@ def media_frames_mjpeg_q(spark, sf_dir):
     )
 
 
+_MPEG1_ORACLE = """
+WITH fr AS (
+  SELECT d.doc_id AS media_id, f.i AS frame_idx
+  FROM documents d, (SELECT unnest([0, 2, 4]) AS i) f
+), col AS (
+  SELECT fr.media_id, fr.frame_idx,
+         CASE
+           WHEN c.i <= 3 THEN (37 * fr.frame_idx + 11 * fr.media_id + 29) % 256
+           WHEN c.i <= 7 THEN
+             CASE WHEN fr.frame_idx >= c.i - 3
+                  THEN (37 * (fr.frame_idx - (c.i - 3))
+                        + 11 * fr.media_id + 29) % 256
+                  ELSE (53 * 1 + 7 * fr.media_id + 101) % 256 END
+           WHEN c.i <= 11 THEN (53 * 2 + 7 * fr.media_id + 101) % 256
+           ELSE CASE WHEN fr.frame_idx = 0
+                     THEN (53 * 3 + 7 * fr.media_id + 101) % 256
+                     ELSE (91 * fr.frame_idx + 13 * fr.media_id + 57) % 256 END
+         END AS v
+  FROM fr, generate_series(0, 15) AS c(i)
+)
+SELECT media_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+       round(sum(v) * 1.0 / 16, 6) AS mean_px,
+       CAST((37 * frame_idx + 11 * media_id + 29) % 256 AS INTEGER)
+         AS corner_px
+FROM col GROUP BY media_id, frame_idx
+"""
+
+
+@register("media_frames_mpeg1", _MPEG1_ORACLE)
+def media_frames_mpeg1_q(spark, sf_dir):
+    """REAL inter-frame video decode (round 5, second half — the last
+    declared media stub): synthesize a spec-shaped MPEG-1 video
+    elementary stream per doc and decode it with the zero-dependency
+    subset decoder (operators/mpeg1.py: start-code walk, Annex-B VLC
+    macroblock layer, intra DC prediction chains with the
+    slice/non-intra reset rule, forward full-pel MOTION COMPENSATION
+    with a negative vector, SKIPPED-macroblock copy, dequant + IDCT).
+    Every P-picture exercises genuine temporal prediction: one
+    macroblock drags content from 4 pixels left in the previous frame
+    (a visible motion chain), one is skipped, two are intra. DC-only
+    intra + zero-residual MC keeps reconstruction integer-exact, so
+    the oracle predicts every decoded pixel from the closed-form
+    column recurrence WITHOUT touching the bitstream — a wrong VLC, a
+    broken DC predictor reset, a mis-signed motion vector, or a bad
+    skip default flips the hash. Conformance caveat and unsupported
+    features are documented in the module docstring."""
+    from vector_database_in_rust_spark.operators.mpeg1 import (
+        attach_mpeg1_payload,
+        decode_mpeg1,
+    )
+    from vector_database_in_rust_spark.operators.multimodal import (
+        video_frame_stats,
+    )
+
+    return video_frame_stats(
+        attach_mpeg1_payload(_docs(spark, sf_dir)),
+        every_n=2,
+        parser=decode_mpeg1,
+    )
+
+
 _DSIR_ORACLE = """
 WITH tok AS (
   SELECT doc_id, lang,

@@ -1471,17 +1471,24 @@ def attach_mp4_payload(docs: DataFrame, *, codec: str = "raw ") -> DataFrame:
     )
 
 
-def video_frame_stats(media: DataFrame, *, every_n: int = 2) -> DataFrame:
+def video_frame_stats(
+    media: DataFrame, *, every_n: int = 2, parser=None
+) -> DataFrame:
     """REAL frame sampling: demux the container, keep every n-th frame,
     emit per-frame statistics — the video twin of image_decode_stats.
     Only (id, frame_idx, 4 scalars) leave the executor; the frame
-    bytes never shuffle."""
+    bytes never shuffle.
+
+    ``parser`` is any bytes -> list-of-2D-uint8-arrays decoder (default
+    :func:`parse_mp4_frames`; pass ``mpeg1.decode_mpeg1`` for MPEG-1
+    elementary streams)."""
+    parser = parser or parse_mp4_frames
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             ids, idxs, means, corners = [], [], [], []
             for mid, c in zip(pdf["media_id"], pdf["content"]):
-                frames = parse_mp4_frames(bytes(c))
+                frames = parser(bytes(c))
                 for fi in range(0, len(frames), every_n):
                     px = frames[fi].astype(np.int64)
                     ids.append(mid)
