@@ -132,3 +132,60 @@ class TestMpeg1Codec:
             if val > 0:
                 assert code.endswith("0")
                 assert _B4_MOTION[code[:-1] + "1"] == -val
+
+
+class TestMpeg1Property:
+    def test_random_layouts_match_semantic_simulation(self):
+        """Hypothesis: ARBITRARY legal macroblock layouts must decode to
+        exactly what the motion/skip/intra semantics dictate, computed
+        by simulate_reconstruction WITHOUT touching the bitstream — a
+        self-consistent codec with wrong semantics fails here."""
+        import numpy as np
+        from hypothesis import given, settings, strategies as st
+
+        from vector_database_in_rust_spark.operators.mpeg1 import (
+            decode_mpeg1,
+            encode_mpeg1_gray,
+            simulate_reconstruction,
+        )
+
+        mb_w = 5  # 80x16, vectors limited to transcribed B.4 rows
+
+        def op_strategy(mb, first_frame):
+            opts = [
+                st.tuples(st.just("intra"), st.integers(0, 255)),
+            ]
+            if not first_frame:
+                lo = max(-8, -16 * mb)
+                hi = min(8, 16 * (mb_w - mb - 1))
+                opts.append(
+                    st.tuples(
+                        st.just("mc"), st.integers(lo, hi), st.just(0)
+                    )
+                )
+                if 0 < mb < mb_w - 1:
+                    opts.append(st.just(("skip",)))
+            return st.one_of(opts)
+
+        def frame_strategy(first_frame):
+            return st.tuples(
+                *[op_strategy(mb, first_frame) for mb in range(mb_w)]
+            ).map(list)
+
+        @settings(max_examples=40, deadline=None)
+        @given(
+            st.tuples(
+                frame_strategy(True),
+                frame_strategy(False),
+                frame_strategy(False),
+                frame_strategy(False),
+            ).map(list)
+        )
+        def check(specs):
+            got = decode_mpeg1(encode_mpeg1_gray(specs, 16 * mb_w, 16))
+            want = simulate_reconstruction(specs, 16 * mb_w, 16)
+            assert len(got) == len(want)
+            for g, wf in zip(got, want):
+                assert (g == wf).all()
+
+        check()

@@ -229,32 +229,41 @@ def _intra_mb(bw: _BitWriter, y_val: int, preds: dict) -> None:
         bw.put_bits(_EOB)
 
 
-def synth_mpeg1_bytes(
-    seed: int, n_frames: int = VID_FRAMES, w: int = VID_W, h: int = VID_H
+def encode_mpeg1_gray(
+    frame_specs: list[list[tuple]], w: int, h: int
 ) -> bytes:
-    """A spec-shaped MPEG-1 video elementary stream, 64x16, one slice
-    per picture, macroblocks per P-picture:
+    """A general spec-shaped MPEG-1 encoder for one-MB-row streams:
+    ``frame_specs[f]`` lists one op per macroblock —
 
-      MB0 intra a_f | MB1 MC(-4,0) | MB2 SKIPPED | MB3 intra m_f
+      ("intra", value)   DC-only intra block, constant ``value``
+      ("mc", mvx, mvy)   forward MC, zero residual, full-pel vector
+      ("skip",)          skipped (copy co-located; illegal first/last
+                         and illegal in I-pictures, enforced)
 
-    with a_f = (37f + 11*seed + 29) % 256, m_f = (91f + 13*seed + 57)
-    % 256, and the I-picture all-intra with MBk = b_k = (53k + 7*seed
-    + 101) % 256 (b_0 := a_0). Zero-residual MC + DC-only intra makes
-    reconstruction integer-exact, so decoded pixels follow the closed
-    form (4-pixel column c = x // 4):
-
-      c 0-3   : a_f
-      c 4-7   : a_{f-(c-3)} if f >= c-3 else b_1   (the MC drag chain)
-      c 8-11  : b_2                                 (skipped, static)
-      c 12-15 : m_f (f >= 1) else b_3
-
-    Every P-picture exercises real forward MC with a negative full-pel
-    vector, a skipped macroblock, and two intra DC predictor resets."""
-    if (w, h) != (VID_W, VID_H):
-        raise ValueError("synthesizer is fixed at 64x16 (4 MBs x 1 row)")
-    a = lambda f: (37 * f + 11 * int(seed) + 29) % 256  # noqa: E731
-    m = lambda f: (91 * f + 13 * int(seed) + 57) % 256  # noqa: E731
-    b = lambda k: (53 * k + 7 * int(seed) + 101) % 256  # noqa: E731
+    Frame 0 must be all-intra (the I-picture). Used by
+    :func:`synth_mpeg1_bytes` for the fixed driver layout and by the
+    property tests to exercise ARBITRARY layouts against an
+    independent reconstruction simulation."""
+    if h != 16 or w % 16:
+        raise ValueError("encoder supports one 16-aligned MB row")
+    mb_w = w // 16
+    for f, spec in enumerate(frame_specs):
+        if len(spec) != mb_w:
+            raise ValueError(f"frame {f}: {len(spec)} ops for {mb_w} MBs")
+        if f == 0 and any(op[0] != "intra" for op in spec):
+            raise ValueError("I-picture must be all-intra")
+        if spec[0][0] == "skip" or spec[-1][0] == "skip":
+            raise ValueError("first/last macroblock of a slice cannot skip")
+        for mb, op in enumerate(spec):
+            if op[0] == "mc":
+                if op[1] not in _B4_ENC or op[2] not in _B4_ENC:
+                    raise ValueError(
+                        "motion code outside the transcribed B.4 rows (|v|<=8)"
+                    )
+                if not (0 <= mb * 16 + op[1] and mb * 16 + 16 + op[1] <= w):
+                    raise ValueError("motion vector references out of frame")
+                if op[2] != 0:
+                    raise ValueError("one-MB-row streams require mvy == 0")
 
     bw = _BitWriter()
     _start_code(bw, 0xB3)  # sequence header
@@ -279,7 +288,7 @@ def synth_mpeg1_bytes(
     bw.put(1, 1)  # closed_gop
     bw.put(0, 1)  # broken_link
 
-    for f in range(n_frames):
+    for f, spec in enumerate(frame_specs):
         _start_code(bw, 0x00)  # picture
         bw.put(f, 10)          # temporal reference
         bw.put(1 if f == 0 else 2, 3)  # I or P
@@ -293,29 +302,84 @@ def synth_mpeg1_bytes(
         bw.put(8, 5)  # quantizer_scale
         bw.put(0, 1)  # extra_bit_slice
         preds = {"y": 128}
-        if f == 0:
-            for k in range(4):
-                bw.put_bits(_B1_ENC[1])       # address increment 1
-                bw.put_bits("1")              # B.2a intra
-                _intra_mb(bw, a(0) if k == 0 else b(k), preds)
-        else:
-            # MB0 intra
-            bw.put_bits(_B1_ENC[1])
-            bw.put_bits("00011")  # B.2b intra
-            _intra_mb(bw, a(f), preds)
-            # MB1 pred-mc, vector (-4, 0); predictor was reset by intra
-            bw.put_bits(_B1_ENC[1])
-            bw.put_bits("001")  # B.2b pred-mc
-            bw.put_bits(_B4_ENC[_MVX])  # horizontal motion_code
-            bw.put_bits(_B4_ENC[0])     # vertical motion_code
-            preds["y"] = 128  # non-intra MB resets the DC chain
-            # MB2 skipped -> MB3 arrives with address increment 2
-            bw.put_bits(_B1_ENC[2])
-            bw.put_bits("00011")  # intra
-            _intra_mb(bw, m(f), preds)
+        pending_inc = 1
+        for op in spec:
+            if op[0] == "skip":
+                pending_inc += 1
+                preds["y"] = 128  # skip resets the DC chain
+                continue
+            bw.put_bits(_B1_ENC[pending_inc])
+            pending_inc = 1
+            if op[0] == "intra":
+                bw.put_bits("1" if f == 0 else "00011")
+                _intra_mb(bw, int(op[1]) % 256, preds)
+            else:  # mc
+                bw.put_bits("001")  # B.2b pred-mc
+                bw.put_bits(_B4_ENC[op[1]])  # horizontal motion_code
+                bw.put_bits(_B4_ENC[op[2]])  # vertical motion_code
+                preds["y"] = 128  # non-intra MB resets the DC chain
     _start_code(bw, 0xB7)  # sequence end
     bw.align()
     return bytes(bw.out)
+
+
+def simulate_reconstruction(
+    frame_specs: list[list[tuple]], w: int, h: int = 16
+) -> list[np.ndarray]:
+    """Reference reconstruction straight from MC/skip/intra SEMANTICS —
+    no bitstream involved. The property tests compare
+    ``decode_mpeg1(encode_mpeg1_gray(spec))`` against this, so an
+    encoder/decoder pair that is self-consistent but wrong about the
+    semantics (mis-signed vector, wrong skip default) still fails."""
+    frames = []
+    prev = None
+    for spec in frame_specs:
+        cur = np.zeros((h, w), dtype=np.uint8) if prev is None else prev.copy()
+        for mb, op in enumerate(spec):
+            x0 = mb * 16
+            if op[0] == "intra":
+                cur[:, x0 : x0 + 16] = int(op[1]) % 256
+            elif op[0] == "mc":
+                cur[:, x0 : x0 + 16] = prev[:, x0 + op[1] : x0 + 16 + op[1]]
+            # skip: co-located copy, already in place
+        frames.append(cur)
+        prev = cur
+    return frames
+
+
+def synth_mpeg1_bytes(
+    seed: int, n_frames: int = VID_FRAMES, w: int = VID_W, h: int = VID_H
+) -> bytes:
+    """The driver layout, 64x16, one slice per picture; P-pictures:
+
+      MB0 intra a_f | MB1 MC(-4,0) | MB2 SKIPPED | MB3 intra m_f
+
+    with a_f = (37f + 11*seed + 29) % 256, m_f = (91f + 13*seed + 57)
+    % 256, and the I-picture all-intra with MBk = b_k = (53k + 7*seed
+    + 101) % 256 (b_0 := a_0). Zero-residual MC + DC-only intra makes
+    reconstruction integer-exact, so decoded pixels follow the closed
+    form (4-pixel column c = x // 4):
+
+      c 0-3   : a_f
+      c 4-7   : a_{f-(c-3)} if f >= c-3 else b_1   (the MC drag chain)
+      c 8-11  : b_2                                 (skipped, static)
+      c 12-15 : m_f (f >= 1) else b_3
+
+    Every P-picture exercises real forward MC with a negative full-pel
+    vector, a skipped macroblock, and two intra DC predictor resets."""
+    if (w, h) != (VID_W, VID_H):
+        raise ValueError("driver layout is fixed at 64x16 (4 MBs x 1 row)")
+    a = lambda f: (37 * f + 11 * int(seed) + 29) % 256  # noqa: E731
+    m = lambda f: (91 * f + 13 * int(seed) + 57) % 256  # noqa: E731
+    b = lambda k: (53 * k + 7 * int(seed) + 101) % 256  # noqa: E731
+    specs: list[list[tuple]] = [
+        [("intra", a(0)), ("intra", b(1)), ("intra", b(2)), ("intra", b(3))]
+    ]
+    for f in range(1, n_frames):
+        specs.append(
+            [("intra", a(f)), ("mc", _MVX, 0), ("skip",), ("intra", m(f))]
+        )
+    return encode_mpeg1_gray(specs, w, h)
 
 
 # ---------------------------------------------------------------------------
