@@ -5646,6 +5646,39 @@ def media_frames_mjpeg_q(spark, sf_dir):
     )
 
 
+_ADPCM_ORACLE = """
+SELECT doc_id AS media_id,
+       8000 AS sample_rate,
+       CAST(1023 AS BIGINT) AS n_samples,
+       true AS first_sample_exact,
+       true AS max_err_ok,
+       true AS rms_err_ok
+FROM documents
+"""
+
+
+@register("media_decode_adpcm", _ADPCM_ORACLE)
+def media_decode_adpcm_q(spark, sf_dir):
+    """REAL adaptive lossy audio decode (round 5, second half —
+    completing the audio trio: exact PCM, companded mu-law, adaptive
+    IMA ADPCM): synthesize a real WAV (format tag 0x11) per doc by
+    closed-loop-encoding an analytic triangle wave, decode with the
+    standard IMA quantized-difference loop (step table, index
+    adaptation, clamping), and emit the verdict table — exact
+    rate/count, the exact first sample (block header carries it
+    verbatim), and tracking-error bounds (max <= 512, rms <= 128)
+    measured to hold with >1.8x margin for every doc while a wrong
+    step table, mis-signed nibble, or broken index adaptation blows
+    past them by >3x (fault-injection measured: >= 1625). The lossy
+    codec is thereby hash-verified without the oracle simulating it."""
+    from vector_database_in_rust_spark.operators.multimodal import (
+        adpcm_decode_verdict,
+        attach_adpcm_payload,
+    )
+
+    return adpcm_decode_verdict(attach_adpcm_payload(_docs(spark, sf_dir)))
+
+
 _MPEG1_ORACLE = """
 WITH fr AS (
   SELECT d.doc_id AS media_id, f.i AS frame_idx

@@ -443,6 +443,226 @@ def attach_mulaw_payload(docs: DataFrame) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# IMA ADPCM (round 5, second half): REAL adaptive lossy audio — the
+# third audio codec (PCM exact, mu-law companded, ADPCM
+# differential-adaptive). Standard IMA/DVI tables; WAV format tag 0x11.
+# Lossy-by-design, so the driver query is a VERDICT table (the sketch
+# pattern): exact rate / sample count / exact first sample (the block
+# header carries it verbatim) plus tracking-error bounds a broken
+# quantizer or step adaptation blows past by orders of magnitude.
+# ---------------------------------------------------------------------------
+
+_IMA_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+_IMA_INDEX_ADJ = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+ADPCM_N = 1023  # one block: 4-byte header + 511 nibble bytes
+
+
+def _ima_decode_nibble(code: int, pred: int, index: int) -> tuple[int, int]:
+    step = _IMA_STEPS[index]
+    diff = step >> 3
+    if code & 4:
+        diff += step
+    if code & 2:
+        diff += step >> 1
+    if code & 1:
+        diff += step >> 2
+    pred = pred - diff if code & 8 else pred + diff
+    pred = max(-32768, min(32767, pred))
+    index = max(0, min(88, index + _IMA_INDEX_ADJ[code & 7]))
+    return pred, index
+
+
+def ima_adpcm_encode(samples: np.ndarray) -> bytes:
+    """One-block IMA ADPCM encode: header (predictor = first sample,
+    index 0) + 4-bit codes, low nibble first. The encoder runs the
+    SAME adaptive loop as the decoder (closed-loop DPCM), so encoder
+    state never drifts from what a correct decoder reconstructs."""
+    s = samples.astype(np.int64)
+    pred, index = int(s[0]), 0
+    out = bytearray()
+    out += int(pred).to_bytes(2, "little", signed=True)
+    out.append(index)
+    out.append(0)
+    codes = []
+    for x in s[1:]:
+        step = _IMA_STEPS[index]
+        diff = int(x) - pred
+        code = 8 if diff < 0 else 0
+        diff = abs(diff)
+        if diff >= step:
+            code |= 4
+            diff -= step
+        if diff >= step >> 1:
+            code |= 2
+            diff -= step >> 1
+        if diff >= step >> 2:
+            code |= 1
+        pred, index = _ima_decode_nibble(code, pred, index)
+        codes.append(code)
+    if len(codes) % 2:
+        codes.append(0)
+    for lo, hi in zip(codes[0::2], codes[1::2]):
+        out.append(lo | (hi << 4))
+    return bytes(out)
+
+
+def ima_adpcm_decode(block: bytes, n_samples: int) -> np.ndarray:
+    """REAL IMA ADPCM block decode: header predictor/index, then the
+    standard quantized-difference reconstruction with step-size
+    adaptation and clamping."""
+    if len(block) < 4:
+        raise ValueError("ADPCM block shorter than its header")
+    pred = int.from_bytes(block[0:2], "little", signed=True)
+    index = block[2]
+    if index > 88:
+        raise ValueError(f"ADPCM step index {index} out of range")
+    out = [pred]
+    for byte in block[4:]:
+        for code in (byte & 0x0F, byte >> 4):
+            pred, index = _ima_decode_nibble(code, pred, index)
+            out.append(pred)
+            if len(out) == n_samples:
+                return np.array(out, dtype=np.int64)
+    if len(out) < n_samples:
+        raise ValueError("ADPCM block exhausted before n_samples")
+    return np.array(out, dtype=np.int64)
+
+
+def _adpcm_source(seed: int, n: int) -> np.ndarray:
+    """The analytic test signal: a TRIANGLE wave with per-sample slope
+    +-k, k = seed % 127 + 1 — continuous (unlike the PCM lane's
+    sawtooth, whose 2047-point wrap no differential codec can track),
+    so a correct ADPCM loop follows it within a small, boundable
+    error while remaining fully id-reproducible."""
+    k = int(seed) % 127 + 1
+    return 1024 - np.abs(((np.arange(n, dtype=np.int64) * k) % 4096) - 2048)
+
+
+def synth_wav_adpcm_bytes(seed: int, n: int = ADPCM_N, rate: int = WAV_RATE) -> bytes:
+    """A real RIFF/WAVE file with format tag 0x11 (IMA ADPCM), one
+    block, mono, over the analytic triangle source
+    (:func:`_adpcm_source`)."""
+    samples = _adpcm_source(seed, n)
+    data = ima_adpcm_encode(samples)
+    block_align = len(data)
+    fmt = (
+        (0x11).to_bytes(2, "little")
+        + (1).to_bytes(2, "little")
+        + rate.to_bytes(4, "little")
+        + (rate * block_align // n).to_bytes(4, "little")
+        + block_align.to_bytes(2, "little")
+        + (4).to_bytes(2, "little")  # bits per (coded) sample
+        + (2).to_bytes(2, "little")  # cbSize
+        + n.to_bytes(2, "little")    # wSamplesPerBlock
+    )
+    chunks = (
+        b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+        + b"data" + len(data).to_bytes(4, "little") + data
+    )
+    return b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
+
+
+def decode_wav_adpcm(content: bytes) -> tuple[int, int, np.ndarray]:
+    """REAL IMA-ADPCM WAV decode: RIFF chunk walk, format-tag 0x11
+    validation, wSamplesPerBlock from the fmt extension, block decode.
+    Returns (rate, samples_per_block, samples)."""
+    if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, rate, spb, data = 12, None, None, None
+    while pos + 8 <= len(content):
+        cid = content[pos : pos + 4]
+        sz = int.from_bytes(content[pos + 4 : pos + 8], "little")
+        body = content[pos + 8 : pos + 8 + sz]
+        if len(body) != sz:
+            raise ValueError(f"truncated {cid!r} chunk")
+        if cid == b"fmt ":
+            tag = int.from_bytes(body[0:2], "little")
+            if tag != 0x11:
+                raise ValueError(f"format tag {tag} is not IMA ADPCM")
+            if int.from_bytes(body[2:4], "little") != 1:
+                raise ValueError("only mono ADPCM supported")
+            rate = int.from_bytes(body[4:8], "little")
+            spb = int.from_bytes(body[18:20], "little")
+        elif cid == b"data":
+            data = body
+        pos += 8 + sz + (sz & 1)
+    if rate is None or data is None or spb is None:
+        raise ValueError("missing fmt or data chunk")
+    return rate, spb, ima_adpcm_decode(data, spb)
+
+
+def attach_adpcm_payload(docs: DataFrame) -> DataFrame:
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "media_type": "audio/adpcm",
+                    "content": [
+                        synth_wav_adpcm_bytes(int(d)) for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        batches, schema="media_id BIGINT, media_type STRING, content BINARY"
+    )
+
+
+def adpcm_decode_verdict(media: DataFrame) -> DataFrame:
+    """Verdict table for the lossy codec (the sketch-lane pattern):
+    decode, regenerate the analytic source from the id, and emit what
+    the oracle can predict — exact rate and count, the exact first
+    sample (carried verbatim in the block header), and tracking-error
+    bounds (max |err| <= 512, rms err <= 128) that hold with wide
+    margin for a correct quantize/adapt loop on this signal family
+    but explode by orders of magnitude under a wrong step table, a
+    mis-signed nibble, or broken index adaptation."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, rates, ns, fs, mx, rm = [], [], [], [], [], []
+            for mid, c in zip(pdf["media_id"], pdf["content"]):
+                rate, n, s = decode_wav_adpcm(bytes(c))
+                src = _adpcm_source(int(mid), n)
+                err = s - src
+                ids.append(mid)
+                rates.append(rate)
+                ns.append(n)
+                fs.append(bool(s[0] == src[0]))
+                mx.append(bool(np.abs(err).max() <= 512))
+                rm.append(bool(float(np.sqrt((err * err).mean())) <= 128.0))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "sample_rate": pd.Series(rates, dtype="int32"),
+                    "n_samples": pd.Series(ns, dtype="int64"),
+                    "first_sample_exact": pd.Series(fs, dtype="bool"),
+                    "max_err_ok": pd.Series(mx, dtype="bool"),
+                    "rms_err_ok": pd.Series(rm, dtype="bool"),
+                }
+            )
+
+    return media.mapInPandas(
+        batches,
+        schema=(
+            "media_id BIGINT, sample_rate INT, n_samples BIGINT, "
+            "first_sample_exact BOOLEAN, max_err_ok BOOLEAN, "
+            "rms_err_ok BOOLEAN"
+        ),
+    )
+
+
 def attach_pgm_payload(docs: DataFrame) -> DataFrame:
     """documents -> media table whose content is a REAL PGM file per row
     (seeded by doc_id). Synthesis runs executor-side in Arrow batches;
