@@ -391,3 +391,24 @@ def test_dsir_weight_is_order_invariant(spark):
         ).collect()
     }
     assert w1 == w2
+
+
+def test_source_cap_bounds_and_determinism(spark):
+    from vector_database_in_rust_spark.operators.curation import source_cap
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    out = source_cap(docs, max_per_source=10)
+    per = {r["source"]: r["n"] for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert per and all(n <= 10 for n in per.values())
+    # every source with >= 10 docs is filled to exactly the cap
+    full = {
+        r["source"]
+        for r in docs.groupBy("source").agg(F.count("*").alias("n")).where("n >= 10").collect()
+    }
+    assert all(per[s] == 10 for s in full)
+    # survivors are a pure function of (seed, id): invariant under repartition
+    again = source_cap(docs.repartition(7), max_per_source=10)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+    # a different seed picks a different survivor set (not a constant gate)
+    other = source_cap(docs, max_per_source=10, seed=7)
+    assert {r["doc_id"] for r in out.collect()} != {r["doc_id"] for r in other.collect()}

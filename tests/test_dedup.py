@@ -535,3 +535,93 @@ def test_duplicated_span_stats_constructed(spark):
     assert out[2]["n_dup_grams"] == 2
     assert out[3]["n_dup_grams"] == 0 and out[3]["n_grams"] == 3
     assert out[4]["n_grams"] == 0 and out[4]["dup_frac"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# Segment-level boilerplate removal + winnowing fingerprints (round 5)
+# ---------------------------------------------------------------------------
+
+
+def _mkdocs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_segment_filter_drops_shared_reassembles_order(spark):
+    """The shared 4-token run is removed from BOTH docs; unique
+    segments survive in original order; an all-boilerplate doc exits."""
+    shared = "aa bb cc dd"
+    df = _mkdocs(
+        spark,
+        [
+            (1, f"{shared} u1 u2 u3 u4 tail1"),
+            (2, f"v1 v2 v3 v4 {shared} tail2"),
+            (3, shared),
+            (4, f"m1 m2 m3 {shared} tail4"),
+        ],
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in dedup.segment_boilerplate_filter(df, seg_words=4, max_df=1).collect()
+    }
+    assert out[1]["clean_text"] == "u1 u2 u3 u4 tail1"
+    assert out[1]["n_segments"] == 3 and out[1]["n_dropped"] == 1
+    # doc 2's 4-token prefix puts the shared run exactly on a segment
+    # boundary — its middle segment IS the boilerplate and is dropped.
+    assert out[2]["clean_text"] == "v1 v2 v3 v4 tail2"
+    assert out[2]["n_dropped"] == 1
+    # doc 3 IS exactly the shared segment: dropped everywhere, doc
+    # reassembles to empty and exits the corpus (CCNet semantics).
+    assert 3 not in out
+    # doc 4's 3-token prefix MISALIGNS the shared run — its segments
+    # straddle the boundary, differ textually, and all survive:
+    # positional segmenting is alignment-sensitive, exactly like CCNet
+    # lines are newline-alignment-sensitive.
+    assert out[4]["n_dropped"] == 0
+
+
+def test_segment_filter_noop_when_all_unique(spark):
+    df = _mkdocs(spark, [(1, "a b c d e"), (2, "f g h i j")])
+    out = {r["doc_id"]: r for r in dedup.segment_boilerplate_filter(df).collect()}
+    assert out[1]["clean_text"] == "a b c d e"
+    assert out[2]["clean_text"] == "f g h i j"
+    assert all(r["n_dropped"] == 0 for r in out.values())
+
+
+def test_winnow_guarantee_shared_substring_shares_fingerprint(spark):
+    """Winnowing guarantee (SIGMOD 2003): a shared substring of
+    >= k + window - 1 tokens forces >= 1 shared selected hash."""
+    run = "p q r s t u"  # 6 tokens = k + window - 1 for k=4, w=3
+    df = _mkdocs(
+        spark,
+        [
+            (1, f"one two three {run} four five six"),
+            (2, f"alpha beta {run} gamma delta epsilon zeta"),
+        ],
+    )
+    fps = dedup.winnow_fingerprints(df, k=4, window=3)
+    h1 = {r["fp_hash"] for r in fps.where(F.col("doc_id") == 1).collect()}
+    h2 = {r["fp_hash"] for r in fps.where(F.col("doc_id") == 2).collect()}
+    assert h1 & h2
+    pairs = dedup.winnow_pairs(df, k=4, window=3, min_shared=1).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in pairs} == {(1, 2)}
+
+
+def test_winnow_density_every_window_covered(spark):
+    """Each full window of `window` consecutive gram positions contains
+    at least one selected fingerprint position (coverage property of
+    winnowing: gaps between selections are < window)."""
+    text = " ".join(f"w{i % 7}x{i % 11}" for i in range(40))
+    df = _mkdocs(spark, [(1, text)])
+    pos = sorted(
+        r["fp_pos"] for r in dedup.winnow_fingerprints(df, k=4, window=3).collect()
+    )
+    n_grams = 40 - 4 + 1
+    assert pos[0] < 3 and pos[-1] >= n_grams - 3 - 2
+    assert all(b - a < 3 + 3 for a, b in zip(pos, pos[1:]))
+
+
+def test_winnow_short_doc_excluded(spark):
+    df = _mkdocs(spark, [(1, "a b c d e"), (2, "a b c d e f")])
+    out = dedup.winnow_fingerprints(df, k=4, window=3)
+    ids = {r["doc_id"] for r in out.collect()}
+    assert ids == {2}  # doc 1 has 5 < k + window - 1 = 6 tokens

@@ -213,3 +213,33 @@ def test_sign_pack_nan_is_zero_bit(spark):
     assert list(row["w"]) == [2]  # only dimension 1 sets its bit
     lit = spark.range(1).select(sign_pack_literal(vec).alias("w")).first()
     assert list(lit["w"]) == [2]
+
+
+def test_hard_negatives_label_mismatch_and_rank(spark, emb):
+    from vector_database_in_rust_spark.operators.knn import hard_negatives, knn_batch
+
+    anchors = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_embedding"),
+        F.col("label").alias("query_label"),
+    )
+    out = hard_negatives(emb, anchors, 5).collect()
+    labels = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+    anchor_label = {r["query_id"]: r["query_label"] for r in anchors.collect()}
+    assert len(out) == 8 * 5
+    for r in out:
+        # never the anchor itself, never the anchor's own class
+        assert r["neg_label"] == labels[r["vec_id"]]
+        assert r["neg_label"] != anchor_label[r["query_id"]]
+    # the mined set is exactly knn over the label-complement subcorpus:
+    # for anchor 0, filter the corpus manually and compare
+    a0 = [r for r in out if r["query_id"] == 0]
+    sub = emb.where(F.col("label") != anchor_label[0])
+    expect = knn_batch(
+        sub,
+        anchors.where(F.col("query_id") == 0).drop("query_label"),
+        5,
+    ).collect()
+    assert [(r["vec_id"], r["dist"]) for r in a0] == [
+        (r["vec_id"], r["dist"]) for r in expect
+    ]

@@ -5851,6 +5851,187 @@ def heavy_hitters_verdict_q(spark, sf_dir):
     return heavy_hitters_verdict(_docs(spark, sf_dir))
 
 
+_SOURCE_CAP_ORACLE = """
+WITH keyed AS (
+  SELECT doc_id, source,
+         md5('42:' || CAST(doc_id AS VARCHAR)) AS cap_key
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY cap_key) AS cap_rank
+  FROM keyed
+)
+SELECT doc_id, source, cap_rank FROM ranked WHERE cap_rank <= 10
+"""
+
+
+@register("source_cap", _SOURCE_CAP_ORACLE)
+def source_cap_q(spark, sf_dir):
+    """Per-source document cap (curation.source_cap): keep at most 10
+    docs per source by deterministic md5 rank — the RefinedWeb-style
+    domain-balancing gate that stops one giant host dominating the mix.
+    WindowGroupLimit bounds the shuffle to 10 rows/source/partition;
+    survivors + ranks hash-checked against the identical SQL."""
+    from vector_database_in_rust_spark.operators.curation import source_cap
+
+    return source_cap(_docs(spark, sf_dir), max_per_source=10)
+
+
+_SEGMENT_DEDUP_ORACLE = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+seg AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(toks[i*4+1 : i*4+4], ' ') AS seg
+  FROM t, unnest(range(0, CAST(ceil(len(toks) * 1.0 / 4) AS BIGINT))) AS u(i)
+),
+drop_set AS (
+  SELECT seg FROM (SELECT DISTINCT seg, doc_id FROM seg)
+  GROUP BY seg HAVING count(*) > 1
+),
+kept AS (
+  SELECT doc_id, pos, seg FROM seg
+  WHERE seg NOT IN (SELECT seg FROM drop_set)
+),
+totals AS (SELECT doc_id, count(*) AS n_segments FROM seg GROUP BY doc_id)
+SELECT k.doc_id,
+       string_agg(k.seg, ' ' ORDER BY k.pos) AS clean_text,
+       any_value(t.n_segments) AS n_segments,
+       any_value(t.n_segments) - count(*) AS n_dropped
+FROM kept k JOIN totals t ON k.doc_id = t.doc_id
+GROUP BY k.doc_id
+"""
+
+
+@register("dedup_segments", _SEGMENT_DEDUP_ORACLE)
+def dedup_segments_q(spark, sf_dir):
+    """Sub-document boilerplate removal
+    (dedup.segment_boilerplate_filter): CCNet-style line-level dedup on
+    4-token segments — segments appearing in >1 document are dropped
+    everywhere and each doc is REASSEMBLED from its survivors in order
+    (at sf0.01 this removes ~11% of segment occurrences). The one dedup
+    whole-doc strategies can't express; reassembly order + counts
+    hash-checked."""
+    from vector_database_in_rust_spark.operators.dedup import (
+        segment_boilerplate_filter,
+    )
+
+    return segment_boilerplate_filter(
+        _docs(spark, sf_dir), seg_words=4, max_df=1
+    )
+
+
+_WINNOW_CTES = """
+t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+g AS (
+  SELECT doc_id, i - 1 AS pos,
+         substring(md5(array_to_string(toks[i : i + 3], ' ')), 1, 16)
+           || ':' || lpad(CAST(i - 1 AS VARCHAR), 6, '0') AS gkey,
+         len(toks) - 3 AS n_grams
+  FROM t, unnest(generate_series(1, len(toks) - 3)) AS u(i)
+  WHERE len(toks) >= 6
+),
+sel AS (
+  SELECT doc_id, pos, n_grams,
+         min(gkey) OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING) AS sel
+  FROM g
+),
+fp AS (
+  SELECT DISTINCT doc_id, sel FROM sel WHERE pos <= n_grams - 3
+)
+"""
+
+_WINNOW_FP_ORACLE = f"""
+WITH {_WINNOW_CTES}
+SELECT doc_id,
+       CAST(string_split(sel, ':')[2] AS BIGINT) AS fp_pos,
+       string_split(sel, ':')[1] AS fp_hash
+FROM fp
+"""
+
+
+@register("winnow_fingerprint", _WINNOW_FP_ORACLE)
+def winnow_fingerprint_q(spark, sf_dir):
+    """Winnowing fingerprints (dedup.winnow_fingerprints — Schleimer,
+    Wilkerson & Aiken, SIGMOD 2003 / MOSS): min-hash-per-window over
+    word 4-gram md5 prefixes, window 3, lexicographic ``hash:pos`` key
+    as the portable tie-break. Any shared >=6-token substring forces a
+    shared fingerprint (the winnowing guarantee). Selection is a
+    bounded ROWS-frame window per doc — grams never cross documents.
+    Every selected (pos, hash) hash-checked."""
+    from vector_database_in_rust_spark.operators.dedup import (
+        winnow_fingerprints,
+    )
+
+    return winnow_fingerprints(_docs(spark, sf_dir), k=4, window=3)
+
+
+_WINNOW_PAIRS_ORACLE = f"""
+WITH {_WINNOW_CTES},
+fph AS (SELECT DISTINCT doc_id, string_split(sel, ':')[1] AS fp_hash FROM fp)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+FROM fph a JOIN fph b ON a.fp_hash = b.fp_hash
+WHERE a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING count(*) >= 2
+"""
+
+
+@register("winnow_pairs", _WINNOW_PAIRS_ORACLE)
+def winnow_pairs_q(spark, sf_dir):
+    """MOSS match detection (dedup.winnow_pairs): doc pairs sharing >=2
+    winnowing fingerprints — substring-sensitive near-dup candidates
+    (localizes verbatim overlap MinHash's global bag can't see). The
+    join is an inverted index on fp_hash: the LSH-band shape, cost
+    follows true collisions, never |docs|^2."""
+    from vector_database_in_rust_spark.operators.dedup import winnow_pairs
+
+    return winnow_pairs(_docs(spark, sf_dir), k=4, window=3, min_shared=2)
+
+
+_HARD_NEGATIVES_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qe, label AS qlabel
+  FROM embeddings WHERE vec_id % 40 = 0
+),
+scored AS (
+  SELECT q.query_id, e.vec_id, e.label AS neg_label,
+         round({_sql_l2sq('e.embedding', 'q.qe')}, 4) AS dist
+  FROM embeddings e CROSS JOIN q
+  WHERE e.label <> q.qlabel
+),
+ranked AS (
+  SELECT query_id, vec_id, neg_label, dist,
+         row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS r
+  FROM scored
+)
+SELECT query_id, vec_id, neg_label, dist FROM ranked WHERE r <= 5
+"""
+
+
+@register("hard_negatives", _HARD_NEGATIVES_ORACLE)
+def hard_negatives_q(spark, sf_dir):
+    """Hard-negative mining (knn.hard_negatives): for each anchor
+    (every 40th stored vector), the 5 nearest vectors with a DIFFERENT
+    label — the between-epoch mining pass of a contrastive-training
+    pipeline. Same broadcast + WindowGroupLimit shape as knn_batch;
+    the label-mismatch predicate filters before the ranking shuffle.
+    Every (anchor, negative, dist) hash-checked."""
+    from vector_database_in_rust_spark.operators.knn import hard_negatives
+
+    anchors = (
+        _emb(spark, sf_dir)
+        .where(F.col("vec_id") % 40 == 0)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_embedding"),
+            F.col("label").alias("query_label"),
+        )
+    )
+    return hard_negatives(_emb(spark, sf_dir), anchors, 5)
+
+
 # ---------------------------------------------------------------------------
 # Driver verification-window rotation (round 4, stated openly in NOTES_r3.md)
 #

@@ -490,3 +490,46 @@ def dsir_select(
         .limit(k)
         .select("doc_id", "weight")
     )
+
+
+def source_cap(
+    docs: DataFrame,
+    *,
+    max_per_source: int = 50,
+    seed: int = 42,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-source document cap — the domain-balancing step of a web
+    pipeline (RefinedWeb caps pages per registered domain so a handful
+    of giant hosts can't dominate the corpus). Keeps at most
+    ``max_per_source`` documents per source, chosen by DETERMINISTIC
+    hash rank ``md5(seed || doc_id)`` rather than ``rand()``: the same
+    survivors every run, on any partitioning, under any task retry —
+    and the survivor set is stable under corpus growth in expectation
+    (a new document only displaces one existing survivor of its own
+    source, never reshuffles unrelated sources).
+
+    Emits (doc_id, source, cap_rank) for the survivors, rank 1-based
+    within source.
+
+    Scale: one hash-partitioned ranking window keyed by source;
+    WindowGroupLimit pushes the ``<= max_per_source`` bound map-side,
+    so the shuffle carries at most ``max_per_source`` rows per source
+    per input partition — bounded regardless of how skewed the source
+    histogram is (the whole point: the pathological source is the one
+    being capped). Rows carry (id, source, 32-hex key) only; payload
+    re-joins downstream.
+    """
+    key = F.md5(F.concat(F.lit(str(seed)), F.lit(":"), F.col(id_col).cast("string")))
+    w = Window.partitionBy("source").orderBy("cap_key")
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(source_col).alias("source"),
+            key.alias("cap_key"),
+        )
+        .withColumn("cap_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("cap_rank") <= max_per_source)
+        .select("doc_id", "source", "cap_rank")
+    )

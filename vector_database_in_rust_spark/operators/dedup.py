@@ -1392,3 +1392,189 @@ def pairs_recall_verdict(
         ).alias("recall_ok")
     )
     return out.select(*cols)
+
+
+def segment_boilerplate_filter(
+    docs: DataFrame,
+    *,
+    seg_words: int = 4,
+    max_df: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sub-document boilerplate removal, CCNet/RefinedWeb line-dedup
+    adapted to the repo's word-token convention: the corpus is cut into
+    NON-OVERLAPPING ``seg_words``-token segments (the "lines" — the
+    testdata has no newlines, so the unit is positional), each segment's
+    document frequency is counted corpus-wide, segments appearing in
+    more than ``max_df`` documents are dropped EVERYWHERE, and each
+    document is reassembled from its surviving segments in original
+    order. This is the dedup that exact/minhash whole-doc dedup cannot
+    do: it removes the shared header/footer/disclaimer WITHIN otherwise
+    unique documents instead of dropping or keeping whole docs.
+
+    Emits (doc_id, clean_text, n_segments, n_dropped) for documents with
+    at least one surviving segment (a fully-boilerplate document exits
+    the corpus, as in CCNet).
+
+    Scale (two corpus passes, like CCNet's hash-shard pipeline):
+    1. segment-df count — a word-count-shaped shuffle keyed by segment
+       (map-side distinct-combine; at fleet scale key by xxhash64 of the
+       segment so the exchange carries 8-byte keys, kept as exact text
+       here for oracle portability);
+    2. the drop-set (df > max_df) is boilerplate BY DEFINITION — tiny
+       relative to the corpus — so it broadcasts into a left_anti join
+       (no second corpus shuffle for filtering);
+    3. reassembly — one hash shuffle of surviving segments keyed by doc
+       id (collect_list + in-group sort by position). Per-group state is
+       one document's segments: bounded by max doc length, no skew risk.
+    """
+    toks = F.split(F.col(text_col), " ")
+    n_seg = F.ceil(F.size(toks) / F.lit(seg_words)).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), n_seg - 1),
+        lambda i: F.struct(
+            i.cast("long").alias("pos"),
+            F.array_join(F.slice(toks, i * seg_words + 1, seg_words), " ").alias("seg"),
+        ),
+    )
+    exploded = docs.select(F.col(id_col).alias("doc_id"), F.inline(segs))
+
+    drop_set = (
+        exploded.select("seg", "doc_id")
+        .distinct()
+        .groupBy("seg")
+        .agg(F.count(F.lit(1)).alias("seg_df"))
+        .where(F.col("seg_df") > max_df)
+        .select("seg")
+    )
+    kept = exploded.join(F.broadcast(drop_set), "seg", "left_anti")
+
+    totals = exploded.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_segments"))
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "seg"))),
+                    lambda s: s["seg"],
+                ),
+                " ",
+            ).alias("clean_text"),
+            F.count(F.lit(1)).alias("n_kept"),
+        )
+        .join(totals, "doc_id")
+        .select(
+            "doc_id",
+            "clean_text",
+            F.col("n_segments").cast("long").alias("n_segments"),
+            (F.col("n_segments") - F.col("n_kept")).cast("long").alias("n_dropped"),
+        )
+    )
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    *,
+    k: int = 4,
+    window: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every word ``k``-gram, slide
+    a ``window``-wide window over the hash sequence, and select the
+    minimum hash of each full window. The selected (position, hash)
+    pairs are the document's fingerprint set, with the guarantee that
+    any shared substring of at least ``k + window - 1`` tokens produces
+    at least one shared fingerprint — a local, position-robust sketch
+    (unlike MinHash, which sketches the global bag and cannot localize).
+
+    Hashes are md5-prefix HEX STRINGS, selection key ``hash:pos`` — the
+    lexicographic min picks the smallest hash with the smallest position
+    as the deterministic tie-break, portable bit-for-bit to the SQL
+    oracle (no engine-specific integer hash).
+
+    Emits (doc_id, fp_pos, fp_hash), one row per selected fingerprint,
+    ordered ties impossible (pos is unique within doc).
+
+    Scale: grams never leave their document — the only wide operation is
+    the per-doc ORDER BY pos ranking window (hash-partitioned by doc id,
+    in-partition sort; state is one doc's gram sequence). The window min
+    is a bounded ROWS frame (streaming min-queue in the window exec, no
+    per-row rescan). Downstream near-dup candidate generation equi-joins
+    on fp_hash — the same bucket-join shape as LSH banding.
+    """
+    toks = F.split(F.col(text_col), " ")
+    n_grams = F.size(toks) - k + 1
+    grams = F.transform(
+        F.sequence(F.lit(0), n_grams - 1),
+        lambda i: F.struct(
+            i.cast("long").alias("pos"),
+            F.concat(
+                F.substring(F.md5(F.array_join(F.slice(toks, i + 1, k), " ")), 1, 16),
+                F.lit(":"),
+                F.lpad(i.cast("string"), 6, "0"),
+            ).alias("gkey"),
+        ),
+    )
+    g = docs.where(F.size(toks) >= k + window - 1).select(
+        F.col(id_col).alias("doc_id"), F.inline(grams), n_grams.alias("n_grams")
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, window - 1)
+    )
+    sel = g.select(
+        "doc_id",
+        F.min("gkey").over(w).alias("sel"),
+        "pos",
+        "n_grams",
+    ).where(F.col("pos") <= F.col("n_grams") - window)
+    return (
+        sel.select("doc_id", "sel")
+        .distinct()
+        .select(
+            "doc_id",
+            F.split(F.col("sel"), ":")[1].cast("long").alias("fp_pos"),
+            F.split(F.col("sel"), ":")[0].alias("fp_hash"),
+        )
+    )
+
+
+def winnow_pairs(
+    docs: DataFrame,
+    *,
+    k: int = 4,
+    window: int = 3,
+    min_shared: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup candidate pairs from shared winnowing fingerprints: two
+    documents sharing >= ``min_shared`` selected hashes (MOSS's match
+    detection). The winnowing guarantee makes this substring-sensitive —
+    a long enough verbatim overlap ANYWHERE in two documents forces a
+    shared fingerprint, regardless of how different the rest is.
+
+    Emits (doc_a, doc_b, n_shared), doc_a < doc_b.
+
+    Scale: inverted-index self-join keyed by fp_hash — identical shape
+    to the LSH band join; cost follows true fingerprint collisions, not
+    |docs|^2. A corpus-wide hot fingerprint (boilerplate substring)
+    fans out freq^2 like any inverted index; apply the same df cut as
+    ngram_jaccard_pairs upstream if the corpus has one.
+    """
+    fps = winnow_fingerprints(
+        docs, k=k, window=window, text_col=text_col, id_col=id_col
+    ).select("doc_id", "fp_hash").distinct()
+    a = fps.alias("a")
+    b = fps.alias("b")
+    return (
+        a.join(b, on="fp_hash")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )

@@ -427,3 +427,55 @@ def knn_refine_bq(
         .orderBy("dist", "vec_id")
         .limit(k)
     )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_embedding",
+    query_label_col: str = "query_label",
+    metric: str = "l2_squared",
+    round_digits: int | None = 4,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor
+    (query) vector, the ``k`` NEAREST corpus vectors whose label
+    DIFFERS from the anchor's — the examples a contrastive or metric-
+    learning objective learns most from (near in embedding space,
+    different class). The standard mining pass a retrieval/embedding
+    training pipeline runs between epochs.
+
+    Returns ``(query_id, vec_id, neg_label, dist)`` ascending per query
+    by ``(dist, vec_id)``.
+
+    Scale: identical shape to :func:`knn_batch` — anchors broadcast
+    (epoch mining batches are thousands of rows), the label-mismatch
+    predicate filters BEFORE the ranking window so same-class rows
+    never enter the shuffle, and WindowGroupLimit bounds the exchange
+    to k rows per anchor per input partition. Corpus-sized anchor sets
+    route through the ANN index with a label-filtered probe instead.
+    """
+    pairs = corpus.join(F.broadcast(queries), how="cross").where(
+        F.col(label_col) != F.col(query_label_col)
+    )
+    dist = _dist(metric, F.col(vec_col), F.col(query_vec_col))
+    if round_digits is not None:
+        dist = F.round(dist, round_digits)
+    scored = pairs.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(id_col).alias("vec_id"),
+        F.col(label_col).alias("neg_label"),
+        dist.alias("dist"),
+    )
+    w = Window.partitionBy("query_id").orderBy("dist", "vec_id")
+    return (
+        scored.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= k)
+        .drop("_r")
+        .orderBy("query_id", "dist", "vec_id")
+    )
