@@ -5851,6 +5851,51 @@ def heavy_hitters_verdict_q(spark, sf_dir):
     return heavy_hitters_verdict(_docs(spark, sf_dir))
 
 
+_STREAM_JOIN_ORACLE = """
+WITH clicks AS (
+  SELECT user_id, event_id AS click_id, ts AS click_ts
+  FROM events WHERE event_type = 'click'
+),
+errors AS (
+  SELECT user_id, event_id AS error_id, ts AS error_ts
+  FROM events WHERE event_type = 'error'
+)
+SELECT c.user_id, click_id, click_ts, error_id, error_ts
+FROM clicks c JOIN errors e
+  ON c.user_id = e.user_id
+ AND e.error_ts <= c.click_ts
+ AND e.error_ts >= c.click_ts - INTERVAL 10 MINUTE
+"""
+
+_STREAM_JOIN_N = [0]
+
+
+@register("stream_interval_join", _STREAM_JOIN_ORACLE)
+def stream_interval_join_q(spark, sf_dir):
+    """Stream-stream interval join run to completion (availableNow):
+    each click joined to the same user's errors within the preceding 10
+    minutes, watermarks on BOTH sides bounding the buffered state to
+    the interval + watermark horizon. Reconciled row-for-row against
+    the batch interval-join SQL — the Kappa check for the join lane
+    (rollup/sessionize cover aggregation; this covers binary stateful
+    correlation). Append-mode inner join emits each match exactly once;
+    with finite input nothing is late, so stream == batch exactly."""
+    from vector_database_in_rust_spark.streaming.joins import (
+        run_join_to_memory,
+    )
+
+    import shutil
+
+    stage = _ensure_staged(
+        _stage_dir("stream_stage", f"{sf_dir}/events.parquet"),
+        lambda d: shutil.copy(f"{sf_dir}/events.parquet", d),
+    )
+    _STREAM_JOIN_N[0] += 1
+    return run_join_to_memory(
+        spark, stage, table_name=f"ssj_stream_h{_STREAM_JOIN_N[0]}"
+    )
+
+
 _SOURCE_CAP_ORACLE = """
 WITH keyed AS (
   SELECT doc_id, source,

@@ -57,3 +57,35 @@ def clicks_with_recent_errors(
         "error_id",
         "error_ts",
     )
+
+
+def run_join_to_memory(
+    spark,
+    path: str,
+    *,
+    table_name: str = "ssj_stream",
+    interval_minutes: int = 10,
+    timeout_sec: int = 120,
+):
+    """Run the stream-stream interval join over a (finite) directory to
+    completion (availableNow) into an in-memory table. Append mode: a
+    stream-stream inner join emits each match exactly once when both
+    sides have arrived — with finite input and awaitTermination, the
+    result is the full batch join (nothing is late past the watermark).
+    """
+    from vector_database_in_rust_spark.streaming.events import (
+        read_events_stream,
+    )
+
+    stream = clicks_with_recent_errors(
+        read_events_stream(spark, path), interval_minutes=interval_minutes
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(table_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    return spark.table(table_name)
