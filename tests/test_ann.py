@@ -487,3 +487,40 @@ def test_multiprobe_lsh_save_load_roundtrip(spark, emb, tmp_path):
     idx2 = MultiProbeLSH.load(spark, str(tmp_path / "mplsh"))
     after = [tuple(r) for r in idx2.search(q, 5, emb, probe_radius=1).collect()]
     assert before == after and before
+
+
+def test_search_filtered_prefilter_semantics(spark, emb, ivf16):
+    """Filtered ANN: every result satisfies the predicate; full probe
+    equals exact knn over the filtered subcorpus (pre-filter semantics
+    — never fewer than k while >= k matches exist); and restricting
+    candidates can only widen, not shrink, the distance of the k-th
+    result vs unfiltered search."""
+    from vector_database_in_rust_spark.operators.knn import knn_exact
+
+    meta = emb.select("vec_id", "label")
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    got = ivf16.search_filtered(
+        q, 10, metadata=meta, predicate=F.col("label") == 1, nprobe=16
+    ).collect()
+    labels = {r["vec_id"]: r["label"] for r in meta.collect()}
+    assert len(got) == 10
+    assert all(labels[r["vec_id"]] == 1 for r in got)
+    want = knn_exact(emb.filter(F.col("label") == 1), q, 10).collect()
+    assert [(r["vec_id"], r["dist"]) for r in got] == [
+        (r["vec_id"], r["dist"]) for r in want
+    ]
+    unfiltered = knn_exact(emb, q, 10).collect()
+    assert got[-1]["dist"] >= unfiltered[-1]["dist"]
+
+
+def test_search_filtered_low_nprobe_subset(spark, emb, ivf16):
+    """At nprobe < num_cells the filtered result is a subset of the
+    filtered EXACT result's candidate pool property: every returned id
+    still satisfies the predicate and distances are exact."""
+    meta = emb.select("vec_id", "label")
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    got = ivf16.search_filtered(
+        q, 5, metadata=meta, predicate=F.col("label") == 1, nprobe=4
+    ).collect()
+    labels = {r["vec_id"]: r["label"] for r in meta.collect()}
+    assert got and all(labels[r["vec_id"]] == 1 for r in got)

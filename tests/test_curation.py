@@ -412,3 +412,50 @@ def test_source_cap_bounds_and_determinism(spark):
     # a different seed picks a different survivor set (not a constant gate)
     other = source_cap(docs, max_per_source=10, seed=7)
     assert {r["doc_id"] for r in out.collect()} != {r["doc_id"] for r in other.collect()}
+
+
+def test_weighted_sample_tilts_toward_heavy_and_is_deterministic(spark):
+    from vector_database_in_rust_spark.operators.curation import weighted_sample
+
+    rows = [(i, 1000 if i % 2 == 0 else 10) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    out = weighted_sample(df, 60)
+    got = out.collect()
+    assert len(got) == 60
+    heavy = sum(1 for r in got if r["weight"] == 1000)
+    # 100:1 weight ratio -> heavy docs should dominate the sample
+    assert heavy >= 50
+    # descending es_key order, doc_id tiebreak
+    keys = [(-r["es_key"], r["doc_id"]) for r in got]
+    assert keys == sorted(keys)
+    # pure function of (seed, id, weight): invariant under repartition
+    again = weighted_sample(df.repartition(13), 60).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in again]
+
+
+def test_leakage_safe_split_clusters_never_straddle(spark):
+    from vector_database_in_rust_spark.operators.curation import (
+        leakage_safe_split,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(100)], "doc_id long, text string"
+    )
+    clusters = spark.createDataFrame(
+        # two clusters: {3,17,55} canonical 3, {8,9} canonical 8
+        [(3, 3), (17, 3), (55, 3), (8, 8), (9, 8)],
+        "doc_id long, cluster_id long",
+    )
+    out = {r["doc_id"]: r for r in leakage_safe_split(docs, clusters).collect()}
+    assert len(out) == 100
+    assert {out[i]["split"] for i in (3, 17, 55)} == {out[3]["split"]}
+    assert out[8]["split"] == out[9]["split"]
+    assert out[17]["canonical_id"] == 3 and out[9]["canonical_id"] == 8
+    # singletons are their own canonical and match plain holdout_split
+    from vector_database_in_rust_spark.operators.curation import holdout_split
+
+    plain = {r["doc_id"]: r["split"] for r in holdout_split(docs).collect()}
+    for i in range(100):
+        if i not in (3, 17, 55, 8, 9):
+            assert out[i]["canonical_id"] == i
+            assert out[i]["split"] == plain[i]

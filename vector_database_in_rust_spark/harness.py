@@ -5851,6 +5851,120 @@ def heavy_hitters_verdict_q(spark, sf_dir):
     return heavy_hitters_verdict(_docs(spark, sf_dir))
 
 
+_WEIGHTED_SAMPLE_ORACLE = """
+WITH keyed AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+         round(
+           ln((('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT
+               + 0.5) / 16777216.0) / n_chars,
+           6) AS es_key
+  FROM documents
+)
+SELECT doc_id, weight, es_key FROM keyed
+ORDER BY es_key DESC, doc_id LIMIT 50
+"""
+
+
+@register("weighted_sample", _WEIGHTED_SAMPLE_ORACLE)
+def weighted_sample_q(spark, sf_dir):
+    """Deterministic weighted sampling without replacement
+    (curation.weighted_sample — Efraimidis-Spirakis A-ES): 50 docs with
+    inclusion probability ∝ n_chars, keys ln(u)/w from the md5 of
+    (seed, id) so the sample is retry/partitioning-invariant. One
+    map-side projection + TakeOrderedAndProject — no corpus shuffle.
+    Selected ids + keys hash-checked."""
+    from vector_database_in_rust_spark.operators.curation import (
+        weighted_sample,
+    )
+
+    return weighted_sample(_docs(spark, sf_dir), 50)
+
+
+def _split_case_sql(canon: str) -> str:
+    from vector_database_in_rust_spark.operators.curation import (
+        sample_threshold_hex,
+    )
+
+    t_train = sample_threshold_hex(0.9)
+    t_val = sample_threshold_hex(0.95)
+    key = f"substr(md5('split:' || CAST({canon} AS VARCHAR)), 1, 6)"
+    return (
+        f"CASE WHEN {key} < '{t_train}' THEN 'train' "
+        f"WHEN {key} < '{t_val}' THEN 'val' ELSE 'test' END"
+    )
+
+
+_LEAKAGE_SPLIT_ORACLE = f"""
+WITH RECURSIVE {_JACCARD_CTES},
+jp AS (SELECT doc_a, doc_b FROM scored WHERE jaccard >= 0.5),
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM jp
+          UNION SELECT doc_b, doc_a FROM jp),
+reach AS (
+  SELECT src AS doc_id, src AS r FROM edges
+  UNION
+  SELECT reach.doc_id, e.dst AS r FROM reach JOIN edges e ON e.src = reach.r
+),
+clus AS (SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(c.cluster_id, d.doc_id) AS canonical_id,
+       {{split_case}} AS split
+FROM documents d LEFT JOIN clus c ON d.doc_id = c.doc_id
+"""
+
+
+@register(
+    "split_leakage_safe",
+    _LEAKAGE_SPLIT_ORACLE.format(
+        split_case=_split_case_sql("coalesce(c.cluster_id, d.doc_id)")
+    ),
+)
+def split_leakage_safe_q(spark, sf_dir):
+    """Cluster-aware holdout split (curation.leakage_safe_split): the
+    split key is each doc's near-dup CANONICAL id (connected-components
+    min over the exact-Jaccard pairs), so near-duplicates never
+    straddle train/val — the per-doc hash split leaks a near-dup pair
+    across the boundary with probability 2p(1-p) and turns the val
+    metric into memorization. Clusters broadcast (thin by nature); the
+    split stays a zero-shuffle md5-CASE. Every (doc, canonical, split)
+    hash-checked against the recursive-CTE closure + identical CASE."""
+    from vector_database_in_rust_spark.operators.curation import (
+        leakage_safe_split,
+    )
+    from vector_database_in_rust_spark.operators.dedup import dedup_clusters
+
+    clusters = dedup_clusters(_jaccard_pairs_cached(spark, sf_dir, threshold=0.5))
+    return leakage_safe_split(_docs(spark, sf_dir), clusters)
+
+
+_ANN_FILTERED_ORACLE = f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id, round({_sql_l2sq('e.embedding', 'q.qe')}, 4) AS dist
+FROM embeddings e CROSS JOIN q
+WHERE e.label = 2
+ORDER BY dist, vec_id LIMIT {{k}}
+""".format(k=KNN_K)
+
+
+@register("ann_search_filtered", _ANN_FILTERED_ORACLE)
+def ann_search_filtered_q(spark, sf_dir):
+    """Filtered ANN (IVFIndex.search_filtered): top-k nearest to vector
+    0 among label=2 vectors only — PRE-filter semantics (the predicate
+    restricts candidates before ranking, so k results always come from
+    the qualifying subset; post-filtering silently under-returns). Run
+    at nprobe=num_cells, where IVF probe is EXACT by construction, so
+    the label-filtered brute-force SQL is a true oracle; the
+    approximate-nprobe behavior is bounded by recall tests in
+    test_ann.py."""
+    idx = _ivf_index(spark, sf_dir)
+    return idx.search_filtered(
+        _query_vec(spark, sf_dir, 0),
+        KNN_K,
+        metadata=_emb(spark, sf_dir).select("vec_id", "label"),
+        predicate=F.col("label") == 2,
+        nprobe=16,
+    )
+
+
 _STREAM_JOIN_ORACLE = """
 WITH clicks AS (
   SELECT user_id, event_id AS click_id, ts AS click_ts

@@ -175,6 +175,45 @@ class IVFIndex:
         return knn_exact(cand, list(map(float, query)), k,
                          id_col=self.id_col, vec_col=self.vec_col)
 
+    def search_filtered(
+        self,
+        query,
+        k: int,
+        *,
+        metadata: DataFrame,
+        predicate,
+        nprobe: int = 8,
+        meta_id_col: str | None = None,
+    ) -> DataFrame:
+        """Filtered ANN with PRE-filter semantics: the metadata predicate
+        restricts the candidate set BEFORE the distance ranking, so the
+        result is the true top-k over the QUALIFYING subset. (The naive
+        post-filter — search then drop non-matching — silently returns
+        fewer than k whenever matches are sparse among the unfiltered
+        neighbors; pre-filtering is the standard fix, cf. Qdrant/Vespa
+        filtered-search docs and the filtered-ANN track of big-ANN
+        benchmarks.)
+
+        ``metadata`` maps ids to filterable attributes; ``predicate`` is
+        a Column over it. Scale: the predicate filters metadata FIRST
+        (pushes to its parquet scan), then a semi-join restricts the
+        probed candidates — the join shuffles (id) pairs only, never
+        vectors; with metadata bucketed by id it is co-located. At very
+        low selectivity flip strategy: scan the qualifying ids' vectors
+        directly (exact brute force over the match set) — cheaper than
+        probing when |matches| << |probed cells|; the caller sees
+        identical results either way, so the flip is a pure cost choice.
+        """
+        cells = self._probe_cells(np.asarray(query, dtype=np.float64), nprobe)
+        cand = self.assignments.filter(F.col("cell_id").isin(cells))
+        keep = metadata.filter(predicate).select(
+            F.col(meta_id_col or self.id_col).alias(self.id_col)
+        )
+        cand = cand.join(keep, self.id_col, "left_semi")
+        return knn_exact(
+            cand, list(map(float, query)), k, id_col=self.id_col, vec_col=self.vec_col
+        )
+
     def search_batch(
         self,
         queries: DataFrame,

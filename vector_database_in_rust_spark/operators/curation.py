@@ -533,3 +533,111 @@ def source_cap(
         .where(F.col("cap_rank") <= max_per_source)
         .select("doc_id", "source", "cap_rank")
     )
+
+
+def weighted_sample(
+    docs: DataFrame,
+    k: int = 50,
+    *,
+    weight_col: str = "n_chars",
+    seed: int = 42,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    Spirakis 2006, the A-ES scheme): each row gets key ``u^(1/w)`` for a
+    uniform ``u``; the k largest keys are a weighted sample without
+    replacement — the standard one-pass distributed primitive behind
+    importance-weighted corpus subsampling (inclusion probability
+    proportional to weight, no sequential draws, trivially mergeable).
+
+    ``u`` is NOT ``rand()`` (nondeterministic under retry): it is the
+    md5-prefix of (seed, id) mapped into (0,1) — the repo's hash-
+    sampling discipline — so the sample is a pure function of
+    (seed, id, weight), reproducible across runs and partitionings.
+    Keys are compared in log space (``ln(u)/w``, monotone in
+    ``u^(1/w)``) to avoid pow() precision pitfalls at tiny fractions.
+
+    Emits the k selected (doc_id, weight, es_key) by descending key,
+    es_key rounded to 6 for portable hashing.
+
+    Scale: one map-side key computation + TakeOrderedAndProject — no
+    shuffle of the corpus, k rows per partition reach the driver-side
+    merge. The classic alternative (sort + limit) is a full range
+    shuffle; TakeOrdered is the correct distributed top-k.
+    """
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(str(seed)), F.lit(":"), F.col(id_col).cast("string"))),
+                1,
+                6,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(HEX_SPACE))
+    key = F.log(u) / F.col(weight_col).cast("double")
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(weight_col).cast("long").alias("weight"),
+            F.round(key, 6).alias("es_key"),
+        )
+        .orderBy(F.col("es_key").desc(), F.col("doc_id"))
+        .limit(k)
+    )
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    clusters: DataFrame,
+    fractions: list[tuple[str, float]] | None = None,
+    *,
+    id_col: str = "doc_id",
+    salt: str = "split",
+) -> DataFrame:
+    """Cluster-aware holdout split: near-duplicate documents NEVER
+    straddle train/val/test. The naive per-doc hash split leaks — a
+    near-dup pair lands train+val with probability 2·p·(1-p), and the
+    val metric silently measures memorization. Here the split key is
+    the doc's CANONICAL id (its near-dup cluster's min id from
+    connected components; singleton docs are their own canonical), so
+    every member of a cluster inherits the same assignment — the
+    dedup-then-split discipline of a careful eval pipeline
+    (cf. the contamination analyses in GPT-3/C4 dataset papers).
+
+    ``clusters`` is (doc_id, cluster_id) from :func:`~vector_database_in_rust_spark.operators.dedup.dedup_clusters`
+    over any pair generator. Emits (doc_id, canonical_id, split).
+
+    Scale: clusters cover only docs WITH near-dups — a thin table that
+    broadcasts (duplicate clusters are sparse in a deduped-ish corpus);
+    the split itself stays the zero-shuffle md5-CASE projection of
+    holdout_split, now keyed on the coalesced canonical.
+    """
+    fractions = fractions or [("train", 0.9), ("val", 0.05), ("test", 0.05)]
+    if len(fractions) < 2:
+        raise ValueError("need at least two splits")
+    total = sum(f for _, f in fractions)
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    canon = docs.select(F.col(id_col).alias("doc_id")).join(
+        F.broadcast(clusters), "doc_id", "left"
+    ).select(
+        "doc_id",
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("canonical_id"),
+    )
+    key = F.substring(
+        F.md5(F.concat(F.lit(salt), F.lit(":"), F.col("canonical_id").cast("string"))),
+        1,
+        6,
+    )
+    expr = F.lit(fractions[-1][0])
+    cum = 0.0
+    branches = []
+    for name, frac in fractions[:-1]:
+        cum += frac
+        branches.append((name, sample_threshold_hex(cum)))
+    for name, threshold in reversed(branches):
+        expr = F.when(key < threshold, F.lit(name)).otherwise(expr)
+    return canon.select("doc_id", "canonical_id", expr.alias("split"))
