@@ -468,3 +468,55 @@ def test_dsir_lm_tables_broadcast_topk_take_ordered(audits):
     a = audits("dsir_select")
     assert a.has_take_ordered
     assert a.n_broadcast_exchanges >= 2
+
+
+def test_source_cap_map_side_group_limit(audits):
+    """source_cap: the per-source ranking must run a Partial
+    WindowGroupLimit before its exchange — the shuffle carries at most
+    cap rows per source per partition, which is what makes the
+    operator skew-proof (the hot source is the one being capped)."""
+    a = audits("source_cap")
+    assert a.has_partial_window_group_limit
+    assert a.n_shuffle_exchanges == 1  # the single per-source ranking
+
+
+def test_weighted_sample_take_ordered_zero_shuffle(audits):
+    """weighted_sample: E-S top-k must be TakeOrderedAndProject with
+    ZERO shuffles — a sort+limit plan would range-shuffle the corpus."""
+    a = audits("weighted_sample")
+    assert a.has_take_ordered
+    assert a.n_shuffle_exchanges == 0
+
+
+def test_dedup_segments_dropset_broadcasts(audits):
+    """dedup_segments: the boilerplate drop-set must BROADCAST into the
+    filtering join (left_anti) — a shuffled anti join would re-shuffle
+    the whole segment corpus a second time just to drop the few
+    frequent segments."""
+    a = audits("dedup_segments")
+    assert a.broadcast_joins
+    assert "LeftAnti" in a.formatted  # the anti join is one of the broadcasts
+
+
+def test_hard_negatives_broadcast_and_group_limit(audits):
+    """hard_negatives: anchors broadcast; per-anchor top-k bounded
+    map-side (knn_batch's shape with the label predicate inside)."""
+    a = audits("hard_negatives")
+    assert a.broadcast_joins
+    assert a.has_partial_window_group_limit
+
+
+def test_winnow_single_doc_partitioned_window(audits):
+    """winnow_fingerprint: one hash exchange (partition by doc) feeds
+    the ROWS-frame window min; no join, no broadcast — grams never
+    leave their document."""
+    a = audits("winnow_fingerprint")
+    assert a.n_broadcast_exchanges == 0
+    assert a.n_shuffle_exchanges <= 2  # doc-partition window + distinct
+
+
+def test_split_leakage_safe_clusters_broadcast(audits):
+    """split_leakage_safe: the thin cluster table must broadcast; the
+    documents side is never shuffled for the split itself."""
+    a = audits("split_leakage_safe")
+    assert a.broadcast_joins
