@@ -5851,6 +5851,59 @@ def heavy_hitters_verdict_q(spark, sf_dir):
     return heavy_hitters_verdict(_docs(spark, sf_dir))
 
 
+def _zq_sql(col: str, lo: float, hi: float, bits: int = 8) -> str:
+    n = 1 << bits
+    return (
+        f"CAST(least(greatest(floor(({col} - {lo}) * {n / (hi - lo)!r}), 0), "
+        f"{n - 1}) AS BIGINT)"
+    )
+
+
+_Z_TERMS = " + ".join(
+    f"(((xq >> {i}) & 1) << {2 * i + 1}) + (((uq >> {i}) & 1) << {2 * i})"
+    for i in range(8)
+)
+
+_ZORDER_ORACLE = f"""
+WITH q AS (
+  SELECT event_id,
+         {_zq_sql('value', 0.0, 1024.0)} AS xq,
+         {_zq_sql('user_id', 0.0, 2048.0)} AS uq
+  FROM events
+)
+SELECT event_id, xq, uq, CAST({_Z_TERMS} AS BIGINT) AS z_value
+FROM q
+"""
+
+
+@register("events_zorder", _ZORDER_ORACLE)
+def events_zorder_q(spark, sf_dir):
+    """Z-order (Morton) codes over (value, user_id)
+    (functions/zorder.py): the lakehouse multi-dimensional clustering
+    key — sorting by ONE z column gives tight per-file min/max stats on
+    BOTH dimensions, so scan pruning serves filters on either (a
+    lexicographic sort only serves its leading column). Pure codegen'd
+    integer shift/mask arithmetic, map-side only; every (quantile,
+    code) hash-checked against the identical bit expression in SQL.
+    Layout quality (per-partition spread shrinkage after the range
+    shuffle) is measured in tests/test_plans.py, not assertable in
+    SQL."""
+    from vector_database_in_rust_spark.functions.zorder import (
+        quantize,
+        z_value_2d,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    xq = quantize(F.col("value"), 0.0, 1024.0)
+    uq = quantize(F.col("user_id"), 0.0, 2048.0)
+    return ev.select(
+        "event_id",
+        xq.alias("xq"),
+        uq.alias("uq"),
+        z_value_2d(xq, uq).alias("z_value"),
+    )
+
+
 _WEIGHTED_SAMPLE_ORACLE = """
 WITH keyed AS (
   SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
