@@ -5851,6 +5851,76 @@ def heavy_hitters_verdict_q(spark, sf_dir):
     return heavy_hitters_verdict(_docs(spark, sf_dir))
 
 
+_EVENTS_FUNNEL_ORACLE = """
+WITH t1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+t2 AS (
+  SELECT e.user_id, min(e.ts) AS t2 FROM events e
+  JOIN t1 ON e.user_id = t1.user_id AND e.ts > t1.t1
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+),
+t3 AS (
+  SELECT e.user_id, min(e.ts) AS t3 FROM events e
+  JOIN t2 ON e.user_id = t2.user_id AND e.ts > t2.t2
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+)
+SELECT CAST(1 AS BIGINT) AS stage, 'view' AS step, count(*) AS n_users FROM t1
+UNION ALL
+SELECT 2, 'click', count(*) FROM t2
+UNION ALL
+SELECT 3, 'purchase', count(*) FROM t3
+"""
+
+
+@register("events_funnel", _EVENTS_FUNNEL_ORACLE)
+def events_funnel_q(spark, sf_dir):
+    """Ordered conversion funnel (relational.events_funnel): earliest
+    view -> first click strictly after it -> first purchase strictly
+    after that, counted per stage — sequence-order semantics a
+    per-type min cannot express (a purchase before any view must not
+    convert). Per-user aggregations co-partitioned on user_id; 3-row
+    verdict hash-checked."""
+    from vector_database_in_rust_spark.operators.relational import (
+        events_funnel,
+    )
+
+    return events_funnel(load_table(spark, sf_dir, "events"))
+
+
+_EVENTS_RETENTION_ORACLE = """
+WITH first AS (
+  SELECT user_id, date_trunc('day', min(ts)) AS cohort_day
+  FROM events GROUP BY user_id
+),
+act AS (
+  SELECT DISTINCT e.user_id, f.cohort_day,
+         date_diff('day', f.cohort_day, date_trunc('day', e.ts)) AS day_offset
+  FROM events e JOIN first f ON e.user_id = f.user_id
+)
+SELECT cohort_day, CAST(day_offset AS BIGINT) AS day_offset,
+       count(*) AS n_active
+FROM act WHERE day_offset BETWEEN 0 AND 7
+GROUP BY cohort_day, day_offset
+"""
+
+
+@register("events_retention", _EVENTS_RETENTION_ORACLE)
+def events_retention_q(spark, sf_dir):
+    """Cohort retention triangle (relational.events_retention): users
+    cohorted by first-seen day; distinct active members per (cohort,
+    day offset 0..7) — the standard day-N retention matrix. First-seen
+    is one per-user min; the distinct collapses map-side so the final
+    shuffle carries active user-days, not events. Every cell
+    hash-checked."""
+    from vector_database_in_rust_spark.operators.relational import (
+        events_retention,
+    )
+
+    return events_retention(load_table(spark, sf_dir, "events"))
+
+
 def _zq_sql(col: str, lo: float, hi: float, bits: int = 8) -> str:
     n = 1 << bits
     return (

@@ -1611,3 +1611,104 @@ def tpch_q22_global_sales_opportunity(
         )
         .orderBy("cntrycode")
     )
+
+
+def events_funnel(
+    events: DataFrame,
+    steps: tuple[str, str, str] = ("view", "click", "purchase"),
+) -> DataFrame:
+    """Ordered conversion funnel: per user, the earliest ``steps[0]``,
+    the earliest ``steps[1]`` STRICTLY AFTER it, and the earliest
+    ``steps[2]`` strictly after that — the canonical product-analytics
+    measurement (a purchase before any view must NOT convert, which is
+    exactly what a naive per-type min gets wrong). Emits one row per
+    funnel stage: (stage, step, n_users) with stage 1..3, monotonically
+    non-increasing counts.
+
+    Scale: three per-user aggregations, each a hash shuffle keyed by
+    user_id (the per-step tables then join user-to-user, co-partitioned
+    on the same key — AQE coalesces the exchanges; nothing is
+    quadratic, state per user is three timestamps). The per-stage
+    rollup is a 3-row result.
+    """
+    s1, s2, s3 = steps
+    t1 = (
+        events.filter(F.col("event_type") == s1)
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    t2 = (
+        events.filter(F.col("event_type") == s2)
+        .join(t1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    t3 = (
+        events.filter(F.col("event_type") == s3)
+        .join(t2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    one = lambda df, stage, step: df.agg(  # noqa: E731
+        F.lit(stage).cast("long").alias("stage"),
+        F.lit(step).alias("step"),
+        F.count(F.lit(1)).alias("n_users"),
+    )
+    return (
+        one(t1, 1, s1)
+        .unionAll(one(t2, 2, s2))
+        .unionAll(one(t3, 3, s3))
+        .orderBy("stage")
+    )
+
+
+def events_retention(
+    events: DataFrame,
+    *,
+    max_offset: int = 7,
+) -> DataFrame:
+    """Cohort retention matrix: users are cohorted by the DAY of their
+    first event; for each cohort and day offset 0..``max_offset``, the
+    number of distinct cohort members active that day — the standard
+    growth-analytics triangle (day-N retention).
+
+    Emits (cohort_day, day_offset, n_active) — cohort_day is a
+    day-truncated TIMESTAMP (not DATE: Spark DATE surfaces as Python
+    ``date`` objects while SQL engines hand back datetime64, and the
+    two hash differently in a value-compare harness; day-truncated
+    timestamps are the type both dialects agree on). n_active at
+    offset 0 equals cohort size by construction.
+
+    Scale: first-seen is one per-user min (hash shuffle on user_id);
+    the activity join is user-to-user co-partitioned; the final
+    distinct-count shuffles (cohort, offset, user) triples bounded by
+    active user-days, never event count (the distinct collapses
+    map-side). The offset cap bounds output to cohorts x (max+1) rows.
+    """
+    first = events.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("cohort_day")
+    )
+    act = (
+        events.select("user_id", F.date_trunc("day", F.col("ts")).alias("day"))
+        .join(first, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.col("day"), F.col("cohort_day")).alias("day_offset"),
+        )
+        .filter(
+            (F.col("day_offset") >= 0) & (F.col("day_offset") <= max_offset)
+        )
+    )
+    return (
+        act.groupBy("cohort_day", "day_offset")
+        .agg(F.count_distinct("user_id").alias("n_active"))
+        .orderBy("cohort_day", "day_offset")
+        .select(
+            "cohort_day",
+            F.col("day_offset").cast("long").alias("day_offset"),
+            "n_active",
+        )
+    )
