@@ -142,3 +142,30 @@ def test_pack_codes_identical_results_and_invalidation(spark, eng):
     )
     eng.add(new)
     assert eng._packed is None
+
+
+def test_engine_search_filtered_indexed_equals_unindexed(spark):
+    from pyspark.sql import functions as F
+
+    from vector_database_in_rust_spark import VectorEngine
+    from vector_database_in_rust_spark import harness
+    from tests.conftest import SF_SMOKE
+
+    q = harness._query_vec(spark, SF_SMOKE, 0)
+    meta = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").select(
+        "vec_id", "label"
+    )
+    eng = VectorEngine(
+        spark, f"{SF_SMOKE}/embeddings.parquet", dimensions=64
+    )
+    plain = eng.search_filtered(
+        q, 5, metadata=meta, predicate=F.col("label") == 1
+    ).collect()
+    labels = {r["vec_id"]: r["label"] for r in meta.collect()}
+    assert plain and all(labels[r["vec_id"]] == 1 for r in plain)
+    # full-probe indexed path returns the identical rows
+    eng.build_index(num_cells=8)
+    idx = eng.search_filtered(
+        q, 5, metadata=meta, predicate=F.col("label") == 1, nprobe=8
+    ).collect()
+    assert [tuple(r) for r in idx] == [tuple(r) for r in plain]

@@ -61,3 +61,19 @@ def test_exact_count_column_is_exact(spark):
         for r in events.groupBy("event_type").count().collect()
     }
     assert got == exact
+
+
+def test_hll_union_partition_invariant(spark):
+    """Register max-merge is associative/commutative: unioning per-day
+    sketches must give the IDENTICAL estimate under any repartitioning
+    of the input — the soundness property every downstream sketch
+    rollup rests on."""
+    from vector_database_in_rust_spark.operators.sketches import (
+        hll_merge_verdict,
+    )
+
+    ev = spark.read.parquet(f"{SF_ORACLE}/events.parquet")
+    a = hll_merge_verdict(ev).orderBy("event_type").collect()
+    b = hll_merge_verdict(ev.repartition(17)).orderBy("event_type").collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    assert all(r["merge_equals_direct"] and r["within_bounds"] for r in a)

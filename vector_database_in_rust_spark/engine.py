@@ -247,3 +247,36 @@ class VectorEngine:
                 self.df, queries, k, id_col=self.id_col, vec_col=self.vec_col
             )
         return self.index.search_batch(queries, k, nprobe=nprobe)
+
+    def search_filtered(
+        self,
+        query: Sequence[float],
+        k: int,
+        *,
+        metadata: DataFrame,
+        predicate,
+        nprobe: int = 8,
+        meta_id_col: str | None = None,
+    ) -> DataFrame:
+        """Filtered search with PRE-filter semantics (beyond the
+        reference, which has no metadata filtering): the predicate over
+        ``metadata`` restricts candidates BEFORE ranking, so the top-k
+        always comes from the qualifying subset. Falls back to exact
+        brute force over the filtered corpus when no index exists —
+        identical results, different cost."""
+        if self.index is None:
+            keep = metadata.filter(predicate).select(
+                F.col(meta_id_col or self.id_col).alias(self.id_col)
+            )
+            cand = self.df.join(keep, self.id_col, "left_semi")
+            return knn_ops.knn_exact(
+                cand, query, k, id_col=self.id_col, vec_col=self.vec_col
+            )
+        return self.index.search_filtered(
+            query,
+            k,
+            metadata=metadata,
+            predicate=predicate,
+            nprobe=nprobe,
+            meta_id_col=meta_id_col,
+        )

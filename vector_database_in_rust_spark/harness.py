@@ -5851,6 +5851,55 @@ def heavy_hitters_verdict_q(spark, sf_dir):
     return heavy_hitters_verdict(_docs(spark, sf_dir))
 
 
+_HLL_MERGE_ORACLE = """
+SELECT event_type,
+       count(DISTINCT date_trunc('day', ts)) AS n_days,
+       count(DISTINCT user_id) AS exact_users,
+       true AS merge_equals_direct,
+       true AS within_bounds
+FROM events GROUP BY event_type
+"""
+
+
+@register("hll_merge_verdict", _HLL_MERGE_ORACLE)
+def hll_merge_verdict_q(spark, sf_dir):
+    """HLL sketch mergeability (sketches.hll_merge_verdict): per-day
+    Datasketches HLL sketches unioned per type must estimate EXACTLY
+    what the single-pass sketch estimates (register max-merge is
+    associative — the property that makes per-partition/per-day/
+    cross-cluster sketch rollups sound), and land within a loose bound
+    of exact COUNT DISTINCT. Both booleans asserted by the oracle next
+    to exact counts — a broken union or drifting estimator flips the
+    hash."""
+    from vector_database_in_rust_spark.operators.sketches import (
+        hll_merge_verdict,
+    )
+
+    return hll_merge_verdict(load_table(spark, sf_dir, "events"))
+
+
+_EVENTS_CUBE_ORACLE = """
+SELECT event_type, hour(ts) AS hod,
+       CAST(GROUPING(event_type, hour(ts)) AS BIGINT) AS gid,
+       count(*) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM events
+GROUP BY CUBE (event_type, hour(ts))
+"""
+
+
+@register("events_cube", _EVENTS_CUBE_ORACLE)
+def events_cube_q(spark, sf_dir):
+    """Full CUBE (relational.events_cube): all four granularities of
+    (event_type, hour) + the grouping_id bitmask in one aggregation
+    pass — the grouping-sets sibling the OLAP checklist names
+    explicitly; gid distinguishes rolled-up from genuinely-NULL dims.
+    Every cell + bitmask hash-checked."""
+    from vector_database_in_rust_spark.operators.relational import events_cube
+
+    return events_cube(load_table(spark, sf_dir, "events"))
+
+
 _EVENTS_FUNNEL_ORACLE = """
 WITH t1 AS (
   SELECT user_id, min(ts) AS t1 FROM events

@@ -1712,3 +1712,21 @@ def events_retention(
             "n_active",
         )
     )
+
+
+def events_cube(events: DataFrame) -> DataFrame:
+    """Full CUBE over (event_type, hour-of-day) with the grouping_id
+    bitmask — all four granularities (both, by type, by hour, grand
+    total) in ONE aggregation pass; ``gid`` disambiguates a genuine
+    NULL dimension from a rolled-up one (the standard OLAP cube
+    contract). Spark expands the cube into grouping sets before the
+    exchange, so the shuffle carries each input row once per grouping
+    set with map-side partials — still a single stage, no re-scans."""
+    base = events.select(
+        "event_type", F.hour("ts").alias("hod"), "value"
+    )
+    return base.cube("event_type", "hod").agg(
+        F.grouping_id().cast("long").alias("gid"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )

@@ -164,3 +164,59 @@ def heavy_hitters_verdict(
             F.min("_present").alias("all_present"),
         )
     )
+
+
+def hll_merge_verdict(
+    events: DataFrame,
+    *,
+    rel_tol: float = 0.15,
+) -> DataFrame:
+    """HLL MERGEABILITY under the verdict-table hash check: per-type
+    per-day Datasketches HLL sketches (``hll_sketch_agg``) are unioned
+    (``hll_union_agg``) and the merged estimate is compared against
+
+    1. the single-pass direct sketch over the same rows — these must be
+       EXACTLY equal (``merge_equals_direct``): HLL registers combine
+       by element-wise max, an associative/commutative/idempotent
+       operation, so any split of the data yields bit-identical
+       registers. This is the property that makes sketches usable at
+       100 TB (per-partition partials, per-day rollups, cross-cluster
+       union — all exact-equivalent to one pass); a sketch library
+       whose union drifted would break every downstream rollup.
+    2. the exact COUNT DISTINCT within ``rel_tol`` (loose 15% bar —
+       default lgConfigK=12 gives ~1.6% standard error; the verdict
+       only needs to catch a BROKEN estimator, not re-verify the
+       error analysis, which tests/test_sketches.py bounds tightly).
+
+    Emits (event_type, n_days, exact_users, merge_equals_direct,
+    within_bounds); the oracle asserts both booleans TRUE next to the
+    exact counts, so a failed merge or a drifting estimate flips the
+    value hash red. Estimates stay out of the hash (implementation-
+    defined bytes; equality BETWEEN them is the contract).
+
+    Scale: the daily rollup shuffles fixed-size sketch bytes (the
+    whole point); the exact COUNT DISTINCT exists only in this
+    verification harness, same caveat as approx_event_stats_verdict.
+    """
+    daily = events.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("_day")
+    ).agg(F.hll_sketch_agg("user_id").alias("_sk"))
+    merged = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.hll_sketch_estimate(F.hll_union_agg("_sk")).alias("_est_merged"),
+    )
+    direct = events.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("_est_direct"),
+        F.count_distinct("user_id").alias("exact_users"),
+    )
+    out = merged.join(direct, "event_type")
+    return out.select(
+        "event_type",
+        "n_days",
+        "exact_users",
+        (F.col("_est_merged") == F.col("_est_direct")).alias("merge_equals_direct"),
+        (
+            F.abs(F.col("_est_merged") - F.col("exact_users"))
+            <= F.lit(rel_tol) * F.col("exact_users")
+        ).alias("within_bounds"),
+    )
