@@ -212,3 +212,46 @@ class TestHashedEmbeddings:
                 want[(did, b)] = want.get((did, b), 0) + s
         want = {k: v for k, v in want.items() if v != 0}
         assert got == want
+
+
+def test_maxsim_self_retrieval_and_partial_overlap(spark):
+    """MaxSim invariants: the query doc ranks first with score exactly
+    its distinct-token count; a doc sharing half the query's tokens
+    scores at least that many points (each shared token contributes its
+    perfect self-match 1.0) — the soft-overlap behavior single-vector
+    cosine can't express."""
+    from vector_database_in_rust_spark.operators.search import maxsim_search
+
+    docs = spark.createDataFrame(
+        [
+            (7, "alpha beta gamma delta"),
+            (1, "alpha beta zzz www"),          # shares 2 of 4
+            (2, "qqq rrr sss ttt"),              # shares 0
+            (3, "alpha beta gamma delta"),       # exact dup of the query
+        ],
+        "doc_id long, text string",
+    )
+    got = maxsim_search(docs, 7, 10).collect()
+    scores = {r["doc_id"]: r["maxsim"] for r in got}
+    assert scores[7] == 4.0 and scores[3] == 4.0
+    assert got[0]["doc_id"] in (3, 7)
+    assert scores[1] >= 2.0
+    assert scores[1] > scores[2]
+
+
+def test_maxsim_is_order_and_multiplicity_invariant(spark):
+    """Token order and repetition must not change MaxSim over distinct
+    token sets (per-doc distinct is part of the contract)."""
+    from vector_database_in_rust_spark.operators.search import maxsim_search
+
+    a = spark.createDataFrame(
+        [(7, "alpha beta gamma"), (1, "beta gamma alpha")],
+        "doc_id long, text string",
+    )
+    b = spark.createDataFrame(
+        [(7, "alpha beta gamma"), (1, "alpha alpha beta beta gamma")],
+        "doc_id long, text string",
+    )
+    sa = {r["doc_id"]: r["maxsim"] for r in maxsim_search(a, 7, 10).collect()}
+    sb = {r["doc_id"]: r["maxsim"] for r in maxsim_search(b, 7, 10).collect()}
+    assert sa[1] == sa[7] == sb[1] == 3.0

@@ -5851,6 +5851,78 @@ def heavy_hitters_verdict_q(spark, sf_dir):
     return heavy_hitters_verdict(_docs(spark, sf_dir))
 
 
+_MAXSIM_ORACLE = """
+WITH tok AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+  FROM documents
+),
+vocab AS (
+  SELECT token,
+         list_transform(generate_series(0, 15),
+           j -> (('0x' || substr(md5(token), 2*j + 1, 2))::BIGINT - 127.5)
+                / 127.5) AS tv
+  FROM (SELECT DISTINCT token FROM tok)
+),
+q AS (
+  SELECT t.token AS qtoken, v.tv AS qv
+  FROM tok t JOIN vocab v ON t.token = v.token WHERE t.doc_id = 7
+),
+d AS (
+  SELECT t.doc_id, v.tv AS dv
+  FROM tok t JOIN vocab v ON t.token = v.token
+),
+sims AS (
+  SELECT d.doc_id, q.qtoken,
+         round(list_inner_product(dv, qv)
+               / (sqrt(list_inner_product(dv, dv))
+                  * sqrt(list_inner_product(qv, qv))), 6) AS cos
+  FROM d CROSS JOIN q
+),
+best AS (
+  SELECT doc_id, qtoken, max(cos) AS best FROM sims GROUP BY doc_id, qtoken
+)
+SELECT doc_id, round(sum(best), 6) AS maxsim
+FROM best GROUP BY doc_id
+ORDER BY maxsim DESC, doc_id LIMIT 10
+"""
+
+
+@register("search_maxsim", _MAXSIM_ORACLE)
+def search_maxsim_q(spark, sf_dir):
+    """Late-interaction retrieval (search.maxsim_search — ColBERT
+    MaxSim, Khattab & Zaharia SIGIR'20): Σ per-query-token max cosine
+    over document tokens, with deterministic md5-derived token vectors
+    in the encoder slot (a trained ColBERT drops in unchanged). Doc 7
+    is the query; its self-score is exactly its distinct-token count.
+    Vocabulary embeds once and broadcasts; the token-level similarity
+    join is the genuine ColBERT cost profile. Top-10 hash-checked."""
+    from vector_database_in_rust_spark.operators.search import maxsim_search
+
+    return maxsim_search(_docs(spark, sf_dir), 7)
+
+
+_LENGTH_BUCKETS_APPROX_ORACLE = """
+SELECT CAST(i AS BIGINT) AS bucket, true AS monotone_ok, true AS size_ok
+FROM unnest(generate_series(1, 8)) AS t(i)
+"""
+
+
+@register("length_buckets_approx", _LENGTH_BUCKETS_APPROX_ORACLE)
+def length_buckets_approx_q(spark, sf_dir):
+    """Sketch-based length bucketing (curation.length_buckets_approx):
+    the 100 TB path the exact-NTILE length_buckets documents — approx
+    quantile cut points broadcast into a closed-form bucket CASE, no
+    range sort. Verdict rows hash-checked: bucket boundaries must be
+    monotone (exact property) and sizes near-equal within the tie
+    bound; exact sizes stay out of the hash (sketch-parameter-
+    dependent by design)."""
+    from vector_database_in_rust_spark.operators.curation import (
+        length_buckets_approx,
+    )
+
+    return length_buckets_approx(_docs(spark, sf_dir))
+
+
 _HLL_MERGE_ORACLE = """
 SELECT event_type,
        count(DISTINCT date_trunc('day', ts)) AS n_days,

@@ -641,3 +641,79 @@ def leakage_safe_split(
     for name, threshold in reversed(branches):
         expr = F.when(key < threshold, F.lit(name)).otherwise(expr)
     return canon.select("doc_id", "canonical_id", expr.alias("split"))
+
+
+def length_buckets_approx(
+    docs: DataFrame,
+    *,
+    n_buckets: int = 8,
+    accuracy: int = 10_000,
+    slack: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The 100 TB path for :func:`length_buckets`, implemented (not just
+    documented): approximate quantile CUT POINTS (a mergeable rank
+    sketch — sketch bytes cross the exchange, never a global sort)
+    broadcast into a closed-form bucket expression. Bucket b =
+    1 + |{cuts below n_tokens}|.
+
+    Emits a per-bucket VERDICT row (bucket, monotone_ok, size_ok):
+
+    - ``monotone_ok`` — every doc in bucket b is no longer than every
+      doc in bucket b+1 (an EXACT property of cut-point bucketing; any
+      assignment bug trips it);
+    - ``size_ok`` — the bucket holds its ~N/n_buckets share within
+      ``slack`` (ties on n_tokens all land one side of a cut, so exact
+      equality is impossible by construction; the bound catches a
+      broken sketch, and tightens naturally at scale as ties thin out
+      relative to bucket size).
+
+    Exact sizes/boundaries stay OUT of the hash — they are legitimately
+    partition-order-free but sketch-parameter-dependent; the booleans
+    are the stable contract (same discipline as
+    ``approx_event_stats_verdict``).
+
+    Scale: one sketch aggregate (broadcast back as a 1-row literal —
+    in-DAG, no driver action), one map-side bucket expression, one
+    |buckets|-row rollup. Compare: exact NTILE is a full range sort.
+    """
+    n_tokens = F.size(F.split(F.col(text_col), " "))
+    lengths = docs.select(
+        F.col(id_col).alias("doc_id"), n_tokens.alias("n_tokens")
+    )
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts = lengths.agg(
+        F.percentile_approx("n_tokens", qs, accuracy).alias("_cuts"),
+        F.count(F.lit(1)).alias("_n_total"),
+    )
+    bucket = F.lit(1) + F.aggregate(
+        F.col("_cuts"),
+        F.lit(0),
+        lambda acc, c: acc + F.when(F.col("n_tokens") > c, 1).otherwise(0),
+    )
+    assigned = lengths.crossJoin(F.broadcast(cuts)).select(
+        "doc_id", "n_tokens", bucket.cast("long").alias("bucket"), "_n_total"
+    )
+    per = assigned.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.min("n_tokens").alias("_lo"),
+        F.max("n_tokens").alias("_hi"),
+        F.first("_n_total").alias("_tot"),
+    )
+    w = Window.orderBy("bucket")
+    target = F.col("_tot") / F.lit(n_buckets)
+    return (
+        per.withColumn("_prev_hi", F.lag("_hi").over(w))
+        .select(
+            "bucket",
+            (
+                F.col("_prev_hi").isNull()
+                | (F.col("_lo") >= F.col("_prev_hi"))
+            ).alias("monotone_ok"),
+            (F.abs(F.col("_n") - target) <= F.lit(slack) * target).alias(
+                "size_ok"
+            ),
+        )
+        .orderBy("bucket")
+    )
