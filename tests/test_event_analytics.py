@@ -64,3 +64,53 @@ def test_retention_offset_zero_is_cohort_size(spark):
     sizes = {("2024-01-01",): 2, ("2024-01-03",): 1}
     for (c,), n in sizes.items():
         assert out[(c, 0)] == n
+
+
+def test_unpivot_roundtrips_pivot(spark):
+    """pivot ∘ unpivot == the plain long rollup, exactly."""
+    from vector_database_in_rust_spark.operators.relational import (
+        events_unpivot,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    got = {
+        (r["hour"], r["event_type"]): r["n"]
+        for r in events_unpivot(ev).collect()
+    }
+    want = {
+        (r["hour"], r["event_type"]): r["n"]
+        for r in ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_full_join_keeps_one_sided_days(spark):
+    from vector_database_in_rust_spark.operators.relational import (
+        events_daily_full_join,
+    )
+
+    import datetime as dt
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 5), 1, "click", 1.0),
+        (2, dt.datetime(2024, 1, 2, 5), 1, "error", 1.0),   # error-only day
+        (3, dt.datetime(2024, 1, 3, 5), 1, "click", 1.0),   # click-only day
+        (4, dt.datetime(2024, 1, 3, 6), 2, "error", 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    got = {
+        str(r["day"].date()): (r["n_clicks"], r["n_errors"])
+        for r in events_daily_full_join(df).collect()
+    }
+    assert got == {
+        "2024-01-01": (1, 0),
+        "2024-01-02": (0, 1),
+        "2024-01-03": (1, 1),
+    }

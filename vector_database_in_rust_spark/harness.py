@@ -5851,6 +5851,58 @@ def heavy_hitters_verdict_q(spark, sf_dir):
     return heavy_hitters_verdict(_docs(spark, sf_dir))
 
 
+_EVENTS_UNPIVOT_ORACLE = """
+SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n
+FROM events GROUP BY 1, 2
+"""
+
+
+@register("events_unpivot", _EVENTS_UNPIVOT_ORACLE)
+def events_unpivot_q(spark, sf_dir):
+    """UNPIVOT/melt (relational.events_unpivot): pivot's inverse — the
+    wide hour × type matrix back to long form via Spark's native
+    unpivot (an Expand node, map-side fan-out, no extra shuffle).
+    pivot∘unpivot must equal the plain long rollup exactly, which is
+    precisely what the oracle computes — the roundtrip IS the hash
+    check."""
+    from vector_database_in_rust_spark.operators.relational import (
+        events_unpivot,
+    )
+
+    return events_unpivot(load_table(spark, sf_dir, "events"))
+
+
+_EVENTS_FULL_JOIN_ORACLE = """
+WITH clicks AS (
+  SELECT date_trunc('day', ts) AS day, count(*) AS n_clicks
+  FROM events WHERE event_type = 'click' GROUP BY 1
+),
+errors AS (
+  SELECT date_trunc('day', ts) AS day, count(*) AS n_errors
+  FROM events WHERE event_type = 'error' GROUP BY 1
+)
+SELECT coalesce(c.day, e.day) AS day,
+       coalesce(n_clicks, 0) AS n_clicks,
+       coalesce(n_errors, 0) AS n_errors
+FROM clicks c FULL OUTER JOIN errors e ON c.day = e.day
+"""
+
+
+@register("events_daily_full_join", _EVENTS_FULL_JOIN_ORACLE)
+def events_daily_full_join_q(spark, sf_dir):
+    """FULL OUTER join (relational.events_daily_full_join): daily click
+    vs error counts keeping one-sided days with the other side zeroed
+    — the join-type checklist's last uncovered member
+    (inner/left/semi/anti/range/as-of/stream-stream live elsewhere).
+    Both sides are |days|-row aggregates before the join. Every row
+    hash-checked."""
+    from vector_database_in_rust_spark.operators.relational import (
+        events_daily_full_join,
+    )
+
+    return events_daily_full_join(load_table(spark, sf_dir, "events"))
+
+
 _MAXSIM_ORACLE = """
 WITH tok AS (
   SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token

@@ -1730,3 +1730,63 @@ def events_cube(events: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 4).alias("sum_value"),
     )
+
+
+def events_unpivot(events: DataFrame, *, types: tuple[str, ...] = EVENT_TYPES) -> DataFrame:
+    """UNPIVOT (melt) — the inverse of :func:`events_pivot`: the wide
+    hour × type count matrix back to long (hour, event_type, n) form,
+    zero-count cells dropped (so pivot∘unpivot is exactly the long
+    rollup — the roundtrip the tests pin). Spark's native ``unpivot``
+    compiles to an Expand node — each wide row fans out to |types|
+    rows map-side, no shuffle beyond the pivot's own.
+
+    Unpivot is how wide ingest formats (spreadsheet exports, sensor
+    matrices) enter a long-format pipeline; pairing it with pivot
+    closes the reshape surface."""
+    wide = events_pivot(events, types=types)
+    long = wide.unpivot(
+        ids=["hour"],
+        values=[f"n_{t}" for t in types],
+        variableColumnName="_var",
+        valueColumnName="n",
+    )
+    return (
+        long.filter(F.col("n") > 0)
+        .select(
+            "hour",
+            F.expr("substring(_var, 3)").alias("event_type"),
+            F.col("n").cast("long").alias("n"),
+        )
+    )
+
+
+def events_daily_full_join(events: DataFrame) -> DataFrame:
+    """FULL OUTER join — the join-type checklist's missing sibling
+    (inner/left/semi/anti/range/as-of are covered elsewhere): per-day
+    click counts vs per-day error counts, keeping days that appear on
+    ONLY one side with the other side coalesced to zero (exactly what
+    inner or left joins silently drop — the reconciliation-report
+    shape).
+
+    Scale: two map-side-combinable daily rollups (tiny outputs), then
+    a full-outer hash join on day — both sides are |days|-sized
+    aggregates, never raw events."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_clicks"))
+    )
+    errors = (
+        events.filter(F.col("event_type") == "error")
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_errors"))
+    )
+    return (
+        clicks.join(errors, "day", "full_outer")
+        .select(
+            "day",
+            F.coalesce(F.col("n_clicks"), F.lit(0)).alias("n_clicks"),
+            F.coalesce(F.col("n_errors"), F.lit(0)).alias("n_errors"),
+        )
+        .orderBy("day")
+    )
