@@ -114,3 +114,64 @@ def test_full_join_keeps_one_sided_days(spark):
         "2024-01-02": (0, 1),
         "2024-01-03": (1, 1),
     }
+
+
+def test_scd2_intervals_partition_and_chain(spark):
+    """SCD2 invariants: intervals per user are contiguous (each
+    valid_to == the next valid_from), exactly one open (NULL) interval
+    per user, and consecutive intervals never share an event_type
+    (runs are maximal)."""
+    from vector_database_in_rust_spark.operators.relational import events_scd2
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    rows = events_scd2(ev).collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert by_user
+    for u, iv in by_user.items():
+        iv.sort(key=lambda r: r["valid_from"])
+        opens = [r for r in iv if r["valid_to"] is None]
+        assert len(opens) == 1 and iv[-1]["valid_to"] is None
+        for a, b in zip(iv, iv[1:]):
+            assert a["valid_to"] == b["valid_from"]
+            assert a["event_type"] != b["event_type"]
+
+
+def test_dq_report_detects_planted_violations(spark):
+    """Plant one violation of each class and check the counts."""
+    from vector_database_in_rust_spark.operators.relational import dq_report
+
+    import datetime as dt
+
+    d = dt.datetime(2024, 1, 1)
+    orders = spark.createDataFrame(
+        [
+            (1, 10, "O", 5.0, d, "p"),
+            (1, 10, "O", 5.0, d, "p"),      # dup orderkey
+            (2, None, "O", 5.0, d, "p"),     # null custkey
+            (3, 99, "O", -1.0, d, "p"),      # orphan + nonpositive price
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    customer = spark.createDataFrame(
+        [(10, "a")], "c_custkey long, c_name string"
+    )
+    lineitem = spark.createDataFrame(
+        [(1, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", d),
+         (7, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", d)],  # orphan l_orderkey
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber long, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    )
+    got = {r["check"]: (r["n_checked"], r["n_violations"])
+           for r in dq_report(orders, customer, lineitem).collect()}
+    assert got["orders_custkey_not_null"] == (4, 1)
+    assert got["orders_orderkey_unique"] == (3, 1)
+    # NULL custkey is not an FK violation (not-null is its own check);
+    # the orphan is order 3
+    assert got["orders_fk_customer"][1] == 1
+    assert got["lineitem_fk_orders"] == (2, 1)
+    assert got["orders_totalprice_positive"] == (4, 1)

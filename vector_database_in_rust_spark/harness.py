@@ -5851,6 +5851,78 @@ def heavy_hitters_verdict_q(spark, sf_dir):
     return heavy_hitters_verdict(_docs(spark, sf_dir))
 
 
+_EVENTS_SCD2_ORACLE = """
+WITH marked AS (
+  SELECT user_id, ts, event_id, event_type,
+         lag(event_type) OVER w IS NULL
+           OR lag(event_type) OVER w <> event_type AS is_change
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+changes AS (SELECT * FROM marked WHERE is_change)
+SELECT user_id, event_type, ts AS valid_from,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         AS valid_to
+FROM changes
+"""
+
+
+@register("events_scd2", _EVENTS_SCD2_ORACLE)
+def events_scd2_q(spark, sf_dir):
+    """SCD Type-2 dimension build (relational.events_scd2): per-user
+    runs of equal event_type collapse into validity intervals
+    (valid_from, valid_to; NULL = current) — the warehouse
+    dimension-history table the as-of join family probes. Two
+    user-partitioned windows, the second over change rows only. Every
+    interval hash-checked."""
+    from vector_database_in_rust_spark.operators.relational import events_scd2
+
+    return events_scd2(load_table(spark, sf_dir, "events"))
+
+
+_DQ_REPORT_ORACLE = """
+SELECT 'orders_custkey_not_null' AS check,
+       (SELECT count(*) FROM orders) AS n_checked,
+       (SELECT count(*) FROM orders WHERE o_custkey IS NULL) AS n_violations
+UNION ALL
+SELECT 'orders_orderkey_unique',
+       (SELECT count(DISTINCT o_orderkey) FROM orders),
+       (SELECT count(*) FROM (
+          SELECT o_orderkey FROM orders GROUP BY o_orderkey
+          HAVING count(*) > 1))
+UNION ALL
+SELECT 'orders_fk_customer',
+       (SELECT count(*) FROM orders),
+       (SELECT count(*) FROM orders
+        WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+UNION ALL
+SELECT 'lineitem_fk_orders',
+       (SELECT count(*) FROM lineitem),
+       (SELECT count(*) FROM lineitem
+        WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+UNION ALL
+SELECT 'orders_totalprice_positive',
+       (SELECT count(*) FROM orders),
+       (SELECT count(*) FROM orders WHERE o_totalprice <= 0)
+"""
+
+
+@register("dq_report", _DQ_REPORT_ORACLE)
+def dq_report_q(spark, sf_dir):
+    """Data-quality expectation report (relational.dq_report): named
+    checks — null FKs, PK uniqueness, two referential anti-joins, a
+    domain bound — each with population + violation counts (the
+    ingest-gate report, Great-Expectations-shaped). Null/domain checks
+    fold into ONE aggregate per table; exact counts hash-checked."""
+    from vector_database_in_rust_spark.operators.relational import dq_report
+
+    return dq_report(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
 _EVENTS_UNPIVOT_ORACLE = """
 SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n
 FROM events GROUP BY 1, 2

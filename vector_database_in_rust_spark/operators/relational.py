@@ -1790,3 +1790,119 @@ def events_daily_full_join(events: DataFrame) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+def events_scd2(events: DataFrame) -> DataFrame:
+    """Slowly-Changing-Dimension Type 2 build from a change log: per
+    user, each run of consecutive equal ``event_type`` values collapses
+    into one VALIDITY INTERVAL row (user_id, event_type, valid_from,
+    valid_to), valid_to NULL on the current (open) row — the standard
+    warehouse dimension-history build, and the table the as-of join
+    family probes.
+
+    Change detection is ``lag`` over (ts, event_id); interval close is
+    ``lead`` over the change rows only. Deterministic: the (ts,
+    event_id) ordering is total.
+
+    Scale: two ranking windows hash-partitioned by user_id (the second
+    runs on change rows only — a fraction of the log); per-user state
+    is one partition's ordered slice, the same profile as
+    sessionization. Output is |changes|, not |events|.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = events.select(
+        "user_id", "ts", "event_id", "event_type",
+        (
+            F.lag("event_type").over(w).isNull()
+            | (F.lag("event_type").over(w) != F.col("event_type"))
+        ).alias("_is_change"),
+    ).filter(F.col("_is_change"))
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return marked.select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w2).alias("valid_to"),
+    )
+
+
+def dq_report(
+    orders: DataFrame, customer: DataFrame, lineitem: DataFrame
+) -> DataFrame:
+    """One-pass data-quality expectation report (the Great-Expectations
+    shape as a query): each row is a named CHECK with the population it
+    scanned and the violation count —
+
+    - ``orders_custkey_not_null``  — null foreign keys
+    - ``orders_orderkey_unique``   — duplicate primary keys
+    - ``orders_fk_customer``       — orphan orders (anti join)
+    - ``lineitem_fk_orders``       — orphan line items (anti join)
+    - ``orders_totalprice_positive`` — domain violation
+
+    A pipeline gates ingest on ``n_violations == 0``; emitting counts
+    (not booleans) makes the report diagnosable and the hash check
+    exact either way.
+
+    Scale: null/domain checks are map-side counters folded into one
+    aggregate per table; uniqueness is one hash rollup on the key;
+    referential checks are anti joins against the distinct key
+    projection (broadcast when the dimension allows). All checks are
+    one pass over each fact — no per-check rescans of the same table
+    in the null/domain group."""
+    o_checks = orders.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col("o_custkey").isNull().cast("long")).alias("_null_ck"),
+        F.sum((F.col("o_totalprice") <= 0).cast("long")).alias("_bad_price"),
+    )
+    dup = (
+        orders.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .agg(
+            F.count(F.lit(1)).alias("_n_keys"),
+            F.sum((F.col("_c") > 1).cast("long")).alias("_n_dup"),
+        )
+    )
+    # NULL keys are excluded here BY CONTRACT: a missing key is the
+    # not-null check's finding, and SQL's NOT IN agrees (NULL NOT IN
+    # (...) is never true) — without the filter the two dialects would
+    # diverge on any NULL foreign key.
+    orphan_o = (
+        orders.filter(F.col("o_custkey").isNotNull())
+        .join(
+            customer.select(F.col("c_custkey").alias("o_custkey")).distinct(),
+            "o_custkey",
+            "left_anti",
+        ).agg(F.count(F.lit(1)).alias("_n_orphan_o"))
+    )
+    n_li = lineitem.agg(F.count(F.lit(1)).alias("_n_li"))
+    orphan_l = (
+        lineitem.filter(F.col("l_orderkey").isNotNull()).join(
+            orders.select(F.col("o_orderkey").alias("l_orderkey")).distinct(),
+            "l_orderkey",
+            "left_anti",
+        ).agg(F.count(F.lit(1)).alias("_n_orphan_l"))
+    )
+    base = (
+        o_checks.crossJoin(F.broadcast(dup))
+        .crossJoin(F.broadcast(orphan_o))
+        .crossJoin(F.broadcast(n_li))
+        .crossJoin(F.broadcast(orphan_l))
+    )
+    rows = [
+        ("orders_custkey_not_null", F.col("_n"), F.col("_null_ck")),
+        ("orders_orderkey_unique", F.col("_n_keys"), F.col("_n_dup")),
+        ("orders_fk_customer", F.col("_n"), F.col("_n_orphan_o")),
+        ("lineitem_fk_orders", F.col("_n_li"), F.col("_n_orphan_l")),
+        ("orders_totalprice_positive", F.col("_n"), F.col("_bad_price")),
+    ]
+    out = None
+    for name, n, bad in rows:
+        sel = base.select(
+            F.lit(name).alias("check"),
+            n.cast("long").alias("n_checked"),
+            bad.cast("long").alias("n_violations"),
+        )
+        out = sel if out is None else out.unionAll(sel)
+    return out
