@@ -625,3 +625,17 @@ def test_winnow_short_doc_excluded(spark):
     out = dedup.winnow_fingerprints(df, k=4, window=3)
     ids = {r["doc_id"] for r in out.collect()}
     assert ids == {2}  # doc 1 has 5 < k + window - 1 = 6 tokens
+
+
+def test_triangle_enumerate_on_constructed_graph(spark):
+    """4-clique -> 4 triangles; a chain contributes none."""
+    pairs = spark.createDataFrame(
+        # clique {1,2,3,4} + chain 10-11-12
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (10, 11), (11, 12)],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        (r["doc_a"], r["doc_b"], r["doc_c"])
+        for r in dedup.triangle_enumerate(pairs).collect()
+    }
+    assert got == {(1, 2, 3), (1, 2, 4), (1, 3, 4), (2, 3, 4)}

@@ -5851,6 +5851,32 @@ def heavy_hitters_verdict_q(spark, sf_dir):
     return heavy_hitters_verdict(_docs(spark, sf_dir))
 
 
+_TRIANGLES_ORACLE = f"""
+WITH {_JACCARD_CTES},
+jp AS (SELECT doc_a, doc_b FROM scored WHERE jaccard >= 0.5)
+SELECT e1.doc_a, e1.doc_b, e2.doc_b AS doc_c
+FROM jp e1
+JOIN jp e2 ON e2.doc_a = e1.doc_b
+JOIN jp e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+"""
+
+
+@register("dedup_triangles", _TRIANGLES_ORACLE)
+def dedup_triangles_q(spark, sf_dir):
+    """Triangle enumeration (dedup.triangle_enumerate) over the exact-
+    Jaccard pair graph: certified mutual-similarity cliques vs the
+    loose transitive chains connected components can't tell apart —
+    the wedge-generate + closure-join shape (degree orientation is the
+    documented skew fix, Suri & Vassilvitskii WWW'11). Consumes the
+    SAME materialized pair list as dedup_clusters. Every triangle
+    hash-checked."""
+    from vector_database_in_rust_spark.operators.dedup import (
+        triangle_enumerate,
+    )
+
+    return triangle_enumerate(_jaccard_pairs_cached(spark, sf_dir, threshold=0.5))
+
+
 _EVENTS_SCD2_ORACLE = """
 WITH marked AS (
   SELECT user_id, ts, event_id, event_type,

@@ -1578,3 +1578,43 @@ def winnow_pairs(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .where(F.col("n_shared") >= min_shared)
     )
+
+
+def triangle_enumerate(pairs: DataFrame) -> DataFrame:
+    """Triangle enumeration over the near-dup graph: all (a, b, c),
+    a < b < c, where all three pairwise edges exist — the density
+    signal that separates a tight duplicate CLIQUE (template families,
+    mirror sites) from a loose transitive chain that connected
+    components alone cannot distinguish (a chain merges clusters; a
+    triangle certifies mutual similarity).
+
+    Input: (doc_a, doc_b) with doc_a < doc_b from any pair generator.
+    Output: (doc_a, doc_b, doc_c) rows, one per triangle.
+
+    Scale: the canonical two-join shape — wedges (a<b<c via e1=(a,b),
+    e2=(b,c)) closed by an equi-join back onto the edge list. Cost is
+    Σ_v deg(v)² for wedge generation; the production fix for skewed
+    degree distributions is DEGREE orientation (point each edge at its
+    higher-degree endpoint, Suri & Vassilvitskii WWW'11) which bounds
+    wedge centers by arboricity — id orientation is kept here because
+    it is the SQL-portable deterministic choice and near-dup graphs
+    are degree-bounded by construction (the pair generators cap hot
+    keys upstream).
+    """
+    e = pairs.select("doc_a", "doc_b")
+    e1 = e.alias("e1")
+    e2 = e.alias("e2")
+    e3 = e.alias("e3")
+    return (
+        e1.join(e2, F.col("e2.doc_a") == F.col("e1.doc_b"))
+        .join(
+            e3,
+            (F.col("e3.doc_a") == F.col("e1.doc_a"))
+            & (F.col("e3.doc_b") == F.col("e2.doc_b")),
+        )
+        .select(
+            F.col("e1.doc_a").alias("doc_a"),
+            F.col("e1.doc_b").alias("doc_b"),
+            F.col("e2.doc_b").alias("doc_c"),
+        )
+    )
