@@ -520,3 +520,19 @@ def test_split_leakage_safe_clusters_broadcast(audits):
     documents side is never shuffled for the split itself."""
     a = audits("split_leakage_safe")
     assert a.broadcast_joins
+
+
+def test_scd2_reuses_one_user_exchange(audits):
+    """events_scd2: both windows partition by user_id — Catalyst must
+    reuse ONE exchange (a second user-keyed shuffle would double the
+    wide cost of the build for nothing)."""
+    a = audits("events_scd2")
+    assert a.n_shuffle_exchanges == 1
+
+
+def test_events_cube_single_expand_pass(audits):
+    """events_cube: CUBE must compile to one Expand + one aggregation
+    exchange — never a re-scan per granularity."""
+    a = audits("events_cube")
+    assert "Expand" in a.formatted
+    assert a.n_shuffle_exchanges == 1
