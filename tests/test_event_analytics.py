@@ -175,3 +175,39 @@ def test_dq_report_detects_planted_violations(spark):
     assert got["orders_fk_customer"][1] == 1
     assert got["lineitem_fk_orders"] == (2, 1)
     assert got["orders_totalprice_positive"] == (4, 1)
+
+
+def test_scd2_merge_equals_rebuild_at_any_split(spark):
+    """merge(build(log<=T), log>T) == build(log) at several split
+    points — including splits where some users appear only before or
+    only after T."""
+    from vector_database_in_rust_spark.operators.relational import (
+        events_scd2,
+        events_scd2_merge,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    want = sorted(map(tuple, events_scd2(ev).collect()))
+    for day in ("2024-01-03", "2024-01-16", "2024-01-29"):
+        split = F.lit(day).cast("timestamp")
+        dim = events_scd2(ev.filter(F.col("ts") < split))
+        got = sorted(
+            map(tuple, events_scd2_merge(dim, ev.filter(F.col("ts") >= split)).collect())
+        )
+        assert got == want, f"split {day} diverged"
+
+
+def test_scd2_merge_no_op_batch_keeps_dimension(spark):
+    """An empty batch returns the dimension unchanged (open rows stay
+    open); a batch repeating every user's current type changes
+    nothing either."""
+    from vector_database_in_rust_spark.operators.relational import (
+        events_scd2,
+        events_scd2_merge,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    dim = events_scd2(ev)
+    empty = ev.filter(F.lit(False))
+    got = sorted(map(tuple, events_scd2_merge(dim, empty).collect()))
+    assert got == sorted(map(tuple, dim.collect()))

@@ -5906,6 +5906,26 @@ def events_scd2_q(spark, sf_dir):
     return events_scd2(load_table(spark, sf_dir, "events"))
 
 
+@register("events_scd2_merge", _EVENTS_SCD2_ORACLE)
+def events_scd2_merge_q(spark, sf_dir):
+    """Incremental SCD2 maintenance (relational.events_scd2_merge):
+    build the dimension from the log's FIRST HALF (ts < Jan 16), then
+    MERGE the second half as an append-only batch. The oracle rebuilds
+    from the FULL log — so the hash check proves the incremental-view-
+    maintenance invariant merge(build(log<=T), log>T) == build(log)
+    exactly, interval for interval. The closed history passes through
+    untouched (cost follows the batch, not the history)."""
+    from vector_database_in_rust_spark.operators.relational import (
+        events_scd2,
+        events_scd2_merge,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    split = F.lit("2024-01-16").cast("timestamp")
+    dim = events_scd2(ev.filter(F.col("ts") < split))
+    return events_scd2_merge(dim, ev.filter(F.col("ts") >= split))
+
+
 _DQ_REPORT_ORACLE = """
 SELECT 'orders_custkey_not_null' AS check,
        (SELECT count(*) FROM orders) AS n_checked,

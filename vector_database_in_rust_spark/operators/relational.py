@@ -1906,3 +1906,75 @@ def dq_report(
         )
         out = sel if out is None else out.unionAll(sel)
     return out
+
+
+def events_scd2_merge(dim: DataFrame, new_events: DataFrame) -> DataFrame:
+    """Incremental SCD Type-2 maintenance: fold an append-only batch of
+    newer changes into an existing dimension WITHOUT rebuilding it —
+    the warehouse MERGE that keeps a 100 TB history table current from
+    a daily micro-batch. Contract: every batch event is newer than the
+    dimension's open intervals (append-only, time-ordered ingest — the
+    streaming case; out-of-order history repair is a rebuild, not a
+    merge).
+
+    Semantics (proved by the harness oracle, which rebuilds from the
+    FULL log): ``merge(build(log <= T), log > T) == build(log)`` for
+    any split point T —
+
+    1. batch change rows: an event opens a new interval iff its type
+       differs from the previous batch event, or (for the user's first
+       batch event) from the user's current OPEN type; users new to
+       the dimension open on their first event;
+    2. the existing open row closes at the user's first batch change;
+    3. result = untouched closed history ∪ (re)closed open rows ∪ new
+       intervals (last one open).
+
+    Scale: the dimension's CLOSED history — the overwhelming bulk — is
+    passed through untouched (no shuffle, no rewrite: in a real table
+    format this is "no files touched"); the open slice (one row per
+    user) and the batch co-partition on user_id for one join + two
+    batch-sized windows. Cost follows the BATCH, not the history.
+    """
+    from pyspark.sql import Window
+
+    closed = dim.filter(F.col("valid_to").isNotNull())
+    open_rows = dim.filter(F.col("valid_to").isNull()).select(
+        "user_id",
+        F.col("event_type").alias("_cur_type"),
+        F.col("valid_from").alias("_cur_from"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = (
+        new_events.select("user_id", "ts", "event_id", "event_type")
+        .join(open_rows, "user_id", "left")
+        .withColumn("_prev", F.lag("event_type").over(w))
+        .withColumn(
+            "_is_change",
+            F.when(F.col("_prev").isNotNull(), F.col("_prev") != F.col("event_type"))
+            .otherwise(
+                F.col("_cur_type").isNull()
+                | (F.col("_cur_type") != F.col("event_type"))
+            ),
+        )
+    )
+    changes = marked.filter(F.col("_is_change"))
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    new_intervals = changes.select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w2).alias("valid_to"),
+    )
+    first_change = changes.groupBy("user_id").agg(
+        F.min(F.struct("ts", "event_id")).getField("ts").alias("_close_at")
+    )
+    reclosed = (
+        open_rows.join(first_change, "user_id", "left")
+        .select(
+            "user_id",
+            F.col("_cur_type").alias("event_type"),
+            F.col("_cur_from").alias("valid_from"),
+            F.col("_close_at").alias("valid_to"),
+        )
+    )
+    return closed.unionByName(reclosed).unionByName(new_intervals)
