@@ -104,3 +104,49 @@ def test_zorder_layout_tightens_both_dims(spark):
     lv, lu = spreads(lex)
     assert lv < 0.2 * gv            # a 1-D sort nails its own column...
     assert lu > 0.9 * gu            # ...and leaves the other at ~global
+
+
+def test_zorder_parquet_file_skipping(spark, tmp_path):
+    """The pruning contract measured at the FILE level: write each
+    layout as 16 parquet files and compute — from the files' actual
+    parquet min/max statistics, exactly as any stats-based pruner
+    does — how many files a 2-dim box predicate must read. The z
+    layout lets the pruner skip most files; the id-ordered control
+    can skip none (both dims look uniform inside every file)."""
+    import pyarrow.parquet as pq
+
+    ev = spark.read.parquet(f"{SF_ORACLE}/events.parquet").select(
+        "event_id", "value", "user_id"
+    )
+    zdf = zorder_layout(
+        ev, "value", "user_id",
+        x_range=(0.0, 512.0), y_range=(0.0, 150.0), num_partitions=16,
+    )
+    ctrl = ev.repartitionByRange(16, "event_id").sortWithinPartitions("event_id")
+
+    def candidate_fraction(df, lo_v, hi_v, lo_u, hi_u, d):
+        df.write.mode("overwrite").parquet(str(d))
+        files = [p for p in d.iterdir() if p.suffix == ".parquet"]
+        assert len(files) >= 8, f"need multiple files, got {len(files)}"
+        kept = 0
+        for f in files:
+            md = pq.ParquetFile(str(f)).metadata
+            mins, maxs = {}, {}
+            for i in range(md.num_row_groups):
+                rg = md.row_group(i)
+                for j in range(rg.num_columns):
+                    col = rg.column(j)
+                    st = col.statistics
+                    name = col.path_in_schema
+                    mins[name] = min(mins.get(name, st.min), st.min)
+                    maxs[name] = max(maxs.get(name, st.max), st.max)
+            if not (maxs["value"] < lo_v or mins["value"] > hi_v
+                    or maxs["user_id"] < lo_u or mins["user_id"] > hi_u):
+                kept += 1
+        return kept / len(files)
+
+    # a selective box: one 1/8 slice of each dimension
+    zf = candidate_fraction(zdf, 64.0, 128.0, 20, 40, tmp_path / "z")
+    cf = candidate_fraction(ctrl, 64.0, 128.0, 20, 40, tmp_path / "c")
+    assert cf > 0.9          # id order: every file overlaps the box
+    assert zf <= 0.5 * cf    # z order: the pruner skips at least half
