@@ -857,3 +857,35 @@ class TestAdpcm:
         good[i] = 90
         with _pytest.raises(ValueError, match="out of range"):
             decode_wav_adpcm(bytes(good))
+
+
+def test_quarantine_classifies_planted_corruption(spark):
+    """Flipped-byte files (CRC) and truncated files both quarantine;
+    good files decode with exact stats; nothing is silently wrong."""
+    from vector_database_in_rust_spark.operators.multimodal import (
+        attach_png_payload_corrupt,
+        decode_png,
+        image_decode_quarantine,
+        synth_png_bytes,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(14)], "doc_id long")
+    out = {
+        r["media_id"]: r
+        for r in image_decode_quarantine(
+            attach_png_payload_corrupt(docs), decoder=decode_png
+        ).collect()
+    }
+    assert len(out) == 14
+    for i in range(14):
+        if i % 7 in (3, 5):
+            assert not out[i]["ok"] and out[i]["mean_px"] is None
+        else:
+            assert out[i]["ok"] and out[i]["width"] == 32
+    # the corruption is REAL: a flipped byte must raise at decode
+    import pytest as _pytest
+
+    raw = bytearray(synth_png_bytes(3))
+    raw[len(raw) // 2] ^= 0xFF
+    with _pytest.raises(Exception):
+        decode_png(bytes(raw))

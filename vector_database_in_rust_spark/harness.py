@@ -4861,6 +4861,46 @@ def media_decode_png_q(spark, sf_dir):
     return image_decode_stats(media, decoder=decode_png)
 
 
+_MEDIA_QUARANTINE_ORACLE = """
+WITH px AS (
+  SELECT d.doc_id AS media_id,
+         ((7 * x.i + y.i * y.i + 2 * d.doc_id) % 256) AS v
+  FROM documents d, generate_series(0, 31) AS x(i), generate_series(0, 31) AS y(i)
+  WHERE d.doc_id % 7 NOT IN (3, 5)
+),
+good AS (
+  SELECT media_id, CAST(32 AS INTEGER) AS width, CAST(32 AS INTEGER) AS height,
+         round(sum(v) * 1.0 / 1024, 6) AS mean_px
+  FROM px GROUP BY media_id
+)
+SELECT media_id, true AS ok, width, height, mean_px FROM good
+UNION ALL
+SELECT doc_id, false, NULL, NULL, NULL
+FROM documents WHERE doc_id % 7 IN (3, 5)
+"""
+
+
+@register("media_quarantine", _MEDIA_QUARANTINE_ORACLE)
+def media_quarantine_q(spark, sf_dir):
+    """Corrupt-tolerant media decode (multimodal.image_decode_quarantine
+    — the json_quarantine discipline for binary decoders): PNGs with
+    DETERMINISTIC planted corruption (doc_id%7==3 flipped byte — the
+    CRC check must catch it; %7==5 truncated download) decode under
+    try/except; good rows carry exact analytic stats, corrupt rows
+    survive as ok=false quarantine rows instead of poisoning task
+    retries. The oracle knows exactly which ids are corrupt AND the
+    good rows' pixel formula — a decoder that silently accepts a
+    flipped byte, or quarantines a good file, flips the hash."""
+    from vector_database_in_rust_spark.operators.multimodal import (
+        attach_png_payload_corrupt,
+        decode_png,
+        image_decode_quarantine,
+    )
+
+    media = attach_png_payload_corrupt(_docs(spark, sf_dir))
+    return image_decode_quarantine(media, decoder=decode_png)
+
+
 _RESIZE_REAL_ORACLE = """
 WITH px AS (
   SELECT d.doc_id AS media_id,

@@ -1728,3 +1728,87 @@ def video_frame_stats(
         batches,
         schema="media_id BIGINT, frame_idx INT, mean_px DOUBLE, corner_px INT",
     )
+
+
+def attach_png_payload_corrupt(docs: DataFrame) -> DataFrame:
+    """Like :func:`attach_png_payload` but with DETERMINISTIC planted
+    corruption — the realistic ingest mix a 100 TB media crawl always
+    contains: doc_id % 7 == 3 gets one flipped byte mid-file (an
+    in-chunk bit error the CRC check must catch), doc_id % 7 == 5 is
+    truncated to its first 40 bytes (a partial download). Everything
+    else is a valid file."""
+
+    def corrupt(seed: int) -> bytes:
+        raw = synth_png_bytes(seed)
+        if seed % 7 == 3:
+            b = bytearray(raw)
+            b[len(b) // 2] ^= 0xFF
+            return bytes(b)
+        if seed % 7 == 5:
+            return raw[:40]
+        return raw
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "media_type": "image/png",
+                    "content": [corrupt(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        batches, schema="media_id BIGINT, media_type STRING, content BINARY"
+    )
+
+
+def image_decode_quarantine(media: DataFrame, *, decoder=None) -> DataFrame:
+    """Corrupt-tolerant decode — the PERMISSIVE lane for media (the
+    json_quarantine discipline applied to binary decoders): every row
+    decodes under try/except; good rows carry exact stats, bad rows
+    survive with ``ok = false`` and NULL stats instead of killing the
+    job. At 100 TB a single corrupt file MUST NOT fail a task — Spark
+    retries the whole partition, and a poison file would retry
+    forever; quarantining turns it into data.
+
+    Emits (media_id, ok, width, height, mean_px).
+
+    Scale: identical Arrow-batched mapInPandas shape as
+    :func:`image_decode_stats`; the except path costs only the failed
+    parse. Downstream: good lane proceeds, quarantine lane
+    (``ok = false``) lands in a dead-letter table for re-fetch."""
+    decoder = decoder or decode_pgm
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            mids, oks, ws, hs, means = [], [], [], [], []
+            for mid, c in zip(pdf["media_id"], pdf["content"]):
+                mids.append(int(mid))
+                try:
+                    px = decoder(bytes(c)).astype(np.int64)
+                    h, w = px.shape
+                    n = h * w
+                    oks.append(True)
+                    ws.append(w)
+                    hs.append(h)
+                    means.append(round(int(px.sum()) / n, 6))
+                except Exception:
+                    oks.append(False)
+                    ws.append(None)
+                    hs.append(None)
+                    means.append(None)
+            yield pd.DataFrame(
+                {
+                    "media_id": mids,
+                    "ok": oks,
+                    "width": pd.array(ws, dtype="Int32"),
+                    "height": pd.array(hs, dtype="Int32"),
+                    "mean_px": pd.array(means, dtype="Float64"),
+                }
+            )
+
+    return media.mapInPandas(
+        batches,
+        schema="media_id BIGINT, ok BOOLEAN, width INT, height INT, mean_px DOUBLE",
+    )
