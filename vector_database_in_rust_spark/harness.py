@@ -4861,6 +4861,39 @@ def media_decode_png_q(spark, sf_dir):
     return image_decode_stats(media, decoder=decode_png)
 
 
+_GRAM_ORACLE = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS x, label::DOUBLE AS y FROM embeddings
+),
+a AS (
+  SELECT vec_id, y, generate_subscripts(x, 1) - 1 AS i, unnest(x) AS xi FROM e
+),
+b AS (
+  SELECT vec_id, generate_subscripts(x, 1) - 1 AS j, unnest(x) AS xj FROM e
+)
+SELECT a.i, b.j, round(sum(a.xi * b.xj), 6) AS value
+FROM a JOIN b ON a.vec_id = b.vec_id GROUP BY a.i, b.j
+UNION ALL
+SELECT i, -1, round(sum(xi * y), 6) FROM a GROUP BY i
+UNION ALL
+SELECT -1, -1, CAST(count(*) AS DOUBLE) FROM e
+"""
+
+
+@register("gram_matrix", _GRAM_ORACLE)
+def gram_matrix_q(spark, sf_dir):
+    """Normal-equation sufficient statistics (linalg.gram_matrix):
+    XᵀX + Xᵀy + n as (i, j, value) rows — the ONLY corpus-sized work
+    of fitting a linear probe/quality regressor over a 100 TB feature
+    table, as one map-side-combinable aggregation (the corpus never
+    shuffles; at most d² partials per partition cross the exchange).
+    All 64x64 + 64 + 1 sums hash-checked; the driver-side ridge solve
+    is pinned by a weight-recovery test."""
+    from vector_database_in_rust_spark.operators.linalg import gram_matrix
+
+    return gram_matrix(_emb(spark, sf_dir))
+
+
 _MEDIA_QUARANTINE_ORACLE = """
 WITH px AS (
   SELECT d.doc_id AS media_id,
