@@ -4861,6 +4861,40 @@ def media_decode_png_q(spark, sf_dir):
     return image_decode_stats(media, decoder=decode_png)
 
 
+def _pretrain_oracle() -> str:
+    from vector_database_in_rust_spark.operators.curation import (
+        sample_threshold_hex,
+    )
+
+    t_train = sample_threshold_hex(0.9)
+    return _PIPELINE_ORACLE.replace(
+        ") IS NULL\n)",
+        ") IS NULL\n    AND substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 6)"
+        f" < '{t_train}'\n)",
+    )
+
+
+@register("pipeline_pretrain_corpus", _pretrain_oracle())
+def pipeline_pretrain_corpus_q(spark, sf_dir):
+    """The nightly pretraining-corpus job as ONE lazy DAG
+    (pipeline.pretrain_corpus): curation gate -> deterministic 90%
+    train split held out BEFORE chunking (no doc leaks fragments
+    across the boundary) -> overlapping-window chunking -> chunk-level
+    hash sharding -> per-shard manifest. The composed manifest is
+    hash-checked through a single SQL chain, so an interaction bug
+    BETWEEN stages flips the hash even when each stage passes its own
+    check."""
+    from vector_database_in_rust_spark.operators.pipeline import (
+        pretrain_corpus,
+    )
+
+    return pretrain_corpus(
+        _docs(spark, sf_dir),
+        min_quality=_CURATE_MIN_QUALITY,
+        keep_langs=_CURATE_LANGS,
+    )
+
+
 _GRAM_ORACLE = """
 WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS x, label::DOUBLE AS y FROM embeddings

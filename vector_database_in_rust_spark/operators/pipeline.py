@@ -75,3 +75,61 @@ def curate_chunk_shard(
             F.sum("n_tokens").alias("total_tokens"),
         )
     )
+
+
+def pretrain_corpus(
+    docs: DataFrame,
+    *,
+    min_quality: float = 0.45,
+    keep_langs: tuple[str, ...] = ("en", "de", "fr"),
+    chunk_size: int = 32,
+    stride: int = 24,
+    num_shards: int = 8,
+) -> DataFrame:
+    """The full pretraining-corpus build as ONE lazy DAG: curation gate
+    -> deterministic train-split (the val/test 10% held out BEFORE
+    chunking, so no document leaks fragments across the boundary) ->
+    overlapping-window chunking of the survivors -> chunk-level hash
+    sharding -> per-shard manifest. Every stage is a pure function of
+    stable ids; the composition fuses — Catalyst pushes the curation
+    and split predicates into the chunker's single scan of documents.
+
+    This is the job a user actually schedules nightly; the component
+    stages are verified individually elsewhere, and the composed
+    manifest is hash-checked end-to-end so an interaction bug BETWEEN
+    stages (a verdict leak, split-before-dedup ordering, chunk window
+    drift) flips the hash even when every stage passes alone.
+    """
+    from vector_database_in_rust_spark.operators.curation import (
+        curate_corpus,
+        holdout_split,
+    )
+
+    verdicts = curate_corpus(
+        docs, min_quality=min_quality, keep_langs=keep_langs
+    )
+    kept = verdicts.filter(F.col("kept")).select("doc_id")
+    train = holdout_split(docs).filter(F.col("split") == "train").select("doc_id")
+    base = docs.join(kept, "doc_id", "left_semi").join(
+        train, "doc_id", "left_semi"
+    )
+    chunks = chunk_documents(base, chunk_size=chunk_size, stride=stride)
+    shard = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("_", F.col("doc_id"), F.col("chunk_id"))), 1, 6
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % num_shards
+    ).cast("int")
+    return (
+        chunks.select(shard.alias("shard"), "doc_id", "n_tokens")
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+    )
