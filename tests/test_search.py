@@ -255,3 +255,46 @@ def test_maxsim_is_order_and_multiplicity_invariant(spark):
     sa = {r["doc_id"]: r["maxsim"] for r in maxsim_search(a, 7, 10).collect()}
     sb = {r["doc_id"]: r["maxsim"] for r in maxsim_search(b, 7, 10).collect()}
     assert sa[1] == sa[7] == sb[1] == 3.0
+
+
+def test_rank_metrics_known_values(spark):
+    """Hand-computable case: truth {1,2,3}; system ranks [5,1,9,2]."""
+    import math
+
+    from vector_database_in_rust_spark.operators.search import rank_metrics
+
+    truth = spark.createDataFrame(
+        [(0, 1, 1), (0, 2, 2), (0, 3, 3)], "query_id long, vec_id long, rank long"
+    )
+    system = spark.createDataFrame(
+        [(0, 5, 1), (0, 1, 2), (0, 9, 3), (0, 2, 4)],
+        "query_id long, vec_id long, rank long",
+    )
+    r = rank_metrics(system, truth, k=10).collect()[0]
+    assert r["recall_at_k"] == round(2 / 3, 6)
+    assert r["mrr"] == 0.5                      # first hit at rank 2
+    dcg = 1 / math.log2(3) + 1 / math.log2(5)   # hits at ranks 2 and 4
+    idcg = sum(1 / math.log2(p + 1) for p in (1, 2, 3))
+    assert r["ndcg_at_k"] == round(dcg / idcg, 6)
+
+
+def test_rank_metrics_perfect_system_scores_one(spark):
+    from vector_database_in_rust_spark.operators.search import rank_metrics
+
+    rows = [(0, v, r) for r, v in enumerate([7, 3, 9], start=1)]
+    df = spark.createDataFrame(rows, "query_id long, vec_id long, rank long")
+    r = rank_metrics(df, df, k=10).collect()[0]
+    assert (r["recall_at_k"], r["mrr"], r["ndcg_at_k"]) == (1.0, 1.0, 1.0)
+
+
+def test_rank_metrics_zero_overlap(spark):
+    from vector_database_in_rust_spark.operators.search import rank_metrics
+
+    truth = spark.createDataFrame(
+        [(0, 1, 1)], "query_id long, vec_id long, rank long"
+    )
+    system = spark.createDataFrame(
+        [(0, 99, 1)], "query_id long, vec_id long, rank long"
+    )
+    r = rank_metrics(system, truth, k=10).collect()[0]
+    assert (r["recall_at_k"], r["mrr"], r["ndcg_at_k"]) == (0.0, 0.0, 0.0)

@@ -4861,6 +4861,70 @@ def media_decode_png_q(spark, sf_dir):
     return image_decode_stats(media, decoder=decode_png)
 
 
+_EVAL_METRICS_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8
+),
+tr AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY d, vec_id) AS r
+  FROM (SELECT q.query_id, e.vec_id,
+               round({_sql_l2sq('e.embedding', 'q.qe')}, 4) AS d
+        FROM embeddings e CROSS JOIN q)
+),
+truth AS (SELECT query_id, vec_id FROM tr WHERE r <= 10),
+sr AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY d, vec_id) AS rank
+  FROM (SELECT q.query_id, e.vec_id,
+               round({_sql_l2sq('e.embedding[1:8]', 'q.qe[1:8]')}, 4) AS d
+        FROM embeddings e CROSS JOIN q)
+),
+sys AS (SELECT query_id, vec_id, rank FROM sr WHERE rank <= 10),
+hits AS (
+  SELECT s.query_id, s.rank
+  FROM sys s JOIN truth t ON s.query_id = t.query_id AND s.vec_id = t.vec_id
+),
+agg AS (
+  SELECT query_id, count(*) AS n_hit, min(rank) AS first_hit,
+         sum(1.0 / (ln(rank + 1) / ln(2))) AS dcg
+  FROM hits GROUP BY query_id
+),
+idcg AS (
+  SELECT sum(1.0 / (ln(i + 1) / ln(2))) AS v
+  FROM unnest(generate_series(1, 10)) AS g(i)
+)
+SELECT q.query_id,
+       round(coalesce(n_hit, 0) / 10.0, 6) AS recall_at_k,
+       round(coalesce(1.0 / first_hit, 0.0), 6) AS mrr,
+       round(coalesce(dcg, 0.0) / (SELECT v FROM idcg), 6) AS ndcg_at_k
+FROM q LEFT JOIN agg ON q.query_id = agg.query_id
+"""
+
+
+@register("eval_rank_metrics", _EVAL_METRICS_ORACLE)
+def eval_rank_metrics_q(spark, sf_dir):
+    """Retrieval evaluation (search.rank_metrics): recall@10, MRR and
+    binary nDCG@10 of the 8-dim-PREFIX ranking against the full-dim
+    exact top-10 — the IR measurement lane, hash-checkable because the
+    system under test (prefix ranking, the Matryoshka coarse stage) is
+    itself deterministic. Both rank lists are (8 queries × 10)-row
+    tables; the evaluation join moves 160 rows regardless of corpus
+    size."""
+    from vector_database_in_rust_spark.operators.knn import knn_batch
+    from vector_database_in_rust_spark.operators.search import rank_metrics
+
+    emb = _emb(spark, sf_dir)
+    qdf = _query_vec_df(spark, sf_dir, 8)
+    truth = knn_batch(emb, qdf, 10)
+    sys_corpus = emb.withColumn("embedding", F.slice("embedding", 1, 8))
+    sys_q = qdf.withColumn(
+        "query_embedding", F.slice("query_embedding", 1, 8)
+    )
+    system = knn_batch(sys_corpus, sys_q, 10)
+    return rank_metrics(system, truth, k=10)
+
+
 def _pretrain_oracle() -> str:
     from vector_database_in_rust_spark.operators.curation import (
         sample_threshold_hex,

@@ -472,3 +472,75 @@ def maxsim_search(
         .orderBy(F.col("maxsim").desc(), F.col("doc_id"))
         .limit(k)
     )
+
+
+def rank_metrics(
+    system: DataFrame,
+    truth: DataFrame,
+    *,
+    k: int = 10,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Retrieval-evaluation metrics — the IR measurement lane every
+    search engine ships: per query, ``recall_at_k`` (fraction of the
+    truth set retrieved), ``mrr`` (reciprocal rank of the first
+    relevant hit), and binary ``ndcg_at_k`` (positionally discounted,
+    1/log2(rank+1), normalized by the ideal DCG of min(k, |truth|)
+    relevant items in the top positions).
+
+    ``system`` and ``truth`` are (query_id, vec_id, ...) result
+    tables; ranks are recomputed here by ``(dist, vec_id)`` when a
+    ``dist`` column is present (deterministic total order), else by
+    the given ``rank`` column. Relevance is binary membership in the
+    truth set — the standard protocol when truth is an exact top-k.
+
+    Scale: one broadcast-sized join of two (queries × k)-row tables +
+    a per-query aggregate — evaluation tables are tiny by definition;
+    the arithmetic is plain codegen'd doubles, portable to the SQL
+    oracle (log2 as ln ratios).
+    """
+    from pyspark.sql import Window
+
+    def ranked(df):
+        if "dist" in df.columns:
+            w = Window.partitionBy("query_id").orderBy("dist", "vec_id")
+            return df.select(
+                "query_id", "vec_id", F.row_number().over(w).alias("rank")
+            ).filter(F.col("rank") <= k)
+        return df.select("query_id", "vec_id", "rank").filter(
+            F.col("rank") <= k
+        )
+
+    s = ranked(system)
+    t = ranked(truth).select("query_id", "vec_id")
+    n_truth = t.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_truth"))
+    hits = s.join(t, ["query_id", "vec_id"], "left_semi")
+    log2 = lambda c: F.log(c.cast("double")) / F.log(F.lit(2.0))  # noqa: E731
+    per_q = (
+        hits.groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_hit"),
+            F.min("rank").alias("_first"),
+            F.sum(1.0 / log2(F.col("rank") + 1)).alias("_dcg"),
+        )
+        .join(n_truth, "query_id", "right")
+    )
+    ideal_n = F.least(F.col("n_truth"), F.lit(k))
+    # IDCG = sum_{p=1..ideal_n} 1/log2(p+1), as a closed in-plan fold
+    idcg = F.aggregate(
+        F.sequence(F.lit(1), ideal_n),
+        F.lit(0.0),
+        lambda acc, p: acc + 1.0 / log2(p + 1),
+    )
+    return per_q.select(
+        "query_id",
+        F.round(
+            F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_truth"), round_digits
+        ).alias("recall_at_k"),
+        F.round(
+            F.coalesce(1.0 / F.col("_first"), F.lit(0.0)), round_digits
+        ).alias("mrr"),
+        F.round(
+            F.coalesce(F.col("_dcg"), F.lit(0.0)) / idcg, round_digits
+        ).alias("ndcg_at_k"),
+    )
