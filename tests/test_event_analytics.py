@@ -211,3 +211,56 @@ def test_scd2_merge_no_op_batch_keeps_dimension(spark):
     empty = ev.filter(F.lit(False))
     got = sorted(map(tuple, events_scd2_merge(dim, empty).collect()))
     assert got == sorted(map(tuple, dim.collect()))
+
+
+def test_transitions_probabilities_sum_to_one(spark):
+    from vector_database_in_rust_spark.operators.relational import (
+        events_transitions,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    out = events_transitions(ev).collect()
+    assert out
+    by_cur = {}
+    for r in out:
+        by_cur.setdefault(r["cur"], []).append(r["p"])
+        assert r["n"] >= 1 and 0 < r["p"] <= 1
+    for cur, ps in by_cur.items():
+        assert abs(sum(ps) - 1.0) < 1e-4, cur
+
+
+def test_transitions_constructed_chain(spark):
+    import datetime as dt
+
+    from vector_database_in_rust_spark.operators.relational import (
+        events_transitions,
+    )
+
+    rows = [
+        (i, dt.datetime(2024, 1, 1, i), 1, t, 0.0)
+        for i, t in enumerate(["view", "click", "view", "click", "purchase"])
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    got = {(r["cur"], r["nxt"]): (r["n"], r["p"]) for r in events_transitions(df).collect()}
+    assert got == {
+        ("view", "click"): (2, 1.0),
+        ("click", "view"): (1, 0.5),
+        ("click", "purchase"): (1, 0.5),
+    }
+
+
+def test_fuzzy_pairs_all_within_distance_and_blocked(spark):
+    from vector_database_in_rust_spark.operators.relational import (
+        fuzzy_name_pairs,
+    )
+
+    cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    out = fuzzy_name_pairs(cust).collect()
+    assert out  # neighboring customer numbers differ by one digit
+    for r in out:
+        assert r["dist"] <= 1
+        assert r["name_a"][:15] == r["name_b"][:15]
+        assert r["name_a"] < r["name_b"]

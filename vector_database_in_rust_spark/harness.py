@@ -4861,6 +4861,64 @@ def media_decode_png_q(spark, sf_dir):
     return image_decode_stats(media, decoder=decode_png)
 
 
+_TRANSITIONS_ORACLE = """
+WITH bg AS (
+  SELECT event_type AS cur,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS nxt
+  FROM events
+),
+c AS (
+  SELECT cur, nxt, count(*) AS n FROM bg WHERE nxt IS NOT NULL
+  GROUP BY cur, nxt
+)
+SELECT cur, nxt, n,
+       round(n * 1.0 / sum(n) OVER (PARTITION BY cur), 6) AS p
+FROM c
+"""
+
+
+@register("events_transitions", _TRANSITIONS_ORACLE)
+def events_transitions_q(spark, sf_dir):
+    """First-order Markov transitions (relational.events_transitions):
+    P(next | current) over per-user event sequences — the user-journey
+    matrix behind "what happens after X" analytics (funnels check one
+    path; this measures all of them). One user-partitioned window +
+    a |types|²-keyed count. Every (count, probability) hash-checked."""
+    from vector_database_in_rust_spark.operators.relational import (
+        events_transitions,
+    )
+
+    return events_transitions(load_table(spark, sf_dir, "events"))
+
+
+_FUZZY_ORACLE = """
+WITH n AS (SELECT c_name AS name FROM customer)
+SELECT a.name AS name_a, b.name AS name_b,
+       CAST(levenshtein(a.name, b.name) AS INTEGER) AS dist
+FROM n a JOIN n b
+  ON substr(a.name, 1, 15) = substr(b.name, 1, 15)
+ AND length(a.name) = length(b.name)
+ AND a.name < b.name
+WHERE levenshtein(a.name, b.name) <= 1
+"""
+
+
+@register("fuzzy_name_pairs", _FUZZY_ORACLE)
+def fuzzy_name_pairs_q(spark, sf_dir):
+    """Entity-resolution candidates (relational.fuzzy_name_pairs):
+    customer names within edit distance 1, generated through prefix+
+    length BLOCKING so Levenshtein runs only inside blocks — the
+    record-linkage shape (never all-pairs; blocking selectivity is the
+    ER scale knob). Both engines run the same DP in codegen; every
+    (pair, dist) hash-checked."""
+    from vector_database_in_rust_spark.operators.relational import (
+        fuzzy_name_pairs,
+    )
+
+    return fuzzy_name_pairs(load_table(spark, sf_dir, "customer"))
+
+
 _EVAL_METRICS_ORACLE = f"""
 WITH q AS (
   SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8

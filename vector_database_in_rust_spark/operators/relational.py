@@ -1978,3 +1978,85 @@ def events_scd2_merge(dim: DataFrame, new_events: DataFrame) -> DataFrame:
         )
     )
     return closed.unionByName(reclosed).unionByName(new_intervals)
+
+
+def events_transitions(events: DataFrame) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next = b | current = a) with counts — the
+    user-journey model behind "what do users do after X" analytics
+    and behavioral anomaly baselines (funnels check ONE path; this
+    measures all of them at once).
+
+    Emits (cur, nxt, n, p), p = n / Σ_b n(a, b) rounded to 6.
+
+    Scale: one user-partitioned ordering window (sessionization's
+    profile) producing (cur, nxt) bigrams, then a |types|²-keyed count
+    with map-side combine; the conditional denominator is a window sum
+    over the |types|²-row aggregate — no second pass over events.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    bigrams = (
+        events.select(
+            "user_id", "ts", "event_id",
+            F.col("event_type").alias("cur"),
+            F.lead("event_type").over(w).alias("nxt"),
+        )
+        .filter(F.col("nxt").isNotNull())
+    )
+    counts = bigrams.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("n"))
+    w2 = Window.partitionBy("cur")
+    return counts.select(
+        "cur",
+        "nxt",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(w2), 6).alias("p"),
+    )
+
+
+def fuzzy_name_pairs(
+    customer: DataFrame,
+    *,
+    max_dist: int = 1,
+    block_prefix: int = 15,
+) -> DataFrame:
+    """Entity-resolution candidate pairs by edit distance: customer
+    names within Levenshtein ``max_dist``, generated through a
+    BLOCKING key (shared ``block_prefix``-char prefix + equal length)
+    so the pairwise distance only runs inside blocks — the standard
+    record-linkage discipline (Fellegi-Sunter pipelines, dedupe.io):
+    never all-pairs, and a distance-1 typo always shares every block
+    longer than the edit position... so prefix blocking is RECALL-LOSSY
+    for early-position edits, which is why production systems union
+    several blocking keys (prefix, suffix, phonetic); one key is used
+    here because the oracle must mirror it exactly.
+
+    Emits (name_a, name_b, dist), name_a < name_b.
+
+    Scale: the equi-join on the blocking key is a hash join whose
+    fan-out is Σ block_size² — controlled by the key's selectivity,
+    the knob every ER system tunes; Levenshtein runs only on
+    candidates, in codegen (both engines ship the same DP).
+    """
+    named = customer.select(F.col("c_name").alias("name"))
+    a = named.select(
+        F.col("name").alias("name_a"),
+        F.substring("name", 1, block_prefix).alias("_blk"),
+        F.length("name").alias("_len"),
+    )
+    b = named.select(
+        F.col("name").alias("name_b"),
+        F.substring("name", 1, block_prefix).alias("_blk"),
+        F.length("name").alias("_len"),
+    )
+    return (
+        a.join(b, ["_blk", "_len"])
+        .where(F.col("name_a") < F.col("name_b"))
+        .select(
+            "name_a",
+            "name_b",
+            F.levenshtein("name_a", "name_b").alias("dist"),
+        )
+        .where(F.col("dist") <= max_dist)
+    )
