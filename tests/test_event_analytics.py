@@ -264,3 +264,29 @@ def test_fuzzy_pairs_all_within_distance_and_blocked(spark):
         assert r["dist"] <= 1
         assert r["name_a"][:15] == r["name_b"][:15]
         assert r["name_a"] < r["name_b"]
+
+
+def test_bootstrap_ci_brackets_mean_and_narrows_with_n(spark):
+    """The CI must bracket the plain mean, be reproducible, and narrow
+    as the sample grows (sqrt-n behavior, loosely checked)."""
+    from vector_database_in_rust_spark.operators.relational import (
+        events_bootstrap_ci,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    out = {r["event_type"]: r for r in events_bootstrap_ci(ev).collect()}
+    assert out
+    for t, r in out.items():
+        assert r["ci_lo"] <= r["mean_value"] <= r["ci_hi"], t
+        assert r["ci_hi"] - r["ci_lo"] > 0
+    again = {r["event_type"]: r for r in events_bootstrap_ci(ev.repartition(11)).collect()}
+    assert {t: tuple(r) for t, r in out.items()} == {
+        t: tuple(r) for t, r in again.items()
+    }
+    small = ev.where("event_id % 10 = 0")
+    out_small = {
+        r["event_type"]: r for r in events_bootstrap_ci(small).collect()
+    }
+    wide = sum(r["ci_hi"] - r["ci_lo"] for r in out_small.values())
+    narrow = sum(r["ci_hi"] - r["ci_lo"] for r in out.values())
+    assert narrow < wide

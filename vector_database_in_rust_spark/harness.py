@@ -4861,6 +4861,59 @@ def media_decode_png_q(spark, sf_dir):
     return image_decode_stats(media, decoder=decode_png)
 
 
+_BOOTSTRAP_ORACLE = """
+WITH reps AS (
+  SELECT e.event_type, g.b,
+         (('0x' || substr(md5('42:' || CAST(g.b AS VARCHAR) || ':'
+             || CAST(e.event_id AS VARCHAR)), 1, 6))::BIGINT + 0.5)
+           / 16777216.0 AS u,
+         e.value
+  FROM events e, unnest(generate_series(0, 31)) AS g(b)
+),
+weighted AS (
+  SELECT event_type, b, value,
+         CASE WHEN u < 0.36787944 THEN 0
+              WHEN u < 0.73575888 THEN 1
+              WHEN u < 0.91969860 THEN 2
+              WHEN u < 0.98101184 THEN 3
+              WHEN u < 0.99634015 THEN 4
+              WHEN u < 0.99940582 THEN 5
+              ELSE 6 END * 1.0 AS w
+  FROM reps
+),
+rm AS (
+  SELECT event_type, b, round(sum(w * value) / sum(w), 6) AS rep_mean
+  FROM weighted GROUP BY event_type, b
+),
+ci AS (
+  SELECT event_type,
+         round(quantile_cont(rep_mean, 0.025), 6) AS ci_lo,
+         round(quantile_cont(rep_mean, 0.975), 6) AS ci_hi
+  FROM rm GROUP BY event_type
+)
+SELECT e.event_type, round(avg(e.value), 6) AS mean_value,
+       any_value(ci.ci_lo) AS ci_lo, any_value(ci.ci_hi) AS ci_hi
+FROM events e JOIN ci ON e.event_type = ci.event_type
+GROUP BY e.event_type
+"""
+
+
+@register("events_bootstrap_ci", _BOOTSTRAP_ORACLE)
+def events_bootstrap_ci_q(spark, sf_dir):
+    """Poisson-bootstrap CI (relational.events_bootstrap_ci — Chamandy
+    et al. 2012, the distributed bootstrap): every row draws a
+    DETERMINISTIC md5-derived Poisson(1) weight per replicate, so the
+    [2.5%, 97.5%] interval of 32 replicate means is one map-side
+    weighted aggregation — |types| × 32 rows cross the exchange, never
+    n × 32. The whole CI is a pure function of the data; every bound
+    hash-checked."""
+    from vector_database_in_rust_spark.operators.relational import (
+        events_bootstrap_ci,
+    )
+
+    return events_bootstrap_ci(load_table(spark, sf_dir, "events"))
+
+
 _TRANSITIONS_ORACLE = """
 WITH bg AS (
   SELECT event_type AS cur,

@@ -2060,3 +2060,84 @@ def fuzzy_name_pairs(
         )
         .where(F.col("dist") <= max_dist)
     )
+
+
+# Poisson(1) inverse-CDF thresholds (cumulative e^-1 * Σ 1/k!); fixed
+# LITERALS shared verbatim with the SQL oracle so both dialects draw the
+# identical weight from the identical hash-uniform.
+POISSON1_CDF = (0.36787944, 0.73575888, 0.91969860, 0.98101184,
+                0.99634015, 0.99940582)
+
+
+def events_bootstrap_ci(
+    events: DataFrame,
+    *,
+    n_replicates: int = 32,
+    seed: int = 42,
+) -> DataFrame:
+    """Poisson-bootstrap confidence interval for the per-type mean
+    value — THE distributed bootstrap (Chamandy et al., Google 2012
+    "Estimating uncertainty for massive data streams"): instead of
+    resampling n rows with replacement (which needs global
+    coordination), every row draws an independent Poisson(1) weight
+    per replicate — the multinomial resample's limit — so replicate
+    estimates are one map-side weighted aggregation, embarrassingly
+    parallel at any scale.
+
+    Weights are DETERMINISTIC: the md5 of (seed, replicate, event_id)
+    mapped through the fixed Poisson(1) inverse-CDF ladder — the
+    repo's hash-sampling discipline, making the whole CI a pure
+    function of the data (reproducible, retry-safe, oracle-checkable).
+
+    Emits (event_type, mean_value, ci_lo, ci_hi): the plain mean and
+    the [2.5%, 97.5%] percentile interval of the replicate means.
+
+    Scale: the replicate explosion is a map-side fan-out folded
+    immediately into a (type, replicate)-keyed partial aggregate —
+    |types| × n_replicates rows cross the exchange, never n ×
+    n_replicates; the CI is a percentile over n_replicates values.
+    """
+    b = F.explode(F.sequence(F.lit(0), F.lit(n_replicates - 1))).alias("b")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.lit(str(seed)), F.col("b"), F.col("event_id")
+                    )
+                ),
+                1,
+                6,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(16.0**6)
+    w = F.lit(len(POISSON1_CDF))
+    for k in range(len(POISSON1_CDF) - 1, -1, -1):
+        w = F.when(u < POISSON1_CDF[k], F.lit(k)).otherwise(w)
+    reps = (
+        events.select("event_id", "event_type", "value", b)
+        .select("event_type", "b", w.cast("double").alias("w"), "value")
+        .groupBy("event_type", "b")
+        .agg(
+            F.round(
+                F.sum(F.col("w") * F.col("value")) / F.sum("w"), 6
+            ).alias("rep_mean")
+        )
+    )
+    ci = reps.groupBy("event_type").agg(
+        F.percentile(F.col("rep_mean"), F.array(F.lit(0.025), F.lit(0.975))).alias(
+            "_ci"
+        )
+    )
+    base = events.groupBy("event_type").agg(
+        F.round(F.avg("value"), 6).alias("mean_value")
+    )
+    return base.join(ci, "event_type").select(
+        "event_type",
+        "mean_value",
+        F.round(F.col("_ci")[0], 6).alias("ci_lo"),
+        F.round(F.col("_ci")[1], 6).alias("ci_hi"),
+    )
