@@ -290,3 +290,56 @@ def test_bootstrap_ci_brackets_mean_and_narrows_with_n(spark):
     wide = sum(r["ci_hi"] - r["ci_lo"] for r in out_small.values())
     narrow = sum(r["ci_hi"] - r["ci_lo"] for r in out.values())
     assert narrow < wide
+
+
+def test_ks_matches_scipy_free_reference(spark):
+    """KS stat vs a driver-side exact reference on the real data, and
+    the identical-distribution sanity case (A vs A -> D == 0)."""
+    from vector_database_in_rust_spark.operators.relational import (
+        events_ks_test,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    r = events_ks_test(ev).collect()[0]
+    rows = ev.where("event_type in ('click','error')").select(
+        "value", "event_type"
+    ).collect()
+    a = sorted(x["value"] for x in rows if x["event_type"] == "click")
+    b = sorted(x["value"] for x in rows if x["event_type"] == "error")
+    import bisect
+
+    pts = sorted(set(a) | set(b))
+    d = max(
+        abs(bisect.bisect_right(a, v) / len(a) - bisect.bisect_right(b, v) / len(b))
+        for v in pts
+    )
+    assert r["ks_stat"] == round(d, 6)
+    assert (r["n_a"], r["n_b"]) == (len(a), len(b))
+    # A-vs-A sanity via a relabeled copy (calling with type_a == type_b
+    # is out of contract: the B sample would be empty):
+    half = ev.where("event_type = 'click'")
+    both = half.unionByName(
+        half.replace("click", "error", subset=["event_type"])
+    )
+    r2 = events_ks_test(both).collect()[0]
+    assert r2["ks_stat"] == 0.0 and not r2["reject"]
+
+
+def test_chi2_zero_on_perfectly_independent_table(spark):
+    from vector_database_in_rust_spark.operators.relational import (
+        docs_chi2_independence,
+    )
+
+    rows = [
+        (i, "t", lang, f"s{i % 4}", 1)
+        for i, lang in enumerate(
+            [l for l in ("en", "de") for _ in range(8)]
+        )
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    r = docs_chi2_independence(df).collect()[0]
+    # every lang sees every source equally often -> exact independence
+    assert r["chi2"] == 0.0
+    assert r["df"] == 3 and r["n"] == 16

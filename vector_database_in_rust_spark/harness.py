@@ -4861,6 +4861,85 @@ def media_decode_png_q(spark, sf_dir):
     return image_decode_stats(media, decoder=decode_png)
 
 
+_KS_ORACLE = """
+WITH ab AS (
+  SELECT value, event_type = 'click' AS is_a FROM events
+  WHERE event_type IN ('click', 'error')
+),
+per_v AS (
+  SELECT value,
+         sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS ca,
+         sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS cb
+  FROM ab GROUP BY value
+),
+tot AS (
+  SELECT sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS n_a,
+         sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS n_b
+  FROM ab
+),
+cum AS (
+  SELECT t.n_a, t.n_b,
+         abs(sum(ca) OVER (ORDER BY value
+                           ROWS UNBOUNDED PRECEDING) * 1.0 / t.n_a
+             - sum(cb) OVER (ORDER BY value
+                             ROWS UNBOUNDED PRECEDING) * 1.0 / t.n_b) AS d
+  FROM per_v, tot t
+)
+SELECT n_a, n_b, round(max(d), 6) AS ks_stat,
+       round(max(d), 6) > 1.358 * sqrt((n_a + n_b) * 1.0 / (n_a * n_b))
+         AS reject
+FROM cum GROUP BY n_a, n_b
+"""
+
+
+@register("events_ks_test", _KS_ORACLE)
+def events_ks_test_q(spark, sf_dir):
+    """Exact two-sample Kolmogorov-Smirnov test
+    (relational.events_ks_test): click vs error value distributions,
+    tie-correct (per-distinct-value counts accumulate BEFORE the ECDF
+    difference), large-sample 5% critical value. One distinct-value
+    aggregation + one range sort; sample sizes ride as in-DAG
+    broadcast scalars. Statistic + verdict hash-checked."""
+    from vector_database_in_rust_spark.operators.relational import (
+        events_ks_test,
+    )
+
+    return events_ks_test(load_table(spark, sf_dir, "events"))
+
+
+_CHI2_ORACLE = """
+WITH obs AS (
+  SELECT lang, source, count(*) AS o FROM documents GROUP BY lang, source
+),
+rt AS (SELECT lang, sum(o) AS rt FROM obs GROUP BY lang),
+ct AS (SELECT source, sum(o) AS ct FROM obs GROUP BY source),
+n AS (SELECT sum(o) * 1.0 AS n FROM obs),
+cells AS (
+  SELECT obs.lang, obs.source, obs.o, rt.rt * ct.ct / n.n AS e, n.n
+  FROM obs JOIN rt ON obs.lang = rt.lang
+           JOIN ct ON obs.source = ct.source
+           CROSS JOIN n
+)
+SELECT round(sum((o - e) * (o - e) / e), 6) AS chi2,
+       (count(DISTINCT lang) - 1) * (count(DISTINCT source) - 1) AS df,
+       CAST(any_value(n) AS BIGINT) AS n
+FROM cells
+"""
+
+
+@register("docs_chi2_independence", _CHI2_ORACLE)
+def docs_chi2_independence_q(spark, sf_dir):
+    """Chi-square independence (relational.docs_chi2_independence):
+    lang × source association on the crawl — χ², degrees of freedom,
+    N. Marginals roll up from the contingency table, never re-scanning
+    documents. Statistic hash-checked."""
+    from vector_database_in_rust_spark.operators.relational import (
+        docs_chi2_independence,
+    )
+
+    return docs_chi2_independence(_docs(spark, sf_dir))
+
+
 _BOOTSTRAP_ORACLE = """
 WITH reps AS (
   SELECT e.event_type, g.b,

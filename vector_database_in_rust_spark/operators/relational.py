@@ -2141,3 +2141,109 @@ def events_bootstrap_ci(
         F.round(F.col("_ci")[0], 6).alias("ci_lo"),
         F.round(F.col("_ci")[1], 6).alias("ci_hi"),
     )
+
+
+def events_ks_test(
+    events: DataFrame,
+    type_a: str = "click",
+    type_b: str = "error",
+    *,
+    alpha_c: float = 1.358,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov test between two event
+    types' value distributions: D = max |ECDF_a - ECDF_b|, evaluated
+    at every DISTINCT value with per-value tie counts accumulated
+    BEFORE the difference (the tie-correct formulation; a row-wise
+    running ECDF over tied values is order-dependent and wrong).
+    ``reject`` applies the large-sample critical value
+    c(α)·sqrt((n+m)/(n·m)), c(0.05) = 1.358.
+
+    Emits one row: (n_a, n_b, ks_stat, reject).
+
+    Scale: one hash aggregation on distinct values (map-side combine)
+    + one global ORDER BY value for the cumulative window — the same
+    single range-sort any exact ECDF costs; sample sizes ride along as
+    in-DAG broadcast scalars (no driver action). At fleet scale,
+    bucket values first and accept quantized D (the standard trade).
+    """
+    from pyspark.sql import Window
+
+    ab = events.where(F.col("event_type").isin(type_a, type_b)).select(
+        "value", (F.col("event_type") == type_a).alias("is_a")
+    )
+    per_v = ab.groupBy("value").agg(
+        F.sum(F.col("is_a").cast("long")).alias("ca"),
+        F.sum((~F.col("is_a")).cast("long")).alias("cb"),
+    )
+    totals = ab.agg(
+        F.sum(F.col("is_a").cast("long")).alias("n_a"),
+        F.sum((~F.col("is_a")).cast("long")).alias("n_b"),
+    )
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    diffs = per_v.crossJoin(F.broadcast(totals)).select(
+        "n_a",
+        "n_b",
+        F.abs(
+            F.sum("ca").over(w) / F.col("n_a")
+            - F.sum("cb").over(w) / F.col("n_b")
+        ).alias("d"),
+    )
+    return diffs.groupBy("n_a", "n_b").agg(
+        F.round(F.max("d"), 6).alias("ks_stat")
+    ).select(
+        "n_a",
+        "n_b",
+        "ks_stat",
+        (
+            F.col("ks_stat")
+            > alpha_c
+            * F.sqrt((F.col("n_a") + F.col("n_b")) / (F.col("n_a") * F.col("n_b")))
+        ).alias("reject"),
+    )
+
+
+def docs_chi2_independence(docs: DataFrame) -> DataFrame:
+    """Chi-square test of independence between ``lang`` and ``source``:
+    χ² = Σ (obs - exp)²/exp over the contingency table with
+    exp = row_total · col_total / N — the categorical-association
+    measurement behind "is language distribution uniform across
+    sources" checks on a crawl. Emits (chi2, df, n).
+
+    Scale: one (lang, source)-keyed count (map-side combine) + two
+    marginal rollups of THAT table (never re-scanning documents),
+    joined back cell-wise; the statistic is a |cells|-row sum.
+    """
+    obs = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o"))
+    row_t = obs.groupBy("lang").agg(F.sum("o").alias("rt"))
+    col_t = obs.groupBy("source").agg(F.sum("o").alias("ct"))
+    n = obs.agg(F.sum("o").cast("double").alias("n"))
+    cells = (
+        obs.join(F.broadcast(row_t), "lang")
+        .join(F.broadcast(col_t), "source")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "lang",
+            "source",
+            "o",
+            (F.col("rt") * F.col("ct") / F.col("n")).alias("e"),
+            "n",
+        )
+    )
+    dims = cells.agg(
+        F.count_distinct("lang").alias("r"), F.count_distinct("source").alias("c")
+    )
+    return (
+        cells.groupBy("n")
+        .agg(
+            F.round(
+                F.sum((F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e")),
+                6,
+            ).alias("chi2")
+        )
+        .crossJoin(F.broadcast(dims))
+        .select(
+            "chi2",
+            ((F.col("r") - 1) * (F.col("c") - 1)).cast("long").alias("df"),
+            F.col("n").cast("long").alias("n"),
+        )
+    )
