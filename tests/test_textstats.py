@@ -178,3 +178,28 @@ def test_boilerplate_ngrams_counts_docs_not_repeats(spark):
     )
     top = {r["ngram"]: r["df"] for r in boilerplate_ngrams(docs, top_k=5).collect()}
     assert top[header] == 2
+
+
+def test_source_entropy_bounds_and_collapse(spark):
+    """Entropy is bounded by ln(vocab); a templated (single-token)
+    source collapses to 0; a uniform source hits the bound exactly."""
+    import math
+
+    from vector_database_in_rust_spark.operators.textstats import (
+        source_token_entropy,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a a a a", "tmpl"),
+            (2, "a b c d e f", "rich"),
+            (3, "g h i j k l", "rich"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {r["source"]: r for r in source_token_entropy(docs).collect()}
+    assert out["tmpl"]["entropy"] == 0.0 and out["tmpl"]["vocab"] == 1
+    assert out["rich"]["vocab"] == 12
+    assert out["rich"]["entropy"] == round(math.log(12), 6)
+    for r in out.values():
+        assert r["entropy"] <= math.log(r["vocab"]) + 1e-6  # 6-digit rounding slack

@@ -4861,6 +4861,36 @@ def media_decode_png_q(spark, sf_dir):
     return image_decode_stats(media, decoder=decode_png)
 
 
+_ENTROPY_ORACLE = """
+WITH tok AS (
+  SELECT source, unnest(string_split(text, ' ')) AS token FROM documents
+),
+t2 AS (SELECT source, token FROM tok WHERE token <> ''),
+c AS (SELECT source, token, count(*) AS c FROM t2 GROUP BY source, token),
+n AS (SELECT source, sum(c) AS n FROM c GROUP BY source)
+SELECT c.source, CAST(any_value(n.n) AS BIGINT) AS n_tokens,
+       count(*) AS vocab,
+       round(sum(-(c.c * 1.0 / n.n) * ln(c.c * 1.0 / n.n)), 6) AS entropy
+FROM c JOIN n ON c.source = n.source
+GROUP BY c.source
+"""
+
+
+@register("source_entropy", _ENTROPY_ORACLE)
+def source_entropy_q(spark, sf_dir):
+    """Per-source token entropy (textstats.source_token_entropy): the
+    corpus-diversity signal a mixing stage weighs alongside volume —
+    a templated source shows low entropy at any document count. One
+    word-count-shaped aggregation; normalization is a window over the
+    vocab-sized aggregate, never a second text pass. Every (source,
+    entropy) hash-checked."""
+    from vector_database_in_rust_spark.operators.textstats import (
+        source_token_entropy,
+    )
+
+    return source_token_entropy(_docs(spark, sf_dir))
+
+
 _KS_ORACLE = """
 WITH ab AS (
   SELECT value, event_type = 'click' AS is_a FROM events

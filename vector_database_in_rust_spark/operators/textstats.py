@@ -489,3 +489,46 @@ def quality_logistic(
         F.round(score, 6).alias("quality_prob"),
         (F.round(score, 6) >= threshold).alias("kept"),
     )
+
+
+def source_token_entropy(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source Shannon token entropy (nats) — the corpus-diversity
+    signal a data-mixing stage weighs alongside volume: a source whose
+    token distribution has collapsed (templated/boilerplate content)
+    shows low entropy even at high document counts, and entropy is the
+    quantity DoReMi-style domain reweighting and dedup QA dashboards
+    track per slice.
+
+    H(source) = -Σ_t p(t) ln p(t), p from the source's token counts.
+    Emits (source, n_tokens, vocab, entropy) rounded to 6.
+
+    Scale: one (source, token)-keyed count — word-count shape,
+    map-side combinable — then per-source normalization as a window
+    sum over that AGGREGATE (vocab-sized, not corpus-sized). No
+    second pass over text.
+    """
+    from pyspark.sql import Window
+
+    tok = docs.select(
+        F.col(source_col).alias("source"),
+        F.explode(F.split(F.col(text_col), " ")).alias("token"),
+    ).where(F.col("token") != "")
+    counts = tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("source")
+    p = F.col("c") / F.sum("c").over(w)
+    per_tok = counts.select(
+        "source", "c", (-p * F.log(p)).alias("_h"), F.sum("c").over(w).alias("_n")
+    )
+    return (
+        per_tok.groupBy("source")
+        .agg(
+            F.first("_n").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).alias("vocab"),
+            F.round(F.sum("_h"), 6).alias("entropy"),
+        )
+    )
