@@ -536,3 +536,31 @@ def test_events_cube_single_expand_pass(audits):
     a = audits("events_cube")
     assert "Expand" in a.formatted
     assert a.n_shuffle_exchanges == 1
+
+
+def test_bootstrap_replicates_partially_aggregate(audits):
+    """events_bootstrap_ci: the replicate fan-out must fold into
+    partial (map-side) aggregates before any exchange — the whole
+    point of the Poisson bootstrap is that n x replicates rows never
+    shuffle."""
+    a = audits("events_bootstrap_ci")
+    assert a.n_hash_aggregates >= 4      # partial+final for reps and base
+    assert a.n_shuffle_exchanges <= 3
+
+
+def test_gram_matrix_map_side_combine(audits):
+    """gram_matrix: the d² fan-out partially aggregates map-side; the
+    corpus itself never shuffles (only (i, j)-keyed partials do)."""
+    a = audits("gram_matrix")
+    assert a.n_hash_aggregates >= 6
+    assert a.n_shuffle_exchanges <= 3
+    assert a.n_broadcast_exchanges == 0
+
+
+def test_source_entropy_single_wordcount_shuffle_chain(audits):
+    """source_entropy: one word-count exchange + one source rollup —
+    normalization must ride the vocab-sized aggregate, never a second
+    pass over text."""
+    a = audits("source_entropy")
+    assert a.n_shuffle_exchanges <= 2
+    assert a.n_hash_aggregates >= 4
