@@ -203,3 +203,24 @@ def test_source_entropy_bounds_and_collapse(spark):
     assert out["rich"]["entropy"] == round(math.log(12), 6)
     for r in out.values():
         assert r["entropy"] <= math.log(r["vocab"]) + 1e-6  # 6-digit rounding slack
+
+
+def test_zipf_fit_recovers_planted_exponent(spark):
+    """Plant an exact power law freq(r) = round(1000 * r^-0.8) and
+    recover the exponent; r² near 1 on exact data, and numpy's own
+    polyfit agrees."""
+    import numpy as np
+
+    from vector_database_in_rust_spark.operators.textstats import zipf_fit
+
+    freqs = [max(1, round(1000 * (r ** -0.8))) for r in range(1, 60)]
+    text = " ".join(f"w{r}" for r, f in enumerate(freqs) for _ in range(f))
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = zipf_fit(docs).collect()[0]
+    assert got["vocab"] == len(freqs)
+    assert abs(got["slope"] - (-0.8)) < 0.02
+    assert got["r2"] > 0.999
+    x = np.log(np.arange(1, len(freqs) + 1))
+    y = np.log(np.array(sorted(freqs, reverse=True), dtype=float))
+    slope_np = np.polyfit(x, y, 1)[0]
+    assert abs(got["slope"] - slope_np) < 1e-4

@@ -4861,6 +4861,45 @@ def media_decode_png_q(spark, sf_dir):
     return image_decode_stats(media, decoder=decode_png)
 
 
+_ZIPF_ORACLE = """
+WITH c AS (
+  SELECT token, count(*) AS c
+  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+  WHERE token <> '' GROUP BY token
+),
+xy AS (
+  SELECT ln(row_number() OVER (ORDER BY c DESC, token) * 1.0) AS x,
+         ln(c * 1.0) AS y, c
+  FROM c
+),
+agg AS (
+  SELECT count(*) * 1.0 AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy,
+         sum(c) AS n_tokens
+  FROM xy
+)
+SELECT CAST(n AS BIGINT) AS vocab, CAST(n_tokens AS BIGINT) AS n_tokens,
+       round((sxy - sx * sy / n) / (sxx - sx * sx / n), 6) AS slope,
+       round((sy - (sxy - sx * sy / n) / (sxx - sx * sx / n) * sx) / n, 6)
+         AS intercept,
+       round((sxy - sx * sy / n) * (sxy - sx * sy / n)
+             / ((sxx - sx * sx / n) * (syy - sy * sy / n)), 6) AS r2
+FROM agg
+"""
+
+
+@register("docs_zipf_fit", _ZIPF_ORACLE)
+def docs_zipf_fit_q(spark, sf_dir):
+    """Zipf's-law fit (textstats.zipf_fit): OLS slope of ln(freq) on
+    ln(rank) over the token distribution — the corpus-health scalar
+    (natural text ≈ -1; flat = templated content, steep = vocabulary
+    collapse). Closed-form sums over the VOCAB-sized aggregate;
+    slope/intercept/r² hash-checked."""
+    from vector_database_in_rust_spark.operators.textstats import zipf_fit
+
+    return zipf_fit(_docs(spark, sf_dir))
+
+
 _ENTROPY_ORACLE = """
 WITH tok AS (
   SELECT source, unnest(string_split(text, ' ')) AS token FROM documents

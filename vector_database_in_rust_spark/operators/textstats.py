@@ -532,3 +532,62 @@ def source_token_entropy(
             F.round(F.sum("_h"), 6).alias("entropy"),
         )
     )
+
+
+def zipf_fit(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+) -> DataFrame:
+    """Zipf's-law fit of the corpus token distribution: OLS slope of
+    ln(frequency) on ln(rank) — natural text sits near -1; a corpus
+    drifting toward 0 (flat) signals templated/duplicated content and
+    one drifting steeply negative signals vocabulary collapse. The
+    single-number corpus-health metric QA dashboards track next to
+    entropy.
+
+    Emits one row (vocab, n_tokens, slope, intercept, r2), all
+    rounded to 6. Closed-form OLS over (ln rank, ln freq) — exact
+    deterministic sums, no iterative fitting.
+
+    Scale: one word-count shuffle; the rank window and the OLS sums
+    run over the VOCAB-sized aggregate (sublinear in corpus size).
+    Ranks tie-break by token string, so equal-frequency runs are
+    deterministic in both dialects.
+    """
+    from pyspark.sql import Window
+
+    counts = (
+        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.orderBy(F.col("c").desc(), F.col("token"))
+    xy = counts.select(
+        F.log(F.row_number().over(w).cast("double")).alias("x"),
+        F.log(F.col("c").cast("double")).alias("y"),
+        F.col("c"),
+    )
+    agg = xy.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum("c").cast("long").alias("n_tokens"),
+    )
+    sxx_c = F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")
+    sxy_c = F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")
+    syy_c = F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")
+    slope = sxy_c / sxx_c
+    return agg.select(
+        F.col("n").cast("long").alias("vocab"),
+        "n_tokens",
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+            "intercept"
+        ),
+        F.round(sxy_c * sxy_c / (sxx_c * syy_c), 6).alias("r2"),
+    )
