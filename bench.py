@@ -16,6 +16,17 @@ reported ("n" in the JSON line records the repeat count). Contention
 guard: a >3x max/min spread within a query's repeats triggers one
 re-sample, and the per-query minimum is reported alongside the median
 ("queries_min") — see SPREAD_LIMIT below.
+
+Drift guard (r5 verdict item 3): the 3x spread guard can't see slow
+creep (e.g. r4->r5 recorded four 16-31% sub-second drifts that were
+session contention, not plan changes). Two additions:
+  * sub-second queries (median < SUBSEC_CUTOFF in the previous recorded
+    round) get extra repeats (SUBSEC_RUNS, default 5) so one noisy
+    sample can't move a 0.3s median by 30%;
+  * the previous round's BENCH_r{N}.json (highest N present) is loaded
+    and any per-query median drift beyond DRIFT_LIMIT (+-20%) is
+    annotated in the JSON line under "drift" as
+    {query: {"prev": s, "now": s, "pct": p}} — empty dict = no drift.
 """
 
 from __future__ import annotations
@@ -103,6 +114,34 @@ def run_median(spark, name: str, sf_dir: str, repeats: int) -> tuple[float, floa
     return statistics.median(times), min(times)
 
 
+# Queries below this previous-round median get SUBSEC_RUNS repeats: at
+# 0.3s scale a single contended sample shifts a 3-repeat median by the
+# very 20-30% the drift flag is meant to detect.
+SUBSEC_CUTOFF = 1.0
+DRIFT_LIMIT = 0.20
+
+
+def _previous_bench() -> dict[str, float]:
+    """Per-query medians from the highest-numbered BENCH_r{N}.json next
+    to this file (the driver records one per round); {} if none."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    best, best_n = None, -1
+    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if m and int(m.group(1)) > best_n:
+            best, best_n = path, int(m.group(1))
+    if best is None:
+        return {}
+    try:
+        with open(best) as fh:
+            return dict(json.load(fh).get("queries", {}))
+    except (OSError, ValueError):
+        return {}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -112,17 +151,34 @@ def main() -> None:
     spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
 
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    subsec_runs = max(repeats, int(os.environ.get("SPARK_GRAFT_SUBSEC_RUNS", "5")))
+    prev = _previous_bench()
     timings: dict[str, float] = {}
     mins: dict[str, float] = {}
+    drift: dict[str, dict[str, float]] = {}
     for name in BENCH_QUERIES:
+        n = subsec_runs if 0 < prev.get(name, float("inf")) < SUBSEC_CUTOFF else repeats
         try:
-            med, lo = run_median(spark, name, sf_dir, repeats)
+            med, lo = run_median(spark, name, sf_dir, n)
             timings[name] = round(med, 3)
             mins[name] = round(lo, 3)
         except Exception as exc:  # keep the bench line parseable on failure
             print(f"bench: {name} failed: {exc}", file=sys.stderr)
             timings[name] = -1.0
             mins[name] = -1.0
+            continue
+        p = prev.get(name, -1.0)
+        if p > 0 and med > 0 and abs(med - p) / p > DRIFT_LIMIT:
+            drift[name] = {
+                "prev": p,
+                "now": round(med, 3),
+                "pct": round(100.0 * (med - p) / p, 1),
+            }
+            print(
+                f"bench: {name} drifted {drift[name]['pct']:+.1f}% vs previous "
+                f"round ({p:.3f}s -> {med:.3f}s, n={n})",
+                file=sys.stderr,
+            )
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(
         json.dumps(
@@ -132,8 +188,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "queries_min": mins,
+                "drift": drift,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "n": repeats,
+                "n_subsec": subsec_runs,
             }
         )
     )

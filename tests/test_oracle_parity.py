@@ -36,40 +36,55 @@ def test_range_search_nonempty(spark):
     assert h.QUERIES["range_search"](spark, SF_SMOKE).count() >= 1
 
 
-def test_round5_window_composition():
+def _driver_verified() -> set[str]:
+    """Union of queries with a green row in any recorded driver window
+    (CORRECTNESS_r*.json at the repo root): hash-verified, or rows-only
+    green for queries that declare no oracle."""
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    verified: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        with open(path) as fh:
+            rows = json.load(fh)
+        for name, row in rows.items():
+            if row.get("hash_match") or (
+                row.get("rows_match") and row.get("err") == "no_oracle"
+            ):
+                verified.add(name)
+    return verified
+
+
+def test_round6_window_composition():
     """The driver hashes only queries()[:50] in dict order. Pin the
-    round-5 rotation: the window IS _ROUND5_WINDOW verbatim — the 14
-    queries that had never held a driver slot claim the front, then
-    this round's additions (media_decode_png, the oracle-backed
-    approx_event_stats verdict), then the materially-changed and
-    high-churn re-verification set. An accidental registration reorder
-    (e.g. a new @register placed before the rotation call) silently
-    un-verifies queries — this test makes that loud."""
+    round-6 rotation verbatim, and — the r5 verdict's recurrence fix —
+    RECOMPUTE the never-driver-verified set from the recorded
+    CORRECTNESS_r*.json files instead of hard-coding it. Registering a
+    new oracle-backed query without also granting it a front slot makes
+    this test fail, so registry growth can never outrun verification
+    again: the window must be (re)composed whenever the registry grows."""
     window = list(harness.QUERIES)[:50]
     assert len(set(window)) == 50
-    assert window == harness._ROUND5_WINDOW
-    never_verified = {
-        "csv_roundtrip",
-        "json_roundtrip",
-        "orc_roundtrip",
-        "csv_vector_roundtrip",
-        "media_resize",
-        "media_frames",
-        "knn_refine_bq",
-        "embed_hashed",
-        "embed_hashed_search",
-        "profile_events",
-        "corpus_shuffle",
-        "length_buckets",
-        "tpch_q4_order_priority",
-        "tpch_q12_shipmode",
-    }
-    missing = never_verified - set(window[:14])
-    assert not missing, f"never-verified query lost its front slot: {missing}"
+    assert window == harness._ROUND6_WINDOW
     # every window member must verify something: all 50 are oracle-backed
-    # (approx_event_stats included, via its round-5 verdict table)
     no_oracle = [q for q in window if q not in harness.ORACLES]
     assert not no_oracle, f"window slots without an oracle: {no_oracle}"
+
+    verified = _driver_verified()
+    never = {q for q in harness.ORACLES if q not in verified}
+    assert len(never) <= 50, (
+        f"{len(never)} never-verified oracle-backed queries cannot fit one "
+        "50-slot driver window — stop registering and rotate first"
+    )
+    missing = never - set(window)
+    assert not missing, (
+        f"oracle-backed queries would enter the next round unverified while "
+        f"window slots go to re-verification: {sorted(missing)}"
+    )
+    # the verification debt must be shrinking round-over-round (48 after r5)
+    assert len(never) <= 48, f"verification debt grew: {len(never)} > 48"
 
 
 def test_rotation_is_a_pure_permutation():

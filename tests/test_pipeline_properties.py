@@ -82,7 +82,7 @@ def _ref_winnow(docs, k=4, window=3):
         keys = []
         for i in range(n_grams):
             h = hashlib.md5(" ".join(toks[i : i + k]).encode()).hexdigest()[:16]
-            keys.append(f"{h}:{i:06d}")
+            keys.append(f"{h}:{i:010d}")
         for s in range(n_grams - window + 1):
             sel = min(keys[s : s + window])
             h, pos = sel.split(":")

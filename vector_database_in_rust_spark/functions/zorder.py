@@ -63,21 +63,29 @@ def zorder_layout(
     y_range: tuple[float, float],
     bits: int = 8,
     num_partitions: int = 16,
+    z_col: str = "z_value",
 ) -> DataFrame:
     """Re-layout ``df`` in z order over (``x_col``, ``y_col``): quantize
     both dimensions, compute the Morton code, range-partition on it and
     sort within partitions. Writing the result gives every file tight
     min/max stats on BOTH dimensions (the pruning contract; measured by
     the per-partition spread test rather than asserted abstractly).
+    The Morton code is added as ``z_col``; to avoid silently clobbering
+    caller data the name must not already exist in ``df``.
 
     Scale: one range shuffle on an 8-byte key — the same cost as any
     global sort-by-key; the z computation itself is map-side integer
     arithmetic. This is exactly what a nightly OPTIMIZE ZORDER BY job
     does, expressed as a plain DataFrame transform.
     """
+    if z_col in df.columns:
+        raise ValueError(
+            f"zorder_layout output column {z_col!r} already exists in the "
+            "input — pass a different z_col"
+        )
     xq = quantize(F.col(x_col), *x_range, bits=bits)
     yq = quantize(F.col(y_col), *y_range, bits=bits)
-    with_z = df.withColumn("z_value", z_value_2d(xq, yq, bits=bits))
-    return with_z.repartitionByRange(num_partitions, "z_value").sortWithinPartitions(
-        "z_value"
+    with_z = df.withColumn(z_col, z_value_2d(xq, yq, bits=bits))
+    return with_z.repartitionByRange(num_partitions, z_col).sortWithinPartitions(
+        z_col
     )

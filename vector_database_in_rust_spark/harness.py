@@ -6929,7 +6929,7 @@ t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
 g AS (
   SELECT doc_id, i - 1 AS pos,
          substring(md5(array_to_string(toks[i : i + 3], ' ')), 1, 16)
-           || ':' || lpad(CAST(i - 1 AS VARCHAR), 6, '0') AS gkey,
+           || ':' || lpad(CAST(i - 1 AS VARCHAR), 10, '0') AS gkey,
          len(toks) - 3 AS n_grams
   FROM t, unnest(generate_series(1, len(toks) - 3)) AS u(i)
   WHERE len(toks) >= 6
@@ -7242,4 +7242,78 @@ def _rotate_registry(front: list[str]) -> None:
         )
 
 
-_rotate_registry(_ROUND5_WINDOW)
+_ROUND6_WINDOW = [
+    # --- the two queries whose failure modes are least covered by any
+    #     other hash (r5 verdict item 7): watermarked stream-stream
+    #     interval join semantics; SCD2 incremental-merge
+    #     rebuild-equivalence ---
+    "stream_interval_join",
+    "events_scd2_merge",
+    # --- remaining 46 never-driver-verified oracle-backed queries
+    #     (computed from CORRECTNESS_r01..r05; the meta-test in
+    #     tests/test_oracle_parity.py recomputes this set from the
+    #     recorded driver JSON and fails if any member is missing from
+    #     the front, so registry growth can never outrun verification
+    #     again). Grouped by lane. ---
+    # TPC-H completion tail
+    "tpch_q9_product_profit",
+    "tpch_q16_supplier_counts",
+    "tpch_q19_discounted_revenue",
+    "tpch_q20_promotion_suppliers",
+    # analytics / warehouse lane
+    "events_funnel",
+    "events_retention",
+    "events_cube",
+    "events_unpivot",
+    "events_scd2",
+    "events_zorder",
+    "events_transitions",
+    "events_daily_full_join",
+    "dq_report",
+    # distributed-statistics lane
+    "events_bootstrap_ci",
+    "events_ks_test",
+    "docs_chi2_independence",
+    "docs_zipf_fit",
+    "source_entropy",
+    "gram_matrix",
+    "quality_logistic",
+    # training-pipeline lane
+    "dedup_segments",
+    "winnow_fingerprint",
+    "winnow_pairs",
+    "dedup_triangles",
+    "source_cap",
+    "weighted_sample",
+    "split_leakage_safe",
+    "hard_negatives",
+    "dsir_select",
+    "tokenize_bpe",
+    "diversity_sample",
+    "pipeline_pretrain_corpus",
+    # retrieval / search lane
+    "search_maxsim",
+    "ann_search_filtered",
+    "eval_rank_metrics",
+    "cooccurrence_pmi",
+    "fuzzy_name_pairs",
+    # sketch verdicts
+    "hll_merge_verdict",
+    "heavy_hitters_verdict",
+    "length_buckets_approx",
+    # media robustness lane
+    "media_decode_mulaw",
+    "media_decode_adpcm",
+    "media_frames_mjpeg",
+    "media_frames_mpeg1",
+    "media_frames_real",
+    "media_quarantine",
+    # --- 2 re-verification slots: the two largest r4->r5 bench drifts
+    #     (tpch_q1 +31%, text_stats +28%); a fresh driver row doubles as
+    #     drift-diagnosis evidence alongside BENCH_r06's n=5 medians ---
+    "tpch_q1_pricing",
+    "text_stats",
+]
+
+
+_rotate_registry(_ROUND6_WINDOW)

@@ -375,6 +375,13 @@ def minhash_lsh_pairs(
     r=4, b=16: P(candidate) at J=0.5 is 1-(1-0.5^4)^16 ~ 0.64, at
     J=0.8 ~ 0.9997, at J=0.3 ~ 0.12 — tune (num_perm, num_bands) per
     corpus; recall against the exact join is asserted in tests.
+
+    EAGER, unlike its lazy siblings: the returned pair list is
+    localCheckpoint(eager=True)-materialized so the persisted shingle
+    index can be released immediately (long-lived sessions would
+    otherwise accumulate executor cache). Callers composing this into a
+    larger DAG get a self-contained, already-computed DataFrame — the
+    work happens HERE, not at the downstream action.
     """
     rows_per_band = num_perm // num_bands
     # One persisted shingle index feeds signature generation AND the
@@ -1493,7 +1500,11 @@ def winnow_fingerprints(
     Hashes are md5-prefix HEX STRINGS, selection key ``hash:pos`` — the
     lexicographic min picks the smallest hash with the smallest position
     as the deterministic tie-break, portable bit-for-bit to the SQL
-    oracle (no engine-specific integer hash).
+    oracle (no engine-specific integer hash). Positions are zero-padded
+    to 10 digits so string order agrees with numeric order for any
+    document under 10^10 grams (far beyond a single row's 2 GiB string
+    cap; the r5 advisor flagged the earlier 6-digit pad, which broke the
+    smallest-position intent past 10^6 grams).
 
     Emits (doc_id, fp_pos, fp_hash), one row per selected fingerprint,
     ordered ties impossible (pos is unique within doc).
@@ -1514,7 +1525,7 @@ def winnow_fingerprints(
             F.concat(
                 F.substring(F.md5(F.array_join(F.slice(toks, i + 1, k), " ")), 1, 16),
                 F.lit(":"),
-                F.lpad(i.cast("string"), 6, "0"),
+                F.lpad(i.cast("string"), 10, "0"),
             ).alias("gkey"),
         ),
     )

@@ -1856,8 +1856,14 @@ def dq_report(
         F.sum(F.col("o_custkey").isNull().cast("long")).alias("_null_ck"),
         F.sum((F.col("o_totalprice") <= 0).cast("long")).alias("_bad_price"),
     )
+    # NULL primary keys are excluded from the uniqueness rollup for the
+    # same reason as the FK checks below: a NULL key is the not-null
+    # check's finding, and SQL count(DISTINCT ...) agrees (NULLs don't
+    # count as a key, let alone a duplicate one). TPC-H data never has a
+    # NULL o_orderkey, but the two dialects would diverge on one.
     dup = (
-        orders.groupBy("o_orderkey")
+        orders.filter(F.col("o_orderkey").isNotNull())
+        .groupBy("o_orderkey")
         .agg(F.count(F.lit(1)).alias("_c"))
         .agg(
             F.count(F.lit(1)).alias("_n_keys"),

@@ -21,6 +21,8 @@ second dropDuplicates on the fingerprint when the corpus needs it.
 
 from __future__ import annotations
 
+from vector_database_in_rust_spark.streaming import await_or_raise
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -93,5 +95,5 @@ def run_curate_stream_to_memory(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_sec)
+    await_or_raise(q, timeout_sec)
     return spark.table(table_name)

@@ -28,6 +28,8 @@ batch dedup pays, amortized per micro-batch; no driver-side state.
 
 from __future__ import annotations
 
+from vector_database_in_rust_spark.streaming import await_or_raise
+
 from pyspark.sql import DataFrame, SparkSession
 
 from vector_database_in_rust_spark.streaming.events import read_events_stream
@@ -75,5 +77,5 @@ def run_redelivery_dedup_to_memory(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_sec)
+    await_or_raise(q, timeout_sec)
     return spark.table(table_name)

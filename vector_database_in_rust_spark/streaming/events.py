@@ -16,6 +16,8 @@ dir makes the query restartable exactly-once.
 
 from __future__ import annotations
 
+from vector_database_in_rust_spark.streaming import await_or_raise
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -101,5 +103,5 @@ def run_rollup_to_memory(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_sec)
+    await_or_raise(q, timeout_sec)
     return spark.table(table_name)

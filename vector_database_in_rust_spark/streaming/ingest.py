@@ -17,6 +17,8 @@ rebuilds when drift accumulates (same regime as any IVF system).
 
 from __future__ import annotations
 
+from vector_database_in_rust_spark.streaming import await_or_raise
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -64,5 +66,5 @@ def ingest_vectors(
     if checkpoint_path is not None:
         writer = writer.option("checkpointLocation", checkpoint_path)
     q = writer.start()
-    q.awaitTermination(timeout_sec)
+    await_or_raise(q, timeout_sec)
     return q

@@ -11,6 +11,8 @@ of carry-forward (stream-stream joins cannot look back unboundedly).
 
 from __future__ import annotations
 
+from vector_database_in_rust_spark.streaming import await_or_raise
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -87,5 +89,5 @@ def run_join_to_memory(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_sec)
+    await_or_raise(q, timeout_sec)
     return spark.table(table_name)

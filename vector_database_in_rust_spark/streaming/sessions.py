@@ -18,6 +18,8 @@ Scale notes:
 
 from __future__ import annotations
 
+from vector_database_in_rust_spark.streaming import await_or_raise
+
 from typing import Iterator
 
 import pandas as pd
@@ -154,5 +156,5 @@ def run_sessionize_to_memory(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_sec)
+    await_or_raise(q, timeout_sec)
     return spark.table(table_name)
