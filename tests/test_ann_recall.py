@@ -1,0 +1,109 @@
+"""ANN recall regression gate (r5 verdict item 4): the published
+recall@10 table (NOTES / scripts/ann_recall_table.py) is enforced, not
+just printed. Rules, as recorded in NOTES_r5.md:
+
+* full-probe rows (IVF nprobe=16, hier all-cells, LSH, exact control)
+  must sit at exactly 1.0 — approximation may come ONLY from pruning;
+* pruned rows may not drop more than 0.05 absolute below the recorded
+  value without a declared setting change (every build/search seed is
+  fixed, so in practice the numbers reproduce exactly; the tolerance
+  absorbs library-version drift, not regressions).
+
+Both corpora are gated: the driver's uniform embeddings (structure-free
+adversarial control) and the structured synthetic corpus (planted
+clusters + MRL decay — the shape trained embedding models produce),
+where the funnel operators must show their real behavior (>= 0.9).
+"""
+
+from __future__ import annotations
+
+from tests.conftest import SF_ORACLE
+from vector_database_in_rust_spark.operators.ann_eval import (
+    recall_grid,
+    structured_embeddings,
+)
+
+# Recorded table, round 6 (uniform == the round-5 published table plus
+# the tuned hier default row; structured measured this round).
+UNIFORM_EXPECTED = {
+    ("IVF flat (16 cells)", "nprobe=4"): 0.781,
+    ("IVF flat (16 cells)", "nprobe=8"): 0.913,
+    ("IVF flat (16 cells)", "nprobe=10"): 0.963,
+    ("IVF flat (16 cells)", "nprobe=16"): 1.0,
+    ("Hierarchical IVF (8x8)", "nprobe_l1=3, nprobe=8"): 0.550,
+    ("Hierarchical IVF (8x8)", "default (k1, total/2)"): 0.931,
+    ("Hierarchical IVF (8x8)", "nprobe_l1=8, nprobe=64"): 1.0,
+    ("IVF-PQ (m=8, ksub=16)", "nprobe=16, refine=0"): 0.412,
+    ("IVF-PQ (m=8, ksub=16)", "nprobe=16, refine=4"): 0.713,
+    ("IVF-PQ (m=8, ksub=16)", "nprobe=16, refine=16"): 0.963,
+    ("Multi-probe LSH (8 tables)", "radius=0"): 1.0,
+    ("Multi-probe LSH (8 tables)", "radius=1"): 1.0,
+    ("BQ funnel (Hamming->exact)", "refine_factor=4"): 0.644,
+    ("BQ funnel (Hamming->exact)", "refine_factor=16"): 0.944,
+    ("Matryoshka funnel", "prefix=16, refine_factor=4"): 0.469,
+    ("Exact scan (control)", "-"): 1.0,
+}
+
+STRUCTURED_EXPECTED = {
+    ("IVF flat (16 cells)", "nprobe=4"): 1.0,
+    ("IVF flat (16 cells)", "nprobe=8"): 1.0,
+    ("IVF flat (16 cells)", "nprobe=10"): 1.0,
+    ("IVF flat (16 cells)", "nprobe=16"): 1.0,
+    ("Hierarchical IVF (8x8)", "nprobe_l1=3, nprobe=8"): 1.0,
+    ("Hierarchical IVF (8x8)", "default (k1, total/2)"): 1.0,
+    ("Hierarchical IVF (8x8)", "nprobe_l1=8, nprobe=64"): 1.0,
+    ("IVF-PQ (m=8, ksub=16)", "nprobe=16, refine=0"): 0.556,
+    ("IVF-PQ (m=8, ksub=16)", "nprobe=16, refine=4"): 0.981,
+    ("IVF-PQ (m=8, ksub=16)", "nprobe=16, refine=16"): 1.0,
+    ("Multi-probe LSH (8 tables)", "radius=0"): 1.0,
+    ("Multi-probe LSH (8 tables)", "radius=1"): 1.0,
+    ("BQ funnel (Hamming->exact)", "refine_factor=4"): 0.850,
+    ("BQ funnel (Hamming->exact)", "refine_factor=16"): 1.0,
+    ("Matryoshka funnel", "prefix=16, refine_factor=4"): 1.0,
+    ("Exact scan (control)", "-"): 1.0,
+}
+
+# Rows whose probe budget covers everything: approximation-free by
+# construction, must be exactly 1.0.
+FULL_PROBE = {
+    ("IVF flat (16 cells)", "nprobe=16"),
+    ("Hierarchical IVF (8x8)", "nprobe_l1=8, nprobe=64"),
+    ("Multi-probe LSH (8 tables)", "radius=0"),
+    ("Multi-probe LSH (8 tables)", "radius=1"),
+    ("Exact scan (control)", "-"),
+}
+
+TOLERANCE = 0.05
+
+
+def _check(grid: dict, expected: dict) -> list[str]:
+    problems = []
+    missing = set(expected) - set(grid)
+    if missing:
+        problems.append(f"grid rows disappeared: {sorted(missing)}")
+    for key, want in expected.items():
+        got = grid.get(key)
+        if got is None:
+            continue
+        if key in FULL_PROBE:
+            if got < 1.0:
+                problems.append(f"{key}: full-probe row dropped to {got:.3f}")
+        elif got < want - TOLERANCE:
+            problems.append(f"{key}: {got:.3f} < recorded {want:.3f} - {TOLERANCE}")
+    return problems
+
+
+def test_recall_table_uniform(spark):
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    problems = _check(recall_grid(emb), UNIFORM_EXPECTED)
+    assert not problems, "\n".join(problems)
+
+
+def test_recall_table_structured(spark):
+    grid = recall_grid(structured_embeddings(spark))
+    problems = _check(grid, STRUCTURED_EXPECTED)
+    # the structured corpus is the one where funnels must WORK, not
+    # merely match a recorded number (r5 verdict item 6's bar)
+    assert grid[("Matryoshka funnel", "prefix=16, refine_factor=4")] >= 0.9
+    assert grid[("Hierarchical IVF (8x8)", "default (k1, total/2)")] >= 0.9
+    assert not problems, "\n".join(problems)
