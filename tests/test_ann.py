@@ -206,6 +206,43 @@ def test_hierarchical_ivf_deterministic(spark, emb):
     ).count() == 0
 
 
+def test_hierarchical_search_batch_matches_per_query(spark, emb):
+    """The declarative batch probe must agree row-for-row with the
+    per-query path at the same (nprobe_l1, nprobe), and at full probe
+    with the exact scan — same invariants IVFIndex.search_batch pins."""
+    from vector_database_in_rust_spark.operators.ann import HierarchicalIVF
+
+    idx = HierarchicalIVF.build(emb, k1=4, k2=4, seed=42)
+    idx.assignments = idx.assignments.persist()
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_embedding"),
+    )
+    qvecs = {
+        r["query_id"]: [float(x) for x in r["query_embedding"]]
+        for r in queries.collect()
+    }
+    for l1, np_ in ((2, 6), (None, None), (4, 16)):
+        batch = {}
+        for r in idx.search_batch(
+            queries, 5, nprobe_l1=l1, nprobe=np_
+        ).collect():
+            batch.setdefault(r["query_id"], []).append((r["vec_id"], r["dist"]))
+        for qid, vec in qvecs.items():
+            per_q = [
+                (r["vec_id"], r["dist"])
+                for r in idx.search(vec, 5, nprobe_l1=l1, nprobe=np_).collect()
+            ]
+            assert batch.get(qid) == per_q, (l1, np_, qid)
+    # full probe == exact for every query
+    full = idx.search_batch(queries, 5, nprobe_l1=4, nprobe=16)
+    for qid, vec in qvecs.items():
+        exact_ids = [r["vec_id"] for r in knn_exact(emb, vec, 5).collect()]
+        got = [r["vec_id"] for r in full.filter(F.col("query_id") == qid).collect()]
+        assert got == exact_ids
+    idx.assignments.unpersist()
+
+
 def test_hierarchical_save_load_roundtrip(spark, emb, tmp_path):
     from vector_database_in_rust_spark.operators.ann import HierarchicalIVF
 

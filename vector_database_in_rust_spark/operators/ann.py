@@ -728,6 +728,91 @@ class HierarchicalIVF:
         return knn_exact(cand, list(map(float, query)), k,
                          id_col=self.id_col, vec_col=self.vec_col)
 
+    def search_batch(
+        self,
+        queries: DataFrame,
+        k: int,
+        *,
+        nprobe_l1: int | None = None,
+        nprobe: int | None = None,
+        query_id_col: str = "query_id",
+        query_vec_col: str = "query_embedding",
+        round_digits: int | None = 4,
+    ) -> DataFrame:
+        """Batch probe, fully declarative (no driver-side per-query
+        loop) — the two-level twin of ``IVFIndex.search_batch``:
+
+        1. queries x L1 centroids (broadcast; |queries| * k1 rows) ->
+           top-``nprobe_l1`` super-cells per query;
+        2. join the probed super-cells to the flattened (l1, l2) table,
+           rank the exposed sub-cells per query -> top-``nprobe``
+           composite cells;
+        3. candidates = assignments joined on the probed cells,
+           per-query exact re-rank via ranking window.
+
+        Defaults mirror :meth:`search`: all super-cells, half of all
+        sub-cells (the flat-equivalent probe budget).
+        """
+        total = sum(len(v) for v in self.l2_centroids.values())
+        if nprobe_l1 is None:
+            nprobe_l1 = len(self.l1_centroids)
+        if nprobe is None:
+            nprobe = max(1, total // 2)
+        spark = queries.sparkSession
+        l1_rows = [
+            (int(i), [float(x) for x in row])
+            for i, row in enumerate(self.l1_centroids)
+        ]
+        l1_df = spark.createDataFrame(l1_rows, "l1 INT, centroid ARRAY<DOUBLE>")
+        l2_rows = [
+            (int(l1), int(l1) * self.k2 + int(l2), [float(x) for x in row])
+            for l1, block in sorted(self.l2_centroids.items())
+            for l2, row in enumerate(block)
+        ]
+        l2_df = spark.createDataFrame(
+            l2_rows, "l1 INT, cell_id INT, centroid ARRAY<DOUBLE>"
+        )
+        q1 = queries.join(F.broadcast(l1_df), how="cross").select(
+            query_id_col,
+            query_vec_col,
+            "l1",
+            l2_squared(F.col(query_vec_col), F.col("centroid")).alias("_d1"),
+        )
+        w1 = Window.partitionBy(query_id_col).orderBy("_d1", "l1")
+        probed_l1 = (
+            q1.withColumn("_r1", F.row_number().over(w1))
+            .filter(F.col("_r1") <= nprobe_l1)
+            .select(query_id_col, query_vec_col, "l1")
+        )
+        q2 = probed_l1.join(F.broadcast(l2_df), on="l1").select(
+            query_id_col,
+            query_vec_col,
+            "cell_id",
+            l2_squared(F.col(query_vec_col), F.col("centroid")).alias("_d2"),
+        )
+        w2 = Window.partitionBy(query_id_col).orderBy("_d2", "cell_id")
+        probed = (
+            q2.withColumn("_r2", F.row_number().over(w2))
+            .filter(F.col("_r2") <= nprobe)
+            .select(query_id_col, query_vec_col, "cell_id")
+        )
+        cand = self.assignments.join(F.broadcast(probed), on="cell_id")
+        dist = l2_squared(F.col(self.vec_col), F.col(query_vec_col))
+        if round_digits is not None:
+            dist = F.round(dist, round_digits)
+        scored = cand.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(self.id_col).alias("vec_id"),
+            dist.alias("dist"),
+        )
+        w = Window.partitionBy("query_id").orderBy("dist", "vec_id")
+        return (
+            scored.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") <= k)
+            .drop("_r")
+            .orderBy("query_id", "dist", "vec_id")
+        )
+
     # -- persistence (same layout discipline as IVFIndex.save) ------------
 
     def save(self, spark: SparkSession, path: str) -> None:
