@@ -564,3 +564,33 @@ def test_source_entropy_single_wordcount_shuffle_chain(audits):
     a = audits("source_entropy")
     assert a.n_shuffle_exchanges <= 2
     assert a.n_hash_aggregates >= 4
+
+
+def test_hier_search_batch_broadcast_topk(spark):
+    """HierarchicalIVF.search_batch: both centroid tables and the probed
+    cell set must broadcast (the corpus NEVER sits on the build side),
+    the only nested-loop join is the tiny queries x L1 cross, no
+    sort-merge join appears, and the per-query top-k runs as a
+    map-side-bounded WindowGroupLimit — not a global sort of all
+    candidates. Shuffles: ranking windows + presentation sort only."""
+    from pyspark.sql import functions as F
+
+    from vector_database_in_rust_spark.operators.ann import HierarchicalIVF
+    from vector_database_in_rust_spark.plans.explain import audit
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    idx = HierarchicalIVF.build(emb, k1=4, k2=4, seed=42)
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_embedding"),
+    )
+    a = audit(idx.search_batch(queries, 5))
+    assert "CartesianProduct" not in a.formatted
+    assert not a.sort_merge_joins
+    # formatted AQE output repeats the initial plan, so every node
+    # appears twice: the real plan is 1 nested-loop (queries x L1) +
+    # 2 hash joins (L2 ranking, candidate scan).
+    assert a.broadcast_joins.count("BroadcastNestedLoopJoin") <= 2
+    assert a.broadcast_joins.count("BroadcastHashJoin") >= 2
+    assert a.has_partial_window_group_limit
+    assert a.n_shuffle_exchanges <= 4
