@@ -19,6 +19,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from vector_database_in_rust_spark.operators.ann_eval import (  # noqa: E402
     K,
+    N_QUERIES,
     SEED,
     recall_grid,
     structured_embeddings,
@@ -40,7 +41,7 @@ def main() -> None:
     for label, emb in corpora.items():
         n = emb.count()
         grid = recall_grid(emb)
-        print(f"\nrecall@{K} vs knn_exact, 16 self-queries, n={n}, "
+        print(f"\nrecall@{K} vs knn_exact, {N_QUERIES} self-queries, n={n}, "
               f"corpus: {label}, seed={SEED}\n")
         print("| method | setting | recall@10 |")
         print("|---|---|---|")

@@ -64,12 +64,13 @@ STRUCTURED_EXPECTED = {
 }
 
 # Rows whose probe budget covers everything: approximation-free by
-# construction, must be exactly 1.0.
+# construction, must be exactly 1.0. LSH rows are NOT here — their 1.0
+# is a measured property of the seeded corpus (bucket-union candidate
+# sets carry no structural guarantee), so they get the same 0.05
+# tolerance as every other genuinely-approximate row.
 FULL_PROBE = {
     ("IVF flat (16 cells)", "nprobe=16"),
     ("Hierarchical IVF (8x8)", "nprobe_l1=8, nprobe=64"),
-    ("Multi-probe LSH (8 tables)", "radius=0"),
-    ("Multi-probe LSH (8 tables)", "radius=1"),
     ("Exact scan (control)", "-"),
 }
 

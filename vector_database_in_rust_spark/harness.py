@@ -6398,7 +6398,8 @@ UNION ALL
 SELECT 'orders_orderkey_unique',
        (SELECT count(DISTINCT o_orderkey) FROM orders),
        (SELECT count(*) FROM (
-          SELECT o_orderkey FROM orders GROUP BY o_orderkey
+          SELECT o_orderkey FROM orders WHERE o_orderkey IS NOT NULL
+          GROUP BY o_orderkey
           HAVING count(*) > 1))
 UNION ALL
 SELECT 'orders_fk_customer',
