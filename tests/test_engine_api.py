@@ -169,3 +169,27 @@ def test_engine_search_filtered_indexed_equals_unindexed(spark):
         q, 5, metadata=meta, predicate=F.col("label") == 1, nprobe=8
     ).collect()
     assert [tuple(r) for r in idx] == [tuple(r) for r in plain]
+
+
+def test_build_index_hierarchical(spark, eng):
+    """build_index(hierarchical=True): same facade contract as the flat
+    build — self-query returns self at distance 0, full probe equals the
+    exact scan, search_batch works, and search_filtered refuses with a
+    clear error (flat-only capability)."""
+    eng.build_index(num_cells=16, hierarchical=True)
+    q = [float(x) for x in eng.df.filter("vec_id = 7").first()["embedding"]]
+    top = eng.search(q, 5, nprobe=16).collect()
+    assert top[0]["vec_id"] == 7 and top[0]["dist"] == 0.0
+    exact_ids = [r["vec_id"] for r in eng.search_exact(q, 5).collect()]
+    assert [r["vec_id"] for r in top] == exact_ids
+
+    queries = eng.df.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_embedding"),
+    )
+    batch = eng.search_batch(queries, 3, nprobe=16)
+    assert batch.count() == 9
+
+    meta = eng.df.select("vec_id", F.lit(1).alias("flag"))
+    with pytest.raises(NotImplementedError, match="flat IVF"):
+        eng.search_filtered(q, 3, metadata=meta, predicate=F.col("flag") == 1)

@@ -24,6 +24,7 @@ DataFrames (compose further) with ``.to_pairs()`` giving the reference's
 
 from __future__ import annotations
 
+import math
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -69,7 +70,7 @@ class VectorEngine:
             self.df = read_raw_f32(spark, source, dimensions)
         else:
             self.df = spark.read.parquet(source)
-        self.index: IVFIndex | None = None
+        self.index: "IVFIndex | HierarchicalIVF | None" = None
         self._packed: DataFrame | None = None
 
     # -- store ops --------------------------------------------------------
@@ -209,10 +210,19 @@ class VectorEngine:
         start_id: int | None = None,
         end_id: int | None = None,
         seed: int = 42,
+        hierarchical: bool = False,
     ) -> "VectorEngine":
         """== ``build_index(start, end)`` (src/lib.rs:336-341). The
         [start, end) range filter is kept for API parity; default is the
-        whole store."""
+        whole store.
+
+        ``hierarchical=True`` builds the two-level coarse quantizer
+        instead (``HierarchicalIVF`` with k1 = k2 = ceil(sqrt(cells)),
+        so the total cell count matches the flat build and ``nprobe``
+        means the same corpus fraction under either index) — the build
+        shape for cell counts beyond one KMeans fit; crossover notes in
+        SCALE.md. ``search``/``search_batch`` work identically on both;
+        ``search_filtered`` requires the flat index."""
         corpus = self.df
         if start_id is not None or end_id is not None:
             lo = start_id or 0
@@ -220,13 +230,30 @@ class VectorEngine:
             if end_id is not None:
                 cond = cond & (F.col(self.id_col) < end_id)
             corpus = corpus.filter(cond)
-        self.index = IVFIndex.build(
-            corpus,
-            num_cells=num_cells,
-            seed=seed,
-            id_col=self.id_col,
-            vec_col=self.vec_col,
-        )
+        if hierarchical:
+            from vector_database_in_rust_spark.operators.ann import (
+                HierarchicalIVF,
+                _num_cells_default,
+            )
+
+            k = num_cells or _num_cells_default(corpus.count())
+            side = max(2, int(math.ceil(math.sqrt(k))))
+            self.index = HierarchicalIVF.build(
+                corpus,
+                k1=side,
+                k2=side,
+                seed=seed,
+                id_col=self.id_col,
+                vec_col=self.vec_col,
+            )
+        else:
+            self.index = IVFIndex.build(
+                corpus,
+                num_cells=num_cells,
+                seed=seed,
+                id_col=self.id_col,
+                vec_col=self.vec_col,
+            )
         return self
 
     def search(
@@ -263,7 +290,13 @@ class VectorEngine:
         ``metadata`` restricts candidates BEFORE ranking, so the top-k
         always comes from the qualifying subset. Falls back to exact
         brute force over the filtered corpus when no index exists —
-        identical results, different cost."""
+        identical results, different cost. Requires the flat index
+        (build_index(hierarchical=False), the default)."""
+        if self.index is not None and not hasattr(self.index, "search_filtered"):
+            raise NotImplementedError(
+                "search_filtered requires the flat IVF index; rebuild with "
+                "build_index(hierarchical=False)"
+            )
         if self.index is None:
             keep = metadata.filter(predicate).select(
                 F.col(meta_id_col or self.id_col).alias(self.id_col)
