@@ -416,6 +416,12 @@ def minhash_lsh_pairs(
         "doc_id", F.col("band.band_id").alias("band_id"),
         F.col("band.band_hash").alias("band_hash"),
     )
+    # The self-join below executes the banded subtree TWICE (one per
+    # side) — and each execution re-runs the 64-permutation min-agg over
+    # the full shingle index. The banded table is |docs| * num_bands
+    # rows of three fixed-width columns: persist it so the signature
+    # pass runs once. Released with the shingle cache below.
+    banded = banded.persist()
     a = banded.alias("a")
     b = banded.alias("b")
     candidates = (
@@ -436,6 +442,7 @@ def minhash_lsh_pairs(
     # corpus) and makes the returned DataFrame self-contained.
     result = result.localCheckpoint(eager=True)
     sh.unpersist()
+    banded.unpersist()
     return result
 
 
@@ -511,6 +518,14 @@ def simhash_pairs(
         F.col("blk.block_id").alias("block_id"),
         F.col("blk.block_val").alias("block_val"),
     )
+    # The block self-join would otherwise execute the full fingerprint
+    # pass (tokenize + per-token hashing + 64-bit aggregation) once per
+    # side — Spark's ReuseExchange does not match the two aliased
+    # subtrees here. A LAZY localCheckpoint keeps the operator's
+    # composable-DataFrame contract (nothing runs until the caller's
+    # action) while both sides share one materialization of the
+    # |docs| * (max_hamming + 1)-row block table.
+    exploded = exploded.localCheckpoint(eager=False)
     a = exploded.alias("a")
     b = exploded.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
