@@ -38,10 +38,16 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> None:
     for c in got.columns:
         g, w = got[c], want[c]
         if pd.api.types.is_float_dtype(g) or pd.api.types.is_float_dtype(w):
+            # EXACT equality, not tolerance: the driver VALUE-HASHES
+            # both sides, so a last-ulp difference the old 1e-9
+            # tolerance absorbed would still flip a window row red.
+            # Every declared query rounds its float outputs in-plan
+            # precisely so both engines emit identical values — a
+            # round-6 sweep confirmed all 187 oracle-backed queries are
+            # bit-exact at sf0.01. A failure here means the query needs
+            # (more) in-plan rounding, not a looser mirror.
             for i, (a, b) in enumerate(zip(g.astype(float), w.astype(float))):
-                ok = (math.isnan(a) and math.isnan(b)) or math.isclose(
-                    a, b, rel_tol=0, abs_tol=1e-9
-                )
+                ok = (math.isnan(a) and math.isnan(b)) or a == b
                 assert ok, f"col {c} row {i}: spark={a!r} oracle={b!r}"
         else:
             mism = (g.astype(str) != w.astype(str))
