@@ -42,9 +42,7 @@ def last_verified_round() -> dict[str, int]:
         with open(path) as fh:
             rows = json.load(fh)
         for name, row in rows.items():
-            if row.get("hash_match") or (
-                row.get("rows_match") and row.get("err") == "no_oracle"
-            ):
+            if harness.correctness_row_green(row):
                 out[name] = max(out.get(name, 0), rnd)
     return out
 

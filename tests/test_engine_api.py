@@ -193,3 +193,17 @@ def test_build_index_hierarchical(spark, eng):
     meta = eng.df.select("vec_id", F.lit(1).alias("flag"))
     with pytest.raises(NotImplementedError, match="flat IVF"):
         eng.search_filtered(q, 3, metadata=meta, predicate=F.col("flag") == 1)
+
+
+def test_build_index_hierarchical_custom_id_col(spark):
+    """The hierarchical build must honor a custom id column name end to
+    end, like the flat path (it used to hardcode vec_id BIGINT)."""
+    df = (
+        spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+        .withColumnRenamed("vec_id", "doc_id")
+    )
+    eng = VectorEngine(spark, df, dimensions=64, id_col="doc_id")
+    eng.build_index(num_cells=16, hierarchical=True)
+    q = [float(x) for x in df.filter("doc_id = 7").first()["embedding"]]
+    top = eng.search(q, 3, nprobe=16).collect()
+    assert top[0]["vec_id"] == 7 and top[0]["dist"] == 0.0

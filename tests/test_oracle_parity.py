@@ -50,9 +50,7 @@ def _driver_verified() -> set[str]:
         with open(path) as fh:
             rows = json.load(fh)
         for name, row in rows.items():
-            if row.get("hash_match") or (
-                row.get("rows_match") and row.get("err") == "no_oracle"
-            ):
+            if harness.correctness_row_green(row):
                 verified.add(name)
     return verified
 

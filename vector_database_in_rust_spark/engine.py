@@ -31,7 +31,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from vector_database_in_rust_spark.operators import knn as knn_ops
-from vector_database_in_rust_spark.operators.ann import IVFIndex
+from vector_database_in_rust_spark.operators.ann import (
+    HierarchicalIVF,
+    IVFIndex,
+    _num_cells_default,
+)
 from vector_database_in_rust_spark.operators.validate import (
     add_vectors,
     validate_dims,
@@ -70,7 +74,7 @@ class VectorEngine:
             self.df = read_raw_f32(spark, source, dimensions)
         else:
             self.df = spark.read.parquet(source)
-        self.index: "IVFIndex | HierarchicalIVF | None" = None
+        self.index: IVFIndex | HierarchicalIVF | None = None
         self._packed: DataFrame | None = None
 
     # -- store ops --------------------------------------------------------
@@ -231,11 +235,6 @@ class VectorEngine:
                 cond = cond & (F.col(self.id_col) < end_id)
             corpus = corpus.filter(cond)
         if hierarchical:
-            from vector_database_in_rust_spark.operators.ann import (
-                HierarchicalIVF,
-                _num_cells_default,
-            )
-
             k = num_cells or _num_cells_default(corpus.count())
             side = max(2, int(math.ceil(math.sqrt(k))))
             self.index = HierarchicalIVF.build(

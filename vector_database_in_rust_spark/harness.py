@@ -7265,6 +7265,19 @@ _ROUND5_WINDOW = [
 ]
 
 
+def correctness_row_green(row: dict) -> bool:
+    """True if a recorded driver CORRECTNESS row counts as verification
+    evidence: hash-verified, or rows-green for a declared no-oracle
+    query. THE single definition — the window meta-test
+    (tests/test_oracle_parity.py) and the composition helper
+    (scripts/compose_window.py) both import it, so the gate and the
+    tool that feeds it can never drift apart."""
+    return bool(
+        row.get("hash_match")
+        or (row.get("rows_match") and row.get("err") == "no_oracle")
+    )
+
+
 def _rotate_registry(front: list[str]) -> None:
     missing = [k for k in front if k not in QUERIES]
     assert not missing, f"rotation names unknown queries: {missing}"

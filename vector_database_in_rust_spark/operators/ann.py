@@ -665,16 +665,20 @@ class HierarchicalIVF:
                     a2[m] = d2.argmin(axis=1)
                 yield pd.DataFrame(
                     {
-                        "vec_id": pdf[id_col].astype("int64"),
+                        id_col: pdf[id_col],
                         vec_col: pdf[vec_col],
                         "cell_id": (a1 * k2_ + a2).astype("int32"),
                     }
                 )
 
+        # Honor the caller's id column name AND type (the flat IVFIndex
+        # path does; hardcoding `vec_id BIGINT` here broke custom — e.g.
+        # string — ids under the engine facade's hierarchical build).
+        id_type = corpus.schema[id_col].dataType.simpleString()
         assignments = corpus.select(id_col, vec_col).mapInPandas(
-            assign, schema=f"vec_id BIGINT, {vec_col} ARRAY<FLOAT>, cell_id INT"
+            assign, schema=f"{id_col} {id_type}, {vec_col} ARRAY<FLOAT>, cell_id INT"
         )
-        return cls(l1_cent, l2_cent_np, assignments, id_col="vec_id", vec_col=vec_col)
+        return cls(l1_cent, l2_cent_np, assignments, id_col=id_col, vec_col=vec_col)
 
     def _probe_cells(self, query, *, nprobe_l1: int, nprobe: int) -> list[int]:
         q = np.asarray(query, dtype=np.float64)
