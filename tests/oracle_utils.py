@@ -37,7 +37,22 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> None:
     assert len(got) == len(want), f"row count: spark={len(got)} oracle={len(want)}"
     for c in got.columns:
         g, w = got[c], want[c]
-        if pd.api.types.is_float_dtype(g) or pd.api.types.is_float_dtype(w):
+        # Dtype identity first: the driver value-hashes each side's
+        # pandas repr, so an int64 Spark column against a float64
+        # oracle column (e.g. DuckDB HUGEINT→float64 coercion, the
+        # round-6 `events_ks_test` red row) hash-mismatches even when
+        # every value is equal. The old mirror coerced both sides to
+        # float before comparing and could never see this.
+        int_g = pd.api.types.is_integer_dtype(g)
+        int_w = pd.api.types.is_integer_dtype(w)
+        float_g = pd.api.types.is_float_dtype(g)
+        float_w = pd.api.types.is_float_dtype(w)
+        assert not (int_g and float_w) and not (float_g and int_w), (
+            f"col {c}: dtype class mismatch spark={g.dtype} oracle={w.dtype}"
+            " — the driver hashes these differently even if values match"
+            " (cast the oracle, e.g. HUGEINT sums to BIGINT)"
+        )
+        if float_g or float_w:
             # EXACT equality, not tolerance: the driver VALUE-HASHES
             # both sides, so a last-ulp difference the old 1e-9
             # tolerance absorbed would still flip a window row red.

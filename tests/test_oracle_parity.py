@@ -28,6 +28,38 @@ def test_all_oracles_have_queries():
     assert not missing
 
 
+# DECIMAL is tolerable ONLY where the paired Spark column is float:
+# DuckDB's .df() renders DECIMAL as float64, so the dtype classes agree
+# and compare()'s exact-value pass still guards the driver hash. Each
+# entry here is additionally covered by test_oracle_parity's dtype
+# assertion, which fails if the Spark side ever stops being float.
+_DECIMAL_FLOAT_PAIRED = {"events_histogram"}
+
+
+def test_oracle_result_types_portable(cons):
+    """No oracle may declare a DuckDB result type that pandas coerces
+    across dtype class: HUGEINT/UHUGEINT sums silently become float64,
+    so the driver value-hashes `2006.0` against Spark's long `2006`
+    and flags a mismatch with identical values (the round-6
+    `events_ks_test` red row — sum() over integers is HUGEINT unless
+    cast). `.types` binds without executing, so this sweeps all
+    oracles in under a second."""
+    banned = ("HUGEINT", "UHUGEINT", "UBIGINT", "UINTEGER", "USMALLINT")
+    con = cons[SF_SMOKE]
+    offenders = {}
+    for name, sql in harness.ORACLES.items():
+        types = [str(t) for t in con.sql(sql).types]
+        hits = [t for t in types if any(b in t for b in banned)]
+        if name not in _DECIMAL_FLOAT_PAIRED:
+            hits += [t for t in types if "DECIMAL" in t]
+        if hits:
+            offenders[name] = hits
+    assert not offenders, (
+        f"oracles declaring pandas-coercing DuckDB types (cast to "
+        f"BIGINT/DOUBLE in the SQL): {offenders}"
+    )
+
+
 def test_range_search_nonempty(spark):
     """Guard against a vacuous radius: the range query must return >0
     rows (the self-match at dist 0 guarantees at least one)."""

@@ -4976,8 +4976,12 @@ per_v AS (
   FROM ab GROUP BY value
 ),
 tot AS (
-  SELECT sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS n_a,
-         sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS n_b
+  -- CAST: DuckDB's sum() over integers yields HUGEINT, which pandas
+  -- coerces to float64 — the driver would then value-hash 2006.0
+  -- against Spark's long 2006 and flag a mismatch despite identical
+  -- values (the round-6 red row). BIGINT round-trips as int64.
+  SELECT CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS n_b
   FROM ab
 ),
 cum AS (
