@@ -594,3 +594,20 @@ def test_hier_search_batch_broadcast_topk(spark):
     assert a.broadcast_joins.count("BroadcastHashJoin") >= 2
     assert a.has_partial_window_group_limit
     assert a.n_shuffle_exchanges <= 4
+
+
+def test_corpus_shuffle_no_single_partition_exchange(audits):
+    """corpus_shuffle: the global position must come from the two-pass
+    range-sort + broadcast-offset design — a global row_number window
+    would plan as Exchange SinglePartition (one task sorts and numbers
+    the entire corpus; the round-6 scale finding). The returned plan
+    must contain NO single-partition exchange, the offset join must
+    broadcast (the offsets table is partition-count-sized), and the
+    numbering window must be partitioned (by _pid), never global."""
+    a = audits("corpus_shuffle")
+    assert "SinglePartition" not in a.formatted
+    assert a.broadcast_joins, "offset join must be a broadcast join"
+    assert not a.sort_merge_joins
+    # the window spec must carry a partition column: formatted plans
+    # print partitioned windows as "windowspecdefinition(_pid, ..."
+    assert "windowspecdefinition(_pid" in a.formatted

@@ -253,17 +253,48 @@ def corpus_shuffle(
     runs, partitionings and retries, and a different seed is a fresh
     epoch-order.
 
-    Scale: one range-partitioned global sort on a 32-hex-char key (the
-    standard distributed shuffle-the-dataset operation); emitting the
-    position via a single ascending row_number window over the sort
-    keeps key comparisons, not data, as the moving cost — rows carry
-    (id, key) only, and the payload is re-joined downstream if needed.
+    Scale: the textbook two-pass global index, NOT a global
+    ``row_number`` window (``Window.orderBy(...)`` plans as
+    ``Exchange SinglePartition`` — one task would sort and number the
+    whole corpus). Pass 1: range-partition + sort on the key (a true
+    distributed sort; rows carry (id, key) only, payload re-joins
+    downstream), pin the sorted partitions with an eager
+    localCheckpoint, and aggregate ONE count per partition to the
+    driver (state bounded by the partition count, never the corpus).
+    Pass 2: broadcast the cumulative offsets back and add them to a
+    per-partition ``row_number`` — every window here is partitioned,
+    so no single-partition exchange exists anywhere in the plan
+    (pinned in tests/test_plans.py). EAGER by design, like
+    ``minhash_lsh_pairs``: the checkpoint is what guarantees the
+    count pass and the numbering pass see identical partition
+    assignments; lineage is truncated, so a lost executor re-reads
+    checkpoint blocks rather than re-sorting.
     """
     key = F.md5(F.concat(F.lit(str(seed)), F.lit(":"), F.col(id_col).cast("string")))
-    w = Window.orderBy("shuffle_key")
-    return (
+    pidded = (
         docs.select(F.col(id_col).alias("doc_id"), key.alias("shuffle_key"))
-        .withColumn("position", F.row_number().over(w).cast("long"))
+        .repartitionByRange("shuffle_key", "doc_id")
+        .sortWithinPartitions("shuffle_key", "doc_id")
+        .select("doc_id", "shuffle_key", F.spark_partition_id().alias("_pid"))
+        .localCheckpoint()
+    )
+    counts = sorted(
+        (r["_pid"], r["count"])
+        for r in pidded.groupBy("_pid").count().collect()
+    )
+    offsets, running = [], 0
+    for pid, cnt in counts:
+        offsets.append((pid, running))
+        running += cnt
+    spark = docs.sparkSession
+    off_df = spark.createDataFrame(offsets, "_pid int, _offset long")
+    w = Window.partitionBy("_pid").orderBy("shuffle_key", "doc_id")
+    return (
+        pidded.join(F.broadcast(off_df), "_pid")
+        .withColumn(
+            "position",
+            (F.row_number().over(w).cast("long") + F.col("_offset")),
+        )
         .select("position", "doc_id", "shuffle_key")
     )
 
