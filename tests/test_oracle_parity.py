@@ -87,17 +87,41 @@ def _driver_verified() -> set[str]:
     return verified
 
 
-def test_round6_window_composition():
+def _last_green_round() -> dict[str, int]:
+    """query -> highest round number with a green driver row."""
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        rnd = int("".join(c for c in os.path.basename(path) if c.isdigit()))
+        with open(path) as fh:
+            rows = json.load(fh)
+        for name, row in rows.items():
+            if harness.correctness_row_green(row):
+                out[name] = max(out.get(name, 0), rnd)
+    return out
+
+
+def test_round7_window_composition():
     """The driver hashes only queries()[:50] in dict order. Pin the
-    round-6 rotation verbatim, and — the r5 verdict's recurrence fix —
+    round-7 rotation verbatim, and — the r5 verdict's recurrence fix —
     RECOMPUTE the never-driver-verified set from the recorded
     CORRECTNESS_r*.json files instead of hard-coding it. Registering a
     new oracle-backed query without also granting it a front slot makes
     this test fail, so registry growth can never outrun verification
-    again: the window must be (re)composed whenever the registry grows."""
+    again: the window must be (re)composed whenever the registry grows.
+
+    Round-7 extension (r6 verdict item 5): once debt is covered, the
+    REFILL slots must go to the least-recently-verified queries — the
+    last-green round must be non-decreasing across the refill tail, so
+    re-verification age, not registry position, decides who gets a
+    fresh driver row."""
     window = list(harness.QUERIES)[:50]
     assert len(set(window)) == 50
-    assert window == harness._ROUND6_WINDOW
+    assert window == harness._ROUND7_WINDOW
     # every window member must verify something: all 50 are oracle-backed
     no_oracle = [q for q in window if q not in harness.ORACLES]
     assert not no_oracle, f"window slots without an oracle: {no_oracle}"
@@ -113,12 +137,32 @@ def test_round6_window_composition():
         f"oracle-backed queries would enter the next round unverified while "
         f"window slots go to re-verification: {sorted(missing)}"
     )
-    # the debt must clear in ONE window: 48 carried into r6 + 1 round-6
-    # addition (ann_hier_recall_verdict), all holding front slots. A
-    # 50th new registration would have to displace the one remaining
-    # re-verification slot; a 51st is impossible without breaking the
-    # <=50 assertion above — which is the point.
-    assert len(never) <= 49, f"verification debt grew: {len(never)} > 49"
+    # Debt must stay window-sized with room for re-verification: at most
+    # a handful of new registrations per round, never a backlog. r7
+    # carries 3 (the r6 red row whose oracle was fixed this round + the
+    # two new ANN verdict twins).
+    assert len(never) <= 10, f"verification debt grew: {len(never)} > 10"
+
+    # refill tail ordered by verification age (oldest green first)
+    last_green = _last_green_round()
+    refill_rounds = [last_green[q] for q in window if q in verified]
+    assert refill_rounds == sorted(refill_rounds), (
+        "re-verification slots must go to the least-recently-verified "
+        f"queries first; got last-green sequence {refill_rounds}"
+    )
+    # staleness bound: with 47 refill slots the oldest un-refreshed
+    # evidence after a green r07 is r04 — nothing drifts past ~3 rounds
+    # without a fresh driver row
+    not_in_window = [
+        q for q in harness.ORACLES if q in verified and q not in window
+    ]
+    if not_in_window:
+        oldest_left_out = min(last_green[q] for q in not_in_window)
+        newest_refilled = max(refill_rounds) if refill_rounds else 0
+        assert oldest_left_out >= newest_refilled, (
+            "a staler query was left out of the window while a fresher "
+            "one holds a refill slot"
+        )
 
 
 def test_rotation_is_a_pure_permutation():

@@ -1148,6 +1148,21 @@ def embedding_sq8_q(spark, sf_dir):
 _MPLSH_CACHE: dict[str, object] = {}
 
 
+def _mplsh_index(spark, sf_dir):
+    """Shared (per sf_dir) multi-probe LSH index: the bucket table is
+    persisted once and reused by the rows-only probe query AND its
+    hash-verified verdict twin, so a driver window holding both builds
+    the index once."""
+    from vector_database_in_rust_spark.operators.ann import MultiProbeLSH
+
+    idx = _MPLSH_CACHE.get(sf_dir)
+    if idx is None:
+        idx = MultiProbeLSH.build(_emb(spark, sf_dir), n_tables=8, width=4.0, seed=42)
+        idx.buckets = idx.buckets.persist()
+        _MPLSH_CACHE[sf_dir] = idx
+    return idx
+
+
 @register("ann_multiprobe")
 def ann_multiprobe_q(spark, sf_dir):
     """Multi-probe LSH probe (Lv et al. 2007): the query's home bucket
@@ -1157,16 +1172,44 @@ def ann_multiprobe_q(spark, sf_dir):
     literal (pushdown / partition pruning on a table-partitioned
     save); candidates dedup before touching the store; emitted
     distances are exact. Approximate recall -> rows-only; bars in
-    tests/test_ann.py."""
-    from vector_database_in_rust_spark.operators.ann import MultiProbeLSH
-
-    idx = _MPLSH_CACHE.get(sf_dir)
-    if idx is None:
-        idx = MultiProbeLSH.build(_emb(spark, sf_dir), n_tables=8, width=4.0, seed=42)
-        idx.buckets = idx.buckets.persist()
-        _MPLSH_CACHE[sf_dir] = idx
-    return idx.search(
+    tests/test_ann.py; hash-verified driver twin in
+    ann_multiprobe_verdict."""
+    return _mplsh_index(spark, sf_dir).search(
         _query_vec(spark, sf_dir, 0), KNN_K, _emb(spark, sf_dir), probe_radius=1
+    )
+
+
+_ANN_MPLSH_VERDICT_ORACLE = f"""
+SELECT CAST({KNN_K} AS BIGINT) AS k,
+       TRUE AS self_hit,
+       TRUE AS r0_recall_ok,
+       TRUE AS monotone_ok
+"""
+
+
+@register("ann_multiprobe_verdict", _ANN_MPLSH_VERDICT_ORACLE)
+def ann_multiprobe_verdict_q(spark, sf_dir):
+    """Driver-verifiable verdict for the multi-probe LSH lane (round 7
+    — the same trick as ann_recall_verdict for the IVF lanes): the
+    query IS corpus vector 0, so its home bucket must contain it even
+    at radius 0 (corpus and query hashing agree end-to-end);
+    radius-0 recall vs the exact scan clears 0.5 (measured 1.0 at both
+    driver scales); and radius-1 hits >= radius-0 hits — a theorem for
+    correct probe semantics, since the radius-1 candidate set is a
+    superset and exact-top-k members always survive a candidate
+    top-k. Any broken perturbation list, bucket filter, or re-rank
+    flips a boolean and the driver hash."""
+    from vector_database_in_rust_spark.operators.ann import mplsh_verdict
+    from vector_database_in_rust_spark.operators.knn import knn_exact
+
+    idx = _mplsh_index(spark, sf_dir)
+    emb = _emb(spark, sf_dir)
+    q = _query_vec(spark, sf_dir, 0)
+    exact = knn_exact(emb, q, KNN_K)
+    r0 = idx.search(q, KNN_K, emb, probe_radius=0)
+    r1 = idx.search(q, KNN_K, emb, probe_radius=1)
+    return mplsh_verdict(
+        exact, r0, r1, k=KNN_K, query_id=0, min_recall=0.5
     )
 
 
@@ -1215,6 +1258,44 @@ def knn_sq8_q(spark, sf_dir):
     return knn_exact(deq, _query_vec(spark, sf_dir, 0), KNN_K)
 
 
+_REBAL_CACHE: dict[str, tuple] = {}
+_REBAL_N_NEW = 300
+_REBAL_FACTOR = 2.0
+
+
+def _rebalanced_index(spark, sf_dir):
+    """Shared (per sf_dir) drifted-then-rebalanced IVF index: 300
+    deterministic clustered vectors far outside the corpus cube arrive
+    via assign_new and pile into one cell; ``rebalance`` iterates
+    split_hot_cells until no cell exceeds factor x mean occupancy.
+    Returns (rebalanced_index, drift_point, new_batch_df); cached so
+    the rows-only occupancy query and its hash-verified verdict twin
+    build once per driver window."""
+    cached = _REBAL_CACHE.get(sf_dir)
+    if cached is not None:
+        return cached
+    import numpy as np
+
+    from vector_database_in_rust_spark.operators.ann import IVFIndex
+
+    rng = np.random.RandomState(7)
+    point = rng.rand(64) * 0.05 + 2.0
+    clustered = [
+        (100_000 + i, [float(x) for x in point + rng.rand(64) * 0.01], 0)
+        for i in range(_REBAL_N_NEW)
+    ]
+    new = spark.createDataFrame(
+        clustered, "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT"
+    )
+    idx = IVFIndex.build(_emb(spark, sf_dir), num_cells=16, seed=42)
+    idx.assign_new(new)
+    reb = idx.rebalance(factor=_REBAL_FACTOR, seed=42, max_rounds=6)
+    reb.assignments = reb.assignments.persist()
+    out = (reb, [float(x) for x in point], new)
+    _REBAL_CACHE[sf_dir] = out
+    return out
+
+
 @register("ann_rebalance")
 def ann_rebalance_q(spark, sf_dir):
     """Index maintenance under drift, driver-run: 300 deterministic
@@ -1226,23 +1307,44 @@ def ann_rebalance_q(spark, sf_dir):
     factor x mean occupancy. Returns the post-rebalance occupancy
     table. Approximate (KMeans) -> rows-only; invariants (no row lost,
     occupancy bound reached, full-probe still exact, deterministic)
-    pinned in tests/test_ann.py."""
-    import numpy as np
+    pinned in tests/test_ann.py; hash-verified driver twin in
+    ann_rebalance_verdict."""
+    reb, _, _ = _rebalanced_index(spark, sf_dir)
+    return reb.cell_stats()
 
-    from vector_database_in_rust_spark.operators.ann import IVFIndex
 
-    rng = np.random.RandomState(7)
-    point = rng.rand(64) * 0.05 + 2.0
-    clustered = [
-        (100_000 + i, [float(x) for x in point + rng.rand(64) * 0.01], 0)
-        for i in range(300)
-    ]
-    new = spark.createDataFrame(
-        clustered, "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT"
+_ANN_REBAL_VERDICT_ORACLE = f"""
+SELECT CAST((SELECT count(*) FROM embeddings) + {_REBAL_N_NEW} AS BIGINT)
+         AS n_total,
+       TRUE AS ids_unique,
+       TRUE AS occupancy_ok,
+       TRUE AS full_probe_exact
+"""
+
+
+@register("ann_rebalance_verdict", _ANN_REBAL_VERDICT_ORACLE)
+def ann_rebalance_verdict_q(spark, sf_dir):
+    """Driver-verifiable verdict for the drift-rebalance lane (round 7
+    — the last approximate lane without one): the rebalanced index
+    must hold exactly count(embeddings) + 300 rows with every id in
+    exactly one cell (the oracle PREDICTS n_total from the embeddings
+    table), satisfy the promised occupancy bound max <= 2 x mean, and
+    stay exact at full probe for a query INSIDE the drift cluster —
+    the region whose cells the splits rewrote. A split that drops or
+    duplicates rows, misses the bound, or breaks cell assignment flips
+    a value and the driver hash."""
+    from vector_database_in_rust_spark.operators.ann import rebalance_verdict
+    from vector_database_in_rust_spark.operators.knn import knn_exact
+
+    reb, point, new = _rebalanced_index(spark, sf_dir)
+    store = (
+        _emb(spark, sf_dir)
+        .select("vec_id", "embedding")
+        .unionByName(new.select("vec_id", "embedding"))
     )
-    idx = IVFIndex.build(_emb(spark, sf_dir), num_cells=16, seed=42)
-    idx.assign_new(new)
-    return idx.rebalance(factor=2.0, seed=42, max_rounds=6).cell_stats()
+    exact = knn_exact(store, point, KNN_K)
+    full = reb.search(point, KNN_K, nprobe=len(reb.centroids))
+    return rebalance_verdict(reb, exact, full, factor=_REBAL_FACTOR)
 
 
 # IVF-PQ: quantized serving layout, ORACLE-BACKED. At the measured
@@ -7374,4 +7476,67 @@ _ROUND6_WINDOW = [
 ]
 
 
-_rotate_registry(_ROUND6_WINDOW)
+_ROUND7_WINDOW = [
+    # --- 3 never-verified: the round-6 red row (oracle HUGEINT cast
+    #     fixed this round — values were already bit-exact) and the two
+    #     round-7 verdict twins that give the last rows-only ANN lanes
+    #     (multiprobe, rebalance) driver-verifiable evidence ---
+    "events_ks_test",
+    "ann_multiprobe_verdict",
+    "ann_rebalance_verdict",
+    # --- 47 re-verification slots, least-recently-verified first
+    #     (composed by scripts/compose_window.py; the meta-test checks
+    #     refills are ordered by verification age): the r01/r03 cohorts
+    #     have not been driver-checked in 4+ rounds of code change.
+    #     Max staleness after a green r07: r04. ---
+    "media_stats",  # last green r01
+    "range_search",  # last green r01
+    "knn_cosine",  # last green r01
+    "label_topk",  # last green r01
+    "label_centroids",  # last green r01
+    "sql_knn",  # last green r01
+    "sql_join_agg",  # last green r01
+    "parts_by_type",  # last green r01
+    "supplier_revenue",  # last green r01
+    "events_asof_join",  # last green r01
+    "events_percentiles",  # last green r01
+    "events_grouping_sets",  # last green r01
+    "order_status_setops",  # last green r01
+    "normalize_text",  # last green r01
+    "scan_embeddings",  # last green r03
+    "count_vectors",  # last green r03
+    "fetch_by_id",  # last green r03
+    "validate_dims",  # last green r03
+    "knn_join_documents",  # last green r03
+    "token_count",  # last green r03
+    "lang_id",  # last green r03
+    "quality_score",  # last green r03
+    "doc_fingerprint",  # last green r03
+    "multimodal_join",  # last green r03
+    "events_hourly_rollup",  # last green r03
+    "events_salted_agg",  # last green r03
+    "events_anomalies",  # last green r03
+    "events_pivot",  # last green r03
+    "events_histogram",  # last green r03
+    "events_json_stats",  # last green r03
+    "tpch_q1_pricing",  # last green r03
+    "top_customers_by_region",  # last green r03
+    "embedding_sq8",  # last green r03
+    "knn_sq8",  # last green r03
+    "ann_pq_search",  # last green r03
+    "stream_ann_ingest",  # last green r03
+    "multimodal_join_bucketed",  # last green r03
+    "vectors_upsert",  # last green r03
+    "vectors_delete",  # last green r03
+    "curate_corpus",  # last green r03
+    "curate_with_repetition",  # last green r03
+    "sample_stratified",  # last green r03
+    "mix_corpus",  # last green r03
+    "vocab_top_tokens",  # last green r03
+    "stream_hourly_rollup",  # last green r04
+    "stream_sessionize",  # last green r04
+    "shard_manifest",  # last green r04
+]
+
+
+_rotate_registry(_ROUND7_WINDOW)

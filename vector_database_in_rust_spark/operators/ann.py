@@ -1326,3 +1326,92 @@ def topk_recall_verdict(
             >= F.lit(float(min_recall)) * F.col("_n_exact_rows")
         ).alias("pruned_recall_ok"),
     )
+
+
+def mplsh_verdict(
+    exact: DataFrame,
+    r0: DataFrame,
+    r1: DataFrame,
+    *,
+    k: int,
+    query_id: int,
+    min_recall: float,
+) -> DataFrame:
+    """Single-row verdict making the multi-probe LSH lane
+    driver-hash-verifiable (round 7 — the last approximate lane
+    without one, with ``rebalance_verdict``): emit only what the
+    oracle can predict. Inputs are single-query (vec_id, dist) top-k
+    results at probe_radius 0 and 1 plus the exact scan. Columns:
+    ``k``; ``self_hit`` (the query IS corpus vector ``query_id``, so
+    its home bucket must contain it even at radius 0 — corpus hashing
+    and query hashing agreeing end-to-end); ``r0_recall_ok`` (home
+    buckets alone clear ``min_recall`` — measured 1.0 at both driver
+    scales, bar set far below); ``monotone_ok`` (radius-1 hits >=
+    radius-0 hits — a THEOREM for correct probe semantics: the
+    radius-1 candidate set is a superset, and every exact-top-k
+    member of a candidate set survives its top-k). A broken
+    perturbation list, bucket filter, or re-rank flips a boolean and
+    the driver hash."""
+    h0 = r0.join(exact.select("vec_id"), "vec_id").agg(
+        F.count(F.lit(1)).alias("_h0")
+    )
+    h1 = r1.join(exact.select("vec_id"), "vec_id").agg(
+        F.count(F.lit(1)).alias("_h1")
+    )
+    sh = r0.agg(
+        (F.sum(F.when(F.col("vec_id") == query_id, 1).otherwise(0)) > 0).alias(
+            "_self"
+        )
+    )
+    row = h0.join(F.broadcast(h1)).join(F.broadcast(sh))
+    return row.select(
+        F.lit(k).cast("long").alias("k"),
+        F.col("_self").alias("self_hit"),
+        (F.col("_h0") >= F.lit(float(min_recall)) * k).alias("r0_recall_ok"),
+        (F.col("_h1") >= F.col("_h0")).alias("monotone_ok"),
+    )
+
+
+def rebalance_verdict(
+    idx: "IVFIndex",
+    exact: DataFrame,
+    full_probe: DataFrame,
+    *,
+    factor: float,
+) -> DataFrame:
+    """Single-row verdict making the drift-rebalance lane
+    driver-hash-verifiable: the post-rebalance index must (a) hold
+    every row it was given — ``n_total`` is predictable SQL
+    (count(embeddings) + the deterministic drift batch) and
+    ``ids_unique`` pins exactly-one-cell-per-vector; (b) satisfy the
+    occupancy contract ``max <= factor * mean`` the rebalance loop
+    promises; (c) stay EXACT at full probe (``full_probe_exact`` —
+    splitting cells must never lose a vector from the searchable set;
+    the query sits inside the drift cluster so the split cells are the
+    ones exercised). All 1-row aggregates joined in one plan."""
+    occ = idx.cell_stats().agg(
+        F.sum("n_vectors").cast("long").alias("n_total"),
+        (F.max("n_vectors") <= F.lit(float(factor)) * F.avg("n_vectors")).alias(
+            "occupancy_ok"
+        ),
+    )
+    uniq = idx.assignments.agg(
+        (F.count(F.lit(1)) == F.count_distinct(F.col(idx.id_col))).alias(
+            "ids_unique"
+        )
+    )
+    n_exact = exact.agg(F.count(F.lit(1)).alias("_n_exact"))
+    hits = full_probe.join(exact.select("vec_id"), "vec_id").agg(
+        F.count(F.lit(1)).alias("_hits")
+    )
+    row = (
+        occ.join(F.broadcast(uniq))
+        .join(F.broadcast(n_exact))
+        .join(F.broadcast(hits))
+    )
+    return row.select(
+        "n_total",
+        "ids_unique",
+        "occupancy_ok",
+        (F.col("_hits") == F.col("_n_exact")).alias("full_probe_exact"),
+    )
