@@ -155,9 +155,11 @@ def main() -> None:
     prev = _previous_bench()
     timings: dict[str, float] = {}
     mins: dict[str, float] = {}
+    n_runs: dict[str, int] = {}
     drift: dict[str, dict[str, float]] = {}
     for name in BENCH_QUERIES:
         n = subsec_runs if 0 < prev.get(name, float("inf")) < SUBSEC_CUTOFF else repeats
+        n_runs[name] = n
         try:
             med, lo = run_median(spark, name, sf_dir, n)
             timings[name] = round(med, 3)
@@ -188,6 +190,12 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "queries_min": mins,
+                # per-query repeat count: sub-second queries run at
+                # n_subsec, the rest at n — without this map a reader
+                # cannot tell which n produced a given median, and
+                # cross-round drift comparisons can silently mix repeat
+                # counts (r6 ADVICE).
+                "repeats": n_runs,
                 "drift": drift,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "n": repeats,

@@ -4,6 +4,7 @@ mismatches are caught in pytest before the driver's per-round gate."""
 from __future__ import annotations
 
 import math
+import os
 
 import duckdb
 import pandas as pd
@@ -61,8 +62,20 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> None:
             # round-6 sweep confirmed all 187 oracle-backed queries are
             # bit-exact at sf0.01. A failure here means the query needs
             # (more) in-plan rounding, not a looser mirror.
+            #
+            # Remediation path for a Spark/DuckDB VERSION BUMP that
+            # shifts last-ulp results: run the suite once with
+            # SPARK_GRAFT_ORACLE_FLOAT_TOL=1e-9 to separate
+            # rounding-drift failures (pass under tolerance -> the
+            # query needs one more in-plan F.round / SQL round() digit
+            # trimmed) from real divergences (fail under tolerance
+            # too). The flag is triage-only: the driver's hash gate
+            # stays exact, so never ship with it set.
+            tol = float(os.environ.get("SPARK_GRAFT_ORACLE_FLOAT_TOL", "0"))
             for i, (a, b) in enumerate(zip(g.astype(float), w.astype(float))):
-                ok = (math.isnan(a) and math.isnan(b)) or a == b
+                ok = (math.isnan(a) and math.isnan(b)) or a == b or (
+                    tol > 0 and abs(a - b) <= tol
+                )
                 assert ok, f"col {c} row {i}: spark={a!r} oracle={b!r}"
         else:
             mism = (g.astype(str) != w.astype(str))

@@ -251,8 +251,43 @@ def test_hierarchical_save_load_roundtrip(spark, emb, tmp_path):
     before = [r["vec_id"] for r in idx.search(q, 5, nprobe_l1=2, nprobe=6).collect()]
     idx.save(spark, str(tmp_path / "hier"))
     idx2 = HierarchicalIVF.load(spark, str(tmp_path / "hier"))
+    assert idx2.k2 == idx.k2
     after = [r["vec_id"] for r in idx2.search(q, 5, nprobe_l1=2, nprobe=6).collect()]
     assert before == after and before
+
+
+def test_hierarchical_underfilled_stride(spark, emb, tmp_path):
+    """r6 ADVICE: the composite cell id is l1 * STRIDE + l2 with the
+    stride fixed at build time (the requested k2). When EVERY
+    super-cell under-fills (here: a 12-vector corpus cannot fill any
+    k2=8 sub-block), inferring the stride as max(block length) decodes
+    probes on the wrong stride — full probe must still be exact, and
+    the stride must survive save/load."""
+    from pyspark.sql import functions as F
+
+    from vector_database_in_rust_spark.operators.ann import HierarchicalIVF
+    from vector_database_in_rust_spark.operators.knn import knn_exact
+
+    tiny = emb.filter(F.col("vec_id") < 12)
+    idx = HierarchicalIVF.build(tiny, k1=3, k2=8, seed=42)
+    assert idx.k2 == 8
+    assert max(len(v) for v in idx.l2_centroids.values()) < 8
+    q = tiny.filter("vec_id = 1").first()["embedding"]
+    exact = [r["vec_id"] for r in knn_exact(tiny, q, 5).collect()]
+    total = sum(len(v) for v in idx.l2_centroids.values())
+    got = [
+        r["vec_id"]
+        for r in idx.search(q, 5, nprobe_l1=3, nprobe=total).collect()
+    ]
+    assert got == exact
+    idx.save(spark, str(tmp_path / "hier_uf"))
+    idx2 = HierarchicalIVF.load(spark, str(tmp_path / "hier_uf"))
+    assert idx2.k2 == 8
+    got2 = [
+        r["vec_id"]
+        for r in idx2.search(q, 5, nprobe_l1=3, nprobe=total).collect()
+    ]
+    assert got2 == exact
 
 # ---------------------------------------------------------------------------
 # IVF-PQ (memory-bound serving layout: coarse cells + product-quantized

@@ -221,12 +221,15 @@ class VectorEngine:
         whole store.
 
         ``hierarchical=True`` builds the two-level coarse quantizer
-        instead (``HierarchicalIVF`` with k1 = k2 = ceil(sqrt(cells)),
-        so the total cell count matches the flat build and ``nprobe``
-        means the same corpus fraction under either index) — the build
-        shape for cell counts beyond one KMeans fit; crossover notes in
-        SCALE.md. ``search``/``search_batch`` work identically on both;
-        ``search_filtered`` requires the flat index."""
+        instead (``HierarchicalIVF`` with k1 = round(sqrt(cells)) and
+        k2 = ceil(cells / k1), so k1*k2 is the smallest near-square
+        grid covering ``num_cells`` — exact for perfect squares, within
+        one k1-row otherwise, e.g. num_cells=10 builds 3x4=12; ``nprobe``
+        therefore denotes approximately the same corpus fraction under
+        either index) — the build shape for cell counts beyond one
+        KMeans fit; crossover notes in SCALE.md. ``search``/
+        ``search_batch`` work identically on both; ``search_filtered``
+        requires the flat index."""
         corpus = self.df
         if start_id is not None or end_id is not None:
             lo = start_id or 0
@@ -236,11 +239,12 @@ class VectorEngine:
             corpus = corpus.filter(cond)
         if hierarchical:
             k = num_cells or _num_cells_default(corpus.count())
-            side = max(2, int(math.ceil(math.sqrt(k))))
+            k1 = max(2, int(round(math.sqrt(k))))
+            k2 = max(2, int(math.ceil(k / k1)))
             self.index = HierarchicalIVF.build(
                 corpus,
-                k1=side,
-                k2=side,
+                k1=k1,
+                k2=k2,
                 seed=seed,
                 id_col=self.id_col,
                 vec_col=self.vec_col,

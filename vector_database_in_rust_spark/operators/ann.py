@@ -569,13 +569,24 @@ class HierarchicalIVF:
         *,
         id_col: str = "vec_id",
         vec_col: str = "embedding",
+        k2_stride: int | None = None,
     ):
         self.l1_centroids = np.asarray(l1_centroids, dtype=np.float64)
         self.l2_centroids = {int(k): np.asarray(v, dtype=np.float64) for k, v in l2_centroids.items()}
         self.assignments = assignments
         self.id_col = id_col
         self.vec_col = vec_col
-        self.k2 = max(len(v) for v in self.l2_centroids.values())
+        # The composite-cell encoding is cell_id = l1 * stride + l2 with
+        # the stride FIXED AT BUILD TIME (the requested k2), not inferred
+        # from the realized sub-block sizes: if every super-cell
+        # under-fills (tiny fit sample), max(len(block)) < the build
+        # stride and every probe would decode cell ids on the wrong
+        # stride. ``save``/``load`` round-trip it explicitly.
+        self.k2 = (
+            int(k2_stride)
+            if k2_stride is not None
+            else max(len(v) for v in self.l2_centroids.values())
+        )
 
     @classmethod
     def build(
@@ -678,7 +689,14 @@ class HierarchicalIVF:
         assignments = corpus.select(id_col, vec_col).mapInPandas(
             assign, schema=f"{id_col} {id_type}, {vec_col} ARRAY<FLOAT>, cell_id INT"
         )
-        return cls(l1_cent, l2_cent_np, assignments, id_col=id_col, vec_col=vec_col)
+        return cls(
+            l1_cent,
+            l2_cent_np,
+            assignments,
+            id_col=id_col,
+            vec_col=vec_col,
+            k2_stride=k2,
+        )
 
     def _probe_cells(self, query, *, nprobe_l1: int, nprobe: int) -> list[int]:
         q = np.asarray(query, dtype=np.float64)
@@ -838,6 +856,11 @@ class HierarchicalIVF:
         spark.createDataFrame(l2, "l1 INT, l2 INT, centroid ARRAY<DOUBLE>").coalesce(
             1
         ).write.mode("overwrite").parquet(f"{path}/l2_centroids")
+        # The cell-id stride is build-time state, not derivable from the
+        # centroid blocks (an under-filled build has max block < stride).
+        spark.createDataFrame([(int(self.k2),)], "k2_stride INT").coalesce(
+            1
+        ).write.mode("overwrite").parquet(f"{path}/meta")
 
     @classmethod
     def load(
@@ -858,7 +881,22 @@ class HierarchicalIVF:
             l2.setdefault(int(r["l1"]), []).append(r["centroid"])
         l2_np = {k: np.asarray(v) for k, v in l2.items()}
         assignments = spark.read.parquet(f"{path}/assignments")
-        return cls(l1, l2_np, assignments, id_col=id_col, vec_col=vec_col)
+        try:
+            stride = int(
+                spark.read.parquet(f"{path}/meta").first()["k2_stride"]
+            )
+        except Exception:
+            # pre-round-7 saves carry no meta; fall back to the old
+            # inference (correct whenever some super-cell filled up)
+            stride = None
+        return cls(
+            l1,
+            l2_np,
+            assignments,
+            id_col=id_col,
+            vec_col=vec_col,
+            k2_stride=stride,
+        )
 
 
 class IVFPQIndex:
