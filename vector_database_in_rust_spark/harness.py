@@ -7539,4 +7539,67 @@ _ROUND7_WINDOW = [
 ]
 
 
-_rotate_registry(_ROUND7_WINDOW)
+_ROUND8_WINDOW = [
+    # --- 0 never-verified: for the first time the whole registry holds
+    #     green driver evidence (189/189 after r07), so every slot goes
+    #     to re-verification. ---
+    # --- 50 re-verification slots, least-recently-verified first
+    #     (composed by scripts/compose_window.py; the meta-test checks
+    #     refills are ordered by verification age): the 41-query r04
+    #     cohort is the stalest evidence in the registry, topped up
+    #     with the 9 oldest r05 rows. Max staleness after a green r08:
+    #     r05 (3 rounds). ---
+    "pack_sequences",  # last green r04
+    "pack_bin_manifest",  # last green r04
+    "chunk_documents",  # last green r04
+    "json_quarantine",  # last green r04
+    "store_versions",  # last green r04
+    "store_diff",  # last green r04
+    "multimodal_features",  # last green r04
+    "embed_documents",  # last green r04
+    "pipeline_chunk_embed_search",  # last green r04
+    "sessionize_events",  # last green r04
+    "tpch_q3_shipping",  # last green r04
+    "orders_anti_join",  # last green r04
+    "orders_semi_join",  # last green r04
+    "tpch_q5_local_volume",  # last green r04
+    "tpch_q6_forecast",  # last green r04
+    "search_mmr",  # last green r04
+    "tpch_q10_returns",  # last green r04
+    "tpch_q14_promo",  # last green r04
+    "tpch_q18_large_orders",  # last green r04
+    "pipeline_curate_chunk_shard",  # last green r04
+    "decontaminate_corpus",  # last green r04
+    "search_bm25",  # last green r04
+    "search_hybrid_rrf",  # last green r04
+    "search_hybrid_rrf3",  # last green r04
+    "search_tfidf",  # last green r04
+    "inverted_index",  # last green r04
+    "dedup_substring",  # last green r04
+    "stream_dedup_redelivery",  # last green r04
+    "stream_curate",  # last green r04
+    "events_moving_avg",  # last green r04
+    "events_range_join",  # last green r04
+    "dedup_clusters",  # last green r04
+    "dedup_incremental",  # last green r04
+    "minhash_incremental",  # last green r04
+    "dedup_pagerank",  # last green r04
+    "dedup_apply",  # last green r04
+    "repetition_stats",  # last green r04
+    "redact_pii",  # last green r04
+    "media_decode_image",  # last green r04
+    "media_decode_audio",  # last green r04
+    "media_resize_real",  # last green r04
+    "l2_distance",  # last green r05
+    "cosine_similarity",  # last green r05
+    "knn_exact",  # last green r05
+    "knn_batch",  # last green r05
+    "dedup_exact",  # last green r05
+    "dedup_ngram_jaccard",  # last green r05
+    "dedup_fingerprint",  # last green r05
+    "dedup_embedding_cosine",  # last green r05
+    "csv_roundtrip",  # last green r05
+]
+
+
+_rotate_registry(_ROUND8_WINDOW)
