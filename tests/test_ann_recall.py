@@ -110,3 +110,64 @@ def test_recall_table_structured(spark):
     assert grid[("Matryoshka funnel", "prefix=16, refine_factor=4")] >= 0.9
     assert grid[("Hierarchical IVF (8x8)", "default (k1, total/2)")] >= 0.9
     assert not problems, "\n".join(problems)
+
+
+# Verdict-twin margin record (r7 verdict item 5). The driver-hash
+# verdicts ann_multiprobe_verdict / ann_rebalance_verdict assert
+# measured-quality clears a bar; these are the measured values at
+# SF_ORACLE and the drift bars that must hold so a tuning change
+# erodes a pytest margin BEFORE it can flip a driver hash.
+MPLSH_R0_RECALL_RECORDED = 1.0     # vs verdict bar harness._MPLSH_MIN_RECALL
+MPLSH_R0_MIN_HEADROOM = 0.25       # recall must stay >= bar + this
+REBAL_RATIO_RECORDED = 1.926       # realized max/mean vs bound _REBAL_FACTOR
+REBAL_RATIO_DRIFT = 0.05           # seeded build: tiny library-drift allowance
+
+
+def test_verdict_twin_margins(spark):
+    """Measure the exact quantities the two r7 verdict twins binarize,
+    and gate their margins:
+
+    * multiprobe radius-0 recall — recorded 1.0 against the verdict
+      bar ``harness._MPLSH_MIN_RECALL`` (0.5). The gate demands the
+      bar itself stays sane AND the measured recall keeps
+      ``MPLSH_R0_MIN_HEADROOM`` above it.
+    * rebalance occupancy ratio — recorded 1.926 against the verdict
+      bound ``harness._REBAL_FACTOR`` (2.0). Thin by construction
+      (the split loop stops the moment the bound holds), so the gate
+      pins the REALIZED ratio: it must stay below recorded + drift,
+      and strictly below the bound — the same seeded build the driver
+      hashes.
+    """
+    from vector_database_in_rust_spark import harness
+    from vector_database_in_rust_spark.operators.knn import knn_exact
+
+    emb = harness._emb(spark, SF_ORACLE)
+    q = harness._query_vec(spark, SF_ORACLE, 0)
+    idx = harness._mplsh_index(spark, SF_ORACLE)
+    exact = {r["vec_id"] for r in knn_exact(emb, q, harness.KNN_K).collect()}
+    r0 = {
+        r["vec_id"]
+        for r in idx.search(q, harness.KNN_K, emb, probe_radius=0).collect()
+    }
+    r0_recall = len(exact & r0) / len(exact)
+    bar = harness._MPLSH_MIN_RECALL
+    assert bar + MPLSH_R0_MIN_HEADROOM <= MPLSH_R0_RECALL_RECORDED, (
+        "the verdict bar was tuned too close to the recorded recall — "
+        "re-measure and re-record before raising _MPLSH_MIN_RECALL"
+    )
+    assert r0_recall >= bar + MPLSH_R0_MIN_HEADROOM, (
+        f"multiprobe r0 recall {r0_recall:.3f} eroded to within "
+        f"{MPLSH_R0_MIN_HEADROOM} of the driver-verdict bar {bar}"
+    )
+
+    reb, _, _ = harness._rebalanced_index(spark, SF_ORACLE)
+    occ = [r["n_vectors"] for r in reb.cell_stats().collect()]
+    ratio = max(occ) / (sum(occ) / len(occ))
+    assert ratio < harness._REBAL_FACTOR, (
+        f"occupancy ratio {ratio:.3f} violates the verdict bound — the "
+        "driver hash for ann_rebalance_verdict would flip"
+    )
+    assert ratio <= REBAL_RATIO_RECORDED + REBAL_RATIO_DRIFT, (
+        f"occupancy ratio drifted: {ratio:.3f} > recorded "
+        f"{REBAL_RATIO_RECORDED} + {REBAL_RATIO_DRIFT}"
+    )

@@ -1,0 +1,101 @@
+"""Pin bench.py's reading of driver-written BENCH_r{N}.json files.
+
+Driver artifact formats are twice-burned territory (r6: DuckDB HUGEINT
+sums hash-red; r7: the drift guard read top-level "queries" while every
+driver file nests the bench line under "parsed", so the guard and the
+sub-second n=5 repeats were dead code for six rounds). These tests load
+a byte-for-byte driver-shaped fixture — and the real driver files in
+the repo root when present — so a format change breaks a test, not six
+rounds of telemetry.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import bench
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# The envelope shape every driver-written BENCH_r*.json has had since
+# round 1 (top-level keys n/rc/cpus/sf/tail/parsed, bench line under
+# "parsed") — copied structurally from BENCH_r07.json.
+DRIVER_SHAPED = {
+    "n": 1,
+    "rc": 0,
+    "cpus": "32",
+    "sf": "0.1",
+    "tail": "...log tail...",
+    "parsed": {
+        "metric": "headline_queries_total_wall",
+        "value": 1.85,
+        "unit": "sec",
+        "queries": {"knn_exact": 0.35, "knn_batch": 1.5},
+        "queries_min": {"knn_exact": 0.33, "knn_batch": 1.4},
+        "n": 3,
+        "repeats": {"knn_exact": 5, "knn_batch": 3},
+        "drift": {},
+        "sf": "0.1",
+    },
+}
+
+
+def _prev_in(tmp_path, monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_DIR", str(tmp_path))
+    return bench._previous_bench()
+
+
+def test_previous_bench_reads_driver_envelope(tmp_path, monkeypatch):
+    (tmp_path / "BENCH_r07.json").write_text(json.dumps(DRIVER_SHAPED))
+    prev = _prev_in(tmp_path, monkeypatch)
+    assert prev == {"knn_exact": 0.35, "knn_batch": 1.5}
+
+
+def test_previous_bench_reads_bare_bench_line(tmp_path, monkeypatch):
+    """Builder-local runs record the script's own JSON line unwrapped."""
+    (tmp_path / "BENCH_r03.json").write_text(json.dumps(DRIVER_SHAPED["parsed"]))
+    prev = _prev_in(tmp_path, monkeypatch)
+    assert prev == {"knn_exact": 0.35, "knn_batch": 1.5}
+
+
+def test_previous_bench_picks_highest_round(tmp_path, monkeypatch):
+    old = dict(DRIVER_SHAPED, parsed=dict(DRIVER_SHAPED["parsed"], queries={"knn_exact": 9.9}))
+    (tmp_path / "BENCH_r02.json").write_text(json.dumps(old))
+    (tmp_path / "BENCH_r10.json").write_text(json.dumps(DRIVER_SHAPED))
+    prev = _prev_in(tmp_path, monkeypatch)
+    assert prev["knn_exact"] == 0.35
+
+
+def test_previous_bench_empty_without_files(tmp_path, monkeypatch):
+    assert _prev_in(tmp_path, monkeypatch) == {}
+
+
+def test_previous_bench_sf_gate(tmp_path, monkeypatch):
+    """A recorded round at a different scale factor is not a drift
+    baseline — builder-local sf0.01 runs must not compare against the
+    driver's sf0.1 medians (or vice versa)."""
+    (tmp_path / "BENCH_r07.json").write_text(json.dumps(DRIVER_SHAPED))
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_DIR", str(tmp_path))
+    assert bench._previous_bench("0.01") == {}
+    assert bench._previous_bench("0.1") == {"knn_exact": 0.35, "knn_batch": 1.5}
+
+
+def test_previous_bench_parses_real_driver_files():
+    """Against the actual driver artifacts in the repo root: every
+    recorded round must yield the full 14-query headline map, and the
+    default (env-free) call must pick the highest round. Skips only in
+    a checkout with no driver files."""
+    import pytest
+
+    paths = sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json")))
+    if not paths:
+        pytest.skip("no driver BENCH files recorded yet")
+    os.environ.pop("SPARK_GRAFT_BENCH_DIR", None)
+    prev = bench._previous_bench()
+    assert set(prev) == set(bench.BENCH_QUERIES), (
+        "driver BENCH format drifted: _previous_bench() no longer "
+        f"recovers the headline map (got {sorted(prev)})"
+    )
+    assert all(isinstance(v, float) and v > 0 for v in prev.values())

@@ -1209,7 +1209,7 @@ def ann_multiprobe_verdict_q(spark, sf_dir):
     r0 = idx.search(q, KNN_K, emb, probe_radius=0)
     r1 = idx.search(q, KNN_K, emb, probe_radius=1)
     return mplsh_verdict(
-        exact, r0, r1, k=KNN_K, query_id=0, min_recall=0.5
+        exact, r0, r1, k=KNN_K, query_id=0, min_recall=_MPLSH_MIN_RECALL
     )
 
 
@@ -1260,7 +1260,17 @@ def knn_sq8_q(spark, sf_dir):
 
 _REBAL_CACHE: dict[str, tuple] = {}
 _REBAL_N_NEW = 300
+# Verdict-twin tuning (round 8: config, not inline literals — the
+# margin gate in tests/test_ann_recall.py::test_verdict_twin_margins
+# reads these and fails BEFORE a tuning change can flip a driver hash):
+# occupancy bound for the rebalance verdict (max <= factor x mean;
+# realized ratio at sf0.01 measures 1.926 — thin by construction, the
+# rebalance loop stops as soon as the bound holds)...
 _REBAL_FACTOR = 2.0
+# ...and the radius-0 recall bar for the multiprobe verdict (measured
+# 1.0 at both driver scales; bar set far below so only a broken probe
+# pipeline, not corpus noise, can flip it).
+_MPLSH_MIN_RECALL = 0.5
 
 
 def _rebalanced_index(spark, sf_dir):

@@ -1396,10 +1396,14 @@ def mplsh_verdict(
     h1 = r1.join(exact.select("vec_id"), "vec_id").agg(
         F.count(F.lit(1)).alias("_h1")
     )
+    # coalesce: sum() over an EMPTY r0 is NULL, and NULL > 0 is NULL —
+    # an empty radius-0 result must report self_hit=false (a failed
+    # boolean the driver hash flags cleanly), not a null-schema oddity.
     sh = r0.agg(
-        (F.sum(F.when(F.col("vec_id") == query_id, 1).otherwise(0)) > 0).alias(
-            "_self"
-        )
+        F.coalesce(
+            F.sum(F.when(F.col("vec_id") == query_id, 1).otherwise(0)) > 0,
+            F.lit(False),
+        ).alias("_self")
     )
     row = h0.join(F.broadcast(h1)).join(F.broadcast(sh))
     return row.select(

@@ -265,10 +265,16 @@ def corpus_shuffle(
     per-partition ``row_number`` — every window here is partitioned,
     so no single-partition exchange exists anywhere in the plan
     (pinned in tests/test_plans.py). EAGER by design, like
-    ``minhash_lsh_pairs``: the checkpoint is what guarantees the
-    count pass and the numbering pass see identical partition
-    assignments; lineage is truncated, so a lost executor re-reads
-    checkpoint blocks rather than re-sorting.
+    ``minhash_lsh_pairs``: the checkpoint's one job is pinning
+    IDENTICAL partition contents for the count pass and the numbering
+    pass. It is NOT a fault-tolerance mechanism — ``localCheckpoint``
+    stores blocks on executor-local storage, so an executor loss loses
+    its blocks and (lineage being truncated) fails the job; recovery
+    is re-running ``corpus_shuffle`` from the source, which is safe
+    because the whole mapping is a pure function of (seed, doc_id).
+    On a cluster with a configured checkpoint dir, substitute reliable
+    ``checkpoint()`` for executor-loss survival at the cost of a
+    shared-storage write.
     """
     key = F.md5(F.concat(F.lit(str(seed)), F.lit(":"), F.col(id_col).cast("string")))
     pidded = (

@@ -24,6 +24,7 @@ similarity machinery (src/lib.rs:74-97) to the self-join setting.
 from __future__ import annotations
 
 import logging
+import os
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -574,13 +575,15 @@ def embedding_cosine_pairs(
     Exact implementations behind one contract (SURVEY §2.2's "UDFs are
     the fallback, measure first" policy, resolved by measurement here):
 
-    - ``impl="pandas"``: L2-normalize, broadcast the full normalized
-      matrix (N x d float64), and compute each Arrow batch's
-      similarities as ONE BLAS matmul in ``mapInPandas``, filtering to
-      the upper triangle before anything leaves the task. Measured ~10x
-      faster than the expression form at 2k x 2k x 64 — quadratic
-      per-pair work is exactly where interpreted HOF expressions lose to
-      vectorized numpy.
+    - ``impl="pandas"``: L2-normalize (Catalyst), stage the normalized
+      matrix (N x d float64) to executor-readable scratch parquet, and
+      compute each Arrow batch's similarities as ONE BLAS matmul in
+      ``mapInPandas`` (corpus loaded executor-side, memoized per
+      worker), filtering to the upper triangle before anything leaves
+      the task. Measured ~10x faster than the expression form at
+      2k x 2k x 64 — quadratic per-pair work is exactly where
+      interpreted HOF expressions lose to vectorized numpy. The driver
+      never materializes the corpus.
     - ``impl="expr"``: pure-Catalyst broadcast-NLJ with a zip_with dot
       per pair (no Python anywhere); kept for environments where the
       matrix broadcast is undesirable.
@@ -682,6 +685,50 @@ def lsh_cosine_pairs(
     )
 
 
+_UNIT_CORPUS_CACHE: dict[str, tuple] = {}
+
+
+def _load_unit_corpus(path: str):
+    """Executor-side load of the staged normalized corpus, memoized per
+    Python worker process (workers are reused across tasks, so each
+    worker reads the parquet once per job, not once per task). Runs on
+    the EXECUTOR — the driver never materializes the matrix."""
+    if path not in _UNIT_CORPUS_CACHE:
+        import numpy as np
+        import pyarrow.dataset as ds
+
+        tbl = ds.dataset(path, format="parquet").to_table(columns=["_id", "_u"])
+        ids = tbl["_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        unit = np.vstack(tbl["_u"].to_numpy(zero_copy_only=False))
+        order = np.argsort(ids, kind="stable")
+        _UNIT_CORPUS_CACHE.clear()  # one corpus at a time: bound worker memory
+        _UNIT_CORPUS_CACHE[path] = (ids[order], unit[order])
+    return _UNIT_CORPUS_CACHE[path]
+
+
+def _scratch_dir(spark, kind: str) -> str:
+    """Job-scoped scratch directory for executor-readable side data.
+
+    Configurable via ``spark.vdb.scratch.dir`` — on a real cluster point
+    it at shared storage (HDFS/S3) so every executor can read what any
+    executor wrote; the local[*] default lands under the system temp
+    dir. Best-effort cleanup at interpreter exit (driver-reachable
+    paths only)."""
+    import atexit
+    import shutil
+    import tempfile
+    import uuid
+
+    base = spark.conf.get("spark.vdb.scratch.dir", None) or os.path.join(
+        tempfile.gettempdir(), "vdb-scratch"
+    )
+    path = os.path.join(base, kind, uuid.uuid4().hex[:12])
+    atexit.register(
+        lambda p=path: os.path.isdir(p) and shutil.rmtree(p, ignore_errors=True)
+    )
+    return path
+
+
 def _cosine_pairs_pandas(
     emb: DataFrame,
     *,
@@ -691,27 +738,43 @@ def _cosine_pairs_pandas(
 ) -> DataFrame:
     """Blocked-matmul exact cosine pairs (see embedding_cosine_pairs).
 
-    The normalized corpus matrix rides to executors as a task broadcast
-    (N x d float64; 1e5 x 64 ~ 50 MB — within broadcast budget); each
-    Arrow batch of the distributed side does one ``batch @ corpus.T``.
+    The corpus never touches the driver (r7 verdict item 4): the
+    L2-normalization runs as Catalyst expressions and the normalized
+    matrix is STAGED to scratch parquet by the executors, then each
+    ``mapInPandas`` task loads it executor-side (memoized per Python
+    worker — see ``_load_unit_corpus``) and computes its Arrow batch's
+    similarities as ONE BLAS ``batch @ corpus.T``. Driver memory is
+    zero regardless of corpus size; per-executor residency is the
+    N x d float64 matrix (1e5 x 64 ~ 50 MB at the exact-route cap —
+    the same budget the previous task-broadcast form used). The staged
+    parquet doubles as the distributed A-side, so normalization is
+    computed once.
     """
     import numpy as np
     import pandas as pd
 
-    rows = emb.select(id_col, vec_col).collect()
-    ids = np.array([r[id_col] for r in rows], dtype=np.int64)
-    mat = np.array([r[vec_col] for r in rows], dtype=np.float64)
-    norms = np.linalg.norm(mat, axis=1, keepdims=True)
-    unit = np.divide(mat, norms, out=np.zeros_like(mat), where=norms != 0)
-    order = np.argsort(ids, kind="stable")
-    ids, unit = ids[order], unit[order]
-
     spark = emb.sparkSession
-    bc = spark.sparkContext.broadcast((ids, unit))
     par = spark.sparkContext.defaultParallelism
 
+    norm_col = F.sqrt(
+        F.aggregate(
+            F.transform(F.col(vec_col).cast("array<double>"), lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    unit_col = F.when(
+        norm_col == 0.0, F.col(vec_col).cast("array<double>")
+    ).otherwise(
+        F.transform(F.col(vec_col).cast("array<double>"), lambda x: x / norm_col)
+    )
+    corpus_path = _scratch_dir(spark, "cosine_corpus")
+    emb.select(F.col(id_col).alias("_id"), unit_col.alias("_u")).write.parquet(
+        corpus_path
+    )
+
     def block(batches):
-        b_ids, b_unit = bc.value
+        b_ids, b_unit = _load_unit_corpus(corpus_path)
         for pdf in batches:
             a_ids = pdf["_id"].to_numpy()
             a_unit = np.vstack(pdf["_u"].to_numpy())
@@ -727,21 +790,7 @@ def _cosine_pairs_pandas(
                 {"doc_a": out_a, "doc_b": out_b, "cosine": out_c},
             ).astype({"doc_a": "int64", "doc_b": "int64", "cosine": "float64"})
 
-    norm_col = F.sqrt(
-        F.aggregate(
-            F.transform(F.col(vec_col).cast("array<double>"), lambda x: x * x),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-    )
-    unit_col = F.when(
-        norm_col == 0.0, F.col(vec_col).cast("array<double>")
-    ).otherwise(
-        F.transform(F.col(vec_col).cast("array<double>"), lambda x: x / norm_col)
-    )
-    a_side = emb.select(
-        F.col(id_col).alias("_id"), unit_col.alias("_u")
-    ).repartition(par)
+    a_side = spark.read.parquet(corpus_path).repartition(par)
     return a_side.mapInPandas(
         block, schema="doc_a BIGINT, doc_b BIGINT, cosine DOUBLE"
     )

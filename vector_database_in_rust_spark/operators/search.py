@@ -154,6 +154,14 @@ def hybrid_search_rrf3(
     two fusion joins move 3 x ``depth`` rows total regardless of
     corpus size; the corpus itself is scanned once per lane and never
     re-read by the fusion.
+
+    Bounded-input windows: the three unpartitioned
+    ``Window.orderBy`` rank assignments here LOOK like the
+    single-partition anti-pattern but each runs over an
+    already-top-``depth``-truncated relation (``bm25_scores`` /
+    ``tfidf_scores`` ``top_n`` and ``knn_exact`` ``k`` are applied
+    upstream), so the single task ranks <= ``depth`` rows at any
+    corpus size — see SCALE.md's claim->pin table.
     """
     from pyspark.sql import Window
 
@@ -229,7 +237,11 @@ def hybrid_search_rrf(
     one ranker simply contributes nothing from it — the standard RRF
     outer-join semantics. Both rank lists are ``depth`` rows, so the
     fusion join is a broadcast of two tiny relations regardless of
-    corpus size."""
+    corpus size. The two unpartitioned ``Window.orderBy`` rank
+    assignments run over those same <= ``depth``-row relations
+    (truncated upstream by ``top_n``/``k``), so the single-partition
+    window is depth-bounded, not corpus-sized — see SCALE.md's
+    claim->pin table."""
     from pyspark.sql import Window
 
     from vector_database_in_rust_spark.operators.knn import knn_exact
