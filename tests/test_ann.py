@@ -596,3 +596,56 @@ def test_search_filtered_low_nprobe_subset(spark, emb, ivf16):
     ).collect()
     labels = {r["vec_id"]: r["label"] for r in meta.collect()}
     assert got and all(labels[r["vec_id"]] == 1 for r in got)
+
+
+def test_ivf_merge_union_exact(spark, emb):
+    """Sharded build + merge: two disjoint shards build independent
+    indexes; the merge must hold exactly the union (every id in one
+    cell) and stay exact at full probe over the merged corpus."""
+    from vector_database_in_rust_spark.operators.ann import IVFIndex
+    from vector_database_in_rust_spark.operators.knn import knn_exact
+
+    even = emb.filter("vec_id % 2 = 0")
+    odd = emb.filter("vec_id % 2 = 1")
+    a = IVFIndex.build(even, num_cells=8, seed=42)
+    b = IVFIndex.build(odd, num_cells=8, seed=43)
+    n_total = emb.count()
+    merged = a.merge(b)
+    assert merged.assignments.count() == n_total
+    assert merged.assignments.select("vec_id").distinct().count() == n_total
+    # merged cells only come from A's centroid set
+    max_cell = merged.assignments.agg({"cell_id": "max"}).first()[0]
+    assert max_cell < a.centroids.shape[0]
+
+    q = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
+    exact = [r["vec_id"] for r in knn_exact(emb, q, 10).collect()]
+    got = [
+        r["vec_id"]
+        for r in merged.search(q, 10, nprobe=merged.centroids.shape[0]).collect()
+    ]
+    assert got == exact
+
+
+def test_ivf_merge_then_rebalance_chain(spark, emb):
+    """Merging a skewed shard can leave hot cells; the documented
+    recovery (chain .rebalance()) must restore the occupancy bound
+    without losing rows."""
+    import numpy as np
+
+    from vector_database_in_rust_spark.operators.ann import IVFIndex
+
+    rng = np.random.RandomState(11)
+    point = rng.rand(64) * 0.05 + 3.0
+    clustered = [
+        (200_000 + i, [float(x) for x in point + rng.rand(64) * 0.01])
+        for i in range(200)
+    ]
+    shard_b = spark.createDataFrame(
+        clustered, "vec_id BIGINT, embedding ARRAY<FLOAT>"
+    )
+    a = IVFIndex.build(emb, num_cells=16, seed=42)
+    b = IVFIndex.build(shard_b, num_cells=4, seed=7)
+    merged = a.merge(b).rebalance(factor=2.0, seed=42, max_rounds=6)
+    occ = [r["n_vectors"] for r in merged.cell_stats().collect()]
+    assert sum(occ) == emb.count() + 200
+    assert max(occ) <= 2.0 * (sum(occ) / len(occ))

@@ -58,3 +58,90 @@ def test_ridge_regularization_shrinks(spark):
     w_small = ridge_fit(df, reg=1e-6)
     w_big = ridge_fit(df, reg=10.0)
     assert np.linalg.norm(w_big) < np.linalg.norm(w_small)
+
+
+def test_pca_whiten_identity_covariance(spark):
+    """The definition of whitening, end to end: whitened corpus has
+    ~zero mean and ~identity covariance; eigenvalues descend."""
+    import numpy as np
+
+    from vector_database_in_rust_spark.operators.linalg import (
+        _moment_stats,
+        pca_whiten,
+        pca_whiten_model,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    model = pca_whiten_model(emb)
+    assert np.all(np.diff(model["eigvals"]) <= 0)
+    white = pca_whiten(emb, model)
+    ztz, zs, n = _moment_stats(white, vec_col="whitened")
+    zmean = zs / n
+    zcov = ztz / n - np.outer(zmean, zmean)
+    k = len(model["eigvals"])
+    assert np.abs(zmean).max() < 1e-6
+    assert np.abs(zcov - np.eye(k)).max() < 1e-4
+
+
+def test_pca_whiten_matches_numpy(spark):
+    """Distributed fit+projection vs a straight numpy PCA whitening of
+    the collected matrix (test-scale oracle): same subspace, same
+    per-row whitened norms up to sign/rotation-free invariants —
+    compare via the Gram matrices of a small sample, which are
+    invariant to the eigenvector sign ambiguity."""
+    import numpy as np
+
+    from vector_database_in_rust_spark.operators.linalg import (
+        pca_whiten,
+        pca_whiten_model,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = emb.orderBy("vec_id").limit(50).collect()
+    x = np.array([r["embedding"] for r in rows], dtype=np.float64)
+
+    model = pca_whiten_model(emb)
+    got = (
+        pca_whiten(emb, model)
+        .filter("vec_id < 50")
+        .orderBy("vec_id")
+        .toPandas()
+    )
+    z_spark = np.vstack(got["whitened"].to_numpy())
+
+    full = np.array(
+        [r["embedding"] for r in emb.collect()], dtype=np.float64
+    )
+    mean = full.mean(axis=0)
+    cov = np.cov(full.T, bias=True)
+    eigvals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(eigvals)[::-1]
+    eigvals, vecs = eigvals[order], vecs[:, order]
+    z_np = (x - mean) @ (vecs @ np.diag(1.0 / np.sqrt(eigvals)))
+    # sign-invariant comparison: inner-product structure must agree
+    assert np.allclose(z_spark @ z_spark.T, z_np @ z_np.T, atol=1e-4)
+
+
+def test_pca_whiten_rank_truncation(spark):
+    """A corpus embedded in a lower-dimensional subspace must drop the
+    degenerate directions instead of dividing by ~zero eigenvalues."""
+    import numpy as np
+
+    from vector_database_in_rust_spark.operators.linalg import (
+        pca_whiten,
+        pca_whiten_model,
+    )
+
+    rng = np.random.RandomState(0)
+    base = rng.rand(80, 3)
+    lift = rng.rand(3, 8)  # rank-3 data in 8 dims
+    x = base @ lift
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(x)],
+        "vec_id BIGINT, embedding ARRAY<DOUBLE>",
+    )
+    model = pca_whiten_model(df, rank_rtol=1e-8)
+    assert len(model["eigvals"]) == 3
+    white = pca_whiten(df, model)
+    assert white.first()["whitened"].__len__() == 3
+    assert white.count() == 80

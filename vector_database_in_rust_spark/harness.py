@@ -1357,6 +1357,98 @@ def ann_rebalance_verdict_q(spark, sf_dir):
     return rebalance_verdict(reb, exact, full, factor=_REBAL_FACTOR)
 
 
+_ANN_MERGE_VERDICT_ORACLE = """
+SELECT CAST((SELECT count(*) FROM embeddings) AS BIGINT) AS n_total,
+       TRUE AS ids_unique,
+       TRUE AS full_probe_exact
+"""
+
+
+@register("ann_ivf_merge_verdict", _ANN_MERGE_VERDICT_ORACLE)
+def ann_ivf_merge_verdict_q(spark, sf_dir):
+    """Sharded index build + merge, driver-hash-verified (round 8):
+    the corpus splits into two deterministic shards (vec_id parity),
+    each shard builds its OWN IVF index in isolation (the
+    100 TB pattern: per-shard/per-day builds run in parallel, no
+    cross-shard coordination), then ``IVFIndex.merge`` folds shard B
+    into shard A's cell structure with one broadcast-argmin pass over
+    B only. The verdict pins: merged row count == count(embeddings)
+    (the oracle PREDICTS it from the table), every id in exactly one
+    cell, and full-probe search over the merged index EXACTLY equals
+    the exact scan over the whole corpus — a merge that drops,
+    duplicates, or mis-assigns any vector flips a value and the
+    driver hash. Scale: merge cost is O(|B| x cells_A) broadcast
+    work, embarrassingly parallel; A's assignment table is untouched."""
+    from vector_database_in_rust_spark.operators.ann import (
+        IVFIndex,
+        merge_verdict,
+    )
+    from vector_database_in_rust_spark.operators.knn import knn_exact
+
+    emb = _emb(spark, sf_dir)
+    even = emb.filter(F.col("vec_id") % 2 == 0)
+    odd = emb.filter(F.col("vec_id") % 2 == 1)
+    a = IVFIndex.build(even, num_cells=8, seed=42)
+    b = IVFIndex.build(odd, num_cells=8, seed=43)
+    merged = a.merge(b)
+    q = _query_vec(spark, sf_dir, 0)
+    exact = knn_exact(emb, q, KNN_K)
+    full = merged.search(q, KNN_K, nprobe=len(merged.centroids))
+    return merge_verdict(merged, exact, full)
+
+
+@register("embedding_pca_whiten")
+def embedding_pca_whiten_q(spark, sf_dir):
+    """PCA-whitened embeddings (rows-only by design — the projection
+    is an eigendecomposition, not SQL; its ★ hash-verified twin is
+    pca_whiten_verdict): fit mean+covariance via the gram_matrix
+    map-side-combinable aggregation (the corpus never shuffles;
+    the collect is d²+d+1 rows), eigh on the driver (d×d), project
+    with one BLAS matmul per Arrow batch. Standard retrieval-embedding
+    post-processing (whitening) and the front half of OPQ-style
+    quantizer training. Returns (vec_id, n_components) —
+    dimensionality after numerical-rank truncation."""
+    from vector_database_in_rust_spark.operators.linalg import (
+        pca_whiten,
+        pca_whiten_model,
+    )
+
+    emb = _emb(spark, sf_dir)
+    model = pca_whiten_model(emb)
+    white = pca_whiten(emb, model)
+    return white.select(
+        "vec_id", F.size("whitened").alias("n_components")
+    ).orderBy("vec_id")
+
+
+_PCA_WHITEN_VERDICT_ORACLE = """
+SELECT CAST((SELECT count(*) FROM embeddings) AS BIGINT) AS n_rows,
+       TRUE AS mean_zero_ok,
+       TRUE AS cov_identity_ok,
+       TRUE AS eig_desc_ok,
+       TRUE AS full_rank_ok
+"""
+
+
+@register("pca_whiten_verdict", _PCA_WHITEN_VERDICT_ORACLE)
+def pca_whiten_verdict_q(spark, sf_dir):
+    """Driver-hash-verified verdict for the PCA whitening lane
+    (round 8): whiten the corpus, re-measure the whitened corpus's
+    moment statistics with the SAME distributed aggregation, and
+    check the definition of whitening — row-lossless (n_rows
+    PREDICTED by the oracle from the embeddings table), mean ~ 0,
+    covariance ~ identity (the whole sufficient-stats → eigh →
+    projection pipeline must compose for this to hold), explained
+    variance non-increasing, and full numerical rank on this corpus.
+    Both moment passes collect d²+d+1 rows — index-sized, never
+    corpus-sized."""
+    from vector_database_in_rust_spark.operators.linalg import (
+        pca_whiten_verdict,
+    )
+
+    return pca_whiten_verdict(_emb(spark, sf_dir))
+
+
 # IVF-PQ: quantized serving layout, ORACLE-BACKED. At the measured
 # setting (m=16, ksub=64, full probe, refine=16) the ADC candidate set
 # contains the true top-k at both driver scales with 2x refine headroom
@@ -7550,15 +7642,20 @@ _ROUND7_WINDOW = [
 
 
 _ROUND8_WINDOW = [
-    # --- 0 never-verified: for the first time the whole registry holds
-    #     green driver evidence (189/189 after r07), so every slot goes
-    #     to re-verification. ---
-    # --- 50 re-verification slots, least-recently-verified first
+    # --- 2 never-verified: the round-8 additions (sharded IVF merge
+    #     and PCA whitening) take front slots so registry growth never
+    #     outruns verification. ---
+    "ann_ivf_merge_verdict",
+    "pca_whiten_verdict",
+    # --- 48 re-verification slots, least-recently-verified first
     #     (composed by scripts/compose_window.py; the meta-test checks
     #     refills are ordered by verification age): the 41-query r04
     #     cohort is the stalest evidence in the registry, topped up
-    #     with the 9 oldest r05 rows. Max staleness after a green r08:
-    #     r05 (3 rounds). ---
+    #     with the oldest r05 rows (csv_roundtrip and dedup_fingerprint
+    #     yielded their slots to the new verdicts; dedup_embedding_cosine
+    #     keeps its slot — its exact route was rewritten this round and
+    #     needs fresh driver evidence). Max staleness after a green
+    #     r08: r05 (3 rounds). ---
     "pack_sequences",  # last green r04
     "pack_bin_manifest",  # last green r04
     "chunk_documents",  # last green r04
@@ -7606,9 +7703,7 @@ _ROUND8_WINDOW = [
     "knn_batch",  # last green r05
     "dedup_exact",  # last green r05
     "dedup_ngram_jaccard",  # last green r05
-    "dedup_fingerprint",  # last green r05
-    "dedup_embedding_cosine",  # last green r05
-    "csv_roundtrip",  # last green r05
+    "dedup_embedding_cosine",  # last green r05 (exact route rewritten r08)
 ]
 
 

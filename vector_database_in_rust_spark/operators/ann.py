@@ -353,6 +353,27 @@ class IVFIndex:
         self.assignments = self.assignments.unionByName(assigned)
         return self
 
+    def merge(self, other: "IVFIndex") -> "IVFIndex":
+        """Merge another IVF index into this one's cell structure — the
+        sharded-build pattern (Faiss ``IndexIVF.merge_from``): build an
+        index per shard/day IN PARALLEL, merge for serving. Semantics:
+        THIS index's centroids win; the other index's vectors are
+        re-assigned to this index's nearest cells in one
+        broadcast-centroid argmin pass (``assign_new``) over the other
+        side only — this index's assignment table is untouched, no
+        KMeans refit, nothing corpus-sized shuffles. Ids are assumed
+        disjoint (shards partition the corpus by construction);
+        ``merge_verdict``/``cell_stats`` pin exactly-one-cell-per-id
+        after the fact. When shard distributions differ enough to
+        leave hot cells, chain ``.rebalance()`` — same contract as
+        drift ingest."""
+        return self.assign_new(
+            other.assignments.select(
+                F.col(other.id_col).alias(self.id_col),
+                F.col(other.vec_col).alias(self.vec_col),
+            )
+        )
+
     def cell_stats(self) -> DataFrame:
         """Index structure summary — the IVF analogue of the reference's
         graph-structure checks (node count, degree bounds,
@@ -1455,5 +1476,42 @@ def rebalance_verdict(
         "n_total",
         "ids_unique",
         "occupancy_ok",
+        (F.col("_hits") == F.col("_n_exact")).alias("full_probe_exact"),
+    )
+
+
+def merge_verdict(
+    idx: "IVFIndex",
+    exact: DataFrame,
+    full_probe: DataFrame,
+) -> DataFrame:
+    """Single-row verdict making the sharded-build merge lane
+    driver-hash-verifiable (round 8, same mold as
+    ``rebalance_verdict``): the merged index must (a) hold the UNION
+    of both shards — ``n_total`` is predictable SQL
+    (count(embeddings)) and ``ids_unique`` pins
+    exactly-one-cell-per-vector (a merge that re-adds an id either
+    side already held flips it); (b) stay EXACT at full probe over
+    the merged corpus (``full_probe_exact`` — re-assignment must not
+    lose any vector from the searchable set). All 1-row aggregates
+    joined in one plan."""
+    tot = idx.cell_stats().agg(F.sum("n_vectors").cast("long").alias("n_total"))
+    uniq = idx.assignments.agg(
+        (F.count(F.lit(1)) == F.count_distinct(F.col(idx.id_col))).alias(
+            "ids_unique"
+        )
+    )
+    n_exact = exact.agg(F.count(F.lit(1)).alias("_n_exact"))
+    hits = full_probe.join(exact.select("vec_id"), "vec_id").agg(
+        F.count(F.lit(1)).alias("_hits")
+    )
+    row = (
+        tot.join(F.broadcast(uniq))
+        .join(F.broadcast(n_exact))
+        .join(F.broadcast(hits))
+    )
+    return row.select(
+        "n_total",
+        "ids_unique",
         (F.col("_hits") == F.col("_n_exact")).alias("full_probe_exact"),
     )

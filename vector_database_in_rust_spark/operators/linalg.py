@@ -92,3 +92,149 @@ def ridge_fit(
         else:
             a[r["i"], r["j"]] = r["value"]
     return np.linalg.solve(a + reg * n * np.eye(d), b)
+
+
+def _moment_stats(df: DataFrame, *, vec_col: str) -> tuple[np.ndarray, np.ndarray, float]:
+    """Collect (XᵀX, Σx, n) from the SAME map-side-combinable
+    aggregation `gram_matrix` uses, with a constant label of 1.0 so
+    Xᵀy degenerates to the column-sum vector. The collect is
+    d² + d + 1 rows — index-sized, never corpus-sized."""
+    rows = gram_matrix(
+        df.withColumn("_one", F.lit(1.0)),
+        vec_col=vec_col,
+        label_col="_one",
+        round_digits=9,
+    ).collect()
+    d = max(r["i"] for r in rows) + 1
+    xtx = np.zeros((d, d))
+    s = np.zeros(d)
+    n = 1.0
+    for r in rows:
+        if r["i"] < 0:
+            n = r["value"]
+        elif r["j"] < 0:
+            s[r["i"]] = r["value"]
+        else:
+            xtx[r["i"], r["j"]] = r["value"]
+    return xtx, s, n
+
+
+def pca_whiten_model(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    rank_rtol: float = 1e-10,
+) -> dict:
+    """Fit a PCA-whitening transform over a distributed embedding
+    column — the standard preprocessing for retrieval embeddings
+    (whitening post-processing; e.g. Su et al. 2021, "Whitening
+    Sentence Representations") and a prerequisite for OPQ-style
+    quantizer training.
+
+    Scale split (identical to :func:`ridge_fit`): the ONLY
+    corpus-sized work is the d²-term covariance sufficient statistic —
+    one map-side-combinable aggregation, the corpus never shuffles —
+    and the eigendecomposition is d×d driver numpy (microseconds for
+    embedding-sized d). Components with eigenvalue <=
+    ``rank_rtol × max_eig`` are dropped (degenerate directions would
+    otherwise blow up under 1/√λ), so the output dimensionality is
+    the numerical rank of the covariance.
+
+    Returns ``{"mean": (d,), "eigvals": (k,) descending,
+    "whiten": (d, k)}`` with ``whiten = V · diag(1/√λ)`` — applying
+    ``(x - mean) @ whiten`` yields components with identity
+    covariance.
+    """
+    xtx, s, n = _moment_stats(df, vec_col=vec_col)
+    mean = s / n
+    cov = xtx / n - np.outer(mean, mean)
+    eigvals, vecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(eigvals, kind="stable")[::-1]
+    eigvals, vecs = eigvals[order], vecs[:, order]
+    keep = eigvals > max(eigvals[0], 0.0) * rank_rtol
+    eigvals, vecs = eigvals[keep], vecs[:, keep]
+    whiten = vecs @ np.diag(1.0 / np.sqrt(eigvals))
+    return {"mean": mean, "eigvals": eigvals, "whiten": whiten}
+
+
+def pca_whiten(
+    df: DataFrame,
+    model: dict,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Apply a fitted whitening transform: one BLAS
+    ``(batch - mean) @ whiten`` per Arrow batch in ``mapInPandas`` —
+    the established quadratic-work-in-BLAS discipline (SCALE.md). The
+    (d, k) matrix rides in the task closure (a few KB at embedding
+    dims — bounded by d², never by the corpus); per-row output is the
+    k whitened components as ``array<double>``."""
+    import pandas as pd
+
+    mean = np.asarray(model["mean"], dtype=np.float64)
+    w = np.asarray(model["whiten"], dtype=np.float64)
+
+    def project(batches):
+        for pdf in batches:
+            x = np.vstack(pdf["_x"].to_numpy())
+            z = (x - mean) @ w
+            yield pd.DataFrame(
+                {"_id": pdf["_id"].to_numpy(), "whitened": list(z)}
+            )
+
+    src = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_x"),
+    )
+    out = src.mapInPandas(project, schema="_id BIGINT, whitened ARRAY<DOUBLE>")
+    return out.select(F.col("_id").alias(id_col), "whitened")
+
+
+def pca_whiten_verdict(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    mean_tol: float = 1e-6,
+    cov_tol: float = 1e-4,
+) -> DataFrame:
+    """Single-row driver-hash-verifiable verdict for the (non-SQL) PCA
+    whitening lane, in the ann-verdict-twin mold: fit on the corpus,
+    whiten the corpus, then re-measure the WHITENED corpus's moment
+    statistics with the same distributed aggregation and check the
+    definition of whitening itself:
+
+    - ``n_rows``: the transform is row-lossless (oracle predicts
+      count(embeddings));
+    - ``mean_zero_ok``: max |mean(whitened)| < mean_tol;
+    - ``cov_identity_ok``: max |cov(whitened) − I| < cov_tol — the
+      full d×k pipeline (sufficient stats → eigh → projection) must
+      compose correctly for this to hold;
+    - ``eig_desc_ok``: explained variance non-increasing;
+    - ``full_rank_ok``: no component was dropped on this corpus
+      (uniform test embeddings are full-rank; a rank collapse means a
+      broken covariance).
+
+    Both moment passes are the bounded-collect aggregation
+    (d² + d + 1 rows each); the booleans are computed driver-side
+    from those index-sized arrays and emitted as a one-row plan.
+    """
+    model = pca_whiten_model(df, vec_col=vec_col)
+    d = int(np.asarray(model["mean"]).shape[0])
+    k = int(np.asarray(model["eigvals"]).shape[0])
+    white = pca_whiten(df, model, id_col=id_col, vec_col=vec_col)
+    ztz, zs, n = _moment_stats(white, vec_col="whitened")
+    zmean = zs / n
+    zcov = ztz / n - np.outer(zmean, zmean)
+    eig = np.asarray(model["eigvals"])
+    spark = df.sparkSession
+    return spark.range(1).select(
+        F.lit(int(n)).cast("long").alias("n_rows"),
+        F.lit(bool(np.abs(zmean).max() < mean_tol)).alias("mean_zero_ok"),
+        F.lit(bool(np.abs(zcov - np.eye(k)).max() < cov_tol)).alias(
+            "cov_identity_ok"
+        ),
+        F.lit(bool(np.all(np.diff(eig) <= 0))).alias("eig_desc_ok"),
+        F.lit(bool(k == d)).alias("full_rank_ok"),
+    )
