@@ -5,6 +5,7 @@ weights from y = Xw* + noise."""
 from __future__ import annotations
 
 import numpy as np
+from pyspark.sql import functions as F
 
 from vector_database_in_rust_spark.operators.linalg import (
     gram_matrix,
@@ -145,3 +146,39 @@ def test_pca_whiten_rank_truncation(spark):
     white = pca_whiten(df, model)
     assert white.first()["whitened"].__len__() == 3
     assert white.count() == 80
+
+
+def test_moment_stats_match_gram_matrix(spark):
+    """The BLAS-partial fit path must agree with the oracle-anchored
+    exact-expression aggregation (same sufficient statistics, two
+    plans)."""
+    import numpy as np
+
+    from vector_database_in_rust_spark.operators.linalg import (
+        _moment_stats,
+        gram_matrix,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    xtx, s, n = _moment_stats(emb, vec_col="embedding")
+
+    rows = gram_matrix(
+        emb.withColumn("_one", F.lit(1.0)),
+        vec_col="embedding",
+        label_col="_one",
+        round_digits=9,
+    ).collect()
+    d = max(r["i"] for r in rows) + 1
+    xtx2 = np.zeros((d, d))
+    s2 = np.zeros(d)
+    n2 = 1.0
+    for r in rows:
+        if r["i"] < 0:
+            n2 = r["value"]
+        elif r["j"] < 0:
+            s2[r["i"]] = r["value"]
+        else:
+            xtx2[r["i"], r["j"]] = r["value"]
+    assert n == n2
+    assert np.allclose(xtx, xtx2, atol=1e-6)
+    assert np.allclose(s, s2, atol=1e-6)

@@ -95,27 +95,44 @@ def ridge_fit(
 
 
 def _moment_stats(df: DataFrame, *, vec_col: str) -> tuple[np.ndarray, np.ndarray, float]:
-    """Collect (XᵀX, Σx, n) from the SAME map-side-combinable
-    aggregation `gram_matrix` uses, with a constant label of 1.0 so
-    Xᵀy degenerates to the column-sum vector. The collect is
-    d² + d + 1 rows — index-sized, never corpus-sized."""
-    rows = gram_matrix(
-        df.withColumn("_one", F.lit(1.0)),
-        vec_col=vec_col,
-        label_col="_one",
-        round_digits=9,
-    ).collect()
-    d = max(r["i"] for r in rows) + 1
-    xtx = np.zeros((d, d))
-    s = np.zeros(d)
-    n = 1.0
-    for r in rows:
-        if r["i"] < 0:
-            n = r["value"]
-        elif r["j"] < 0:
-            s[r["i"]] = r["value"]
-        else:
-            xtx[r["i"], r["j"]] = r["value"]
+    """Collect (XᵀX, Σx, n) via per-partition numpy BLAS partials:
+    each Arrow batch contributes one ``xᵀx`` matmul plus a column sum,
+    emitted as a flattened (d² + d + 1)-value row and summed across
+    tasks by ONE tiny aggregation — the corpus never shuffles and the
+    exchange moves one short row per batch. This is the "for very
+    large d, switch to numpy partials" production path the
+    ``gram_matrix`` docstring reserves (gram_matrix itself keeps the
+    exact-expression form because its output is the SQL-oracle-anchored
+    query surface; this internal fit path has no oracle and takes the
+    fast shape). Driver materializes d² + d + 1 doubles —
+    index-sized, never corpus-sized."""
+    import pandas as pd
+
+    def partials(batches):
+        for pdf in batches:
+            x = np.vstack(pdf["_x"].to_numpy())
+            xtx = x.T @ x
+            vals = np.concatenate(
+                [xtx.ravel(), x.sum(axis=0), [float(len(x))]]
+            )
+            yield pd.DataFrame({"vals": [list(vals)]})
+
+    src = df.select(F.col(vec_col).cast("array<double>").alias("_x"))
+    summed = (
+        src.mapInPandas(partials, schema="vals ARRAY<DOUBLE>")
+        .select(F.posexplode("vals").alias("idx", "v"))
+        .groupBy("idx")
+        .agg(F.sum("v").alias("v"))
+        .collect()
+    )
+    flat = np.zeros(len(summed))
+    for r in summed:
+        flat[r["idx"]] = r["v"]
+    d = int(round((-1 + np.sqrt(1 + 4 * (len(flat) - 1))) / 2))
+    assert d * d + d + 1 == len(flat), (d, len(flat))
+    xtx = flat[: d * d].reshape(d, d)
+    s = flat[d * d : d * d + d]
+    n = flat[-1]
     return xtx, s, n
 
 
