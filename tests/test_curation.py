@@ -459,3 +459,31 @@ def test_leakage_safe_split_clusters_never_straddle(spark):
         if i not in (3, 17, 55, 8, 9):
             assert out[i]["canonical_id"] == i
             assert out[i]["split"] == plain[i]
+
+
+def test_curriculum_order_phases_and_determinism(spark):
+    """Phase boundaries honor the quality tiers (floor(q*n) clamped),
+    the within-phase key is the corpus_shuffle md5 key, and two runs
+    (any partitioning) produce identical rows; a different seed
+    reorders within phases but never moves a document across phases."""
+    from vector_database_in_rust_spark.operators.curation import (
+        curriculum_order,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = curriculum_order(docs, n_phases=4, seed=42).orderBy("doc_id")
+    b = curriculum_order(docs.repartition(7), n_phases=4, seed=42).orderBy(
+        "doc_id"
+    )
+    ra, rb = a.collect(), b.collect()
+    assert ra == rb
+    for r in ra:
+        assert r["phase"] == min(int(r["quality"] * 4), 3)
+    c = {
+        r["doc_id"]: r
+        for r in curriculum_order(docs, n_phases=4, seed=7).collect()
+    }
+    moved = [r for r in ra if c[r["doc_id"]]["phase"] != r["phase"]]
+    rekeyed = [r for r in ra if c[r["doc_id"]]["order_key"] != r["order_key"]]
+    assert not moved
+    assert len(rekeyed) == len(ra)

@@ -611,3 +611,32 @@ def test_corpus_shuffle_no_single_partition_exchange(audits):
     # the window spec must carry a partition column: formatted plans
     # print partitioned windows as "windowspecdefinition(_pid, ..."
     assert "windowspecdefinition(_pid" in a.formatted
+
+
+def test_curriculum_order_map_only(audits):
+    """The curriculum contract is the (phase, order_key) sort key, NOT
+    a materialized global position — so the plan must be a pure map:
+    scan + per-row expressions, zero exchanges of any kind (contrast
+    corpus_shuffle, which pays its two-pass range sort exactly because
+    it materializes positions)."""
+    a = audits("curriculum_order")
+    assert a.n_shuffle_exchanges == 0, a.formatted
+    assert a.n_broadcast_exchanges == 0, a.formatted
+    assert "Exchange" not in a.formatted
+
+
+def test_pca_projection_map_only(spark):
+    """Applying a fitted whitening transform is one BLAS matmul per
+    Arrow batch — scan -> mapInPandas, no exchange anywhere (the d×k
+    matrix rides in the task closure, bounded by dims not corpus)."""
+    from vector_database_in_rust_spark.operators.linalg import (
+        pca_whiten,
+        pca_whiten_model,
+    )
+    from vector_database_in_rust_spark.plans.explain import audit
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    model = pca_whiten_model(emb)
+    a = audit(pca_whiten(emb, model))
+    assert "Exchange" not in a.formatted, a.formatted
+    assert "ArrowEvalPython" in a.formatted or "MapInPandas" in a.formatted

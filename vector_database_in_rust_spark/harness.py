@@ -4582,6 +4582,45 @@ def corpus_shuffle_q(spark, sf_dir):
     return corpus_shuffle(_docs(spark, sf_dir), seed=42)
 
 
+_CURRICULUM_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+         {_SQL_TOKS} AS w,
+         len(list_filter({_SQL_TOKS}, t -> t IN {_SQL_STOPWORDS})) * 1.0
+           / greatest(len({_SQL_TOKS}), 1) AS swr
+  FROM documents
+),
+q AS (
+  SELECT doc_id,
+         round(0.4 * least(len(w) / 200.0, 1.0)
+               + 0.3 * (len(list_distinct(w)) * 1.0 / greatest(len(w), 1))
+               + 0.3 * (least(swr, 0.1) / 0.1), 6) AS quality
+  FROM t
+)
+SELECT doc_id,
+       least(CAST(floor(quality * 4) AS INT), 3) AS phase,
+       md5('42:' || CAST(doc_id AS VARCHAR)) AS order_key,
+       quality
+FROM q
+"""
+
+
+@register("curriculum_order", _CURRICULUM_ORACLE)
+def curriculum_order_q(spark, sf_dir):
+    """Phase-annealed training order (round 8): quality tiers consumed
+    low-to-high ("end on the best data"), seeded shuffle within each
+    tier. Pure map — phase and key are per-row expressions of
+    (text, seed, id); deliberately NO global row number (the sort by
+    (phase, order_key) IS the contract, realized at write time via
+    the corpus_shuffle two-pass discipline). Every phase/key/quality
+    value hash-checked."""
+    from vector_database_in_rust_spark.operators.curation import (
+        curriculum_order,
+    )
+
+    return curriculum_order(_docs(spark, sf_dir), n_phases=4, seed=42)
+
+
 _LENGTH_BUCKETS_ORACLE = f"""
 SELECT doc_id,
        cast(len({_SQL_TOKS}) AS BIGINT) AS n_tokens,
@@ -7642,17 +7681,18 @@ _ROUND7_WINDOW = [
 
 
 _ROUND8_WINDOW = [
-    # --- 2 never-verified: the round-8 additions (sharded IVF merge
-    #     and PCA whitening) take front slots so registry growth never
+    # --- 3 never-verified: the round-8 additions (sharded IVF merge,
+    #     PCA whitening, curriculum ordering) take front slots so registry growth never
     #     outruns verification. ---
     "ann_ivf_merge_verdict",
     "pca_whiten_verdict",
-    # --- 48 re-verification slots, least-recently-verified first
+    "curriculum_order",
+    # --- 47 re-verification slots, least-recently-verified first
     #     (composed by scripts/compose_window.py; the meta-test checks
     #     refills are ordered by verification age): the 41-query r04
     #     cohort is the stalest evidence in the registry, topped up
-    #     with the oldest r05 rows (csv_roundtrip and dedup_fingerprint
-    #     yielded their slots to the new verdicts; dedup_embedding_cosine
+    #     with the oldest r05 rows (csv_roundtrip, dedup_fingerprint
+    #     and dedup_ngram_jaccard yielded slots to the new lanes; dedup_embedding_cosine
     #     keeps its slot — its exact route was rewritten this round and
     #     needs fresh driver evidence). Max staleness after a green
     #     r08: r05 (3 rounds). ---
@@ -7702,7 +7742,6 @@ _ROUND8_WINDOW = [
     "knn_exact",  # last green r05
     "knn_batch",  # last green r05
     "dedup_exact",  # last green r05
-    "dedup_ngram_jaccard",  # last green r05
     "dedup_embedding_cosine",  # last green r05 (exact route rewritten r08)
 ]
 

@@ -754,3 +754,44 @@ def length_buckets_approx(
         )
         .orderBy("bucket")
     )
+
+
+def curriculum_order(
+    docs: DataFrame,
+    *,
+    n_phases: int = 4,
+    seed: int = 42,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Phase-annealed training order — the "end training on the
+    highest-quality data" curriculum recipe (quality-annealed data
+    schedules for LLM mid/late training). Documents land in
+    ``n_phases`` quality tiers (phase 0 = lowest quality, consumed
+    first; phase ``n_phases``-1 = highest, consumed last) and are
+    shuffled WITHIN each phase by the same seeded md5 key
+    ``corpus_shuffle`` uses.
+
+    The training order is the sort by ``(phase, order_key)``. Unlike
+    ``corpus_shuffle`` there is deliberately NO materialized global
+    position: the output contract is the sort key itself, so the plan
+    is a pure map (scan + per-row expressions — no window, no
+    exchange, pinned in tests/test_plans.py); the consuming writer
+    realizes the order as a range-partitioned sort at write time,
+    exactly the two-pass discipline corpus_shuffle documents. Both
+    phase and key are pure functions of (text, seed, doc_id):
+    retry-deterministic, and a different seed yields a fresh
+    within-phase epoch order without changing the curriculum."""
+    q = quality_expr(F.col(text_col))
+    phase = F.least(
+        F.floor(q * n_phases).cast("int"), F.lit(int(n_phases) - 1)
+    )
+    key = F.md5(
+        F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        phase.alias("phase"),
+        key.alias("order_key"),
+        q.alias("quality"),
+    )
