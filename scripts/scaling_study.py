@@ -1,0 +1,167 @@
+"""Measured operator scaling beyond the fixed sf0.1 testdata.
+
+The 100 TB design arguments in SCALE.md are plan-shape arguments; this
+script adds MEASURED evidence: generate synthetic corpora at 1x / 10x
+(and 100x for the scan-shaped vector ops) the sf0.1 row counts with
+``sources.synthetic``, run each headline operator family end-to-end
+(noop sink), and print wall-clock per size plus the scaling exponent
+``log(t_big/t_small) / log(size_ratio)`` — ~1.0 means linear, <1 means
+fixed overhead still dominates, >>1 means a quadratic term is hiding
+somewhere (the thing the study exists to catch).
+
+Results are recorded in SCALE.md ("Measured scaling"); re-run with
+    python scripts/scaling_study.py
+(~ a few minutes on local[32]).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from vector_database_in_rust_spark.session import get_spark  # noqa: E402
+from vector_database_in_rust_spark.sources.synthetic import (  # noqa: E402
+    generate_documents,
+    generate_vectors,
+)
+
+DIM = 64
+VEC_SIZES = [5_000, 50_000, 500_000]
+DOC_SIZES = [5_000, 50_000]
+
+
+def _time(fn) -> float:
+    t0 = time.time()
+    fn()
+    return time.time() - t0
+
+
+def _sink(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    spark = get_spark(app_name="scaling-study")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from vector_database_in_rust_spark.operators import dedup, knn
+    from vector_database_in_rust_spark.operators.ann import IVFIndex
+    from vector_database_in_rust_spark.operators.linalg import (
+        pca_whiten,
+        pca_whiten_model,
+    )
+    from vector_database_in_rust_spark.operators.textstats import quality_score
+
+    results: dict[str, dict[int, float]] = {}
+
+    def rec(op: str, size: int, secs: float) -> None:
+        results.setdefault(op, {})[size] = round(secs, 2)
+        print(f"  {op:28s} n={size:>8,}  {secs:7.2f}s", file=sys.stderr)
+
+    # -- vector ops over generated corpora (parquet-staged, like prod) --
+    for n in VEC_SIZES:
+        path = f"{REPO}/spark-warehouse/scaling/vec_{n}"
+        if not os.path.exists(path):
+            generate_vectors(spark, n, DIM, num_partitions=32).write.mode(
+                "overwrite"
+            ).parquet(path)
+        emb = spark.read.parquet(path)
+        q = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
+        emb.count()  # warm scan
+        rec("knn_exact", n, _time(lambda: _sink(knn.knn_exact(emb, q, 10))))
+        queries = spark.createDataFrame(
+            [(i, q) for i in range(16)],
+            "query_id BIGINT, query_embedding ARRAY<FLOAT>",
+        )
+        rec(
+            "knn_batch_16q",
+            n,
+            _time(
+                lambda: _sink(knn.knn_batch(emb, queries, 10, impl="pandas"))
+            ),
+        )
+        idx = {}
+        rec(
+            "ivf_build",
+            n,
+            _time(lambda: idx.setdefault("i", IVFIndex.build(emb, seed=42))),
+        )
+        rec(
+            "ivf_search_nprobe8",
+            n,
+            _time(lambda: _sink(idx["i"].search(q, 10, nprobe=8))),
+        )
+        # The production serving path: cell-partitioned persisted layout,
+        # where `cell_id IN (probes)` is PARTITION PRUNING — probed bytes
+        # scale with nprobe cells, not with N.
+        ipath = f"{REPO}/spark-warehouse/scaling/ivf_{n}"
+        if not os.path.exists(ipath):
+            idx["i"].save(spark, ipath)
+        loaded = IVFIndex.load(spark, ipath)
+        _sink(loaded.search(q, 10, nprobe=8))  # warm footer/listing caches
+        rec(
+            "ivf_search_persisted",
+            n,
+            _time(lambda: _sink(loaded.search(q, 10, nprobe=8))),
+        )
+        rec(
+            "pca_fit",
+            n,
+            _time(lambda: pca_whiten_model(emb)),
+        )
+        model = pca_whiten_model(emb)
+        rec(
+            "pca_project",
+            n,
+            _time(lambda: _sink(pca_whiten(emb, model))),
+        )
+
+    # -- text/dedup ops over generated corpora --
+    for n in DOC_SIZES:
+        path = f"{REPO}/spark-warehouse/scaling/docs_{n}"
+        if not os.path.exists(path):
+            generate_documents(spark, n, num_partitions=32).write.mode(
+                "overwrite"
+            ).parquet(path)
+        docs = spark.read.parquet(path)
+        docs.count()
+        rec("dedup_exact", n, _time(lambda: _sink(dedup.dedup_exact(docs))))
+        rec(
+            "minhash_lsh",
+            n,
+            _time(lambda: _sink(dedup.minhash_lsh_pairs(docs))),
+        )
+        rec(
+            "simhash_pairs",
+            n,
+            _time(lambda: _sink(dedup.simhash_pairs(docs))),
+        )
+        rec(
+            "quality_score",
+            n,
+            _time(lambda: _sink(quality_score(docs))),
+        )
+
+    # scaling exponents between smallest and largest measured size
+    expo = {}
+    for op, by_size in results.items():
+        sizes = sorted(by_size)
+        lo, hi = sizes[0], sizes[-1]
+        if by_size[lo] > 0:
+            expo[op] = round(
+                math.log(max(by_size[hi], 1e-3) / max(by_size[lo], 1e-3))
+                / math.log(hi / lo),
+                2,
+            )
+    print(json.dumps({"results": results, "exponent": expo}, indent=1))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

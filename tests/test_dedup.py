@@ -639,3 +639,55 @@ def test_triangle_enumerate_on_constructed_graph(spark):
         for r in dedup.triangle_enumerate(pairs).collect()
     }
     assert got == {(1, 2, 3), (1, 2, 4), (1, 3, 4), (2, 3, 4)}
+
+
+def test_minhash_boilerplate_guards(spark):
+    """The round-8 scaling-study fix: on a boilerplate-heavy corpus
+    (every doc shares a dominant phrase), un-guarded minhash collapses
+    signatures into corpus-sized band buckets (quadratic join
+    fan-out). With the shingle-frequency cut active (boilerplate df >
+    cut), signatures are built from each doc's DISTINCTIVE content:
+    the planted near-dup pair must surface, unrelated docs must not,
+    and with an aggressive bucket cap the result is unchanged (true
+    pairs collide in rare buckets, not boilerplate cliques)."""
+    from vector_database_in_rust_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+
+    boiler = " ".join(f"b{i}" for i in range(60))
+    rng = __import__("random").Random(3)
+    rows = []
+    for i in range(300):
+        uniq = " ".join(f"u{i}_{rng.randrange(10**6)}" for _ in range(60))
+        rows.append((i, f"{boiler} {uniq}"))
+    # planted near-dup: doc 300 shares doc 0's unique tail (one edit)
+    tail = rows[0][1].split(boiler)[1].strip().split(" ")
+    tail[5] = "edited"
+    rows.append((300, f"{boiler} {' '.join(tail)}"))
+    docs = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+
+    pairs = minhash_lsh_pairs(
+        docs, threshold=0.5, max_shingle_freq=100, max_band_bucket=50
+    ).collect()
+    found = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    assert (0, 300) in found, pairs
+    assert len(found) <= 3, f"boilerplate produced spurious pairs: {found}"
+
+
+def test_simhash_impls_identical_on_convergent_corpus(spark):
+    """Both block-join routes must be row-identical on a corpus where
+    fingerprints DO converge (shared boilerplate collapses docs onto
+    few fingerprints — the case the distinct route exists for), and
+    auto must pick the distinct route there."""
+    from vector_database_in_rust_spark.operators.dedup import simhash_pairs
+
+    boiler = " ".join(f"x{i}" for i in range(40))
+    rows = [(i, boiler) for i in range(30)]  # 30 identical docs
+    rows += [(100 + i, f"{boiler} extra{i} w{i*7}") for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    direct = {tuple(r) for r in simhash_pairs(docs, impl="direct").collect()}
+    dist = {tuple(r) for r in simhash_pairs(docs, impl="distinct").collect()}
+    auto = {tuple(r) for r in simhash_pairs(docs).collect()}
+    assert direct == dist == auto
+    # the 30 identical docs form a full hamming-0 clique
+    assert sum(1 for (a, b, h) in direct if h == 0 and a < 30 and b < 30) == 435

@@ -162,3 +162,29 @@ def test_raw_format_ragged_file_rejected_early(spark, tmp_path):
     (tmp_path / "bad.bin").write_bytes(b"\x00" * 10)  # not a multiple of 16
     with pytest.raises(ValueError, match="ragged file"):
         read_raw_f32(spark, str(tmp_path), 4)
+
+
+def test_document_generator_deterministic_and_plants_dups(spark):
+    """generate_documents: identical rows for any partitioning (pure
+    function of (seed, doc_id)), a different seed changes texts, and
+    the planted near-dup fraction is discoverable by the exact
+    n-gram Jaccard operator (the structure the scaling study relies
+    on)."""
+    from vector_database_in_rust_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+    from vector_database_in_rust_spark.sources.synthetic import (
+        generate_documents,
+    )
+
+    a = generate_documents(spark, 400, num_partitions=2).orderBy("doc_id")
+    b = generate_documents(spark, 400, num_partitions=13).orderBy("doc_id")
+    ra, rb = a.collect(), b.collect()
+    assert ra == rb
+    assert len(ra) == 400
+    assert all(r["n_chars"] == len(r["text"]) for r in ra)
+    c = generate_documents(spark, 400, seed=7).orderBy("doc_id").collect()
+    assert any(x["text"] != y["text"] for x, y in zip(ra, c))
+
+    pairs = ngram_jaccard_pairs(a, threshold=0.5).collect()
+    assert len(pairs) >= 3, "planted near-dups not found"

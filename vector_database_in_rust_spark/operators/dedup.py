@@ -362,6 +362,8 @@ def minhash_lsh_pairs(
     seed: int = 42,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_shingle_freq: int | None = DEFAULT_MAX_SHINGLE_FREQ,
+    max_band_bucket: int | None = 500,
 ) -> DataFrame:
     """MinHash + banded LSH near-dup pairs, verified exactly.
 
@@ -377,6 +379,26 @@ def minhash_lsh_pairs(
     J=0.8 ~ 0.9997, at J=0.3 ~ 0.12 — tune (num_perm, num_bands) per
     corpus; recall against the exact join is asserted in tests.
 
+    TWO boilerplate guards (round 8 — both found by the scaling study
+    on a zipf-vocabulary corpus, where un-guarded minhash at 50k docs
+    produced a 12,481-doc band bucket = 1.6e8 join rows from ONE
+    bucket while the p99.9 bucket held 55):
+
+    - ``max_shingle_freq`` (same cut and default as
+      ``ngram_jaccard_pairs``): shingles in more than this many docs
+      are dropped BEFORE signatures — ultra-hot boilerplate shingles
+      otherwise dominate every doc's minima and collapse signatures
+      corpus-wide. Verification uses the SAME retained set, so the
+      metric is consistently "Jaccard over retained shingles".
+    - ``max_band_bucket``: buckets larger than this are skipped at
+      candidate generation — a bucket of B docs is a B² candidate
+      clique with ~zero discriminative signal (hash-identical band
+      rows across thousands of docs are residual boilerplate, not
+      near-dups); true near-dup pairs still collide in their other
+      ``num_bands - 1`` bands. Both cuts are no-ops at driver-corpus
+      scale (uniform vocabulary; every count far under the caps) and
+      load-bearing on head-heavy real text.
+
     EAGER, unlike its lazy siblings: the returned pair list is
     localCheckpoint(eager=True)-materialized so the persisted shingle
     index can be released immediately (long-lived sessions would
@@ -387,7 +409,15 @@ def minhash_lsh_pairs(
     rows_per_band = num_perm // num_bands
     # One persisted shingle index feeds signature generation AND the
     # exact verification below (otherwise the corpus re-tokenizes 3x).
-    sh = _shingle_index(docs, id_col, text_col, n).persist()
+    # The frequency cut applies BEFORE the persist so both consumers
+    # see the same retained-shingle universe.
+    sh = _shingle_index(docs, id_col, text_col, n)
+    if max_shingle_freq is not None:
+        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_f"))
+        sh = sh.join(
+            freq.filter(F.col("_f") <= max_shingle_freq), "shingle"
+        ).drop("_f")
+    sh = sh.persist()
     h32 = F.xxhash64("shingle").bitwiseAND(F.lit((1 << 32) - 1))
     params = minhash_permutation_params(num_perm, seed)
     sigs = (
@@ -417,6 +447,18 @@ def minhash_lsh_pairs(
         "doc_id", F.col("band.band_id").alias("band_id"),
         F.col("band.band_hash").alias("band_hash"),
     )
+    if max_band_bucket is not None:
+        # Skip oversized buckets BEFORE the self-join: one aggregation
+        # keyed like the join itself (map-side combinable), then a
+        # semi-join against the surviving buckets — wordcount-shaped
+        # cost that removes the B² fan-out of boilerplate cliques.
+        bsz = banded.groupBy("band_id", "band_hash").agg(
+            F.count(F.lit(1)).alias("_bn")
+        )
+        banded = banded.join(
+            bsz.filter(F.col("_bn") <= max_band_bucket).drop("_bn"),
+            on=["band_id", "band_hash"],
+        )
     # The self-join below executes the banded subtree TWICE (one per
     # side) — and each execution re-runs the 64-permutation min-agg over
     # the full shingle index. The banded table is |docs| * num_bands
@@ -486,6 +528,7 @@ def simhash_pairs(
     max_hamming: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    impl: str = "auto",
 ) -> DataFrame:
     """SimHash near-dup pairs within a hamming radius, via pigeonhole
     block join (full recall at the fingerprint level).
@@ -494,53 +537,133 @@ def simhash_pairs(
     fingerprints within hamming distance h must agree on >= 1 block, so
     the equi-join on (block_id, block_value) finds every qualifying pair
     without any quadratic step. Returns (doc_a, doc_b, hamming).
+
+    Two row-identical block-join routes, size-routed like
+    ``embedding_cosine_pairs`` (round 8 — the hazard was found by the
+    scaling study on a zipf-vocabulary corpus):
+
+    - ``impl="direct"``: block self-join straight over the document
+      fingerprints — cheapest when fingerprints are (near-)unique,
+      the uniform-vocabulary case.
+    - ``impl="distinct"``: the join runs over DISTINCT fingerprints
+      and expands back to document pairs afterwards. Boilerplate-heavy
+      text CONVERGES under SimHash (50k synthetic web docs → 11.5k
+      distinct fingerprints, one 16-bit block value shared by 27k
+      docs): the doc-level self-join paid Σc² ≈ 3.3e9 rows where the
+      distinct-fingerprint join pays 5.0e7 — 66x less, identical
+      output (measured 188 s → 93 s end-to-end). The remaining large
+      term is the expansion back to doc pairs, which is exactly the
+      operator's OUTPUT (fingerprint-identical cliques are real
+      hamming-0 pairs — 65M on that corpus); callers that want
+      clusters rather than O(clique²) pair lists should feed
+      ``dedup_clusters`` from ``simhash_fingerprints`` grouped by
+      simhash, not from this expansion.
+    - ``impl="auto"`` (default) measures convergence on the shared
+      fingerprint checkpoint (ONE count/count_distinct aggregation)
+      and picks "distinct" when <95% of fingerprints are unique.
+      EAGER like ``minhash_lsh_pairs`` (the probe materializes the
+      fingerprint table both routes reuse).
     """
     n_blocks = max_hamming + 1
     width = 64 // n_blocks
     fp = simhash_fingerprints(docs, id_col=id_col, text_col=text_col)
-    blocks = []
-    for i in range(n_blocks):
-        lo = i * width
-        w = width if i < n_blocks - 1 else 64 - lo
-        mask = (1 << w) - 1
-        blocks.append(
-            F.struct(
-                F.lit(i).alias("block_id"),
-                F.shiftrightunsigned(F.col("simhash"), lo)
-                .bitwiseAND(F.lit(mask))
-                .alias("block_val"),
+    # One shared fingerprint materialization for every consumer below
+    # (join sides, expansion sides, and the auto-probe).
+    fp = fp.localCheckpoint(eager=False)
+
+    def _blocked(df):
+        blocks = []
+        for i in range(n_blocks):
+            lo = i * width
+            w = width if i < n_blocks - 1 else 64 - lo
+            mask = (1 << w) - 1
+            blocks.append(
+                F.struct(
+                    F.lit(i).alias("block_id"),
+                    F.shiftrightunsigned(F.col("simhash"), lo)
+                    .bitwiseAND(F.lit(mask))
+                    .alias("block_val"),
+                )
             )
+        return df.select(
+            "*", F.explode(F.array(*blocks)).alias("blk")
+        ).select(
+            *df.columns,
+            F.col("blk.block_id").alias("block_id"),
+            F.col("blk.block_val").alias("block_val"),
         )
-    exploded = fp.select(
-        "doc_id", "simhash", F.explode(F.array(*blocks)).alias("blk")
-    ).select(
-        "doc_id",
-        "simhash",
-        F.col("blk.block_id").alias("block_id"),
-        F.col("blk.block_val").alias("block_val"),
-    )
-    # The block self-join would otherwise execute the full fingerprint
-    # pass (tokenize + per-token hashing + 64-bit aggregation) once per
-    # side — Spark's ReuseExchange does not match the two aliased
-    # subtrees here. A LAZY localCheckpoint keeps the operator's
-    # composable-DataFrame contract (nothing runs until the caller's
-    # action) while both sides share one materialization of the
-    # |docs| * (max_hamming + 1)-row block table.
-    exploded = exploded.localCheckpoint(eager=False)
+
+    if impl == "auto":
+        probe = fp.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("simhash").alias("k"),
+        ).first()
+        impl = "distinct" if probe["k"] < 0.95 * probe["n"] else "direct"
+    if impl == "direct":
+        exploded = _blocked(fp.select("doc_id", "simhash")).localCheckpoint(
+            eager=False
+        )
+        a = exploded.alias("a")
+        b = exploded.alias("b")
+        ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+        return (
+            a.join(b, on=["block_id", "block_val"])
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                ham.alias("hamming"),
+            )
+            .filter(F.col("hamming") <= max_hamming)
+            .distinct()
+        )
+    if impl != "distinct":
+        raise ValueError(f"unknown impl {impl!r} (use auto/direct/distinct)")
+
+    dfp = fp.select("simhash").distinct()
+    exploded = _blocked(dfp.select("simhash")).localCheckpoint(eager=False)
     a = exploded.alias("a")
     b = exploded.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
-    return (
+    fp_pairs = (
         a.join(b, on=["block_id", "block_val"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(F.col("a.simhash") < F.col("b.simhash"))
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("_sa"),
+            F.col("b.simhash").alias("_sb"),
             ham.alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+    # Expansion to document pairs — proportional to the OUTPUT, not to
+    # block collisions. Cross-fingerprint pairs: every (doc of sa,
+    # doc of sb) combination, normalized to doc_a < doc_b (each
+    # unordered doc pair appears exactly once because (sa, sb) is
+    # unique). Intra-fingerprint pairs: the hamming-0 cliques.
+    da = fp.select(F.col("simhash").alias("_sa"), F.col("doc_id").alias("_da"))
+    db = fp.select(F.col("simhash").alias("_sb"), F.col("doc_id").alias("_db"))
+    cross = (
+        fp_pairs.join(da, "_sa")
+        .join(db, "_sb")
+        .select(
+            F.least("_da", "_db").alias("doc_a"),
+            F.greatest("_da", "_db").alias("doc_b"),
+            "hamming",
+        )
+    )
+    ia = fp.alias("ia")
+    ib = fp.alias("ib")
+    intra = (
+        ia.join(ib, on="simhash")
+        .filter(F.col("ia.doc_id") < F.col("ib.doc_id"))
+        .select(
+            F.col("ia.doc_id").alias("doc_a"),
+            F.col("ib.doc_id").alias("doc_b"),
+            F.lit(0).cast(dict(cross.dtypes)["hamming"]).alias("hamming"),
+        )
+    )
+    return cross.unionByName(intra)
 
 
 # Above this row count the exact all-pairs path (which broadcasts the

@@ -55,3 +55,78 @@ def generate_reference_format(
     from vector_database_in_rust_spark.sources.binary import write_raw_f32
 
     write_raw_f32(generate_vectors(spark, n, dim, seed=seed), path)
+
+
+def generate_documents(
+    spark: SparkSession,
+    n: int,
+    *,
+    avg_words: int = 120,
+    vocab_size: int = 10_000,
+    dup_fraction: float = 0.02,
+    zipf_a: float = 1.3,
+    seed: int = 42,
+    langs: tuple[str, ...] = ("en", "de", "fr"),
+    sources: tuple[str, ...] = ("web", "wiki", "books", "code"),
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Synthetic document corpus with the driver testdata's schema
+    (doc_id, text, lang, source, n_chars) — the text-side analogue of
+    :func:`generate_vectors` (reference O16 generalized to the text
+    pipeline surface). Used by ``scripts/scaling_study.py`` to measure
+    operator scaling beyond the fixed sf0.1 testdata.
+
+    Properties, all deterministic per (seed, doc_id) and independent
+    of partitioning:
+
+    - word counts ~ Poisson(avg_words) (floor 20), tokens drawn
+      Zipf(``zipf_a``) over a ``vocab_size`` vocabulary — a realistic
+      head-heavy token distribution for shingle/minhash work;
+    - a ``dup_fraction`` share of documents are ~95%-overlap
+      perturbed near-copies of an earlier document (the planted
+      near-dup structure dedup operators must find); the copy
+      re-derives its source's tokens from (seed, source_id), so no
+      cross-row state is needed;
+    - lang/source assigned round-robin (stable mix for stratified
+      ops).
+    """
+
+    def _words(rng, k: int) -> np.ndarray:
+        return rng.zipf(zipf_a, size=k) % vocab_size
+
+    def gen(batches):
+        for pdf in batches:
+            ids, texts, lg, src_col, nch = [], [], [], [], []
+            for i in pdf["id"]:
+                i = int(i)
+                rng = np.random.default_rng((seed, i))
+                nw = max(20, int(rng.poisson(avg_words)))
+                vids = _words(rng, nw)
+                if i >= 50 and rng.random() < dup_fraction:
+                    src_id = i - 1 - int(rng.integers(0, 40))
+                    rng2 = np.random.default_rng((seed, src_id))
+                    nw2 = max(20, int(rng2.poisson(avg_words)))
+                    vids = _words(rng2, nw2).copy()
+                    for j in range(0, len(vids), 20):  # ~5% perturbation
+                        vids[j] = int(rng.integers(0, vocab_size))
+                text = " ".join(f"w{v}" for v in vids)
+                ids.append(i)
+                texts.append(text)
+                lg.append(langs[i % len(langs)])
+                src_col.append(sources[i % len(sources)])
+                nch.append(len(text))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "text": texts,
+                    "lang": lg,
+                    "source": src_col,
+                    "n_chars": nch,
+                }
+            )
+
+    rng = spark.range(n, numPartitions=num_partitions)
+    return rng.mapInPandas(
+        gen,
+        schema="doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT",
+    )
