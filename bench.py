@@ -156,10 +156,15 @@ def _previous_bench(sf: str | None = None) -> dict[str, float]:
             d = json.load(fh)
         if isinstance(d.get("parsed"), dict):
             d = d["parsed"]
-        if sf is not None and str(d.get("sf", sf)) != str(sf):
-            return {}
+        if sf is not None and d.get("sf") is not None:
+            # Numeric compare: main() records sf as float, so "sf1" vs
+            # the recorded 1.0 (or "0.10" vs 0.1) must still match — a
+            # string compare would silently drop the baseline and
+            # re-kill the drift guard for integer/trailing-zero sfs.
+            if float(d["sf"]) != float(sf):
+                return {}
         return dict(d.get("queries", {}))
-    except (OSError, ValueError):
+    except (OSError, ValueError, TypeError):
         return {}
 
 

@@ -46,6 +46,14 @@ def _sink(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _complete(path: str) -> bool:
+    """A reusable staged dataset must carry Spark's _SUCCESS commit
+    marker — a bare os.path.exists would treat the partial directory
+    left by a killed previous run as a complete corpus and silently
+    measure against truncated data."""
+    return os.path.exists(os.path.join(path, "_SUCCESS"))
+
+
 def main() -> None:
     spark = get_spark(app_name="scaling-study")
     spark.sparkContext.setLogLevel("ERROR")
@@ -67,7 +75,7 @@ def main() -> None:
     # -- vector ops over generated corpora (parquet-staged, like prod) --
     for n in VEC_SIZES:
         path = f"{REPO}/spark-warehouse/scaling/vec_{n}"
-        if not os.path.exists(path):
+        if not _complete(path):
             generate_vectors(spark, n, DIM, num_partitions=32).write.mode(
                 "overwrite"
             ).parquet(path)
@@ -101,7 +109,9 @@ def main() -> None:
         # where `cell_id IN (probes)` is PARTITION PRUNING — probed bytes
         # scale with nprobe cells, not with N.
         ipath = f"{REPO}/spark-warehouse/scaling/ivf_{n}"
-        if not os.path.exists(ipath):
+        # save() writes assignments then centroids — the centroids
+        # _SUCCESS marker therefore implies the whole index committed.
+        if not _complete(f"{ipath}/centroids"):
             idx["i"].save(spark, ipath)
         loaded = IVFIndex.load(spark, ipath)
         _sink(loaded.search(q, 10, nprobe=8))  # warm footer/listing caches
@@ -110,22 +120,22 @@ def main() -> None:
             n,
             _time(lambda: _sink(loaded.search(q, 10, nprobe=8))),
         )
+        pca = {}
         rec(
             "pca_fit",
             n,
-            _time(lambda: pca_whiten_model(emb)),
+            _time(lambda: pca.setdefault("m", pca_whiten_model(emb))),
         )
-        model = pca_whiten_model(emb)
         rec(
             "pca_project",
             n,
-            _time(lambda: _sink(pca_whiten(emb, model))),
+            _time(lambda: _sink(pca_whiten(emb, pca["m"]))),
         )
 
     # -- text/dedup ops over generated corpora --
     for n in DOC_SIZES:
         path = f"{REPO}/spark-warehouse/scaling/docs_{n}"
-        if not os.path.exists(path):
+        if not _complete(path):
             generate_documents(spark, n, num_partitions=32).write.mode(
                 "overwrite"
             ).parquet(path)

@@ -156,7 +156,7 @@ def test_assign_new_incremental(spark, emb):
     new = emb.filter(F.col("vec_id") >= 400)
     idx = IVFIndex.build(base, num_cells=8, seed=42)
     before = idx.assignments.count()
-    idx.assign_new(new)
+    idx = idx.assign_new(new)
     assert idx.assignments.count() == 500
     assert before == 400
     # a newly-assigned vector is findable by self-query
@@ -434,8 +434,7 @@ def test_split_hot_cells_rebalances_and_stays_exact(spark, emb):
     )
 
     def build_split():
-        idx = IVFIndex.build(emb, num_cells=8, seed=42)
-        idx.assign_new(new)
+        idx = IVFIndex.build(emb, num_cells=8, seed=42).assign_new(new)
         return idx, idx.split_hot_cells(factor=2.0, seed=42)
 
     idx, split = build_split()
@@ -495,8 +494,7 @@ def test_rebalance_reaches_occupancy_bound(spark, emb):
     new = spark.createDataFrame(
         clustered, "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT"
     )
-    idx = IVFIndex.build(emb, num_cells=16, seed=42)
-    idx.assign_new(new)
+    idx = IVFIndex.build(emb, num_cells=16, seed=42).assign_new(new)
     bal = idx.rebalance(factor=2.0, seed=42, max_rounds=6)
 
     occ = [r["n_vectors"] for r in bal.cell_stats().collect()]
@@ -610,9 +608,14 @@ def test_ivf_merge_union_exact(spark, emb):
     a = IVFIndex.build(even, num_cells=8, seed=42)
     b = IVFIndex.build(odd, num_cells=8, seed=43)
     n_total = emb.count()
+    n_even, n_odd = even.count(), odd.count()
     merged = a.merge(b)
     assert merged.assignments.count() == n_total
     assert merged.assignments.select("vec_id").distinct().count() == n_total
+    # purity: merge returns a NEW index — `merged = a.merge(b)` must not
+    # corrupt shard A (the caller may keep it for per-shard serving)
+    assert a.assignments.count() == n_even
+    assert b.assignments.count() == n_odd
     # merged cells only come from A's centroid set
     max_cell = merged.assignments.agg({"cell_id": "max"}).first()[0]
     assert max_cell < a.centroids.shape[0]

@@ -82,7 +82,20 @@ def test_previous_bench_sf_gate(tmp_path, monkeypatch):
     assert bench._previous_bench("0.1") == {"knn_exact": 0.35, "knn_batch": 1.5}
 
 
-def test_previous_bench_parses_real_driver_files():
+def test_previous_bench_sf_gate_is_numeric(tmp_path, monkeypatch):
+    """main() records sf as float(sf), so the gate must compare
+    numerically: a recorded 1.0 is the same scale factor as directory
+    suffix "1" (and 0.1 as "0.10") — a string compare would silently
+    drop the baseline for integer/trailing-zero sfs."""
+    rec = dict(DRIVER_SHAPED, parsed=dict(DRIVER_SHAPED["parsed"], sf=1.0))
+    (tmp_path / "BENCH_r07.json").write_text(json.dumps(rec))
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_DIR", str(tmp_path))
+    assert bench._previous_bench("1") == {"knn_exact": 0.35, "knn_batch": 1.5}
+    assert bench._previous_bench("1.0") == {"knn_exact": 0.35, "knn_batch": 1.5}
+    assert bench._previous_bench("0.1") == {}
+
+
+def test_previous_bench_parses_real_driver_files(monkeypatch):
     """Against the actual driver artifacts in the repo root: every
     recorded round must yield the full 14-query headline map, and the
     default (env-free) call must pick the highest round. Skips only in
@@ -92,7 +105,7 @@ def test_previous_bench_parses_real_driver_files():
     paths = sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json")))
     if not paths:
         pytest.skip("no driver BENCH files recorded yet")
-    os.environ.pop("SPARK_GRAFT_BENCH_DIR", None)
+    monkeypatch.delenv("SPARK_GRAFT_BENCH_DIR", raising=False)
     prev = bench._previous_bench()
     assert set(prev) == set(bench.BENCH_QUERIES), (
         "driver BENCH format drifted: _previous_bench() no longer "

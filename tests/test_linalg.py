@@ -182,3 +182,36 @@ def test_moment_stats_match_gram_matrix(spark):
     assert n == n2
     assert np.allclose(xtx, xtx2, atol=1e-6)
     assert np.allclose(s, s2, atol=1e-6)
+
+
+def test_pca_verdict_eig_desc_detects_permuted_components(spark, monkeypatch):
+    """eig_desc_ok must be an independent measurement, not a re-read of
+    the model's always-sorted eigvals: a consistently permuted model
+    (eigvals AND whiten columns swapped together — cov identity still
+    holds) must flip eig_desc_ok to False while cov_identity_ok stays
+    True, proving the check measures the corpus, not the model array."""
+    import numpy as np
+
+    from vector_database_in_rust_spark.operators import linalg
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    real = linalg.pca_whiten_model
+
+    def permuted(df, **kw):
+        # Simulate a dropped/broken argsort: eigvals and whiten columns
+        # consistently out of descending order (the model is internally
+        # coherent — whitening still works — but the ordering contract
+        # "component 0 explains the most variance" is broken).
+        m = real(df, **kw)
+        perm = np.arange(len(m["eigvals"]))
+        perm[[0, -1]] = perm[[-1, 0]]
+        return {
+            "mean": m["mean"],
+            "eigvals": m["eigvals"][perm],
+            "whiten": m["whiten"][:, perm],
+        }
+
+    monkeypatch.setattr(linalg, "pca_whiten_model", permuted)
+    row = linalg.pca_whiten_verdict(emb).first()
+    assert row["cov_identity_ok"]  # permutation preserves whitening
+    assert not row["eig_desc_ok"]  # ...but breaks the ordering contract

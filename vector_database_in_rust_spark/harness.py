@@ -1297,8 +1297,7 @@ def _rebalanced_index(spark, sf_dir):
     new = spark.createDataFrame(
         clustered, "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT"
     )
-    idx = IVFIndex.build(_emb(spark, sf_dir), num_cells=16, seed=42)
-    idx.assign_new(new)
+    idx = IVFIndex.build(_emb(spark, sf_dir), num_cells=16, seed=42).assign_new(new)
     reb = idx.rebalance(factor=_REBAL_FACTOR, seed=42, max_rounds=6)
     reb.assignments = reb.assignments.persist()
     out = (reb, [float(x) for x in point], new)

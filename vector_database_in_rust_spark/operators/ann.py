@@ -328,7 +328,12 @@ class IVFIndex:
         companion (see streaming/ingest.py) — the reference cannot do
         this at all (its graph is build-once per process). Periodic full
         rebuilds remain advisable once drift accumulates, as in any IVF
-        system."""
+        system.
+
+        Returns a NEW IVFIndex (same centroids, extended assignments);
+        the receiver is untouched — same purity contract as
+        ``split_hot_cells``/``rebalance``, so a caller keeping the
+        pre-ingest index for per-shard serving is safe."""
         spark = new_vectors.sparkSession
         cent = [
             (int(i), [float(x) for x in row]) for i, row in enumerate(self.centroids)
@@ -350,8 +355,12 @@ class IVFIndex:
             .filter(F.col("_r") == 1)
             .select(self.id_col, self.vec_col, "cell_id")
         )
-        self.assignments = self.assignments.unionByName(assigned)
-        return self
+        return IVFIndex(
+            self.centroids,
+            self.assignments.unionByName(assigned),
+            id_col=self.id_col,
+            vec_col=self.vec_col,
+        )
 
     def merge(self, other: "IVFIndex") -> "IVFIndex":
         """Merge another IVF index into this one's cell structure — the
@@ -366,7 +375,8 @@ class IVFIndex:
         ``merge_verdict``/``cell_stats`` pin exactly-one-cell-per-id
         after the fact. When shard distributions differ enough to
         leave hot cells, chain ``.rebalance()`` — same contract as
-        drift ingest."""
+        drift ingest. Returns a NEW merged index; NEITHER input is
+        modified (both shards stay valid for per-shard serving)."""
         return self.assign_new(
             other.assignments.select(
                 F.col(other.id_col).alias(self.id_col),

@@ -228,7 +228,14 @@ def pca_whiten_verdict(
     - ``cov_identity_ok``: max |cov(whitened) − I| < cov_tol — the
       full d×k pipeline (sufficient stats → eigh → projection) must
       compose correctly for this to hold;
-    - ``eig_desc_ok``: explained variance non-increasing;
+    - ``eig_desc_ok``: explained variance non-increasing — measured
+      INDEPENDENTLY of the model's own (always-sorted) eigvals array:
+      the variance of the corpus along rotation direction j is
+      recovered from the re-measured whitened moments as
+      ``eigvals[j] · cov(whitened)[j,j]``, so a regression in the
+      eigendecomposition ordering contract (dropped argsort, permuted
+      components) flips this check even though the stored eigvals
+      read as sorted;
     - ``full_rank_ok``: no component was dropped on this corpus
       (uniform test embeddings are full-rank; a rank collapse means a
       broken covariance).
@@ -245,6 +252,15 @@ def pca_whiten_verdict(
     zmean = zs / n
     zcov = ztz / n - np.outer(zmean, zmean)
     eig = np.asarray(model["eigvals"])
+    # Independent ordering check: var(rotated_j) = λ_j · var(whitened_j),
+    # with var(whitened_j) re-measured from the distributed moments —
+    # NOT a re-read of the model's sorted eigvals (which would be
+    # vacuously non-increasing by construction). Slack of cov_tol×max
+    # absorbs the measured-variance noise around 1.0 for near-equal λ.
+    measured_var = eig * np.diag(zcov)
+    eig_desc = bool(
+        np.all(np.diff(measured_var) <= cov_tol * measured_var.max())
+    )
     spark = df.sparkSession
     return spark.range(1).select(
         F.lit(int(n)).cast("long").alias("n_rows"),
@@ -252,6 +268,6 @@ def pca_whiten_verdict(
         F.lit(bool(np.abs(zcov - np.eye(k)).max() < cov_tol)).alias(
             "cov_identity_ok"
         ),
-        F.lit(bool(np.all(np.diff(eig) <= 0))).alias("eig_desc_ok"),
+        F.lit(eig_desc).alias("eig_desc_ok"),
         F.lit(bool(k == d)).alias("full_rank_ok"),
     )
