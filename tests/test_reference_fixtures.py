@@ -188,3 +188,39 @@ def test_document_generator_deterministic_and_plants_dups(spark):
 
     pairs = ngram_jaccard_pairs(a, threshold=0.5).collect()
     assert len(pairs) >= 3, "planted near-dups not found"
+
+
+def test_planted_dups_follow_the_dup_chain(spark):
+    """A planted near-copy must overlap its source's EMITTED text even
+    when the source itself took the dup branch (dup chains): deriving
+    the copy from the source's discarded pre-dup token stream would
+    leave those pairs with low real Jaccard. A high dup_fraction makes
+    chains the common case, so the chain-unaware derivation fails this
+    deterministically (~60% of planted pairs would go missing)."""
+    import numpy as np
+
+    from vector_database_in_rust_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+    from vector_database_in_rust_spark.sources.synthetic import (
+        generate_documents,
+    )
+
+    n, seed, frac = 300, 42, 0.6
+    docs = generate_documents(spark, n, dup_fraction=frac, seed=seed)
+    # Replicate the generator's per-doc rng consumption to enumerate
+    # exactly which (copy, source) pairs were planted.
+    planted = []
+    for i in range(50, n):
+        rng = np.random.default_rng((seed, i))
+        nw = max(20, int(rng.poisson(120)))
+        rng.zipf(1.3, size=nw)
+        if rng.random() < frac:
+            planted.append((i, i - 1 - int(rng.integers(0, 40))))
+    assert len(planted) > 100  # chains are common at this fraction
+    found = {
+        (min(r["doc_a"], r["doc_b"]), max(r["doc_a"], r["doc_b"]))
+        for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    hit = sum((min(i, s), max(i, s)) in found for i, s in planted)
+    assert hit / len(planted) >= 0.9, f"{hit}/{len(planted)} planted pairs found"

@@ -831,23 +831,82 @@ def lsh_cosine_pairs(
 
 
 _UNIT_CORPUS_CACHE: dict[str, tuple] = {}
+_NPY_MARKER = "_NPY_READY"
 
 
-def _load_unit_corpus(path: str):
+def _stage_unit_npy(path: str, expected_rows: int) -> None:
+    """EXECUTOR-side conversion of the staged corpus parquet into two
+    ``.npy`` sidecars (ids sorted ascending + the matching unit matrix)
+    so every Python worker on a node can ``np.load(mmap_mode='r')``
+    them: per-NODE residency becomes ONE shared page-cache copy of the
+    matrix instead of one in-heap copy per reused worker, and after the
+    job those clean pages are reclaimable by the OS rather than pinned
+    in worker heaps. Runs as a single one-element-RDD task — the only
+    place the full matrix is ever materialized in memory, bounded by
+    the exact-route row cap. Atomic: tmp files + os.replace, marker
+    last."""
+    import numpy as np
+    import pyarrow.dataset as ds
+
+    tbl = ds.dataset(path, format="parquet").to_table(columns=["_id", "_u"])
+    ids = tbl["_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    if len(ids) != expected_rows:
+        raise RuntimeError(
+            f"cosine corpus staging incomplete: read {len(ids)} rows from "
+            f"{path}, expected {expected_rows} — on a multi-node cluster "
+            "set spark.vdb.scratch.dir to SHARED storage"
+        )
+    unit = np.vstack(tbl["_u"].to_numpy(zero_copy_only=False))
+    order = np.argsort(ids, kind="stable")
+    for name, arr in (("_ids", ids[order]), ("_unit", unit[order])):
+        # tmp name must END in .npy or np.save appends another suffix
+        tmp = os.path.join(path, f"{name}.tmp.npy")
+        np.save(tmp, arr)
+        os.replace(tmp, os.path.join(path, f"{name}.npy"))
+    with open(os.path.join(path, _NPY_MARKER), "w"):
+        pass
+
+
+def _load_unit_corpus(path: str, expected_rows: int):
     """Executor-side load of the staged normalized corpus, memoized per
     Python worker process (workers are reused across tasks, so each
-    worker reads the parquet once per job, not once per task). Runs on
-    the EXECUTOR — the driver never materializes the matrix."""
+    worker loads once per job, not once per task). Runs on the
+    EXECUTOR — the driver never materializes the matrix.
+
+    Preferred form: the ``.npy`` sidecars written by
+    :func:`_stage_unit_npy`, loaded with ``mmap_mode='r'`` — near-zero
+    worker heap, one page-cache copy per node, reclaimable after the
+    job. Fallback (no marker — e.g. object-store scratch where the
+    posix mmap staging is skipped): per-worker pyarrow parquet read
+    into heap. Either way the row count is validated against the
+    driver-recorded corpus size, so a scratch dir that is NOT shared
+    across nodes fails LOUDLY instead of silently dropping the pairs
+    of every unseen vector."""
     if path not in _UNIT_CORPUS_CACHE:
         import numpy as np
-        import pyarrow.dataset as ds
 
-        tbl = ds.dataset(path, format="parquet").to_table(columns=["_id", "_u"])
-        ids = tbl["_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        unit = np.vstack(tbl["_u"].to_numpy(zero_copy_only=False))
-        order = np.argsort(ids, kind="stable")
+        if os.path.exists(os.path.join(path, _NPY_MARKER)):
+            ids = np.load(os.path.join(path, "_ids.npy"), mmap_mode="r")
+            unit = np.load(os.path.join(path, "_unit.npy"), mmap_mode="r")
+        else:
+            import pyarrow.dataset as ds
+
+            tbl = ds.dataset(path, format="parquet").to_table(
+                columns=["_id", "_u"]
+            )
+            ids = tbl["_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            unit = np.vstack(tbl["_u"].to_numpy(zero_copy_only=False))
+            order = np.argsort(ids, kind="stable")
+            ids, unit = ids[order], unit[order]
+        if len(ids) != expected_rows:
+            raise RuntimeError(
+                f"cosine corpus incomplete on this executor: {len(ids)} of "
+                f"{expected_rows} rows visible under {path} — "
+                "spark.vdb.scratch.dir must point at storage every "
+                "executor can read"
+            )
         _UNIT_CORPUS_CACHE.clear()  # one corpus at a time: bound worker memory
-        _UNIT_CORPUS_CACHE[path] = (ids[order], unit[order])
+        _UNIT_CORPUS_CACHE[path] = (ids, unit)
     return _UNIT_CORPUS_CACHE[path]
 
 
@@ -855,18 +914,28 @@ def _scratch_dir(spark, kind: str) -> str:
     """Job-scoped scratch directory for executor-readable side data.
 
     Configurable via ``spark.vdb.scratch.dir`` — on a real cluster point
-    it at shared storage (HDFS/S3) so every executor can read what any
-    executor wrote; the local[*] default lands under the system temp
-    dir. Best-effort cleanup at interpreter exit (driver-reachable
-    paths only)."""
+    it at shared storage (HDFS/S3/NFS) so every executor can read what
+    any executor wrote; the system-temp default is ONLY valid under a
+    local[*] master (driver and executors share one filesystem), so a
+    non-local master without the conf is a hard error here rather than
+    a silent partial-corpus read on the executors. Best-effort cleanup
+    at interpreter exit (driver-reachable paths only)."""
     import atexit
     import shutil
     import tempfile
     import uuid
 
-    base = spark.conf.get("spark.vdb.scratch.dir", None) or os.path.join(
-        tempfile.gettempdir(), "vdb-scratch"
-    )
+    base = spark.conf.get("spark.vdb.scratch.dir", None)
+    if base is None:
+        master = spark.conf.get("spark.master", "")
+        if not master.startswith("local"):
+            raise ValueError(
+                f"spark.vdb.scratch.dir is not set and master={master!r} is "
+                "not local[*]: executor-staged side data needs SHARED "
+                "storage on a multi-node cluster (a per-machine temp dir "
+                "would leave each executor seeing only its own fragments)"
+            )
+        base = os.path.join(tempfile.gettempdir(), "vdb-scratch")
     path = os.path.join(base, kind, uuid.uuid4().hex[:12])
     atexit.register(
         lambda p=path: os.path.isdir(p) and shutil.rmtree(p, ignore_errors=True)
@@ -889,11 +958,20 @@ def _cosine_pairs_pandas(
     ``mapInPandas`` task loads it executor-side (memoized per Python
     worker — see ``_load_unit_corpus``) and computes its Arrow batch's
     similarities as ONE BLAS ``batch @ corpus.T``. Driver memory is
-    zero regardless of corpus size; per-executor residency is the
-    N x d float64 matrix (1e5 x 64 ~ 50 MB at the exact-route cap —
-    the same budget the previous task-broadcast form used). The staged
-    parquet doubles as the distributed A-side, so normalization is
-    computed once.
+    zero regardless of corpus size. The staged parquet doubles as the
+    distributed A-side, so normalization is computed once.
+
+    Residency: for posix scratch (the local[*] default and any
+    NFS/lustre cluster dir) one executor task converts the parquet to
+    sorted ``.npy`` sidecars and workers mmap them — per NODE one
+    shared page-cache copy of the N x d float64 matrix (1e5 x 64
+    ~ 50 MB at the exact-route cap), reclaimable by the OS when the
+    job ends, instead of one pinned heap copy per reused Python
+    worker. Object-store scratch (``://`` in the path) skips the mmap
+    staging and falls back to a per-worker in-heap parquet read. Both
+    load paths validate the visible row count against the
+    driver-recorded corpus size, so a scratch dir that is not actually
+    shared fails loudly instead of silently dropping pairs.
     """
     import numpy as np
     import pandas as pd
@@ -917,9 +995,17 @@ def _cosine_pairs_pandas(
     emb.select(F.col(id_col).alias("_id"), unit_col.alias("_u")).write.parquet(
         corpus_path
     )
+    # Metadata-only count (parquet row-group footers) — records the
+    # corpus size every executor-side load must see in full.
+    n_rows = spark.read.parquet(corpus_path).count()
+    if "://" not in corpus_path:
+        # posix scratch: one executor task builds the mmap sidecars
+        spark.sparkContext.parallelize([corpus_path], 1).foreach(
+            lambda p: _stage_unit_npy(p, n_rows)
+        )
 
     def block(batches):
-        b_ids, b_unit = _load_unit_corpus(corpus_path)
+        b_ids, b_unit = _load_unit_corpus(corpus_path, n_rows)
         for pdf in batches:
             a_ids = pdf["_id"].to_numpy()
             a_unit = np.vstack(pdf["_u"].to_numpy())

@@ -94,21 +94,31 @@ def generate_documents(
     def _words(rng, k: int) -> np.ndarray:
         return rng.zipf(zipf_a, size=k) % vocab_size
 
+    def _final_tokens(i: int) -> np.ndarray:
+        """EMITTED token stream of doc i — follows the dup chain, so a
+        planted copy overlaps its source's actual text even when the
+        source itself took the dup branch (re-deriving only the
+        source's pre-dup stream would plant ~dup_fraction of the pairs
+        against text that never exists in the corpus). The chain is
+        strictly decreasing in doc_id and terminates below 50; still a
+        pure function of (seed, i), so determinism and
+        partition-independence hold."""
+        rng = np.random.default_rng((seed, i))
+        nw = max(20, int(rng.poisson(avg_words)))
+        vids = _words(rng, nw)
+        if i >= 50 and rng.random() < dup_fraction:
+            src_id = i - 1 - int(rng.integers(0, 40))
+            vids = _final_tokens(src_id).copy()
+            for j in range(0, len(vids), 20):  # ~5% perturbation
+                vids[j] = int(rng.integers(0, vocab_size))
+        return vids
+
     def gen(batches):
         for pdf in batches:
             ids, texts, lg, src_col, nch = [], [], [], [], []
             for i in pdf["id"]:
                 i = int(i)
-                rng = np.random.default_rng((seed, i))
-                nw = max(20, int(rng.poisson(avg_words)))
-                vids = _words(rng, nw)
-                if i >= 50 and rng.random() < dup_fraction:
-                    src_id = i - 1 - int(rng.integers(0, 40))
-                    rng2 = np.random.default_rng((seed, src_id))
-                    nw2 = max(20, int(rng2.poisson(avg_words)))
-                    vids = _words(rng2, nw2).copy()
-                    for j in range(0, len(vids), 20):  # ~5% perturbation
-                        vids[j] = int(rng.integers(0, vocab_size))
+                vids = _final_tokens(i)
                 text = " ".join(f"w{v}" for v in vids)
                 ids.append(i)
                 texts.append(text)
