@@ -691,3 +691,84 @@ def test_simhash_impls_identical_on_convergent_corpus(spark):
     assert direct == dist == auto
     # the 30 identical docs form a full hamming-0 clique
     assert sum(1 for (a, b, h) in direct if h == 0 and a < 30 and b < 30) == 435
+
+
+# ---- SemDeDup: cluster-scoped semantic dedup (round 8) ----------------
+
+
+def _semantic_corpus(spark):
+    """4 well-separated direction clusters in d=8; each cluster gets
+    singletons (mutually far) plus one planted near-dup pair where the
+    SECOND member is measurably farther from the cluster direction —
+    the paper's keep-the-outlier rule predicts which one survives."""
+    import numpy as np
+
+    rows = []
+    vid = 0
+    planted = []  # (typical_id, outlier_id) per cluster
+    rng = np.random.RandomState(7)
+    for c in range(4):
+        e = np.zeros(8)
+        e[c] = 10.0
+        for _ in range(5):  # singletons: distinct noisy directions
+            v = e + rng.randn(8) * 2.0
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+        off = np.zeros(8)
+        off[(c + 4) % 8] = 1.0
+        typical = e + off * 0.5  # ~2.9 deg off the cluster direction
+        outlier = e + off * 1.5  # ~8.5 deg off; cos(typical,outlier)~0.995
+        planted.append((vid, vid + 1))
+        rows.append((vid, [float(x) for x in typical]))
+        rows.append((vid + 1, [float(x) for x in outlier]))
+        vid += 2
+    df = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+    return df, planted
+
+
+def test_semantic_dedup_drops_planted_keeps_outlier(spark):
+    """Each planted near-dup group loses exactly one member, and the
+    survivor is the LEAST centroid-similar one (SemDeDup's
+    keep-the-outlier rule); singletons are all kept."""
+    df, planted = _semantic_corpus(spark)
+    res = dedup.semantic_dedup(df, threshold=0.99, num_cells=4, seed=42)
+    keep = {r["vec_id"]: r["keep"] for r in res.collect()}
+    assert len(keep) == df.count()
+    for typical_id, outlier_id in planted:
+        assert keep[outlier_id], "least-centroid-similar member must survive"
+        assert not keep[typical_id], "centroid-typical duplicate must drop"
+    dropped = {v for v, k in keep.items() if not k}
+    assert dropped == {t for t, _ in planted}, "no singleton may be dropped"
+
+
+def test_semantic_dedup_repeatable(spark):
+    """Two runs over the same input layout produce identical decisions
+    (seeded KMeans + deterministic greedy order). Cross-partitioning
+    identity is NOT claimed: KMeans|| init samples per partition, so a
+    different input layout may fit different clusters — the verdict's
+    invariants are what hold under ANY clustering."""
+    df, _ = _semantic_corpus(spark)
+    a = dedup.semantic_dedup(df, threshold=0.99, num_cells=4, seed=42)
+    b = dedup.semantic_dedup(df, threshold=0.99, num_cells=4, seed=42)
+    assert sorted(a.collect()) == sorted(b.collect())
+
+
+def test_semantic_dedup_verdict_catches_flipped_decision(spark, monkeypatch):
+    """The verdict's independent re-check must flip a boolean when the
+    decisions are corrupted: un-dropping a duplicate breaks kept_valid,
+    dropping a singleton breaks dropped_valid."""
+    df, _ = _semantic_corpus(spark)
+    real = dedup.semantic_dedup
+
+    def corrupted(emb, **kw):
+        out = real(emb, **kw)
+        # invert every decision: kept duplicates now coexist (kept_valid
+        # false) and dropped singletons lack witnesses (dropped_valid false)
+        return out.withColumn("keep", ~F.col("keep"))
+
+    monkeypatch.setattr(dedup, "semantic_dedup", corrupted)
+    row = dedup.semantic_dedup_verdict(
+        df, threshold=0.99, num_cells=4, seed=42
+    ).first()
+    assert row["n_total"] == df.count()
+    assert not (row["kept_valid"] and row["dropped_valid"])

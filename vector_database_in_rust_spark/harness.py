@@ -546,6 +546,48 @@ def dedup_embedding_lsh(spark, sf_dir):
     return lsh_cosine_pairs(_emb(spark, sf_dir), threshold=0.4)
 
 
+@register("dedup_semantic")  # KMeans clustering -> rows-only
+def dedup_semantic(spark, sf_dir):
+    """Cluster-scoped semantic dedup (SemDeDup, Abbas et al. 2023,
+    arXiv:2303.09540; operators/dedup.semantic_dedup): KMeans the
+    embedding space via IVFIndex (bounded-sample fit), bound cluster
+    occupancy with .rebalance(), then greedily keep per cluster the
+    least-centroid-similar member of each duplicate group. One
+    decision row per vector. Non-SQL (KMeans) -> rows-only; the
+    hash-verified invariants are dedup_semantic_verdict's."""
+    from vector_database_in_rust_spark.operators.dedup import semantic_dedup
+
+    return semantic_dedup(_emb(spark, sf_dir), threshold=0.4, seed=42)
+
+
+_SEMANTIC_VERDICT_ORACLE = """
+SELECT CAST((SELECT count(*) FROM embeddings) AS BIGINT) AS n_total,
+       TRUE AS ids_unique,
+       TRUE AS kept_valid,
+       TRUE AS dropped_valid,
+       TRUE AS some_dropped
+"""
+
+
+@register("dedup_semantic_verdict", _SEMANTIC_VERDICT_ORACLE)
+def dedup_semantic_verdict_q(spark, sf_dir):
+    """Driver-hash-verifiable twin of the SemDeDup lane
+    (operators/dedup.semantic_dedup_verdict): re-checks the greedy
+    keep/drop contract with an INDEPENDENT per-cluster BLAS pass —
+    one decision per vector (count predicted by the oracle from the
+    embeddings table), kept rows form an eps-independent set within
+    every cluster, every dropped row has a surviving near-duplicate
+    witness, and the corpus's near-dup structure was actually found
+    (some_dropped guards against a vacuously-valid scattered
+    clustering). Any greedy or assignment regression flips a boolean
+    and the driver hash."""
+    from vector_database_in_rust_spark.operators.dedup import (
+        semantic_dedup_verdict,
+    )
+
+    return semantic_dedup_verdict(_emb(spark, sf_dir), threshold=0.4, seed=42)
+
+
 @register("dedup_minhash_lsh")  # approximate candidate gen -> rows-only
 def dedup_minhash_lsh(spark, sf_dir):
     """MinHash+LSH near-dup pairs (verified exactly). No SQL oracle: the
@@ -7680,12 +7722,13 @@ _ROUND7_WINDOW = [
 
 
 _ROUND8_WINDOW = [
-    # --- 3 never-verified: the round-8 additions (sharded IVF merge,
-    #     PCA whitening, curriculum ordering) take front slots so registry growth never
-    #     outruns verification. ---
+    # --- 4 never-verified: the round-8 additions (sharded IVF merge,
+    #     PCA whitening, curriculum ordering, SemDeDup verdict) take
+    #     front slots so registry growth never outruns verification. ---
     "ann_ivf_merge_verdict",
     "pca_whiten_verdict",
     "curriculum_order",
+    "dedup_semantic_verdict",
     # --- 47 re-verification slots, least-recently-verified first
     #     (composed by scripts/compose_window.py; the meta-test checks
     #     refills are ordered by verification age): the 41-query r04
@@ -7740,7 +7783,9 @@ _ROUND8_WINDOW = [
     "cosine_similarity",  # last green r05
     "knn_exact",  # last green r05
     "knn_batch",  # last green r05
-    "dedup_exact",  # last green r05
+    # (dedup_exact, last green r05, yielded its slot to
+    #  dedup_semantic_verdict — staying out keeps it exactly as stale
+    #  as the rest of the left-out r05 cohort)
     "dedup_embedding_cosine",  # last green r05 (exact route rewritten r08)
 ]
 

@@ -1027,6 +1027,208 @@ def _cosine_pairs_pandas(
     )
 
 
+def semantic_dedup(
+    emb: DataFrame,
+    *,
+    threshold: float = 0.4,
+    num_cells: int | None = None,
+    occupancy_factor: float = 4.0,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cluster-scoped semantic deduplication — the SemDeDup recipe
+    (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication", arXiv:2303.09540):
+    k-means the embedding space, then prune near-duplicates ONLY
+    within each cluster, keeping from every duplicate group the
+    example LEAST similar to its cluster centroid (the paper's
+    keep-the-outlier rule — centroid-typical copies carry the least
+    marginal information).
+
+    This is the published scale path for semantic dedup: the global
+    all-pairs problem (O(N²)) becomes k independent within-cluster
+    problems, each bounded. Spark-first composition of existing
+    pieces — no new distributed machinery:
+
+    - clustering REUSES :class:`~...ann.IVFIndex` (bounded-sample
+      KMeans fit + one broadcast-centroid assignment pass), then
+      chains ``.rebalance(factor=occupancy_factor)`` so every
+      cluster's size is bounded by ``factor x mean`` BY CONSTRUCTION
+      — the within-cluster quadratic term cannot blow up on a hot
+      cluster, the same occupancy discipline the ANN serving path
+      uses (no silent cap; skew is repaired, not sampled away);
+    - pruning is ONE ``applyInPandas`` pass grouped by cluster
+      (single shuffle on cell_id): unit-normalize the cluster's
+      vectors, order by (similarity-to-centroid ASC, id), and
+      greedily keep a row unless it has cosine >= ``threshold``
+      (rounded to 6, the repo-wide determinism contract) with an
+      already-kept row. First kept in each duplicate group is
+      therefore the least centroid-similar, matching the paper's
+      rule. The greedy pass is fully deterministic GIVEN the fitted
+      clustering; the KMeans fit itself is seeded but (like any
+      Spark ML fit) samples its k-means|| init per partition, so a
+      different input layout may fit different clusters — the
+      verdict's invariants are the guarantees that hold under ANY
+      clustering.
+
+    Returns one row per input vector: ``(id, cluster_id, keep)``;
+    training pipelines filter ``keep`` and join back to documents.
+    Zero-norm vectors normalize to zero -> cosine 0 -> always kept
+    (the reference's zero-norm guard, src/lib.rs:43-45).
+
+    Contrast with :func:`embedding_cosine_pairs`: that operator
+    reports exact pairs (and must consider every pair, hence its
+    size-routed exact/LSH split); this one makes keep/drop DECISIONS
+    and accepts the clustering approximation — cross-cluster
+    near-dups are deliberately out of scope, as in the paper.
+
+    Non-SQL-expressible (KMeans) -> rows-only harness lane; the
+    driver-hash-verifiable invariants live in
+    :func:`semantic_dedup_verdict`, pytest pins planted-dup behavior.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from vector_database_in_rust_spark.operators.ann import IVFIndex
+
+    idx = IVFIndex.build(
+        emb, num_cells=num_cells, seed=seed, id_col=id_col, vec_col=vec_col
+    ).rebalance(factor=occupancy_factor, seed=seed)
+    cents = idx.centroids
+    eps = float(threshold)
+
+    def prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        cell = int(pdf["cell_id"].iloc[0])
+        x = np.vstack(pdf[vec_col].apply(np.asarray, dtype=np.float64))
+        norms = np.linalg.norm(x, axis=1)
+        u = np.divide(
+            x, norms[:, None], out=np.zeros_like(x), where=norms[:, None] > 0
+        )
+        c = cents[cell]
+        cn = np.linalg.norm(c)
+        csim = u @ (c / cn if cn > 0 else c)
+        ids = pdf[id_col].to_numpy()
+        order = np.lexsort((ids, csim))  # csim primary, id tie-break
+        m = len(ids)
+        keep = np.zeros(m, dtype=bool)
+        kept = np.empty_like(u)
+        nk = 0
+        for i in order:
+            if nk and np.round(kept[:nk] @ u[i], 6).max() >= eps:
+                continue
+            keep[i] = True
+            kept[nk] = u[i]
+            nk += 1
+        return pd.DataFrame(
+            {id_col: ids, "cluster_id": np.full(m, cell), "keep": keep}
+        ).astype({id_col: "int64", "cluster_id": "int32", "keep": "bool"})
+
+    return idx.assignments.groupBy("cell_id").applyInPandas(
+        prune, schema=f"{id_col} BIGINT, cluster_id INT, keep BOOLEAN"
+    )
+
+
+def semantic_dedup_verdict(
+    emb: DataFrame,
+    *,
+    threshold: float = 0.4,
+    num_cells: int | None = None,
+    occupancy_factor: float = 4.0,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Single-row driver-hash-verifiable verdict for the (non-SQL)
+    SemDeDup lane, in the verdict-twin mold: run
+    :func:`semantic_dedup`, join the decisions back to the vectors,
+    and re-check the greedy contract INDEPENDENTLY per cluster in one
+    distributed pass:
+
+    - ``n_total``: decision rows == corpus rows (oracle predicts
+      count(embeddings) — clustering and rebalance must be lossless);
+    - ``ids_unique``: exactly one decision per vector;
+    - ``kept_valid``: no two KEPT rows in the same cluster have
+      cosine >= threshold (the kept set is an independent set of the
+      within-cluster duplicate graph);
+    - ``dropped_valid``: every DROPPED row has cosine >= threshold
+      with some KEPT row in its cluster (nothing is dropped without a
+      surviving near-duplicate witness);
+    - ``some_dropped``: the corpus's planted near-dup structure was
+      actually found (guards against a vacuously-valid run where
+      clustering scattered every duplicate pair).
+
+    The re-check is a second groupBy(cluster).applyInPandas with its
+    own BLAS — it shares no state with the greedy pass beyond the
+    decisions themselves, so a broken greedy (or a lossy
+    cluster-assignment) flips a boolean and the driver hash."""
+    import numpy as np
+    import pandas as pd
+
+    decisions = semantic_dedup(
+        emb,
+        threshold=threshold,
+        num_cells=num_cells,
+        occupancy_factor=occupancy_factor,
+        seed=seed,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    eps = float(threshold)
+    joined = decisions.join(
+        emb.select(F.col(id_col), F.col(vec_col)), id_col
+    ).select(id_col, "cluster_id", "keep", vec_col)
+
+    def check(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = np.vstack(pdf[vec_col].apply(np.asarray, dtype=np.float64))
+        norms = np.linalg.norm(x, axis=1)
+        u = np.divide(
+            x, norms[:, None], out=np.zeros_like(x), where=norms[:, None] > 0
+        )
+        k = pdf["keep"].to_numpy(dtype=bool)
+        uk, ud = u[k], u[~k]
+        kept_ok = True
+        if len(uk) > 1:
+            g = np.round(uk @ uk.T, 6)
+            np.fill_diagonal(g, -np.inf)
+            kept_ok = bool(g.max() < eps)
+        dropped_ok = True
+        if len(ud):
+            dropped_ok = bool(
+                len(uk) > 0
+                and np.all(np.round(ud @ uk.T, 6).max(axis=1) >= eps)
+            )
+        return pd.DataFrame(
+            {
+                "n": [len(pdf)],
+                "n_dropped": [int((~k).sum())],
+                "kept_ok": [kept_ok],
+                "dropped_ok": [dropped_ok],
+            }
+        )
+
+    per_cluster = joined.groupBy("cluster_id").applyInPandas(
+        check, schema="n BIGINT, n_dropped BIGINT, kept_ok BOOLEAN, dropped_ok BOOLEAN"
+    )
+    uniq = decisions.agg(
+        (F.count(F.lit(1)) == F.count_distinct(F.col(id_col))).alias(
+            "ids_unique"
+        )
+    )
+    return (
+        per_cluster.agg(
+            F.sum("n").cast("long").alias("n_total"),
+            F.min("kept_ok").alias("kept_valid"),
+            F.min("dropped_ok").alias("dropped_valid"),
+            (F.sum("n_dropped") > 0).alias("some_dropped"),
+        )
+        .join(F.broadcast(uniq))
+        .select(
+            "n_total", "ids_unique", "kept_valid", "dropped_valid", "some_dropped"
+        )
+    )
+
+
 def dedup_clusters(
     pairs: DataFrame,
     *,
