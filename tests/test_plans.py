@@ -640,3 +640,12 @@ def test_pca_projection_map_only(spark):
     a = audit(pca_whiten(emb, model))
     assert "Exchange" not in a.formatted, a.formatted
     assert "ArrowEvalPython" in a.formatted or "MapInPandas" in a.formatted
+
+
+def test_semantic_dedup_single_cluster_shuffle(audits):
+    """SemDeDup's pruning pass: after the KMeans assignment (its own
+    bounded job), decisions come from ONE exchange keyed on cell_id
+    feeding the grouped applyInPandas — the corpus-sized work is a
+    single shuffle, no sort, no broadcast of anything corpus-sized."""
+    a = audits("dedup_semantic")
+    assert a.n_shuffle_exchanges == 1
