@@ -131,6 +131,11 @@ def main() -> None:
             n,
             _time(lambda: _sink(pca_whiten(emb, pca["m"]))),
         )
+        rec(
+            "semantic_dedup",
+            n,
+            _time(lambda: _sink(dedup.semantic_dedup(emb, seed=42))),
+        )
 
     # -- text/dedup ops over generated corpora --
     for n in DOC_SIZES:

@@ -772,3 +772,13 @@ def test_semantic_dedup_verdict_catches_flipped_decision(spark, monkeypatch):
     ).first()
     assert row["n_total"] == df.count()
     assert not (row["kept_valid"] and row["dropped_valid"])
+
+
+def test_embedding_cosine_pandas_empty_corpus(spark):
+    """Empty input must yield zero pairs, not crash: the executor-side
+    corpus load runs before the batch loop, so without the n_rows
+    short-circuit an empty staged parquet np.vstack-crashed every
+    task."""
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    empty = emb.filter("vec_id < 0")
+    assert dedup.embedding_cosine_pairs(empty, threshold=0.4, impl="pandas").count() == 0

@@ -998,13 +998,17 @@ def _cosine_pairs_pandas(
     # Metadata-only count (parquet row-group footers) — records the
     # corpus size every executor-side load must see in full.
     n_rows = spark.read.parquet(corpus_path).count()
-    if "://" not in corpus_path:
+    if n_rows and "://" not in corpus_path:
         # posix scratch: one executor task builds the mmap sidecars
+        # (empty corpus: nothing to stage, and mapInPandas below gets
+        # no batches, so the loader never runs either)
         spark.sparkContext.parallelize([corpus_path], 1).foreach(
             lambda p: _stage_unit_npy(p, n_rows)
         )
 
     def block(batches):
+        if not n_rows:
+            return  # empty corpus: no pairs; don't touch the (unstaged) load
         b_ids, b_unit = _load_unit_corpus(corpus_path, n_rows)
         for pdf in batches:
             a_ids = pdf["_id"].to_numpy()
