@@ -161,7 +161,14 @@ def _previous_bench(sf: str | None = None) -> dict[str, float]:
             # the recorded 1.0 (or "0.10" vs 0.1) must still match — a
             # string compare would silently drop the baseline and
             # re-kill the drift guard for integer/trailing-zero sfs.
-            if float(d["sf"]) != float(sf):
+            # Non-numeric sf tokens (main() records those verbatim as
+            # strings) fall back to string equality instead of being
+            # swallowed by the except and losing the baseline.
+            try:
+                same = float(d["sf"]) == float(sf)
+            except (TypeError, ValueError):
+                same = str(d["sf"]) == str(sf)
+            if not same:
                 return {}
         return dict(d.get("queries", {}))
     except (OSError, ValueError, TypeError):

@@ -34,6 +34,13 @@ from vector_database_in_rust_spark.sources.synthetic import (  # noqa: E402
 DIM = 64
 VEC_SIZES = [5_000, 50_000, 500_000]
 DOC_SIZES = [5_000, 50_000]
+# Staged-corpus cache keys include the GENERATOR version — bump when
+# the corresponding sources.synthetic generator changes semantics, or
+# a reused _SUCCESS-complete corpus from an older generator would be
+# silently measured as if it were current data (DOC_V=2: round-8
+# dup-chain fix to generate_documents).
+VEC_V = 1
+DOC_V = 2
 
 
 def _time(fn) -> float:
@@ -74,7 +81,7 @@ def main() -> None:
 
     # -- vector ops over generated corpora (parquet-staged, like prod) --
     for n in VEC_SIZES:
-        path = f"{REPO}/spark-warehouse/scaling/vec_{n}"
+        path = f"{REPO}/spark-warehouse/scaling/vec_v{VEC_V}_{n}"
         if not _complete(path):
             generate_vectors(spark, n, DIM, num_partitions=32).write.mode(
                 "overwrite"
@@ -108,7 +115,7 @@ def main() -> None:
         # The production serving path: cell-partitioned persisted layout,
         # where `cell_id IN (probes)` is PARTITION PRUNING — probed bytes
         # scale with nprobe cells, not with N.
-        ipath = f"{REPO}/spark-warehouse/scaling/ivf_{n}"
+        ipath = f"{REPO}/spark-warehouse/scaling/ivf_v{VEC_V}_{n}"
         # save() writes assignments then centroids — the centroids
         # _SUCCESS marker therefore implies the whole index committed.
         if not _complete(f"{ipath}/centroids"):
@@ -139,7 +146,7 @@ def main() -> None:
 
     # -- text/dedup ops over generated corpora --
     for n in DOC_SIZES:
-        path = f"{REPO}/spark-warehouse/scaling/docs_{n}"
+        path = f"{REPO}/spark-warehouse/scaling/docs_v{DOC_V}_{n}"
         if not _complete(path):
             generate_documents(spark, n, num_partitions=32).write.mode(
                 "overwrite"

@@ -7729,7 +7729,7 @@ _ROUND8_WINDOW = [
     "pca_whiten_verdict",
     "curriculum_order",
     "dedup_semantic_verdict",
-    # --- 47 re-verification slots, least-recently-verified first
+    # --- 46 re-verification slots, least-recently-verified first
     #     (composed by scripts/compose_window.py; the meta-test checks
     #     refills are ordered by verification age): the 41-query r04
     #     cohort is the stalest evidence in the registry, topped up

@@ -1177,7 +1177,13 @@ def semantic_dedup_verdict(
         seed=seed,
         id_col=id_col,
         vec_col=vec_col,
-    )
+    ).persist()
+    # ^ the decisions subtree feeds BOTH the per-cluster re-check and
+    # the ids_unique aggregate; without the persist the KMeans
+    # assignment + rebalance + O(m²·d) greedy pass would execute twice
+    # (the two subtrees differ, so no exchange reuse applies). The
+    # cached payload is the NARROW decision table (id, cluster, flag) —
+    # never the vectors.
     eps = float(threshold)
     joined = decisions.join(
         emb.select(F.col(id_col), F.col(vec_col)), id_col
