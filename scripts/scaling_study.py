@@ -143,8 +143,24 @@ def main() -> None:
             n,
             _time(lambda: _sink(dedup.semantic_dedup(emb, seed=42))),
         )
+        # auto routes: exact BLAS <= max_exact_rows (5k/50k here), the
+        # bucketed LSH join above it (500k) — the 500k point measures
+        # the scale path, not a bigger exact matmul.
+        rec(
+            "embedding_cosine",
+            n,
+            _time(
+                lambda: _sink(
+                    dedup.embedding_cosine_pairs(emb, known_count=n)
+                )
+            ),
+        )
 
     # -- text/dedup ops over generated corpora --
+    from vector_database_in_rust_spark.operators.curation import corpus_shuffle
+    from vector_database_in_rust_spark.operators.packing import pack_sequences
+    from vector_database_in_rust_spark.operators.search import bm25_scores
+
     for n in DOC_SIZES:
         path = f"{REPO}/spark-warehouse/scaling/docs_v{DOC_V}_{n}"
         if not _complete(path):
@@ -168,6 +184,36 @@ def main() -> None:
             "quality_score",
             n,
             _time(lambda: _sink(quality_score(docs))),
+        )
+        rec(
+            "ngram_jaccard",
+            n,
+            _time(lambda: _sink(dedup.ngram_jaccard_pairs(docs))),
+        )
+        rec(
+            "winnow_pairs",
+            n,
+            _time(lambda: _sink(dedup.winnow_pairs(docs))),
+        )
+        rec(
+            "dup_span_stats",
+            n,
+            _time(lambda: _sink(dedup.duplicated_span_stats(docs))),
+        )
+        rec(
+            "corpus_shuffle",
+            n,
+            _time(lambda: _sink(corpus_shuffle(docs))),
+        )
+        rec(
+            "bm25_top10",
+            n,
+            _time(lambda: _sink(bm25_scores(docs, ["w1", "w7", "w42"]))),
+        )
+        rec(
+            "pack_sequences",
+            n,
+            _time(lambda: _sink(pack_sequences(docs))),
         )
 
     # scaling exponents between smallest and largest measured size

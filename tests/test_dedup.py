@@ -627,6 +627,57 @@ def test_winnow_short_doc_excluded(spark):
     assert ids == {2}  # doc 1 has 5 < k + window - 1 = 6 tokens
 
 
+def test_winnow_pairs_hot_fingerprint_guard(spark):
+    """Round-8 scaling-study fix #3: ``max_fp_freq`` cuts corpus-hot
+    (boilerplate) fingerprints before the self-join. On a corpus where
+    every doc shares one 20-token boilerplate run, the unguarded join
+    is the full clique (freq² fan-out — the shape measured at 2.5e8
+    candidate rows on the 50k zipf corpus); with the cut active the
+    clique vanishes while a planted pair sharing a UNIQUE run still
+    surfaces through its rare fingerprints. A guard level the corpus
+    cannot reach must be bit-identical to no guard — on both the
+    skip path (cut >= n_docs: provably no-op, plan untouched) and the
+    fired-but-nothing-hot path (n_docs > cut >= max df)."""
+    boiler = " ".join(f"b{i}" for i in range(20))
+    rng = __import__("random").Random(8)
+    rows = []
+    for i in range(121):
+        uniq = " ".join(f"u{i}_{rng.randrange(10**6)}" for _ in range(20))
+        rows.append((i, f"{boiler} {uniq}"))
+    shared = " ".join(f"s{rng.randrange(10**6)}" for _ in range(20))
+    rows.append((200, f"{shared} only tail here x1 y1 z1 q1 r1 t1"))
+    rows.append((201, f"{shared} other tail text x2 y2 z2 q2 r2 t2"))
+    docs = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+
+    def run(**kw):
+        return {
+            (r["doc_a"], r["doc_b"], r["n_shared"])
+            for r in dedup.winnow_pairs(docs, min_shared=2, **kw).collect()
+        }
+
+    unguarded = run(max_fp_freq=None)
+    clique = {(a, b) for a, b, _ in unguarded if a < 121 and b < 121}
+    assert len(clique) == 121 * 120 // 2  # boilerplate full clique
+    assert (200, 201) in {(a, b) for a, b, _ in unguarded}
+
+    cut = run(max_fp_freq=50)  # 123 docs > 50: guard fires, df=121 cut
+    assert (200, 201) in {(a, b) for a, b, _ in cut}
+    # A handful of clique pairs legitimately survive: windows at the
+    # boilerplate/unique seam select boiler grams in only a SUBSET of
+    # docs (df lands under the cut). The guard's job is killing the
+    # freq² bulk, not every echo — measured: 7260 → 66 here.
+    leaked = {(a, b) for a, b, _ in cut if a < 121 and b < 121}
+    assert len(leaked) < 0.02 * len(clique), len(leaked)
+    # an aggressive cut removes even the seam echoes, keeps the pair
+    tight = run(max_fp_freq=10)
+    assert {(a, b) for a, b, _ in tight if a < 121 and b < 121} == set()
+    assert (200, 201) in {(a, b) for a, b, _ in tight}
+
+    # nothing hot enough to cut → bit-identical, both guard paths
+    assert run(max_fp_freq=1000) == unguarded  # 123 <= 1000: skip path
+    assert run(max_fp_freq=122) == unguarded  # fires; max df 121 <= 122
+
+
 def test_triangle_enumerate_on_constructed_graph(spark):
     """4-clique -> 4 triangles; a chain contributes none."""
     pairs = spark.createDataFrame(

@@ -2067,6 +2067,7 @@ def winnow_pairs(
     k: int = 4,
     window: int = 3,
     min_shared: int = 2,
+    max_fp_freq: int | None = 500,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
@@ -2080,22 +2081,52 @@ def winnow_pairs(
 
     Scale: inverted-index self-join keyed by fp_hash — identical shape
     to the LSH band join; cost follows true fingerprint collisions, not
-    |docs|^2. A corpus-wide hot fingerprint (boilerplate substring)
-    fans out freq^2 like any inverted index; apply the same df cut as
-    ngram_jaccard_pairs upstream if the corpus has one.
+    |docs|^2. ``max_fp_freq`` (round 8, found by the scaling study on
+    a zipf-vocabulary corpus) drops fingerprints present in more than
+    that many documents BEFORE the self-join: a corpus-hot fingerprint
+    is a boilerplate substring whose freq² fan-out carries ~zero
+    near-dup signal (measured at 50k docs: 913 fingerprints with df >
+    100 contributed 81% of the 2.5e8 candidate rows; the hottest one —
+    df 12,218 — alone fans out 7.5e7 pairs). Same rationale and
+    skip-when-provably-no-op gate as ``minhash_lsh_pairs``'s
+    ``max_band_bucket``: a fingerprint's document frequency cannot
+    exceed the corpus row count, so for corpora at or under the cut
+    the guard adds NOTHING to the plan (one metadata-cheap count) and
+    output is bit-identical — which keeps the registered oracle exact
+    at driver scale (max df there: 6). The winnowing guarantee is
+    weakened only for substrings hot enough to be cut — the standard
+    boilerplate trade every df-cut lane here makes. When the guard
+    fires the result is EAGER (localCheckpoint) so the fingerprint
+    cache backing both join sides and the frequency pass can be
+    released immediately, like ``minhash_lsh_pairs``.
     """
     fps = winnow_fingerprints(
         docs, k=k, window=window, text_col=text_col, id_col=id_col
     ).select("doc_id", "fp_hash").distinct()
+    guarded = max_fp_freq is not None and docs.count() > max_fp_freq
+    cached = None
+    if guarded:
+        cached = fps.persist()
+        hot = (
+            cached.groupBy("fp_hash")
+            .agg(F.count(F.lit(1)).alias("_f"))
+            .filter(F.col("_f") > max_fp_freq)
+            .select("fp_hash")
+        )
+        fps = cached.join(hot, "fp_hash", "left_anti")
     a = fps.alias("a")
     b = fps.alias("b")
-    return (
+    pairs = (
         a.join(b, on="fp_hash")
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .where(F.col("n_shared") >= min_shared)
     )
+    if guarded:
+        pairs = pairs.localCheckpoint(eager=True)
+        cached.unpersist()
+    return pairs
 
 
 def triangle_enumerate(pairs: DataFrame) -> DataFrame:
