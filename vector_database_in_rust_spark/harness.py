@@ -517,11 +517,11 @@ SELECT doc_a, doc_b, cosine FROM scored WHERE cosine >= 0.4
 def dedup_embedding_cosine(spark, sf_dir):
     """Embedding near-duplicate pairs by exact cosine >= threshold.
     Size-routed (operators/dedup.embedding_cosine_pairs): below
-    MAX_EXACT_COSINE_ROWS a broadcast BLAS-matmul pass (measured ~10x
-    over the expression form); above it the LSH-bucketed
-    approxSimilarityJoin path — no corpus-sized driver collect is
-    reachable at any scale. The oracle checks the exact route taken at
-    driver scale; the LSH route is driver-run via dedup_embedding_lsh."""
+    MAX_EXACT_COSINE_ROWS a staged BLAS-matmul pass (measured ~10x
+    over the expression form); above it the banded SRP-LSH path — no
+    corpus-sized driver collect is reachable at any scale. The oracle
+    checks the exact route taken at driver scale; the LSH route is
+    driver-run via dedup_embedding_lsh."""
     from vector_database_in_rust_spark.operators.dedup import embedding_cosine_pairs
 
     return embedding_cosine_pairs(
@@ -533,14 +533,17 @@ def dedup_embedding_cosine(spark, sf_dir):
 
 @register("dedup_embedding_lsh")  # approximate recall -> rows-only
 def dedup_embedding_lsh(spark, sf_dir):
-    """Bucketed LSH cosine similarity join (operators/dedup.py
-    lsh_cosine_pairs) — the route ``embedding_cosine_pairs`` takes above
-    MAX_EXACT_COSINE_ROWS, exercised here directly so the 100 TB path
-    runs under the driver. Emitted cosines are exact (computed on LSH
-    candidates); the approximation is recall only, which portable SQL
+    """Banded signed-random-projection LSH cosine similarity join
+    (operators/dedup.py lsh_cosine_pairs; round-8 redesign — the old
+    stock-BRP form OOMed at 500k in the scaling study) — the route
+    ``embedding_cosine_pairs`` takes above MAX_EXACT_COSINE_ROWS,
+    exercised here directly so the 100 TB path runs under the driver.
+    Emitted cosines are exact (candidates verified against the staged
+    unit matrix); the approximation is recall only, which portable SQL
     cannot reproduce -> rows-only. Quality bar:
     tests/test_dedup.py::test_lsh_cosine_pairs_recover_exact (recall
-    >= 0.7 vs the exact join at this threshold/scale)."""
+    >= 0.7 vs the exact join at this threshold/scale; measured
+    0.97/0.98 at sf0.001/sf0.01)."""
     from vector_database_in_rust_spark.operators.dedup import lsh_cosine_pairs
 
     return lsh_cosine_pairs(_emb(spark, sf_dir), threshold=0.4)
@@ -4813,12 +4816,13 @@ FROM scored WHERE cosine >= 0.4
 @register("dedup_embedding_lsh_verdict", _EMB_LSH_VERDICT_ORACLE)
 def dedup_embedding_lsh_verdict_q(spark, sf_dir):
     """Driver-verifiable verdict for the embedding-LSH scale route
-    (BucketedRandomProjectionLSH over unit vectors): false positives
-    provably 0 (approxSimilarityJoin filters candidates by EXACT
-    distance), recall >= 0.7 vs the exact cosine pairs (measured 1.0
-    at sf0.01 with 8 hash tables; pytest bar 0.7). The seeded bucket
-    assignment isn't portable SQL, so the verdict emits what the
-    oracle can predict from the exact closure."""
+    (banded SRP over the staged unit matrix, round-8 redesign): false
+    positives provably 0 (every candidate is scored by EXACT cosine
+    before the threshold filter), recall >= 0.7 vs the exact cosine
+    pairs (measured 0.983 at sf0.01 with 16 x 4-bit bands; pytest bar
+    0.7). The seeded band assignment isn't portable SQL, so the
+    verdict emits what the oracle can predict from the exact
+    closure."""
     from vector_database_in_rust_spark.operators.dedup import (
         lsh_cosine_pairs,
         pairs_recall_verdict,

@@ -746,7 +746,11 @@ def embedding_cosine_pairs(
                 max_exact_rows,
             )
             return lsh_cosine_pairs(
-                emb, threshold=threshold, id_col=id_col, vec_col=vec_col
+                emb,
+                threshold=threshold,
+                id_col=id_col,
+                vec_col=vec_col,
+                known_count=n,
             )
         impl = "pandas"
     if impl == "pandas":
@@ -780,58 +784,237 @@ def embedding_cosine_pairs(
     )
 
 
+_SRP_PROJ_CACHE: dict[tuple, "np.ndarray"] = {}
+
+
+def _srp_band_codes(seed: int, num_bands: int, band_bits: int):
+    """mapInPandas generator factory: unit-normalize each vector and
+    emit its ``num_bands`` signed-random-projection band codes (each
+    band = ``band_bits`` sign bits packed into one int). The
+    projection matrix is seeded numpy, memoized per worker — identical
+    on every executor and across retries."""
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf["_v"]])
+            d = mat.shape[1]
+            key = (seed, d, num_bands * band_bits)
+            proj = _SRP_PROJ_CACHE.get(key)
+            if proj is None:
+                proj = np.random.default_rng(key).standard_normal(
+                    (d, num_bands * band_bits)
+                )
+                _SRP_PROJ_CACHE[key] = proj
+            norms = np.linalg.norm(mat, axis=1)
+            keep = norms > 0
+            bits = (mat[keep] @ proj) > 0  # (n, bands*bits) bool
+            weights = (1 << np.arange(band_bits)).astype(np.int64)
+            codes = (
+                bits.reshape(-1, num_bands, band_bits).astype(np.int64) @ weights
+            )  # (n, bands)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy()[keep],
+                    "codes": list(codes),
+                }
+            )
+
+    return gen
+
+
 def lsh_cosine_pairs(
     emb: DataFrame,
     *,
     threshold: float = 0.4,
-    bucket_length: float = 0.5,
-    num_hash_tables: int = 8,
+    num_bands: int = 16,
+    band_bits: int | None = None,
+    target_bucket: int = 64,
+    max_band_bucket: int | None = 2_000,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    known_count: int | None = None,
 ) -> DataFrame:
-    """Scale path for embedding near-dup: L2-normalize embeddings (then
-    cosine >= t <=> euclidean^2 <= 2-2t) and use stock
-    BucketedRandomProjectionLSH.approxSimilarityJoin."""
-    from pyspark.ml.feature import BucketedRandomProjectionLSH
-    from pyspark.ml.functions import array_to_vector
+    """Scale path for embedding near-dup: banded signed-random-
+    projection (SRP / hyperplane) LSH with exact cosine verification
+    of candidates — false positives are provably zero, recall is the
+    approximate lane's measured quantity (gated in tests and by the
+    driver-green ★ verdict twin).
 
-    norm = F.sqrt(
+    Round-8 redesign, forced by the scaling study: the previous
+    implementation (stock ``BucketedRandomProjectionLSH``,
+    ``bucketLength=0.5``) OOMed the 128 GiB JVM at 500k x 64-d.
+    Root cause is geometric, not a tuning slip: projections of UNIT
+    vectors onto a random direction concentrate in ±3/sqrt(d) (±0.38
+    at d=64), so a 0.5-wide bucket grid collapses every hash table to
+    ~one bucket — each of Spark's OR-ed tables was the full corpus,
+    and approxSimilarityJoin (which has no bucket-size guard) self-
+    joined N² candidate rows. It looked green at driver scale for the
+    same reason: a degenerate all-pairs join IS exact brute force when
+    N² fits in memory. That family cannot be saved by resizing
+    buckets: single-projection tables discriminate ~nothing at d=64
+    (random-pair collision ~0.36/table, OR-8 -> 0.97 of all pairs).
+
+    The replacement is the engine's standard banded shape
+    (minhash_lsh_pairs): ``num_bands`` bands of ``band_bits`` sign
+    bits (AND within a band, OR across bands — real amplification),
+    an equi-join on (band, code) with the same oversized-bucket skip
+    guard, then exact pair verification. P(bit agrees) = 1 - θ/π, so
+    band collision = (1-θ/π)^band_bits: true near-dups (cosine 0.9+,
+    p=.86) collide with prob ~1 across 16 bands, while orthogonal
+    noise (p=.5) dies as 2^-band_bits per band.
+
+    ``band_bits=None`` (default) adapts to corpus size:
+    max(4, ceil(log2(n / target_bucket))) — the load-bearing scale
+    knob. Band buckets hold ~n / 2^band_bits vectors, so FIXED width
+    at 100x the corpus either overflows every bucket into the skip
+    guard (losing real dup clusters) or fans out quadratically;
+    growing bits with log(n) keeps expected buckets at ``target_bucket``
+    and bounds candidate volume by ~num_bands * n * target_bucket / 2
+    rows — LINEAR in n at fixed bucket size, the whole point. The
+    target (64) is sized to dup-cluster scale, not partition scale:
+    noise-dominated kilorow buckets would re-grow an n² term while
+    adding no recall for real dups. Per-band recall for
+    high-similarity pairs degrades only gradually with bits
+    (0.857^13 = 0.13/band at cosine 0.9 and n=500k, OR-16 -> 0.90).
+    Pass ``known_count`` to skip the sizing count (the auto route in
+    ``embedding_cosine_pairs`` already has it).
+
+    Low-contrast caveat, stated honestly: pairs barely at a LOW
+    threshold (e.g. cosine 0.4 = 66°, bit-agreement 0.63 vs 0.5
+    noise) are near-indistinguishable from background for ANY
+    LSH — at driver scale small adaptive bands keep measured recall
+    ~0.9 there, but at large n such pairs thin out of the banded
+    candidates. That is the approximate lane's contract: efficient
+    recall concentrates where near-dup signal actually lives
+    (high-similarity clusters), and the exact route remains the
+    ground-truth oracle.
+    """
+    if band_bits is None:
+        import math
+
+        n = known_count if known_count is not None else emb.count()
+        band_bits = max(4, math.ceil(math.log2(max(n, 2) / target_bucket)))
+    band_bits = min(band_bits, 62)
+
+    # One staged normalized corpus (same scratch machinery as the
+    # exact route) serves BOTH phases: banding reads it as a plain
+    # distributed scan, and verification mmap-loads it executor-side.
+    # Candidates therefore travel as 16-byte id pairs end to end — the
+    # first cut of this redesign joined candidates back to their unit
+    # vectors JVM-side and pushed ~2 x 512 B of array payload per
+    # candidate row through the exchanges (~250 GB at 500k x 64-d,
+    # GC-death); scoring against the node-shared mmap matrix moves
+    # zero vector bytes through any shuffle.
+    import numpy as np
+    import pandas as pd
+
+    spark = emb.sparkSession
+    corpus_path, n_rows = _stage_unit_corpus(emb, id_col=id_col, vec_col=vec_col)
+    staged = spark.read.parquet(corpus_path)
+    coded = staged.select(
+        F.col("_id").alias("doc_id"), F.col("_u").alias("_v")
+    ).mapInPandas(
+        _srp_band_codes(seed, num_bands, band_bits),
+        schema="doc_id BIGINT, codes ARRAY<BIGINT>",
+    )
+    banded = coded.select(
+        "doc_id", F.posexplode("codes").alias("band", "code")
+    )
+    if max_band_bucket is not None:
+        bsz = banded.groupBy("band", "code").agg(
+            F.count(F.lit(1)).alias("_bn")
+        )
+        banded = banded.join(
+            bsz.filter(F.col("_bn") <= max_band_bucket).drop("_bn"),
+            on=["band", "code"],
+        )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    candidates = (
+        a.join(b, on=["band", "code"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+    def verify(batches):
+        if not n_rows:
+            return
+        b_ids, b_unit = _load_unit_corpus(corpus_path, n_rows)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            da = pdf["doc_a"].to_numpy()
+            db = pdf["doc_b"].to_numpy()
+            ia = np.searchsorted(b_ids, da)
+            ib = np.searchsorted(b_ids, db)
+            cos = np.round(
+                np.einsum(
+                    "ij,ij->i",
+                    np.asarray(b_unit[ia], dtype=np.float64),
+                    np.asarray(b_unit[ib], dtype=np.float64),
+                ),
+                6,
+            )
+            keep = cos >= threshold
+            yield pd.DataFrame(
+                {"doc_a": da[keep], "doc_b": db[keep], "cosine": cos[keep]}
+            ).astype({"doc_a": "int64", "doc_b": "int64", "cosine": "float64"})
+
+    return candidates.mapInPandas(
+        verify, schema="doc_a BIGINT, doc_b BIGINT, cosine DOUBLE"
+    )
+
+
+_UNIT_CORPUS_CACHE: dict[str, tuple] = {}
+_NPY_MARKER = "_NPY_READY"
+
+
+def _stage_unit_corpus(
+    emb: DataFrame, *, id_col: str, vec_col: str
+) -> tuple[str, int]:
+    """Normalize the corpus with Catalyst expressions and stage the
+    (_id, _u) unit matrix to executor-readable scratch parquet, plus
+    mmap ``.npy`` sidecars on posix scratch (see
+    :func:`_stage_unit_npy`). Shared by the exact BLAS route and the
+    SRP-LSH verification pass — normalization runs once per call and
+    the driver never materializes the corpus. Returns (path, n_rows);
+    the count is metadata-only (parquet row-group footers) and is the
+    size every executor-side load must validate against."""
+    spark = emb.sparkSession
+    norm_col = F.sqrt(
         F.aggregate(
             F.transform(F.col(vec_col).cast("array<double>"), lambda x: x * x),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
     )
-    unit = emb.select(
-        F.col(id_col).alias("doc_id"),
-        array_to_vector(
-            F.transform(
-                F.col(vec_col).cast("array<double>"), lambda x: x / norm
-            )
-        ).alias("_features"),
-    ).filter(norm > 0)
-    lsh = BucketedRandomProjectionLSH(
-        inputCol="_features",
-        outputCol="_hashes",
-        bucketLength=bucket_length,
-        numHashTables=num_hash_tables,
-        seed=seed,
-    ).fit(unit)
-    dist_thresh = float((2.0 - 2.0 * threshold) ** 0.5)
-    joined = lsh.approxSimilarityJoin(unit, unit, dist_thresh, distCol="_d")
-    return (
-        joined.select(
-            F.col("datasetA.doc_id").alias("doc_a"),
-            F.col("datasetB.doc_id").alias("doc_b"),
-            F.round(1.0 - F.col("_d") * F.col("_d") / 2.0, 6).alias("cosine"),
-        )
-        .filter(F.col("doc_a") < F.col("doc_b"))
+    unit_col = F.when(
+        norm_col == 0.0, F.col(vec_col).cast("array<double>")
+    ).otherwise(
+        F.transform(F.col(vec_col).cast("array<double>"), lambda x: x / norm_col)
     )
-
-
-_UNIT_CORPUS_CACHE: dict[str, tuple] = {}
-_NPY_MARKER = "_NPY_READY"
+    corpus_path = _scratch_dir(spark, "cosine_corpus")
+    emb.select(F.col(id_col).alias("_id"), unit_col.alias("_u")).write.parquet(
+        corpus_path
+    )
+    n_rows = spark.read.parquet(corpus_path).count()
+    if n_rows and "://" not in corpus_path:
+        # posix scratch: one executor task builds the mmap sidecars
+        # (empty corpus: nothing to stage, and the downstream
+        # mapInPandas gets no batches, so the loader never runs either)
+        spark.sparkContext.parallelize([corpus_path], 1).foreach(
+            lambda p: _stage_unit_npy(p, n_rows)
+        )
+    return corpus_path, n_rows
 
 
 def _stage_unit_npy(path: str, expected_rows: int) -> None:
@@ -978,33 +1161,7 @@ def _cosine_pairs_pandas(
 
     spark = emb.sparkSession
     par = spark.sparkContext.defaultParallelism
-
-    norm_col = F.sqrt(
-        F.aggregate(
-            F.transform(F.col(vec_col).cast("array<double>"), lambda x: x * x),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-    )
-    unit_col = F.when(
-        norm_col == 0.0, F.col(vec_col).cast("array<double>")
-    ).otherwise(
-        F.transform(F.col(vec_col).cast("array<double>"), lambda x: x / norm_col)
-    )
-    corpus_path = _scratch_dir(spark, "cosine_corpus")
-    emb.select(F.col(id_col).alias("_id"), unit_col.alias("_u")).write.parquet(
-        corpus_path
-    )
-    # Metadata-only count (parquet row-group footers) — records the
-    # corpus size every executor-side load must see in full.
-    n_rows = spark.read.parquet(corpus_path).count()
-    if n_rows and "://" not in corpus_path:
-        # posix scratch: one executor task builds the mmap sidecars
-        # (empty corpus: nothing to stage, and mapInPandas below gets
-        # no batches, so the loader never runs either)
-        spark.sparkContext.parallelize([corpus_path], 1).foreach(
-            lambda p: _stage_unit_npy(p, n_rows)
-        )
+    corpus_path, n_rows = _stage_unit_corpus(emb, id_col=id_col, vec_col=vec_col)
 
     def block(batches):
         if not n_rows:
