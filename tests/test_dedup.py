@@ -63,6 +63,29 @@ def test_prefix_filter_equals_full_join(spark, docs):
         assert pref == full, f"threshold {t}: prefix != full"
 
 
+def test_ngram_jaccard_auto_routes_by_size(spark, docs):
+    """method='auto' (round 8): full at or under PREFIX_AUTO_ROWS,
+    prefix above — both exact, so the routed outputs must be
+    identical; known_count forces each branch without a count job."""
+    full = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in dedup.ngram_jaccard_pairs(docs, method="full").collect()
+    }
+    small = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in dedup.ngram_jaccard_pairs(
+            docs, known_count=dedup.PREFIX_AUTO_ROWS
+        ).collect()
+    }
+    big = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in dedup.ngram_jaccard_pairs(
+            docs, known_count=dedup.PREFIX_AUTO_ROWS + 1
+        ).collect()
+    }
+    assert small == full == big
+
+
 def test_exact_jaccard_finds_known_near_dups(spark, docs):
     """The synthetic corpus contains generated near-duplicate pairs; the
     exact shingle join must surface at least one."""

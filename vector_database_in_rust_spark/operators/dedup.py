@@ -172,6 +172,9 @@ def _score_common_pairs(common: DataFrame, sizes: DataFrame, threshold: float) -
     )
 
 
+PREFIX_AUTO_ROWS = 20_000
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     *,
@@ -180,7 +183,8 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_shingle_freq: int | None = DEFAULT_MAX_SHINGLE_FREQ,
-    method: str = "full",
+    method: str = "auto",
+    known_count: int | None = None,
     persist_index: bool = False,
 ) -> DataFrame:
     """EXACT n-gram-shingle Jaccard similarity join: all pairs with
@@ -194,15 +198,19 @@ def ngram_jaccard_pairs(
     "Scaling Up All Pairs"): order each doc's shingles by global rarity
     and join only on the first ``|x| - ceil(t*|x|) + 1`` of them — two
     sets with J >= t MUST share a prefix token, so the candidate set is
-    exact (no recall loss). Measured on the driver's synthetic corpus
-    (one shared vocabulary, t=0.5): candidate PAIRS drop 3x (1.27M ->
-    409k) but candidate DOCS still span the corpus, so the
-    verification self-join — the actual bottleneck — is unchanged and
-    wall-time is neutral; hence ``method="full"`` stays the default
-    here. On corpora with discriminative vocabulary (the common real
-    case: rare shingles concentrate in near-dups), the candidate doc
-    set collapses and prefix is the scale path — both methods are
-    equality-tested at several thresholds.
+    exact (no recall loss). Both methods are equality-tested at
+    several thresholds; they differ only in cost shape, so
+    ``method="auto"`` (default, round 8) routes by corpus size the way
+    ``embedding_cosine_pairs`` does: "full" at or under
+    ``PREFIX_AUTO_ROWS`` documents (one metadata-cheap count, or pass
+    ``known_count``), "prefix" above. Measured basis: on the 6k-doc
+    driver corpus full wins ~2x (2.9 vs 6.3 s — the ranking window +
+    candidate pass are pure overhead when the self-join is already
+    small), but on a 50k-doc zipf-vocabulary corpus full's retained
+    self-join is Σ df² over mid-frequency shingles and blows
+    superlinear (exp 1.28, 160 s) while prefix holds 27 s — the
+    2x small-corpus overhead is the insurance premium against an
+    Ω(n²) term the flat route cannot avoid on skewed vocabulary.
 
     ``max_shingle_freq`` (ON by default, ``DEFAULT_MAX_SHINGLE_FREQ``)
     drops ultra-common shingles before the self-join — the standard
@@ -222,12 +230,17 @@ def ngram_jaccard_pairs(
     thresholds/runs.
     """
     sh = _shingle_index(docs, id_col, text_col, n)
+    if method == "auto":
+        n_docs = known_count if known_count is not None else docs.count()
+        method = "full" if n_docs <= PREFIX_AUTO_ROWS else "prefix"
     if method == "prefix":
         return _jaccard_prefix_filtered(
             sh, threshold=threshold, max_shingle_freq=max_shingle_freq
         )
     if method != "full":
-        raise ValueError(f"unknown method {method!r} (use 'prefix' or 'full')")
+        raise ValueError(
+            f"unknown method {method!r} (use 'auto', 'prefix' or 'full')"
+        )
     if persist_index:
         sh = sh.persist()
     if max_shingle_freq is not None:
