@@ -967,8 +967,19 @@ def lsh_cosine_pairs(
                 continue
             da = pdf["doc_a"].to_numpy()
             db = pdf["doc_b"].to_numpy()
-            ia = np.searchsorted(b_ids, da)
-            ib = np.searchsorted(b_ids, db)
+            ia = np.clip(np.searchsorted(b_ids, da), 0, len(b_ids) - 1)
+            ib = np.clip(np.searchsorted(b_ids, db), 0, len(b_ids) - 1)
+            # Candidates were generated FROM the staged corpus, so every
+            # id must resolve; a miss means the scratch dir is not the
+            # corpus this plan banded (e.g. clobbered between stages) —
+            # searchsorted would otherwise silently score a NEIGHBORING
+            # row, which no downstream check could see.
+            if not (np.array_equal(b_ids[ia], da) and np.array_equal(b_ids[ib], db)):
+                raise RuntimeError(
+                    "SRP verification: candidate ids missing from the "
+                    f"staged corpus at {corpus_path} — scratch storage "
+                    "was modified or is not shared across executors"
+                )
             cos = np.round(
                 np.einsum(
                     "ij,ij->i",
