@@ -148,13 +148,43 @@ def test_embedding_cosine_auto_routes_by_size(spark):
 
 
 def test_lsh_cosine_pairs_recover_exact(spark):
-    """LSH similarity join (scale path) vs exact pairwise at a high
-    threshold: recall >= 0.7 with 8 hash tables on 500 x 64-d."""
+    """Banded SRP-LSH (scale path, round-8 redesign) vs exact
+    pairwise: recall >= 0.7 with 16 x 4-bit adaptive bands on
+    500 x 64-d (measured 0.97; every emitted pair exact-verified, so
+    false positives are structurally zero)."""
     emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
     exact = _pairs(dedup.embedding_cosine_pairs(emb, threshold=0.4))
     approx = _pairs(dedup.lsh_cosine_pairs(emb, threshold=0.4))
     if exact:
         assert len(approx & exact) / len(exact) >= 0.7
+
+
+def test_cosine_pair_staging_contracts(spark):
+    """The shared staging layer (round-8 review findings): NULL
+    embeddings are dropped — matching the SQL oracle, where cosine
+    against a NULL array is NULL and never passes a threshold — on
+    BOTH routes instead of crashing np.vstack executor-side; and a
+    non-integral id column fails fast with a TypeError naming the
+    column, not a misleading mid-stage scratch error."""
+    import pytest
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [1.0, 0.01, 0.0, 0.0]),
+        (3, None),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<FLOAT>")
+    for route in (
+        lambda df: dedup.embedding_cosine_pairs(df, threshold=0.9, impl="pandas"),
+        lambda df: dedup.lsh_cosine_pairs(df, threshold=0.9),
+    ):
+        got = {(r["doc_a"], r["doc_b"]) for r in route(emb).collect()}
+        assert got == {(1, 2)}
+    bad = spark.createDataFrame(
+        [("a", [1.0, 0.0])], "vec_id STRING, embedding ARRAY<FLOAT>"
+    )
+    with pytest.raises(TypeError, match="integral id"):
+        dedup.lsh_cosine_pairs(bad)
 
 
 def test_dedup_clusters_match_union_find(spark, docs):

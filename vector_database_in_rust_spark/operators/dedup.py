@@ -759,11 +759,7 @@ def embedding_cosine_pairs(
                 max_exact_rows,
             )
             return lsh_cosine_pairs(
-                emb,
-                threshold=threshold,
-                id_col=id_col,
-                vec_col=vec_col,
-                known_count=n,
+                emb, threshold=threshold, id_col=id_col, vec_col=vec_col
             )
         impl = "pandas"
     if impl == "pandas":
@@ -851,7 +847,6 @@ def lsh_cosine_pairs(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    known_count: int | None = None,
 ) -> DataFrame:
     """Scale path for embedding near-dup: banded signed-random-
     projection (SRP / hyperplane) LSH with exact cosine verification
@@ -895,8 +890,8 @@ def lsh_cosine_pairs(
     adding no recall for real dups. Per-band recall for
     high-similarity pairs degrades only gradually with bits
     (0.857^13 = 0.13/band at cosine 0.9 and n=500k, OR-16 -> 0.90).
-    Pass ``known_count`` to skip the sizing count (the auto route in
-    ``embedding_cosine_pairs`` already has it).
+    Sizing costs no extra action: the staged corpus's metadata count
+    feeds it (see the staging comment below).
 
     Low-contrast caveat, stated honestly: pairs barely at a LOW
     threshold (e.g. cosine 0.4 = 66°, bit-agreement 0.63 vs 0.5
@@ -907,14 +902,16 @@ def lsh_cosine_pairs(
     recall concentrates where near-dup signal actually lives
     (high-similarity clusters), and the exact route remains the
     ground-truth oracle.
+
+    EAGER, like ``minhash_lsh_pairs`` and for the same reason: the
+    banded table is persisted so the corpus-wide SRP coding pass runs
+    once instead of once per self-join side, and the (small) verified
+    pair list is checkpointed so that cache can be released before
+    returning. Contracts inherited from the shared staging: ids must
+    be an integral type (the output schema is BIGINT either route)
+    and NULL embeddings are dropped before staging — both enforced /
+    documented in ``_stage_unit_corpus``.
     """
-    if band_bits is None:
-        import math
-
-        n = known_count if known_count is not None else emb.count()
-        band_bits = max(4, math.ceil(math.log2(max(n, 2) / target_bucket)))
-    band_bits = min(band_bits, 62)
-
     # One staged normalized corpus (same scratch machinery as the
     # exact route) serves BOTH phases: banding reads it as a plain
     # distributed scan, and verification mmap-loads it executor-side.
@@ -923,12 +920,22 @@ def lsh_cosine_pairs(
     # vectors JVM-side and pushed ~2 x 512 B of array payload per
     # candidate row through the exchanges (~250 GB at 500k x 64-d,
     # GC-death); scoring against the node-shared mmap matrix moves
-    # zero vector bytes through any shuffle.
+    # zero vector bytes through any shuffle. Staging FIRST also hands
+    # the adaptive sizing its row count for free (metadata-only), so
+    # no sizing count() ever runs — the extra-action-per-call trap
+    # this operator's auto route was already burned by once (r03).
     import numpy as np
     import pandas as pd
 
     spark = emb.sparkSession
     corpus_path, n_rows = _stage_unit_corpus(emb, id_col=id_col, vec_col=vec_col)
+    if band_bits is None:
+        import math
+
+        band_bits = max(
+            4, math.ceil(math.log2(max(n_rows, 2) / target_bucket))
+        )
+    band_bits = min(band_bits, 62)
     staged = spark.read.parquet(corpus_path)
     coded = staged.select(
         F.col("_id").alias("doc_id"), F.col("_u").alias("_v")
@@ -938,17 +945,22 @@ def lsh_cosine_pairs(
     )
     banded = coded.select(
         "doc_id", F.posexplode("codes").alias("band", "code")
-    )
-    if max_band_bucket is not None:
+    ).persist()
+    # Same provably-no-op gate as minhash's bucket guard: a bucket
+    # cannot exceed the corpus row count, so at or under the cap the
+    # aggregation + semi-join add nothing and are skipped outright.
+    if max_band_bucket is not None and n_rows > max_band_bucket:
         bsz = banded.groupBy("band", "code").agg(
             F.count(F.lit(1)).alias("_bn")
         )
-        banded = banded.join(
+        joined = banded.join(
             bsz.filter(F.col("_bn") <= max_band_bucket).drop("_bn"),
             on=["band", "code"],
         )
-    a = banded.alias("a")
-    b = banded.alias("b")
+    else:
+        joined = banded
+    a = joined.alias("a")
+    b = joined.alias("b")
     candidates = (
         a.join(b, on=["band", "code"])
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
@@ -993,9 +1005,11 @@ def lsh_cosine_pairs(
                 {"doc_a": da[keep], "doc_b": db[keep], "cosine": cos[keep]}
             ).astype({"doc_a": "int64", "doc_b": "int64", "cosine": "float64"})
 
-    return candidates.mapInPandas(
+    pairs = candidates.mapInPandas(
         verify, schema="doc_a BIGINT, doc_b BIGINT, cosine DOUBLE"
-    )
+    ).localCheckpoint(eager=True)
+    banded.unpersist()
+    return pairs
 
 
 _UNIT_CORPUS_CACHE: dict[str, tuple] = {}
@@ -1012,7 +1026,28 @@ def _stage_unit_corpus(
     SRP-LSH verification pass — normalization runs once per call and
     the driver never materializes the corpus. Returns (path, n_rows);
     the count is metadata-only (parquet row-group footers) and is the
-    size every executor-side load must validate against."""
+    size every executor-side load must validate against.
+
+    Input contracts, enforced here once for both consumers: the id
+    column must be an integral type (both routes emit BIGINT ids and
+    the mmap sidecars store int64 — a string id would be silently
+    coerced or die mid-stage with a misleading scratch error), and
+    NULL embeddings are dropped before staging. The NULL filter
+    matches the SQL oracle exactly (any cosine against a NULL array
+    is NULL, which never passes a threshold), and the old pre-staging
+    LSH route had the same drop via its norm > 0 filter; letting
+    NULLs through would instead crash np.vstack executor-side."""
+    from pyspark.sql import types as T
+
+    id_type = emb.schema[id_col].dataType
+    if not isinstance(
+        id_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    ):
+        raise TypeError(
+            f"cosine-pair staging requires an integral id column; "
+            f"{id_col!r} is {id_type.simpleString()}"
+        )
+    emb = emb.filter(F.col(vec_col).isNotNull())
     spark = emb.sparkSession
     norm_col = F.sqrt(
         F.aggregate(
