@@ -903,14 +903,21 @@ def lsh_cosine_pairs(
     (high-similarity clusters), and the exact route remains the
     ground-truth oracle.
 
-    EAGER, like ``minhash_lsh_pairs`` and for the same reason: the
-    banded table is persisted so the corpus-wide SRP coding pass runs
-    once instead of once per self-join side, and the (small) verified
-    pair list is checkpointed so that cache can be released before
-    returning. Contracts inherited from the shared staging: ids must
-    be an integral type (the output schema is BIGINT either route)
-    and NULL embeddings are dropped before staging — both enforced /
-    documented in ``_stage_unit_corpus``.
+    Deliberately NOT persisted, A/B-measured (review round): the
+    self-join's two sides are byte-identical subtrees, so at
+    sort-merge scale exchange reuse dedupes the SRP coding pass, and
+    at broadcast scale (small corpora, where the pass genuinely runs
+    once per side) it costs ~nothing — while persisting ``banded``
+    plus eagerly checkpointing the result measured 40% SLOWER at
+    500k x 64-d (113.8 s -> 162 s warm, same box: the
+    InMemoryRelation + checkpoint barriers defeat stage pipelining
+    and buy nothing the exchange reuse didn't). This differs from
+    ``minhash_lsh_pairs``, whose persisted table feeds consumers with
+    non-identical subtrees (signature agg + verification) where reuse
+    cannot fire. Contracts inherited from the shared staging: ids
+    must be an integral type (the output schema is BIGINT either
+    route) and NULL embeddings are dropped before staging — both
+    enforced / documented in ``_stage_unit_corpus``.
     """
     # One staged normalized corpus (same scratch machinery as the
     # exact route) serves BOTH phases: banding reads it as a plain
@@ -945,7 +952,7 @@ def lsh_cosine_pairs(
     )
     banded = coded.select(
         "doc_id", F.posexplode("codes").alias("band", "code")
-    ).persist()
+    )
     # Same provably-no-op gate as minhash's bucket guard: a bucket
     # cannot exceed the corpus row count, so at or under the cap the
     # aggregation + semi-join add nothing and are skipped outright.
@@ -1005,11 +1012,9 @@ def lsh_cosine_pairs(
                 {"doc_a": da[keep], "doc_b": db[keep], "cosine": cos[keep]}
             ).astype({"doc_a": "int64", "doc_b": "int64", "cosine": "float64"})
 
-    pairs = candidates.mapInPandas(
+    return candidates.mapInPandas(
         verify, schema="doc_a BIGINT, doc_b BIGINT, cosine DOUBLE"
-    ).localCheckpoint(eager=True)
-    banded.unpersist()
-    return pairs
+    )
 
 
 _UNIT_CORPUS_CACHE: dict[str, tuple] = {}
