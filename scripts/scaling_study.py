@@ -42,6 +42,11 @@ DOC_SIZES = [5_000, 50_000]
 VEC_V = 1
 DOC_V = 2
 
+# Optional subset: SCALING_ONLY="winnow_pairs,cc_star" runs just those
+# op names (substring match) — lets a new addition be measured without
+# re-timing the whole suite.
+_ONLY = [s for s in os.environ.get("SCALING_ONLY", "").split(",") if s]
+
 
 def _time(fn) -> float:
     t0 = time.time()
@@ -75,7 +80,10 @@ def main() -> None:
 
     results: dict[str, dict[int, float]] = {}
 
-    def rec(op: str, size: int, secs: float) -> None:
+    def rec(op: str, size: int, fn) -> None:
+        if _ONLY and not any(s in op for s in _ONLY):
+            return
+        secs = _time(fn)
         results.setdefault(op, {})[size] = round(secs, 2)
         print(f"  {op:28s} n={size:>8,}  {secs:7.2f}s", file=sys.stderr)
 
@@ -89,7 +97,7 @@ def main() -> None:
         emb = spark.read.parquet(path)
         q = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
         emb.count()  # warm scan
-        rec("knn_exact", n, _time(lambda: _sink(knn.knn_exact(emb, q, 10))))
+        rec("knn_exact", n, lambda: _sink(knn.knn_exact(emb, q, 10)))
         queries = spark.createDataFrame(
             [(i, q) for i in range(16)],
             "query_id BIGINT, query_embedding ARRAY<FLOAT>",
@@ -97,20 +105,20 @@ def main() -> None:
         rec(
             "knn_batch_16q",
             n,
-            _time(
+            
                 lambda: _sink(knn.knn_batch(emb, queries, 10, impl="pandas"))
-            ),
+            ,
         )
         idx = {}
         rec(
             "ivf_build",
             n,
-            _time(lambda: idx.setdefault("i", IVFIndex.build(emb, seed=42))),
+            lambda: idx.setdefault("i", IVFIndex.build(emb, seed=42)),
         )
         rec(
             "ivf_search_nprobe8",
             n,
-            _time(lambda: _sink(idx["i"].search(q, 10, nprobe=8))),
+            lambda: _sink(idx["i"].search(q, 10, nprobe=8)),
         )
         # The production serving path: cell-partitioned persisted layout,
         # where `cell_id IN (probes)` is PARTITION PRUNING — probed bytes
@@ -125,23 +133,23 @@ def main() -> None:
         rec(
             "ivf_search_persisted",
             n,
-            _time(lambda: _sink(loaded.search(q, 10, nprobe=8))),
+            lambda: _sink(loaded.search(q, 10, nprobe=8)),
         )
         pca = {}
         rec(
             "pca_fit",
             n,
-            _time(lambda: pca.setdefault("m", pca_whiten_model(emb))),
+            lambda: pca.setdefault("m", pca_whiten_model(emb)),
         )
         rec(
             "pca_project",
             n,
-            _time(lambda: _sink(pca_whiten(emb, pca["m"]))),
+            lambda: _sink(pca_whiten(emb, pca["m"])),
         )
         rec(
             "semantic_dedup",
             n,
-            _time(lambda: _sink(dedup.semantic_dedup(emb, seed=42))),
+            lambda: _sink(dedup.semantic_dedup(emb, seed=42)),
         )
         # auto routes: exact BLAS <= max_exact_rows (5k/50k here), the
         # bucketed LSH join above it (500k) — the 500k point measures
@@ -149,15 +157,19 @@ def main() -> None:
         rec(
             "embedding_cosine",
             n,
-            _time(
+            
                 lambda: _sink(
                     dedup.embedding_cosine_pairs(emb, known_count=n)
                 )
-            ),
+            ,
         )
 
     # -- text/dedup ops over generated corpora --
-    from vector_database_in_rust_spark.operators.curation import corpus_shuffle
+    from vector_database_in_rust_spark.operators.curation import (
+        corpus_shuffle,
+        curate_corpus,
+        dsir_select,
+    )
     from vector_database_in_rust_spark.operators.packing import pack_sequences
     from vector_database_in_rust_spark.operators.search import bm25_scores
 
@@ -169,52 +181,72 @@ def main() -> None:
             ).parquet(path)
         docs = spark.read.parquet(path)
         docs.count()
-        rec("dedup_exact", n, _time(lambda: _sink(dedup.dedup_exact(docs))))
+        rec("dedup_exact", n, lambda: _sink(dedup.dedup_exact(docs)))
         rec(
             "minhash_lsh",
             n,
-            _time(lambda: _sink(dedup.minhash_lsh_pairs(docs))),
+            lambda: _sink(dedup.minhash_lsh_pairs(docs)),
         )
         rec(
             "simhash_pairs",
             n,
-            _time(lambda: _sink(dedup.simhash_pairs(docs))),
+            lambda: _sink(dedup.simhash_pairs(docs)),
         )
         rec(
             "quality_score",
             n,
-            _time(lambda: _sink(quality_score(docs))),
+            lambda: _sink(quality_score(docs)),
         )
         rec(
             "ngram_jaccard",
             n,
-            _time(lambda: _sink(dedup.ngram_jaccard_pairs(docs))),
+            lambda: _sink(dedup.ngram_jaccard_pairs(docs)),
         )
         rec(
             "winnow_pairs",
             n,
-            _time(lambda: _sink(dedup.winnow_pairs(docs))),
+            lambda: _sink(dedup.winnow_pairs(docs)),
         )
         rec(
             "dup_span_stats",
             n,
-            _time(lambda: _sink(dedup.duplicated_span_stats(docs))),
+            lambda: _sink(dedup.duplicated_span_stats(docs)),
         )
         rec(
             "corpus_shuffle",
             n,
-            _time(lambda: _sink(corpus_shuffle(docs))),
+            lambda: _sink(corpus_shuffle(docs)),
         )
         rec(
             "bm25_top10",
             n,
-            _time(lambda: _sink(bm25_scores(docs, ["w1", "w7", "w42"]))),
+            lambda: _sink(bm25_scores(docs, ["w1", "w7", "w42"])),
         )
         rec(
             "pack_sequences",
             n,
-            _time(lambda: _sink(pack_sequences(docs))),
+            lambda: _sink(pack_sequences(docs)),
         )
+        rec(
+            "dsir_select",
+            n,
+            lambda: _sink(dsir_select(docs)),
+        )
+        rec(
+            "curate_corpus",
+            n,
+            lambda: _sink(curate_corpus(docs)),
+        )
+        # connected components over the corpus's real near-dup graph
+        # (minhash pairs re-derived here — eager, so the pair list is
+        # computed before the clock starts on the CC rounds)
+        if not _ONLY or any(s in "cc_star" for s in _ONLY):
+            pairs = dedup.minhash_lsh_pairs(docs)
+            rec(
+                "cc_star",
+                n,
+                lambda: _sink(dedup.dedup_clusters_star(pairs)),
+            )
 
     # scaling exponents between smallest and largest measured size
     expo = {}
