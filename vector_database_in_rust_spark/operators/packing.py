@@ -94,6 +94,16 @@ def pack_sequences(
     decides truncate-vs-split). Bin ids are globally unique
     (``shard * 2^40 + ordinal``) and the assignment is a pure function
     of (shard membership, doc_id order) — deterministic under retries.
+
+    Scale: only (doc_id, shard, n_tokens) rows enter the shard shuffle
+    — text never moves — and each applyInPandas group holds ONE
+    shard's routing rows (~16 bytes/doc). ``num_shards`` is therefore
+    the per-task state and parallelism knob: size it so
+    corpus_rows / num_shards stays in the low millions (10^10 docs →
+    10^4 shards ≈ 16 MB/task), not the default 8, which is sized for
+    test corpora. Greedy first-fit within a shard is inherently
+    sequential by the doc_id-order contract; shards are the parallel
+    unit.
     """
     if context_len <= 0:
         raise ValueError(f"context_len must be positive, got {context_len}")
