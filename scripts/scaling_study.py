@@ -151,6 +151,27 @@ def main() -> None:
             n,
             lambda: _sink(dedup.semantic_dedup(emb, seed=42)),
         )
+        # quantized serving path: PQ fit is sample-bounded, encoding is
+        # one pass, ADC search reads m-byte codes (+ exact refine from
+        # the store)
+        if not _ONLY or any(s in "ivfpq" for s in _ONLY):
+            from vector_database_in_rust_spark.operators.ann import IVFPQIndex
+
+            # subset runs may have skipped the timed ivf_build above
+            idx.setdefault("i", IVFIndex.build(emb, seed=42))
+            pq = {}
+            rec(
+                "ivfpq_build",
+                n,
+                lambda: pq.setdefault("i", IVFPQIndex.build(idx["i"])),
+            )
+            rec(
+                "ivfpq_search_adc",
+                n,
+                lambda: _sink(
+                    pq["i"].search(q, 10, nprobe=8, refine=4, store=emb)
+                ),
+            )
         # auto routes: exact BLAS <= max_exact_rows (5k/50k here), the
         # bucketed LSH join above it (500k) — the 500k point measures
         # the scale path, not a bigger exact matmul.
