@@ -410,10 +410,12 @@ def minhash_lsh_pairs(
       near-dups); true near-dup pairs still collide in their other
       ``num_bands - 1`` bands. Both cuts are no-ops at driver-corpus
       scale (uniform vocabulary; every count far under the caps) and
-      load-bearing on head-heavy real text. Each guard's aggregation
+      load-bearing on head-heavy real text. Each guard's counting
       pass is skipped entirely when ``n_docs`` is at or under its
       threshold (a frequency/bucket count cannot exceed the corpus
-      size — provably identical output, zero overhead).
+      size — provably identical output, zero overhead). The bucket
+      count itself is a window over the self-join's own (band, hash)
+      partitioning — no aggregation or extra keyed shuffle.
 
     EAGER, unlike its lazy siblings: the returned pair list is
     localCheckpoint(eager=True)-materialized so the persisted shingle
@@ -483,16 +485,19 @@ def minhash_lsh_pairs(
         F.col("band.band_hash").alias("band_hash"),
     )
     if max_band_bucket is not None and n_docs > max_band_bucket:
-        # Skip oversized buckets BEFORE the self-join: one aggregation
-        # keyed like the join itself (map-side combinable), then a
-        # semi-join against the surviving buckets — wordcount-shaped
-        # cost that removes the B² fan-out of boilerplate cliques.
-        bsz = banded.groupBy("band_id", "band_hash").agg(
-            F.count(F.lit(1)).alias("_bn")
-        )
-        banded = banded.join(
-            bsz.filter(F.col("_bn") <= max_band_bucket).drop("_bn"),
-            on=["band_id", "band_hash"],
+        # Skip oversized buckets BEFORE the self-join. Bucket sizes
+        # come from a COUNT WINDOW over exactly the partitioning the
+        # self-join shuffles on — one pass over the exchange the plan
+        # needs anyway, instead of the original aggregate + semi-join
+        # (a second keyed shuffle). Provably the same retained set
+        # (identical per-(band, hash) count and cap); measured
+        # ~0.3-0.4 s faster at sf0.1 (warm best 3.1 vs 3.5, noisy
+        # box) and neutral at 50k zipf where the guard fires hot.
+        w_bucket = Window.partitionBy("band_id", "band_hash")
+        banded = (
+            banded.withColumn("_bn", F.count(F.lit(1)).over(w_bucket))
+            .filter(F.col("_bn") <= max_band_bucket)
+            .drop("_bn")
         )
     # The self-join below executes the banded subtree TWICE (one per
     # side) — and each execution re-runs the 64-permutation min-agg over
