@@ -493,6 +493,12 @@ def minhash_lsh_pairs(
         # (identical per-(band, hash) count and cap); measured
         # ~0.3-0.4 s faster at sf0.1 (warm best 3.1 vs 3.5, noisy
         # box) and neutral at 50k zipf where the guard fires hot.
+        # Trade (shared by every window-form guard here): per-task
+        # window state is one bucket GROUP (narrow rows,
+        # spill-backed) vs the aggregate's map-side combine — a
+        # degenerate corpus whose single hottest bucket runs to ~1e8+
+        # rows pays disk; at that point the data needs an upstream
+        # shingle cut more than a faster guard.
         w_bucket = Window.partitionBy("band_id", "band_hash")
         banded = (
             banded.withColumn("_bn", F.count(F.lit(1)).over(w_bucket))
@@ -960,14 +966,16 @@ def lsh_cosine_pairs(
     )
     # Same provably-no-op gate as minhash's bucket guard: a bucket
     # cannot exceed the corpus row count, so at or under the cap the
-    # aggregation + semi-join add nothing and are skipped outright.
+    # counting pass adds nothing and is skipped outright. When it
+    # runs, the count is a window over the self-join's own
+    # (band, code) partitioning — riding the exchange the join needs
+    # anyway instead of a separate aggregate + semi-join.
     if max_band_bucket is not None and n_rows > max_band_bucket:
-        bsz = banded.groupBy("band", "code").agg(
-            F.count(F.lit(1)).alias("_bn")
-        )
-        joined = banded.join(
-            bsz.filter(F.col("_bn") <= max_band_bucket).drop("_bn"),
-            on=["band", "code"],
+        w_bucket = Window.partitionBy("band", "code")
+        joined = (
+            banded.withColumn("_bn", F.count(F.lit(1)).over(w_bucket))
+            .filter(F.col("_bn") <= max_band_bucket)
+            .drop("_bn")
         )
     else:
         joined = banded
@@ -2321,38 +2329,33 @@ def winnow_pairs(
     output is bit-identical — which keeps the registered oracle exact
     at driver scale (max df there: 6). The winnowing guarantee is
     weakened only for substrings hot enough to be cut — the standard
-    boilerplate trade every df-cut lane here makes. When the guard
-    fires the result is EAGER (localCheckpoint) so the fingerprint
-    cache backing both join sides and the frequency pass can be
-    released immediately, like ``minhash_lsh_pairs``.
+    boilerplate trade every df-cut lane here makes. The frequency
+    count is a window over the self-join's own fp_hash partitioning —
+    it rides the exchange the join needs anyway (no aggregate, no
+    semi-join, no persist: the two join sides are byte-identical
+    subtrees, which Catalyst's exchange reuse dedupes — the same
+    measured decision as ``lsh_cosine_pairs``), so the operator stays
+    lazy whether or not the guard fires.
     """
     fps = winnow_fingerprints(
         docs, k=k, window=window, text_col=text_col, id_col=id_col
     ).select("doc_id", "fp_hash").distinct()
-    guarded = max_fp_freq is not None and docs.count() > max_fp_freq
-    cached = None
-    if guarded:
-        cached = fps.persist()
-        hot = (
-            cached.groupBy("fp_hash")
-            .agg(F.count(F.lit(1)).alias("_f"))
-            .filter(F.col("_f") > max_fp_freq)
-            .select("fp_hash")
+    if max_fp_freq is not None and docs.count() > max_fp_freq:
+        w_fp = Window.partitionBy("fp_hash")
+        fps = (
+            fps.withColumn("_f", F.count(F.lit(1)).over(w_fp))
+            .filter(F.col("_f") <= max_fp_freq)
+            .drop("_f")
         )
-        fps = cached.join(hot, "fp_hash", "left_anti")
     a = fps.alias("a")
     b = fps.alias("b")
-    pairs = (
+    return (
         a.join(b, on="fp_hash")
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .where(F.col("n_shared") >= min_shared)
     )
-    if guarded:
-        pairs = pairs.localCheckpoint(eager=True)
-        cached.unpersist()
-    return pairs
 
 
 def triangle_enumerate(pairs: DataFrame) -> DataFrame:
