@@ -151,6 +151,26 @@ def main() -> None:
             n,
             lambda: _sink(dedup.semantic_dedup(emb, seed=42)),
         )
+        # two-level coarse quantizer: k1 parallel level-2 fits via
+        # applyInPandas, assignment costs 2·sqrt(K) distance rows/vec
+        if not _ONLY or any(s in "hier" for s in _ONLY):
+            from vector_database_in_rust_spark.operators.ann import (
+                HierarchicalIVF,
+            )
+
+            hier = {}
+            rec(
+                "hier_build",
+                n,
+                lambda: hier.setdefault(
+                    "i", HierarchicalIVF.build(emb, seed=42)
+                ),
+            )
+            rec(
+                "hier_search",
+                n,
+                lambda: _sink(hier["i"].search(q, 10)),
+            )
         # quantized serving path: PQ fit is sample-bounded, encoding is
         # one pass, ADC search reads m-byte codes (+ exact refine from
         # the store)

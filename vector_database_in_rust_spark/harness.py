@@ -174,6 +174,18 @@ def _docs(spark, sf_dir):
     return load_table(spark, sf_dir, "documents")
 
 
+_DOCS_N_CACHE: dict[str, int] = {}
+
+
+def _docs_count(spark, sf_dir) -> int:
+    """Document row count, cached per process+sf — same contract as
+    ``_emb_count``: size-routed operators get their routing input
+    without re-running a count job per call."""
+    if sf_dir not in _DOCS_N_CACHE:
+        _DOCS_N_CACHE[sf_dir] = _docs(spark, sf_dir).count()
+    return _DOCS_N_CACHE[sf_dir]
+
+
 def _query_vec_df(spark, sf_dir, n: int = 1):
     """The first n stored vectors as a query set (vec_id < n).
 
@@ -474,7 +486,10 @@ def _jaccard_pairs_cached(spark, sf_dir, *, threshold=0.5, n=3):
     df = _JACCARD_PAIRS_CACHE.get(key)
     if df is None:
         df = ngram_jaccard_pairs(
-            _docs(spark, sf_dir), threshold=threshold, n=n
+            _docs(spark, sf_dir),
+            threshold=threshold,
+            n=n,
+            known_count=_docs_count(spark, sf_dir),
         ).localCheckpoint(eager=True)
         _JACCARD_PAIRS_CACHE[key] = df
     return df
