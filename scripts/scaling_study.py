@@ -34,6 +34,13 @@ from vector_database_in_rust_spark.sources.synthetic import (  # noqa: E402
 DIM = 64
 VEC_SIZES = [5_000, 50_000, 500_000]
 DOC_SIZES = [5_000, 50_000]
+# Override either size list, e.g. SCALING_DOC_SIZES=500000 (comma-
+# separated) — used with SCALING_ONLY to push a specific family one
+# decade further without re-timing everything.
+if os.environ.get("SCALING_DOC_SIZES"):
+    DOC_SIZES = [int(s) for s in os.environ["SCALING_DOC_SIZES"].split(",")]
+if os.environ.get("SCALING_VEC_SIZES"):
+    VEC_SIZES = [int(s) for s in os.environ["SCALING_VEC_SIZES"].split(",")]
 # Staged-corpus cache keys include the GENERATOR version — bump when
 # the corresponding sources.synthetic generator changes semantics, or
 # a reused _SUCCESS-complete corpus from an older generator would be

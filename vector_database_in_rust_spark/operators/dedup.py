@@ -137,8 +137,16 @@ def _verify_candidate_pairs(
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingle").alias("_sb"))
-    ex = candidates.join(sa, "doc_a").alias("x")
-    y = sb.alias("y")
+    # Every side here SCALES WITH THE CORPUS, so none may ever be
+    # broadcast — without the hint, AQE broadcasts whichever side's
+    # COMPRESSED shuffle bytes dip under the threshold, and narrow
+    # repetitive rows compress ~20x: the 500k-doc study measured a
+    # "small" side deserializing to 1.3+ GiB of driver-collected task
+    # results (spark.driver.maxResultSize abort). shuffle_hash keeps
+    # the hash build per-partition (no sort, no driver collect) and
+    # its build side shrinks as the cluster scales out.
+    ex = candidates.join(sa.hint("shuffle_hash"), "doc_a").alias("x")
+    y = sb.hint("shuffle_hash").alias("y")
     common = (
         ex.join(
             y,
@@ -156,9 +164,11 @@ def _score_common_pairs(common: DataFrame, sizes: DataFrame, threshold: float) -
     Jaccard rows. |union| = |A| + |B| - |intersection|."""
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    # per-doc sizes scale with the corpus: never broadcast (see
+    # _verify_candidate_pairs for the measured failure mode)
     return (
-        common.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        common.join(sa.hint("shuffle_hash"), "doc_a")
+        .join(sb.hint("shuffle_hash"), "doc_b")
         .select(
             "doc_a",
             "doc_b",
@@ -245,7 +255,12 @@ def ngram_jaccard_pairs(
         sh = sh.persist()
     if max_shingle_freq is not None:
         freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_f"))
-        sh = sh.join(freq.filter(F.col("_f") <= max_shingle_freq), "shingle").drop("_f")
+        # freq is corpus-scaled (one row per distinct shingle): never
+        # broadcast — see _verify_candidate_pairs for the measured trap
+        sh = sh.join(
+            freq.filter(F.col("_f") <= max_shingle_freq).hint("shuffle_hash"),
+            "shingle",
+        ).drop("_f")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -278,7 +293,9 @@ def _jaccard_prefix_filtered(
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_f"))
     if max_shingle_freq is not None:
         freq = freq.filter(F.col("_f") <= max_shingle_freq)
-    indexed = sh.join(freq, "shingle").persist()
+    # corpus-scaled side: never broadcast (measured trap, see
+    # _verify_candidate_pairs)
+    indexed = sh.join(freq.hint("shuffle_hash"), "shingle").persist()
 
     w_doc = Window.partitionBy("doc_id").orderBy(F.col("_f").asc(), F.col("shingle"))
     w_cnt = Window.partitionBy("doc_id")
@@ -867,7 +884,7 @@ def lsh_cosine_pairs(
 
     Round-8 redesign, forced by the scaling study: the previous
     implementation (stock ``BucketedRandomProjectionLSH``,
-    ``bucketLength=0.5``) OOMed the 128 GiB JVM at 500k x 64-d.
+    ``bucketLength=0.5``) OOMed the 8 GiB session JVM at 500k x 64-d.
     Root cause is geometric, not a tuning slip: projections of UNIT
     vectors onto a random direction concentrate in ±3/sqrt(d) (±0.38
     at d=64), so a 0.5-wide bucket grid collapses every hash table to
@@ -2057,8 +2074,13 @@ def duplicated_span_stats(
         F.count(F.lit(1)).alias("c_dg")
     )
     totals = per_doc.groupBy("gram").agg(F.sum("c_dg").alias("c_g"))
+    # totals is one row per DISTINCT GRAM — corpus-scaled, and gram
+    # strings compress so well that AQE's compressed-bytes estimate
+    # judged it broadcastable at 500k docs, then collected 1.3 GiB of
+    # deserialized rows into the driver (maxResultSize abort, study
+    # round 8). Corpus-scaled sides never broadcast.
     dup = (
-        per_doc.join(totals, on="gram")
+        per_doc.join(totals.hint("shuffle_hash"), on="gram")
         .groupBy("doc_id")
         .agg(
             F.sum("c_dg").alias("n_grams"),
