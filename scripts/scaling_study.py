@@ -301,7 +301,8 @@ def main() -> None:
     for op, by_size in results.items():
         sizes = sorted(by_size)
         lo, hi = sizes[0], sizes[-1]
-        if by_size[lo] > 0:
+        # single-size runs (SCALING_DOC_SIZES=500000) have no ratio
+        if hi > lo and by_size[lo] > 0:
             expo[op] = round(
                 math.log(max(by_size[hi], 1e-3) / max(by_size[lo], 1e-3))
                 / math.log(hi / lo),
