@@ -121,8 +121,15 @@ def _shingle_index(
     return sel.mapInPandas(gen, "doc_id BIGINT, shingle STRING")
 
 
+BROADCAST_SAFE_ROWS = 20_000
+
+
 def _verify_candidate_pairs(
-    sh: DataFrame, candidates: DataFrame, threshold: float
+    sh: DataFrame,
+    candidates: DataFrame,
+    threshold: float,
+    *,
+    corpus_bounded: bool = False,
 ) -> DataFrame:
     """EXACT Jaccard for an explicit (doc_a, doc_b) candidate list via
     pair EXPANSION: candidates join doc_a's shingles (fan-out =
@@ -137,16 +144,23 @@ def _verify_candidate_pairs(
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingle").alias("_sb"))
-    # Every side here SCALES WITH THE CORPUS, so none may ever be
-    # broadcast — without the hint, AQE broadcasts whichever side's
-    # COMPRESSED shuffle bytes dip under the threshold, and narrow
-    # repetitive rows compress ~20x: the 500k-doc study measured a
-    # "small" side deserializing to 1.3+ GiB of driver-collected task
-    # results (spark.driver.maxResultSize abort). shuffle_hash keeps
-    # the hash build per-partition (no sort, no driver collect) and
-    # its build side shrinks as the cluster scales out.
-    ex = candidates.join(sa.hint("shuffle_hash"), "doc_a").alias("x")
-    y = sb.hint("shuffle_hash").alias("y")
+    # Every side here SCALES WITH THE CORPUS, so above
+    # BROADCAST_SAFE_ROWS none may be broadcast — without the hint,
+    # AQE broadcasts whichever side's COMPRESSED shuffle bytes dip
+    # under the threshold, and narrow repetitive rows compress ~20x:
+    # the 500k-doc study measured a "small" side deserializing to
+    # 1.3+ GiB of driver-collected task results
+    # (spark.driver.maxResultSize abort). shuffle_hash keeps the hash
+    # build per-partition (no sort, no driver collect) and its build
+    # side shrinks as the cluster scales out. ``corpus_bounded=True``
+    # (caller proves the corpus is at or under BROADCAST_SAFE_ROWS —
+    # deserialized sides provably bounded) keeps AQE's broadcast
+    # freedom, which is measurably faster at bench scale.
+    if not corpus_bounded:
+        sa = sa.hint("shuffle_hash")
+        sb = sb.hint("shuffle_hash")
+    ex = candidates.join(sa, "doc_a").alias("x")
+    y = sb.alias("y")
     common = (
         ex.join(
             y,
@@ -156,19 +170,30 @@ def _verify_candidate_pairs(
         .groupBy(F.col("x.doc_a").alias("doc_a"), F.col("x.doc_b").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    return _score_common_pairs(common, sizes, threshold)
+    return _score_common_pairs(
+        common, sizes, threshold, corpus_bounded=corpus_bounded
+    )
 
 
-def _score_common_pairs(common: DataFrame, sizes: DataFrame, threshold: float) -> DataFrame:
+def _score_common_pairs(
+    common: DataFrame,
+    sizes: DataFrame,
+    threshold: float,
+    *,
+    corpus_bounded: bool = False,
+) -> DataFrame:
     """(doc_a, doc_b, n_common) + per-doc set sizes -> thresholded
     Jaccard rows. |union| = |A| + |B| - |intersection|."""
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
-    # per-doc sizes scale with the corpus: never broadcast (see
-    # _verify_candidate_pairs for the measured failure mode)
+    # per-doc sizes scale with the corpus: never broadcast above
+    # BROADCAST_SAFE_ROWS (see _verify_candidate_pairs)
+    if not corpus_bounded:
+        sa = sa.hint("shuffle_hash")
+        sb = sb.hint("shuffle_hash")
     return (
-        common.join(sa.hint("shuffle_hash"), "doc_a")
-        .join(sb.hint("shuffle_hash"), "doc_b")
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .select(
             "doc_a",
             "doc_b",
@@ -240,12 +265,16 @@ def ngram_jaccard_pairs(
     thresholds/runs.
     """
     sh = _shingle_index(docs, id_col, text_col, n)
+    n_docs = known_count if known_count is not None else docs.count()
+    bounded = n_docs <= BROADCAST_SAFE_ROWS
     if method == "auto":
-        n_docs = known_count if known_count is not None else docs.count()
         method = "full" if n_docs <= PREFIX_AUTO_ROWS else "prefix"
     if method == "prefix":
         return _jaccard_prefix_filtered(
-            sh, threshold=threshold, max_shingle_freq=max_shingle_freq
+            sh,
+            threshold=threshold,
+            max_shingle_freq=max_shingle_freq,
+            corpus_bounded=bounded,
         )
     if method != "full":
         raise ValueError(
@@ -255,12 +284,13 @@ def ngram_jaccard_pairs(
         sh = sh.persist()
     if max_shingle_freq is not None:
         freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_f"))
-        # freq is corpus-scaled (one row per distinct shingle): never
-        # broadcast — see _verify_candidate_pairs for the measured trap
-        sh = sh.join(
-            freq.filter(F.col("_f") <= max_shingle_freq).hint("shuffle_hash"),
-            "shingle",
-        ).drop("_f")
+        # freq is corpus-scaled (one row per distinct shingle): above
+        # BROADCAST_SAFE_ROWS never broadcast — see
+        # _verify_candidate_pairs for the measured trap
+        freq = freq.filter(F.col("_f") <= max_shingle_freq)
+        if not bounded:
+            freq = freq.hint("shuffle_hash")
+        sh = sh.join(freq, "shingle").drop("_f")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -272,11 +302,15 @@ def ngram_jaccard_pairs(
         )
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    return _score_common_pairs(common, sizes, threshold)
+    return _score_common_pairs(common, sizes, threshold, corpus_bounded=bounded)
 
 
 def _jaccard_prefix_filtered(
-    sh: DataFrame, *, threshold: float, max_shingle_freq: int | None
+    sh: DataFrame,
+    *,
+    threshold: float,
+    max_shingle_freq: int | None,
+    corpus_bounded: bool = False,
 ) -> DataFrame:
     """Prefix-filtered exact Jaccard join over a (doc_id, shingle) index.
 
@@ -293,9 +327,11 @@ def _jaccard_prefix_filtered(
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_f"))
     if max_shingle_freq is not None:
         freq = freq.filter(F.col("_f") <= max_shingle_freq)
-    # corpus-scaled side: never broadcast (measured trap, see
-    # _verify_candidate_pairs)
-    indexed = sh.join(freq.hint("shuffle_hash"), "shingle").persist()
+    # corpus-scaled side: never broadcast above BROADCAST_SAFE_ROWS
+    # (measured trap, see _verify_candidate_pairs)
+    if not corpus_bounded:
+        freq = freq.hint("shuffle_hash")
+    indexed = sh.join(freq, "shingle").persist()
 
     w_doc = Window.partitionBy("doc_id").orderBy(F.col("_f").asc(), F.col("shingle"))
     w_cnt = Window.partitionBy("doc_id")
@@ -322,7 +358,10 @@ def _jaccard_prefix_filtered(
     )
 
     result = _verify_candidate_pairs(
-        indexed.select("doc_id", "shingle"), candidates, threshold
+        indexed.select("doc_id", "shingle"),
+        candidates,
+        threshold,
+        corpus_bounded=corpus_bounded,
     )
     # Materialize the (small) pair list, then release the index cache —
     # same cache discipline as minhash_lsh_pairs.
@@ -540,7 +579,9 @@ def minhash_lsh_pairs(
     )
     # Exact verification restricted to candidate pairs (pair-expansion
     # join over the persisted shingle index).
-    result = _verify_candidate_pairs(sh, candidates, threshold)
+    result = _verify_candidate_pairs(
+        sh, candidates, threshold, corpus_bounded=n_docs <= BROADCAST_SAFE_ROWS
+    )
     # Materialize the (small) verified pair list, then RELEASE the
     # shingle-index cache — returning a lazy plan over a persisted input
     # would leak executor cache across repeated calls in long-lived
@@ -2078,9 +2119,13 @@ def duplicated_span_stats(
     # strings compress so well that AQE's compressed-bytes estimate
     # judged it broadcastable at 500k docs, then collected 1.3 GiB of
     # deserialized rows into the driver (maxResultSize abort, study
-    # round 8). Corpus-scaled sides never broadcast.
+    # round 8). Above BROADCAST_SAFE_ROWS corpus-scaled sides never
+    # broadcast (one metadata-cheap count buys the small-corpus plan
+    # back its AQE freedom — the guards' gating pattern).
+    if docs.count() > BROADCAST_SAFE_ROWS:
+        totals = totals.hint("shuffle_hash")
     dup = (
-        per_doc.join(totals.hint("shuffle_hash"), on="gram")
+        per_doc.join(totals, on="gram")
         .groupBy("doc_id")
         .agg(
             F.sum("c_dg").alias("n_grams"),
