@@ -34,6 +34,18 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # AQE's RUNTIME broadcast conversions compare COMPRESSED
+        # shuffle bytes, and narrow repetitive rows compress ~20x — at
+        # 64 MB a "small" side can deserialize to >1 GiB of
+        # driver-collected task results (measured: duplicated_span_stats
+        # at 500k docs aborted on spark.driver.maxResultSize). 8 MB
+        # bounds that worst case ~8x lower for every lane; explicit
+        # F.broadcast pins and the static 64 MB planner threshold are
+        # unaffected, and bench-scale plans measured neutral.
+        .config(
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+            str(8 * 1024 * 1024),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
