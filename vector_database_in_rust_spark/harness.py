@@ -3705,7 +3705,9 @@ def dedup_substring_q(spark, sf_dir):
         duplicated_span_stats,
     )
 
-    return duplicated_span_stats(_docs(spark, sf_dir), n=8)
+    return duplicated_span_stats(
+        _docs(spark, sf_dir), n=8, known_count=_docs_count(spark, sf_dir)
+    )
 
 
 # Streaming at-least-once repair: the events file is staged TWICE

@@ -153,9 +153,15 @@ def _verify_candidate_pairs(
     # (spark.driver.maxResultSize abort). shuffle_hash keeps the hash
     # build per-partition (no sort, no driver collect) and its build
     # side shrinks as the cluster scales out. ``corpus_bounded=True``
-    # (caller proves the corpus is at or under BROADCAST_SAFE_ROWS —
-    # deserialized sides provably bounded) keeps AQE's broadcast
-    # freedom, which is measurably faster at bench scale.
+    # (caller attests the corpus is at or under BROADCAST_SAFE_ROWS
+    # DOCUMENTS) keeps AQE's broadcast freedom, which is measurably
+    # faster at bench scale. Honest bound: the gate counts documents,
+    # but these sides scale with SHINGLES — a small corpus of very
+    # long documents can still exceed the doc-count intuition. That
+    # residual is capped by the session's 8 MB
+    # spark.sql.adaptive.autoBroadcastJoinThreshold (session.py):
+    # worst-case deserialized broadcast ~8 MB x compression (~160 MB),
+    # well under driver abort territory.
     if not corpus_bounded:
         sa = sa.hint("shuffle_hash")
         sb = sb.hint("shuffle_hash")
@@ -2000,8 +2006,15 @@ def minhash_incremental(
         .distinct()
     )
     sh_all = sh_b.union(sh_c)
+    # the verification sides scale with corpus+batch: keep AQE's
+    # broadcast freedom only while that total is provably small (the
+    # same gate as minhash_lsh_pairs; counts are metadata-cheap and
+    # this operator is already eager)
+    bounded = corpus.count() + batch.count() <= BROADCAST_SAFE_ROWS
     result = (
-        _verify_candidate_pairs(sh_all, candidates, threshold)
+        _verify_candidate_pairs(
+            sh_all, candidates, threshold, corpus_bounded=bounded
+        )
         .select(
             F.col("doc_a").alias("batch_id"),
             F.col("doc_b").alias("corpus_id"),
@@ -2084,6 +2097,7 @@ def duplicated_span_stats(
     n: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    known_count: int | None = None,
 ) -> DataFrame:
     """Exact duplicated-substring statistics — the token-n-gram
     approximation of suffix-array substring dedup (Lee et al. 2022,
@@ -2120,9 +2134,10 @@ def duplicated_span_stats(
     # judged it broadcastable at 500k docs, then collected 1.3 GiB of
     # deserialized rows into the driver (maxResultSize abort, study
     # round 8). Above BROADCAST_SAFE_ROWS corpus-scaled sides never
-    # broadcast (one metadata-cheap count buys the small-corpus plan
-    # back its AQE freedom — the guards' gating pattern).
-    if docs.count() > BROADCAST_SAFE_ROWS:
+    # broadcast (pass known_count, or one count buys the small-corpus
+    # plan back its AQE freedom — the guards' gating pattern).
+    n_docs = known_count if known_count is not None else docs.count()
+    if n_docs > BROADCAST_SAFE_ROWS:
         totals = totals.hint("shuffle_hash")
     dup = (
         per_doc.join(totals, on="gram")
