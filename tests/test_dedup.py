@@ -886,3 +886,58 @@ def test_embedding_cosine_pandas_empty_corpus(spark):
     emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
     empty = emb.filter("vec_id < 0")
     assert dedup.embedding_cosine_pairs(empty, threshold=0.4, impl="pandas").count() == 0
+
+
+def test_staging_memoized_per_plan(spark):
+    """Round-9 advisor fix: repeated staging of the SAME input plan
+    reuses one scratch dir (bench repeats / LSH-then-exact in one
+    session no longer accumulate a fresh corpus copy per call), while
+    a semantically different plan stages fresh."""
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    p1, n1 = dedup._stage_unit_corpus(emb, id_col="vec_id", vec_col="embedding")
+    p2, n2 = dedup._stage_unit_corpus(emb, id_col="vec_id", vec_col="embedding")
+    assert (p1, n1) == (p2, n2)
+    sub = emb.filter("vec_id % 2 = 0")
+    p3, n3 = dedup._stage_unit_corpus(sub, id_col="vec_id", vec_col="embedding")
+    assert p3 != p1 and n3 < n1
+
+
+def test_staged_rows_cap_errors(spark):
+    """Residency caps fail LOUDLY (round-9 advisor finding): staging
+    above spark.vdb.cosine.maxStagedRows is a ValueError naming the
+    conf, and the object-store heap fallback above FALLBACK_HEAP_ROWS
+    is a RuntimeError pointing at shared-filesystem scratch — neither
+    path may proceed into an OOM."""
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    spark.conf.set("spark.vdb.cosine.maxStagedRows", "3")
+    try:
+        with pytest.raises(ValueError, match="maxStagedRows"):
+            # fresh plan (limit) so the staging memo cannot short-circuit
+            dedup._stage_unit_corpus(
+                emb.filter("vec_id >= 7"), id_col="vec_id", vec_col="embedding"
+            )
+    finally:
+        spark.conf.unset("spark.vdb.cosine.maxStagedRows")
+    with pytest.raises(RuntimeError, match="FALLBACK_HEAP_ROWS"):
+        dedup._load_unit_corpus(
+            "/nonexistent/vdb-test-path", dedup.FALLBACK_HEAP_ROWS + 1
+        )
+
+
+def test_semantic_verdict_releases_cache(spark):
+    """The verdict materializes its one-row result and unpersists the
+    decisions table (round-9 advisor finding): repeated calls in a
+    long-lived session must not accumulate the corpus-sized decision
+    cache — only the one-row local checkpoints remain."""
+    df, _ = _semantic_corpus(spark)
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    for _ in range(2):
+        row = dedup.semantic_dedup_verdict(
+            df, threshold=0.99, num_cells=4, seed=42
+        ).first()
+        assert row["n_total"] == df.count()
+    grown = jsc.getPersistentRDDs().size() - before
+    # two one-row checkpoint RDDs at most; a leaked decisions persist
+    # per call would add two more corpus-sized entries
+    assert grown <= 2, f"persistent RDDs grew by {grown}"

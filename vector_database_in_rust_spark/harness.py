@@ -7334,7 +7334,13 @@ def winnow_pairs_q(spark, sf_dir):
     follows true collisions, never |docs|^2."""
     from vector_database_in_rust_spark.operators.dedup import winnow_pairs
 
-    return winnow_pairs(_docs(spark, sf_dir), k=4, window=3, min_shared=2)
+    return winnow_pairs(
+        _docs(spark, sf_dir),
+        k=4,
+        window=3,
+        min_shared=2,
+        known_count=_docs_count(spark, sf_dir),
+    )
 
 
 _HARD_NEGATIVES_ORACLE = f"""

@@ -243,8 +243,13 @@ def ngram_jaccard_pairs(
     several thresholds; they differ only in cost shape, so
     ``method="auto"`` (default, round 8) routes by corpus size the way
     ``embedding_cosine_pairs`` does: "full" at or under
-    ``PREFIX_AUTO_ROWS`` documents (one metadata-cheap count, or pass
-    ``known_count``), "prefix" above. Measured basis: on the 6k-doc
+    ``PREFIX_AUTO_ROWS`` documents (one count, or pass
+    ``known_count``), "prefix" above. NOTE: without ``known_count``
+    the sizing count is an EAGER action on every call — metadata-cheap
+    on parquet scans, but a full upstream recompute when ``docs`` is a
+    derived plan (the extra-action-per-call trap the r03 regression
+    note in ``embedding_cosine_pairs`` records); such callers should
+    pass ``known_count`` or pre-materialize. Measured basis: on the 6k-doc
     driver corpus full wins ~2x (2.9 vs 6.3 s — the ranking window +
     candidate pass are pure overhead when the self-join is already
     small), but on a 50k-doc zipf-vocabulary corpus full's retained
@@ -1097,6 +1102,34 @@ def lsh_cosine_pairs(
 _UNIT_CORPUS_CACHE: dict[str, tuple] = {}
 _NPY_MARKER = "_NPY_READY"
 
+# Per-node residency bound for cosine verification (advisor, round 9).
+# BOTH cosine-pair routes score candidates against the full N x d
+# float64 unit matrix resident per node: one OS-evictable page-cache
+# copy via the mmap sidecars on posix/NFS scratch, or one IN-HEAP copy
+# per Python worker on the object-store fallback (no mmap over s3://).
+# The heap form is ~40x more expensive per node (32 reused workers x
+# pinned heap vs one shared disk-backed mapping), so it gets the tight
+# cap; the mmap form's cap is a conf (`spark.vdb.cosine.maxStagedRows`)
+# because its true bound is node DISK + working-set locality, which
+# only the operator's user can size. Above either cap the operator
+# fails LOUDLY at staging/load time instead of OOMing mid-job — the
+# honest statement of the design's limit: candidate VOLUME is linear in
+# n (the banding guarantees that), but verification residency is linear
+# in n PER NODE, and corpora beyond the cap need a sharded-verification
+# variant, not a bigger heap.
+FALLBACK_HEAP_ROWS = 2_000_000
+DEFAULT_MAX_STAGED_ROWS = 50_000_000  # ~25 GiB/node at d=64 float64
+
+# Session-scoped staging memo (advisor, round 9): repeated calls over
+# the SAME input plan (bench repeats, LSH + exact in one session) reuse
+# one staged corpus dir instead of accumulating a fresh parquet + .npy
+# copy per call until interpreter exit. Keyed by the analyzed plan's
+# semanticHash — same keying caveat as the harness's
+# _JACCARD_PAIRS_CACHE: in-place mutation of the underlying files with
+# an identical plan is stale (parquet scans list files into the plan,
+# so normal re-writes change the hash).
+_STAGED_CORPUS_CACHE: dict[tuple, tuple[str, int]] = {}
+
 
 def _stage_unit_corpus(
     emb: DataFrame, *, id_col: str, vec_col: str
@@ -1131,6 +1164,23 @@ def _stage_unit_corpus(
         )
     emb = emb.filter(F.col(vec_col).isNotNull())
     spark = emb.sparkSession
+    cache_key = None
+    try:
+        cache_key = (
+            spark.sparkContext.applicationId,
+            emb._jdf.queryExecution().analyzed().semanticHash(),
+            id_col,
+            vec_col,
+        )
+    except Exception:  # pragma: no cover - non-classic sessions
+        pass
+    if cache_key is not None:
+        hit = _STAGED_CORPUS_CACHE.get(cache_key)
+        # Driver-side existence check only where the driver can see the
+        # scratch (posix); object-store paths are trusted (atexit never
+        # removes them).
+        if hit and ("://" in hit[0] or os.path.isdir(hit[0])):
+            return hit
     norm_col = F.sqrt(
         F.aggregate(
             F.transform(F.col(vec_col).cast("array<double>"), lambda x: x * x),
@@ -1148,13 +1198,30 @@ def _stage_unit_corpus(
         corpus_path
     )
     n_rows = spark.read.parquet(corpus_path).count()
+    max_staged = int(
+        spark.conf.get(
+            "spark.vdb.cosine.maxStagedRows", str(DEFAULT_MAX_STAGED_ROWS)
+        )
+    )
+    if n_rows > max_staged:
+        raise ValueError(
+            f"cosine verification requires per-node residency of the "
+            f"unit matrix and the corpus has {n_rows} rows > "
+            f"spark.vdb.cosine.maxStagedRows={max_staged} (~"
+            f"{max_staged * 8 // 2**20} MiB/node per dimension-64 "
+            "matrix) — raise the conf only if node disk/page cache can "
+            "hold it, or shard the corpus before pairing"
+        )
     if n_rows and "://" not in corpus_path:
         # posix scratch: one executor task builds the mmap sidecars
-        # (empty corpus: nothing to stage, and the downstream
-        # mapInPandas gets no batches, so the loader never runs either)
+        # (streaming — see _stage_unit_npy; empty corpus: nothing to
+        # stage, and the downstream mapInPandas gets no batches, so the
+        # loader never runs either)
         spark.sparkContext.parallelize([corpus_path], 1).foreach(
             lambda p: _stage_unit_npy(p, n_rows)
         )
+    if cache_key is not None:
+        _STAGED_CORPUS_CACHE[cache_key] = (corpus_path, n_rows)
     return corpus_path, n_rows
 
 
@@ -1165,28 +1232,69 @@ def _stage_unit_npy(path: str, expected_rows: int) -> None:
     them: per-NODE residency becomes ONE shared page-cache copy of the
     matrix instead of one in-heap copy per reused worker, and after the
     job those clean pages are reclaimable by the OS rather than pinned
-    in worker heaps. Runs as a single one-element-RDD task — the only
-    place the full matrix is ever materialized in memory, bounded by
-    the exact-route row cap. Atomic: tmp files + os.replace, marker
+    in worker heaps.
+
+    Runs as a single one-element-RDD task but STREAMS (round 9, the
+    advisor's OOM finding): batches are written straight into a
+    disk-backed ``open_memmap`` as they arrive from the parquet
+    scanner, then gathered into id-sorted order chunk-by-chunk — task
+    heap is O(ids + one chunk) ~ 8 bytes/row + ~32 MB, NOT the full
+    N x d matrix, at any corpus size the LSH route stages. (The old
+    ``to_table`` + ``np.vstack`` form held the whole matrix in the
+    conversion task's heap, an OOM bottleneck the exact route's row
+    cap hid but the capless ``lsh_cosine_pairs`` route exposed.)
+    Transient disk is 2x matrix size (unsorted + sorted) until the
+    unsorted copy is deleted. Atomic: tmp files + os.replace, marker
     last."""
     import numpy as np
     import pyarrow.dataset as ds
 
-    tbl = ds.dataset(path, format="parquet").to_table(columns=["_id", "_u"])
-    ids = tbl["_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-    if len(ids) != expected_rows:
+    dset = ds.dataset(path, format="parquet")
+    ids = np.empty(expected_rows, dtype=np.int64)
+    unit_tmp = os.path.join(path, "_unit.unsorted.tmp.npy")
+    mm = None
+    row = 0
+    for batch in dset.to_batches(columns=["_id", "_u"]):
+        if not batch.num_rows:
+            continue
+        b_ids = batch["_id"].to_numpy(zero_copy_only=False)
+        b_unit = np.vstack(batch["_u"].to_numpy(zero_copy_only=False))
+        if mm is None:
+            mm = np.lib.format.open_memmap(
+                unit_tmp,
+                mode="w+",
+                dtype=np.float64,
+                shape=(expected_rows, b_unit.shape[1]),
+            )
+        end = row + len(b_ids)
+        if end > expected_rows:
+            break  # count mismatch — fall through to the loud error
+        ids[row:end] = b_ids
+        mm[row:end] = b_unit
+        row = end
+    if row != expected_rows or mm is None:
         raise RuntimeError(
-            f"cosine corpus staging incomplete: read {len(ids)} rows from "
+            f"cosine corpus staging incomplete: read {row} rows from "
             f"{path}, expected {expected_rows} — on a multi-node cluster "
             "set spark.vdb.scratch.dir to SHARED storage"
         )
-    unit = np.vstack(tbl["_u"].to_numpy(zero_copy_only=False))
+    mm.flush()
     order = np.argsort(ids, kind="stable")
-    for name, arr in (("_ids", ids[order]), ("_unit", unit[order])):
-        # tmp name must END in .npy or np.save appends another suffix
-        tmp = os.path.join(path, f"{name}.tmp.npy")
-        np.save(tmp, arr)
-        os.replace(tmp, os.path.join(path, f"{name}.npy"))
+    sorted_tmp = os.path.join(path, "_unit.tmp.npy")
+    out = np.lib.format.open_memmap(
+        sorted_tmp, mode="w+", dtype=np.float64, shape=mm.shape
+    )
+    chunk = 65536
+    for i0 in range(0, expected_rows, chunk):
+        sel = order[i0 : i0 + chunk]
+        out[i0 : i0 + len(sel)] = mm[sel]
+    out.flush()
+    del mm, out
+    os.remove(unit_tmp)
+    ids_tmp = os.path.join(path, "_ids.tmp.npy")
+    np.save(ids_tmp, ids[order])  # tmp must END in .npy or np.save suffixes
+    os.replace(ids_tmp, os.path.join(path, "_ids.npy"))
+    os.replace(sorted_tmp, os.path.join(path, "_unit.npy"))
     with open(os.path.join(path, _NPY_MARKER), "w"):
         pass
 
@@ -1215,6 +1323,16 @@ def _load_unit_corpus(path: str, expected_rows: int):
         else:
             import pyarrow.dataset as ds
 
+            if expected_rows > FALLBACK_HEAP_ROWS:
+                raise RuntimeError(
+                    f"cosine verification fallback would pin "
+                    f"{expected_rows} x d float64 rows in EVERY Python "
+                    f"worker's heap (> FALLBACK_HEAP_ROWS="
+                    f"{FALLBACK_HEAP_ROWS}) — point "
+                    "spark.vdb.scratch.dir at a posix-visible shared "
+                    "filesystem (NFS/Lustre) so workers mmap one "
+                    "page-cache copy per node instead"
+                )
             tbl = ds.dataset(path, format="parquet").to_table(
                 columns=["_id", "_u"]
             )
@@ -1523,7 +1641,7 @@ def semantic_dedup_verdict(
             "ids_unique"
         )
     )
-    return (
+    result = (
         per_cluster.agg(
             F.sum("n").cast("long").alias("n_total"),
             F.min("kept_ok").alias("kept_valid"),
@@ -1535,6 +1653,14 @@ def semantic_dedup_verdict(
             "n_total", "ids_unique", "kept_valid", "dropped_valid", "some_dropped"
         )
     )
+    # Materialize the ONE-row verdict eagerly, then release the
+    # decisions cache — returning a lazy plan over a persisted input
+    # would leak executor cache across repeated verdict calls in
+    # long-lived sessions (advisor, round 9; same discipline as
+    # minhash_lsh_pairs).
+    result = result.localCheckpoint(eager=True)
+    decisions.unpersist()
+    return result
 
 
 def dedup_clusters(
@@ -2386,6 +2512,7 @@ def winnow_pairs(
     max_fp_freq: int | None = 500,
     text_col: str = "text",
     id_col: str = "doc_id",
+    known_count: int | None = None,
 ) -> DataFrame:
     """Near-dup candidate pairs from shared winnowing fingerprints: two
     documents sharing >= ``min_shared`` selected hashes (MOSS's match
@@ -2422,7 +2549,13 @@ def winnow_pairs(
     fps = winnow_fingerprints(
         docs, k=k, window=window, text_col=text_col, id_col=id_col
     ).select("doc_id", "fp_hash").distinct()
-    if max_fp_freq is not None and docs.count() > max_fp_freq:
+    # The guard's no-op proof needs the corpus size; that count is an
+    # EAGER action per call — metadata-cheap on parquet inputs but a
+    # full upstream recompute on derived plans, so callers that know
+    # the size pass known_count (advisor, round 9 — the same bypass
+    # ngram_jaccard_pairs/duplicated_span_stats carry).
+    n_docs = known_count if known_count is not None else docs.count()
+    if max_fp_freq is not None and n_docs > max_fp_freq:
         w_fp = Window.partitionBy("fp_hash")
         fps = (
             fps.withColumn("_f", F.count(F.lit(1)).over(w_fp))
