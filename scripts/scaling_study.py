@@ -249,9 +249,10 @@ def main() -> None:
     from vector_database_in_rust_spark.operators.search import bm25_scores
 
     DOC_OPS = (
-        "dedup_exact minhash_lsh simhash_pairs quality_score "
-        "ngram_jaccard winnow_pairs dup_span_stats corpus_shuffle "
-        "bm25_top10 pack_sequences dsir_select curate_corpus cc_star"
+        "dedup_exact minhash_lsh simhash_pairs simhash_clusters "
+        "quality_score ngram_jaccard winnow_pairs dup_span_stats "
+        "corpus_shuffle bm25_top10 pack_sequences dsir_select "
+        "curate_corpus cc_star"
     ).split()
 
     for n in DOC_SIZES if any(want(o) for o in DOC_OPS) else []:
@@ -272,6 +273,14 @@ def main() -> None:
             "simhash_pairs",
             n,
             lambda: _sink(dedup.simhash_pairs(docs)),
+        )
+        # clique mode: output-linear (one row per doc) — measurable at
+        # corpus sizes where the pair expansion is O(clique^2) and
+        # simhash_pairs itself cannot run
+        rec(
+            "simhash_clusters",
+            n,
+            lambda: _sink(dedup.simhash_clusters(docs)),
         )
         rec(
             "quality_score",

@@ -941,3 +941,93 @@ def test_semantic_verdict_releases_cache(spark):
     # two one-row checkpoint RDDs at most; a leaked decisions persist
     # per call would add two more corpus-sized entries
     assert grown <= 2, f"persistent RDDs grew by {grown}"
+
+
+def test_simhash_clusters_match_pair_closure(spark, docs):
+    """Clique mode (round 9) must be the SAME partition as the
+    recursive closure of the pair mode — on the driver corpus AND on a
+    convergent-fingerprint corpus (the case it exists for) — while
+    covering every doc (singletons included) with min-member labels
+    and consistent sizes."""
+
+    def check(corpus):
+        clusters = {
+            r["doc_id"]: (r["cluster_id"], r["cluster_size"])
+            for r in dedup.simhash_clusters(corpus, max_hamming=3).collect()
+        }
+        assert len(clusters) == corpus.count()
+        # union-find ground truth over the pair list
+        pair_list = [
+            (r["doc_a"], r["doc_b"])
+            for r in dedup.simhash_pairs(corpus, max_hamming=3).collect()
+        ]
+        parent: dict[int, int] = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pair_list:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        comps: dict[int, set] = {}
+        for d in clusters:
+            comps.setdefault(find(d) if d in parent else d, set()).add(d)
+        for root, members in comps.items():
+            want_label = min(members)
+            for m in members:
+                got_label, got_size = clusters[m]
+                assert got_label == want_label, (m, got_label, want_label)
+                assert got_size == len(members)
+
+    check(docs)
+    boiler = " ".join(f"x{i}" for i in range(40))
+    rows = [(i, boiler) for i in range(30)]
+    rows += [(100 + i, f"{boiler} extra{i} w{i*7}") for i in range(10)]
+    rows += [(500 + i, f"unique{i} " + " ".join(f"z{i}_{j}" for j in range(30)))
+             for i in range(5)]
+    check(spark.createDataFrame(rows, "doc_id BIGINT, text STRING"))
+
+
+def test_simhash_clusters_verdict_all_green(spark, docs):
+    """The verdict twin's five booleans must all hold on the driver
+    corpus and the count must equal the corpus size."""
+    row = dedup.simhash_clusters_verdict(docs, max_hamming=3).first()
+    assert row["n_docs"] == docs.count()
+    assert row["one_cluster_per_doc"]
+    assert row["labels_are_min_member"]
+    assert row["sizes_consistent"]
+    assert row["matches_pair_closure"]
+
+
+def test_winnow_doc_cap_rarest_first(spark, monkeypatch):
+    """The per-doc cap (round 9) keeps each doc's RAREST fingerprints,
+    so a planted near-dup pair — which shares its rare fingerprints —
+    survives a tight cap while the guard is a provable no-op below the
+    activation size."""
+    import random
+
+    rng = random.Random(5)
+    vocab = [f"w{i}" for i in range(400)]
+    base = " ".join(rng.choice(vocab) for _ in range(120))
+    dup = base + " tail1 tail2 tail3"
+    rows = [(0, base), (1, dup)]
+    rows += [
+        (10 + i, " ".join(rng.choice(vocab) for _ in range(100)))
+        for i in range(20)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    uncapped = _pairs(dedup.winnow_pairs(docs, min_shared=2))
+    # below activation: max_doc_fps present but inert — identical output
+    assert _pairs(dedup.winnow_pairs(docs, min_shared=2, max_doc_fps=4)) == uncapped
+    # force activation: a tight rarest-first cap must still find the
+    # planted pair (its shared fingerprints are globally rare)
+    monkeypatch.setattr(dedup, "WINNOW_DOC_CAP_ACTIVATION", 1)
+    capped = _pairs(dedup.winnow_pairs(docs, min_shared=2, max_doc_fps=8))
+    assert (0, 1) in capped
+    # the cap can only REMOVE pairs, never invent them
+    assert capped <= uncapped

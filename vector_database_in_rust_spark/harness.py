@@ -4915,6 +4915,45 @@ def dedup_simhash_verdict_q(spark, sf_dir):
     )
 
 
+@register("dedup_simhash_clusters")  # fingerprint hashing not portable -> rows-only
+def dedup_simhash_clusters_q(spark, sf_dir):
+    """Clique-mode SimHash dedup (round 9): the connected-component
+    partition of the hamming<=3 doc graph at FINGERPRINT-graph cost —
+    output-linear (one row per doc), never a doc pair, the scale
+    contract for boilerplate-convergent corpora where pair lists are
+    O(clique^2). ★ twin: simhash_clusters_verdict."""
+    from vector_database_in_rust_spark.operators.dedup import simhash_clusters
+
+    return simhash_clusters(_docs(spark, sf_dir), max_hamming=3)
+
+
+_SIMHASH_CLUSTERS_VERDICT_ORACLE = """
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       TRUE AS one_cluster_per_doc,
+       TRUE AS labels_are_min_member,
+       TRUE AS sizes_consistent,
+       TRUE AS matches_pair_closure
+FROM documents
+"""
+
+
+@register("simhash_clusters_verdict", _SIMHASH_CLUSTERS_VERDICT_ORACLE)
+def simhash_clusters_verdict_q(spark, sf_dir):
+    """Driver-verifiable verdict for the clique-mode SimHash lane
+    (round 9): the partition covers every document exactly once
+    (count predicted by SQL), labels are each cluster's minimum
+    member, sizes are consistent, and the partition EQUALS the
+    recursive closure of the pair-mode graph (re-derived
+    independently via dedup_clusters(simhash_pairs) label for label,
+    with non-paired docs pinned as singletons). A broken
+    fingerprint-CC lift flips a boolean and the driver hash."""
+    from vector_database_in_rust_spark.operators.dedup import (
+        simhash_clusters_verdict,
+    )
+
+    return simhash_clusters_verdict(_docs(spark, sf_dir), max_hamming=3)
+
+
 _BIGRAM_LM_ORACLE = """
 WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
 bg AS (
@@ -7817,4 +7856,66 @@ _ROUND8_WINDOW = [
 ]
 
 
-_rotate_registry(_ROUND8_WINDOW)
+_ROUND9_WINDOW = [
+    # --- 1 never-verified: the round-9 clique-mode SimHash verdict
+    #     takes the front slot (its rows-only twin
+    #     dedup_simhash_clusters is covered by the ★ hash, like
+    #     dedup_semantic before it). ---
+    "simhash_clusters_verdict",
+    # --- 49 re-verification slots, least-recently-verified first
+    #     (scripts/compose_window.py output, r05 cohort = the stalest
+    #     evidence; the tail tops up with the oldest r06 rows). Max
+    #     staleness after a green r09: r06 (3 rounds). ---
+    "dedup_exact",  # last green r05
+    "dedup_ngram_jaccard",  # last green r05
+    "dedup_fingerprint",  # last green r05
+    "csv_roundtrip",  # last green r05
+    "json_roundtrip",  # last green r05
+    "orc_roundtrip",  # last green r05
+    "csv_vector_roundtrip",  # last green r05
+    "media_resize",  # last green r05
+    "media_frames",  # last green r05
+    "approx_event_stats",  # last green r05
+    "lm_score",  # last green r05
+    "dedup_clusters_star",  # last green r05
+    "embedding_bq",  # last green r05
+    "knn_hamming",  # last green r05
+    "knn_hamming_packed",  # last green r05
+    "knn_funnel",  # last green r05
+    "knn_refine_bq",  # last green r05
+    "embed_hashed",  # last green r05
+    "embed_hashed_search",  # last green r05
+    "profile_events",  # last green r05
+    "corpus_shuffle",  # last green r05
+    "length_buckets",  # last green r05
+    "corpus_split",  # last green r05
+    "profile_sources",  # last green r05
+    "ann_recall_verdict",  # last green r05
+    "dedup_embedding_lsh_verdict",  # last green r05
+    "dedup_minhash_verdict",  # last green r05
+    "dedup_simhash_verdict",  # last green r05
+    "lm_score_bigram",  # last green r05
+    "boilerplate_ngrams",  # last green r05
+    "dedup_cluster_sizes",  # last green r05
+    "tpch_q4_order_priority",  # last green r05
+    "tpch_q12_shipmode",  # last green r05
+    "media_decode_png",  # last green r05
+    "tpch_q2_min_cost",  # last green r05
+    "tpch_q7_volume_shipping",  # last green r05
+    "tpch_q8_market_share",  # last green r05
+    "tpch_q11_important_parts",  # last green r05
+    "tpch_q13_customer_distribution",  # last green r05
+    "tpch_q15_top_supplier",  # last green r05
+    "tpch_q17_small_quantity",  # last green r05
+    "tpch_q21_waiting_suppliers",  # last green r05
+    "tpch_q22_sales_opportunity",  # last green r05
+    "media_decode_jpeg",  # last green r05
+    "text_stats",  # last green r06
+    "ann_hier_recall_verdict",  # last green r06
+    "docs_zipf_fit",  # last green r06
+    "source_entropy",  # last green r06
+    "docs_chi2_independence",  # last green r06
+]
+
+
+_rotate_registry(_ROUND9_WINDOW)

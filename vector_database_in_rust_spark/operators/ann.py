@@ -376,7 +376,22 @@ class IVFIndex:
         after the fact. When shard distributions differ enough to
         leave hot cells, chain ``.rebalance()`` — same contract as
         drift ingest. Returns a NEW merged index; NEITHER input is
-        modified (both shards stay valid for per-shard serving)."""
+        modified (both shards stay valid for per-shard serving).
+
+        k-SHARD chaining (the 100 TB pattern is k shards, not 2):
+        ``s0.merge(s1).merge(s2)...`` keeps s0's centroid set
+        throughout — ``assign_new`` never adds centroids — so every
+        incoming vector argmins against the SAME centroids regardless
+        of merge order: with a fixed receiver the chained merge is
+        ORDER-INVARIANT by construction (pinned by
+        tests/test_ann.py::test_ivf_merge_k_shard_chain). The bias
+        that does exist is RECEIVER choice: a different first shard
+        fits different centroids, and all merged assignments drift
+        with it relative to a joint build over the union — occupancy
+        skew, not correctness (distances are always exact; full probe
+        equals exact search under any receiver). Pick the largest /
+        most representative shard as receiver and chain
+        ``.rebalance()`` when shard distributions differ."""
         return self.assign_new(
             other.assignments.select(
                 F.col(other.id_col).alias(self.id_col),

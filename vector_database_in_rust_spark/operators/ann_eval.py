@@ -154,3 +154,141 @@ def recall_grid(emb: DataFrame) -> dict[tuple[str, str], float]:
     hier.assignments.unpersist()
     emb.unpersist()
     return out
+
+
+def straddle_embeddings(
+    spark: SparkSession,
+    *,
+    n_clusters: int = 6,
+    per_cluster: int = 40,
+    n_within: int = 12,
+    n_straddle: int = 12,
+    dim: int = 16,
+    seed: int = 11,
+):
+    """Planted-pair corpus for measuring SemDeDup's cross-cluster
+    blindness (round-9 verdict item 3). Geometry: ``n_clusters``
+    orthogonal direction clusters (radius 10, noise 0.3). Two planted
+    near-dup populations, every pair with pairwise cosine >= 0.9995:
+
+    * WITHIN pairs — both members sit squarely inside one cluster;
+    * STRADDLE pairs — the two members sit 0.75 deg on OPPOSITE sides
+      of the angular midpoint between two adjacent cluster directions,
+      so each member's nearest true center differs: a correct KMeans
+      fit assigns them to different cells, which is exactly the pair
+      class the SemDeDup paper accepts missing.
+
+    Which class a pair REALIZES is decided empirically from the
+    fitted clustering (KMeans|| init is partition-dependent; rebalance
+    can split cells), so :func:`semantic_straddle_stats` classifies by
+    the actual cell assignment, not the construction intent.
+
+    Returns (df, within_pairs, straddle_pairs) with pair lists as
+    (id_a, id_b)."""
+    rng = np.random.RandomState(seed)
+    rows = []
+    vid = 0
+    basis = np.eye(dim)[:n_clusters] * 10.0
+    for c in range(n_clusters):
+        for _ in range(per_cluster):
+            v = basis[c] + 0.3 * rng.randn(dim)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    within = []
+    for k in range(n_within):
+        c = k % n_clusters
+        base = basis[c] + 0.3 * rng.randn(dim)
+        dup = base * 1.01
+        dup = dup + 0.001 * np.linalg.norm(dup) * rng.randn(dim)
+        within.append((vid, vid + 1))
+        rows.append((vid, [float(x) for x in base]))
+        rows.append((vid + 1, [float(x) for x in dup]))
+        vid += 2
+    straddle = []
+    # one pair per distinct cluster BOUNDARY (plane spanned by two
+    # cluster directions) — reusing a boundary would plant two pairs at
+    # identical coordinates, and cross-pair drops would then pollute
+    # the straddle-miss measurement
+    import itertools
+
+    boundaries = list(itertools.combinations(range(n_clusters), 2))
+    assert n_straddle <= len(boundaries), (
+        f"n_straddle={n_straddle} needs more than the "
+        f"{len(boundaries)} distinct boundaries of {n_clusters} clusters"
+    )
+    for k in range(n_straddle):
+        c1, c2 = boundaries[k]
+        e1 = basis[c1] / np.linalg.norm(basis[c1])
+        e2 = basis[c2] / np.linalg.norm(basis[c2])
+        mid = np.deg2rad(45.0)
+        eps = np.deg2rad(0.75)
+        a = 10.0 * (np.cos(mid - eps) * e1 + np.sin(mid - eps) * e2)
+        b = 10.0 * (np.cos(mid + eps) * e1 + np.sin(mid + eps) * e2)
+        straddle.append((vid, vid + 1))
+        rows.append((vid, [float(x) for x in a]))
+        rows.append((vid + 1, [float(x) for x in b]))
+        vid += 2
+    df = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+    return df, within, straddle
+
+
+def semantic_straddle_stats(
+    spark: SparkSession, *, threshold: float = 0.9995, seed: int = SEED
+) -> dict[str, float]:
+    """Measured SemDeDup cross-cluster miss rate over the planted
+    straddle corpus — the quantity the paper accepts but the round-8
+    verdict asked to be MEASURED, recall-table style.
+
+    Pairs are classified by the REALIZED clustering: a planted pair
+    whose members landed in the same cell is 'within-realized', else
+    'straddle-realized'. Reported:
+
+    * ``within_recall`` — resolved (not both kept) fraction of
+      within-realized pairs. The greedy invariant (no two kept
+      members of one cell at cosine >= threshold) forces 1.0; < 1.0
+      is an operator BUG, not an approximation.
+    * ``straddle_miss`` — both-kept fraction of straddle-realized
+      pairs: the measured cost of cluster-scoped dedup.
+    * ``straddle_realized_frac`` — planted straddle pairs that
+      actually straddled the fitted cells (generator effectiveness;
+      a collapse here makes the miss rate vacuous).
+    """
+    from vector_database_in_rust_spark.operators.dedup import semantic_dedup
+
+    df, within, straddle = straddle_embeddings(spark)
+    decisions = {
+        r["vec_id"]: (r["cluster_id"], r["keep"])
+        for r in semantic_dedup(
+            df, threshold=threshold, num_cells=6, seed=seed
+        ).collect()
+    }
+
+    def realized_same_cell(pair) -> bool:
+        return decisions[pair[0]][0] == decisions[pair[1]][0]
+
+    def both_kept(pair) -> bool:
+        return decisions[pair[0]][1] and decisions[pair[1]][1]
+
+    all_pairs = [(p, "within") for p in within] + [
+        (p, "straddle") for p in straddle
+    ]
+    within_realized = [p for p, _ in all_pairs if realized_same_cell(p)]
+    straddle_realized = [p for p, _ in all_pairs if not realized_same_cell(p)]
+    return {
+        "within_recall": (
+            sum(1 for p in within_realized if not both_kept(p))
+            / len(within_realized)
+            if within_realized
+            else float("nan")
+        ),
+        "straddle_miss": (
+            sum(1 for p in straddle_realized if both_kept(p))
+            / len(straddle_realized)
+            if straddle_realized
+            else float("nan")
+        ),
+        "straddle_realized_frac": len(straddle_realized)
+        / max(len(straddle), 1),
+        "n_within_realized": float(len(within_realized)),
+        "n_straddle_realized": float(len(straddle_realized)),
+    }

@@ -332,6 +332,23 @@ def _jaccard_prefix_filtered(
     threshold. The float product ``t * |x|`` is rounded to 6 decimals
     before ceil so exact-integer products cannot bump the prefix short
     (which would silently lose pairs).
+
+    Round 9 — two MORE exact candidate cuts from the same papers (both
+    provably lossless, so the oracle and the prefix==full equality
+    tests are untouched; they only shrink the candidate mass whose
+    50k->500k growth measured exp 1.23 on zipf vocabulary):
+
+    - LENGTH filter (Arasu et al. 2006; ppjoin's l-bound): J(A,B) >= t
+      forces min(|A|,|B|) >= t * max(|A|,|B|) (intersection <= min,
+      union >= max). Applied as a join predicate on the carried n_sh.
+    - POSITIONAL filter (Xiao et al. 2008, PPJoin): for the FIRST
+      common shingle in the global rarity order, at positions
+      (pa, pb), the total overlap is at most 1 + min(|A|-pa, |B|-pb);
+      a true pair needs overlap >= ceil(t/(1+t) * (|A|+|B|)), and its
+      first common shingle is guaranteed inside both prefixes, so
+      requiring the bound on SOME matching prefix row (the join then
+      de-dups pairs) prunes nothing real. Later matching rows may
+      fail the test; the first one cannot.
     """
     from pyspark.sql import Window
 
@@ -355,13 +372,42 @@ def _jaccard_prefix_filtered(
     prefix_len = F.col("n_sh") - F.ceil(
         F.round(F.lit(threshold) * F.col("n_sh"), 6)
     ) + 1
-    prefix = ranked.filter(F.col("_rn") <= prefix_len).select("doc_id", "shingle")
+    prefix = ranked.filter(F.col("_rn") <= prefix_len).select(
+        "doc_id", "shingle", "_rn", "n_sh"
+    )
 
     pa = prefix.alias("a")
     pb = prefix.alias("b")
+    # exact overlap requirement for J >= t: |A ∩ B| >= t/(1+t)·(|A|+|B|)
+    overlap_need = F.ceil(
+        F.round(
+            F.lit(threshold / (1.0 + threshold))
+            * (F.col("a.n_sh") + F.col("b.n_sh")),
+            6,
+        )
+    )
     candidates = (
         pa.join(pb, on="shingle")
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        # length filter: min/max >= t, or J < t regardless of overlap
+        .filter(
+            F.least(F.col("a.n_sh"), F.col("b.n_sh"))
+            >= F.round(
+                F.lit(threshold) * F.greatest(F.col("a.n_sh"), F.col("b.n_sh")),
+                6,
+            )
+        )
+        # positional filter: suffix overlap bound from this match's
+        # rarity-order positions; the pair's FIRST common shingle always
+        # satisfies it, so the post-join distinct loses nothing
+        .filter(
+            F.lit(1)
+            + F.least(
+                F.col("a.n_sh") - F.col("a._rn"),
+                F.col("b.n_sh") - F.col("b._rn"),
+            )
+            >= overlap_need
+        )
         .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
@@ -670,9 +716,10 @@ def simhash_pairs(
       term is the expansion back to doc pairs, which is exactly the
       operator's OUTPUT (fingerprint-identical cliques are real
       hamming-0 pairs — 65M on that corpus); callers that want
-      clusters rather than O(clique²) pair lists should feed
-      ``dedup_clusters`` from ``simhash_fingerprints`` grouped by
-      simhash, not from this expansion.
+      clusters rather than O(clique²) pair lists should use
+      ``simhash_clusters`` (round 9), which computes the identical
+      connected-component partition at fingerprint-graph cost and
+      never materializes a doc pair.
     - ``impl="auto"`` (default) measures convergence on the shared
       fingerprint checkpoint (ONE count/count_distinct aggregation)
       and picks "distinct" when <95% of fingerprints are unique.
@@ -687,26 +734,7 @@ def simhash_pairs(
     fp = fp.localCheckpoint(eager=False)
 
     def _blocked(df):
-        blocks = []
-        for i in range(n_blocks):
-            lo = i * width
-            w = width if i < n_blocks - 1 else 64 - lo
-            mask = (1 << w) - 1
-            blocks.append(
-                F.struct(
-                    F.lit(i).alias("block_id"),
-                    F.shiftrightunsigned(F.col("simhash"), lo)
-                    .bitwiseAND(F.lit(mask))
-                    .alias("block_val"),
-                )
-            )
-        return df.select(
-            "*", F.explode(F.array(*blocks)).alias("blk")
-        ).select(
-            *df.columns,
-            F.col("blk.block_id").alias("block_id"),
-            F.col("blk.block_val").alias("block_val"),
-        )
+        return _simhash_blocked(df, n_blocks, width)
 
     if impl == "auto":
         probe = fp.agg(
@@ -735,22 +763,7 @@ def simhash_pairs(
     if impl != "distinct":
         raise ValueError(f"unknown impl {impl!r} (use auto/direct/distinct)")
 
-    dfp = fp.select("simhash").distinct()
-    exploded = _blocked(dfp.select("simhash")).localCheckpoint(eager=False)
-    a = exploded.alias("a")
-    b = exploded.alias("b")
-    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
-    fp_pairs = (
-        a.join(b, on=["block_id", "block_val"])
-        .filter(F.col("a.simhash") < F.col("b.simhash"))
-        .select(
-            F.col("a.simhash").alias("_sa"),
-            F.col("b.simhash").alias("_sb"),
-            ham.alias("hamming"),
-        )
-        .filter(F.col("hamming") <= max_hamming)
-        .distinct()
-    )
+    fp_pairs = _simhash_fp_pairs(fp.select("simhash").distinct(), max_hamming)
     # Expansion to document pairs — proportional to the OUTPUT, not to
     # block collisions. Cross-fingerprint pairs: every (doc of sa,
     # doc of sb) combination, normalized to doc_a < doc_b (each
@@ -779,6 +792,202 @@ def simhash_pairs(
         )
     )
     return cross.unionByName(intra)
+
+
+def _simhash_blocked(df: DataFrame, n_blocks: int, width: int) -> DataFrame:
+    """Explode each 64-bit ``simhash`` into its pigeonhole blocks:
+    one (block_id, block_val) row per block, original columns kept."""
+    blocks = []
+    for i in range(n_blocks):
+        lo = i * width
+        w = width if i < n_blocks - 1 else 64 - lo
+        mask = (1 << w) - 1
+        blocks.append(
+            F.struct(
+                F.lit(i).alias("block_id"),
+                F.shiftrightunsigned(F.col("simhash"), lo)
+                .bitwiseAND(F.lit(mask))
+                .alias("block_val"),
+            )
+        )
+    return df.select("*", F.explode(F.array(*blocks)).alias("blk")).select(
+        *df.columns,
+        F.col("blk.block_id").alias("block_id"),
+        F.col("blk.block_val").alias("block_val"),
+    )
+
+
+def _simhash_fp_pairs(dfp: DataFrame, max_hamming: int) -> DataFrame:
+    """Pigeonhole block self-join over DISTINCT fingerprints:
+    (_sa, _sb, hamming) with _sa < _sb, hamming <= max_hamming. Cost
+    follows distinct-fingerprint block collisions — the 66x-cheaper
+    join level ``simhash_pairs(impl='distinct')`` measured, shared
+    with ``simhash_clusters``."""
+    n_blocks = max_hamming + 1
+    width = 64 // n_blocks
+    exploded = _simhash_blocked(
+        dfp.select("simhash"), n_blocks, width
+    ).localCheckpoint(eager=False)
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(b, on=["block_id", "block_val"])
+        .filter(F.col("a.simhash") < F.col("b.simhash"))
+        .select(
+            F.col("a.simhash").alias("_sa"),
+            F.col("b.simhash").alias("_sb"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def simhash_clusters(
+    docs: DataFrame,
+    *,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_iterations: int = 30,
+) -> DataFrame:
+    """SimHash near-dup CLUSTERS without materializing pair lists —
+    the output-linear contract for boilerplate-heavy corpora (round 9,
+    verdict item 2). ``simhash_pairs`` is unmeasurable at 500k
+    convergent docs because fingerprint-identical cliques explode to
+    ~6.5e9 doc pairs, yet downstream consumers (``dedup_apply``,
+    cluster statistics) only need CLUSTER STRUCTURE. This operator
+    computes exactly the connected components of the
+    hamming<=``max_hamming`` document graph — the same partition
+    ``dedup_clusters(simhash_pairs(docs))`` yields — at
+    fingerprint-graph cost:
+
+    1. fingerprints (linear scan, word-count shuffle);
+    2. pigeonhole block join over DISTINCT fingerprints only (the
+       measured 66x reduction — identical-fp cliques never join);
+    3. connected components over the FINGERPRINT graph (``11.5k``
+       nodes at 50k convergent docs; ``dedup_clusters_star``'s
+       O(log n) rounds);
+    4. one membership join lifting each doc through its fingerprint
+       to the component, plus a min/count window for the canonical
+       label — |docs| rows end to end, never a doc pair.
+
+    The lift is lossless because every doc has exactly ONE
+    fingerprint: doc-graph components are precisely the preimages of
+    fingerprint-graph components (docs sharing a fingerprint are
+    hamming-0 neighbors, collapsing into the same node). Docs whose
+    fingerprint is a singleton node become singleton clusters —
+    included here (a full partition of the corpus), unlike the
+    pair-fed CC operators which only see paired docs.
+
+    Returns (doc_id, cluster_id, cluster_size): ``cluster_id`` is the
+    component's minimum doc_id (the ``dedup_clusters`` canonical-
+    keeper contract), ``cluster_size`` its member count. Equivalence
+    with the pair-mode closure is pinned by pytest at both routes and
+    driver-hash-checked by ``simhash_clusters_verdict``."""
+    fp = simhash_fingerprints(
+        docs, id_col=id_col, text_col=text_col
+    ).localCheckpoint(eager=False)
+    fp_edges = _simhash_fp_pairs(fp.select("simhash").distinct(), max_hamming)
+    fp_labels = dedup_clusters_star(
+        fp_edges.select(
+            F.col("_sa").alias("doc_a"), F.col("_sb").alias("doc_b")
+        ),
+        max_iterations=max_iterations,
+    ).select(
+        F.col("doc_id").alias("simhash"), F.col("cluster_id").alias("_root")
+    )
+    # Singleton fingerprints never appear in an edge: their component
+    # is themselves.
+    member = fp.join(fp_labels, "simhash", "left").select(
+        "doc_id", F.coalesce(F.col("_root"), F.col("simhash")).alias("_root")
+    )
+    w_root = Window.partitionBy("_root")
+    return member.select(
+        "doc_id",
+        F.min("doc_id").over(w_root).alias("cluster_id"),
+        F.count(F.lit(1)).over(w_root).alias("cluster_size"),
+    )
+
+
+def simhash_clusters_verdict(
+    docs: DataFrame,
+    *,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Single-row driver-hash-verifiable verdict for the clique-mode
+    SimHash lane (verdict-twin mold — fingerprint hashing is not
+    portable SQL, so the oracle predicts what it can and the
+    distributed re-checks binarize the rest):
+
+    - ``n_docs``: one output row per corpus document (oracle predicts
+      count(documents) — the clique representation is a PARTITION);
+    - ``one_cluster_per_doc``: exactly one decision per doc;
+    - ``labels_are_min_member``: every cluster's id is the minimum
+      doc_id among its own members (the canonical-keeper contract);
+    - ``sizes_consistent``: each row's cluster_size equals the
+      cluster's actual member count;
+    - ``matches_pair_closure``: the partition equals the recursive
+      closure of the PAIR-mode graph — computed independently at
+      driver scale via ``dedup_clusters(simhash_pairs(docs))``, label
+      for label — and every doc absent from the pair graph is a
+      singleton cluster here. A broken lift, a lost singleton, or a
+      fingerprint-CC bug flips the boolean and the driver hash."""
+    clusters = simhash_clusters(
+        docs, max_hamming=max_hamming, id_col=id_col, text_col=text_col
+    ).localCheckpoint(eager=False)
+    pair_cc = dedup_clusters(
+        simhash_pairs(
+            docs, max_hamming=max_hamming, id_col=id_col, text_col=text_col
+        )
+    )
+    agg = clusters.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        (F.count(F.lit(1)) == F.count_distinct("doc_id")).alias(
+            "one_cluster_per_doc"
+        ),
+    )
+    per_cluster = clusters.groupBy("cluster_id").agg(
+        F.min("doc_id").alias("_min_id"),
+        F.count(F.lit(1)).alias("_n"),
+        F.min("cluster_size").alias("_smin"),
+        F.max("cluster_size").alias("_smax"),
+    )
+    label_ok = per_cluster.agg(
+        F.min(F.col("_min_id") == F.col("cluster_id")).alias(
+            "labels_are_min_member"
+        ),
+        F.min(
+            (F.col("_smin") == F.col("_smax")) & (F.col("_smin") == F.col("_n"))
+        ).alias("sizes_consistent"),
+    )
+    joined = clusters.join(
+        pair_cc.withColumnRenamed("cluster_id", "_pair_label"),
+        "doc_id",
+        "left",
+    )
+    closure_ok = joined.agg(
+        F.min(
+            F.when(
+                F.col("_pair_label").isNotNull(),
+                F.col("_pair_label") == F.col("cluster_id"),
+            ).otherwise(F.col("cluster_size") == 1)
+        ).alias("matches_pair_closure")
+    )
+    return (
+        agg.join(F.broadcast(label_ok))
+        .join(F.broadcast(closure_ok))
+        .select(
+            "n_docs",
+            "one_cluster_per_doc",
+            "labels_are_min_member",
+            "sizes_consistent",
+            "matches_pair_closure",
+        )
+    )
 
 
 # Above this row count the exact all-pairs path (which broadcasts the
@@ -2503,6 +2712,16 @@ def winnow_fingerprints(
     )
 
 
+# Corpus size above which winnow_pairs applies its per-doc rarest-first
+# fingerprint cap (round 9). Below it the cap provably cannot improve
+# the driver-scale plan enough to matter and staying out keeps the
+# registered oracle EXACT — the same no-op discipline as the df cuts,
+# except this guard's firing condition must be an explicit activation
+# size (a per-doc fingerprint count does not shrink with the corpus,
+# so there is no "cannot exceed n_docs" proof to lean on).
+WINNOW_DOC_CAP_ACTIVATION = 100_000
+
+
 def winnow_pairs(
     docs: DataFrame,
     *,
@@ -2510,6 +2729,7 @@ def winnow_pairs(
     window: int = 3,
     min_shared: int = 2,
     max_fp_freq: int | None = 500,
+    max_doc_fps: int | None = 64,
     text_col: str = "text",
     id_col: str = "doc_id",
     known_count: int | None = None,
@@ -2545,6 +2765,13 @@ def winnow_pairs(
     subtrees, which Catalyst's exchange reuse dedupes — the same
     measured decision as ``lsh_cosine_pairs``), so the operator stays
     lazy whether or not the guard fires.
+
+    ``max_doc_fps`` (round 9): above ``WINNOW_DOC_CAP_ACTIVATION``
+    documents, each doc joins only its ``max_doc_fps`` globally
+    rarest retained fingerprints (rarest-first selection, the
+    PPJoin-family lever) — see the inline comment for the candidate-
+    mass bound and the metric statement. No-op below activation, so
+    driver-scale output (and the registered oracle) is bit-identical.
     """
     fps = winnow_fingerprints(
         docs, k=k, window=window, text_col=text_col, id_col=id_col
@@ -2555,13 +2782,37 @@ def winnow_pairs(
     # the size pass known_count (advisor, round 9 — the same bypass
     # ngram_jaccard_pairs/duplicated_span_stats carry).
     n_docs = known_count if known_count is not None else docs.count()
-    if max_fp_freq is not None and n_docs > max_fp_freq:
-        w_fp = Window.partitionBy("fp_hash")
-        fps = (
-            fps.withColumn("_f", F.count(F.lit(1)).over(w_fp))
-            .filter(F.col("_f") <= max_fp_freq)
-            .drop("_f")
+    need_freq = max_fp_freq is not None and n_docs > max_fp_freq
+    need_cap = max_doc_fps is not None and n_docs > WINNOW_DOC_CAP_ACTIVATION
+    if need_freq or need_cap:
+        # one document-frequency window serves both guards; it rides
+        # the fp_hash exchange the self-join needs anyway
+        fps = fps.withColumn(
+            "_f", F.count(F.lit(1)).over(Window.partitionBy("fp_hash"))
         )
+        if need_freq:
+            fps = fps.filter(F.col("_f") <= max_fp_freq)
+        if need_cap:
+            # Per-doc rarest-first cap (the PPJoin-family lever, round
+            # 9): above WINNOW_DOC_CAP_ACTIVATION each doc keeps only
+            # its max_doc_fps globally RAREST retained fingerprints
+            # (df asc, hash tie-break) for the join — candidate mass
+            # is then bounded by n · max_doc_fps · bucket size instead
+            # of the under-cap Σdf² term that measured exp 1.45 at
+            # 50k→500k on zipf vocabulary. Metric above activation:
+            # "n_shared over each doc's rarest retained fingerprints"
+            # — the documented recall trade every df-cut lane makes;
+            # near-dups share their rare fingerprints first, so
+            # planted-dup recall holds (gated in tests).
+            w_doc = Window.partitionBy("doc_id").orderBy(
+                F.col("_f").asc(), F.col("fp_hash")
+            )
+            fps = (
+                fps.withColumn("_rk", F.row_number().over(w_doc))
+                .filter(F.col("_rk") <= max_doc_fps)
+                .drop("_rk")
+            )
+        fps = fps.drop("_f")
     a = fps.alias("a")
     b = fps.alias("b")
     return (
