@@ -31,7 +31,7 @@ from vector_database_in_rust_spark.sources.synthetic import (  # noqa: E402
     generate_vectors,
 )
 
-DIM = 64
+DIM = int(os.environ.get("SCALING_DIM", "64"))
 VEC_SIZES = [5_000, 50_000, 500_000]
 DOC_SIZES = [5_000, 50_000]
 # Override either size list, e.g. SCALING_DOC_SIZES=500000 (comma-
@@ -113,8 +113,12 @@ def main() -> None:
     # their builder UNTIMED via setdefault after the timed rec — so a
     # subset selecting only the consumer still runs, while a full run
     # times the build exactly once.
+    # 384-d runs (the reference's own dimension, generate_mock_data.py:5-7)
+    # stage under a dim-suffixed key so they never collide with the
+    # default 64-d corpora.
+    dim_sfx = "" if DIM == 64 else f"_d{DIM}"
     for n in VEC_SIZES if any(want(o) for o in VEC_OPS) else []:
-        path = f"{REPO}/spark-warehouse/scaling/vec_v{VEC_V}_{n}"
+        path = f"{REPO}/spark-warehouse/scaling/vec_v{VEC_V}_{n}{dim_sfx}"
         if not _complete(path):
             generate_vectors(spark, n, DIM, num_partitions=32).write.mode(
                 "overwrite"
@@ -157,7 +161,7 @@ def main() -> None:
             # The production serving path: cell-partitioned persisted
             # layout, where `cell_id IN (probes)` is PARTITION PRUNING
             # — probed bytes scale with nprobe cells, not with N.
-            ipath = f"{REPO}/spark-warehouse/scaling/ivf_v{VEC_V}_{n}"
+            ipath = f"{REPO}/spark-warehouse/scaling/ivf_v{VEC_V}_{n}{dim_sfx}"
             # save() writes assignments then centroids — the centroids
             # _SUCCESS marker implies the whole index committed.
             if not _complete(f"{ipath}/centroids"):
