@@ -136,11 +136,16 @@ def main() -> None:
             n,
             lambda: _sink(knn.knn_batch(emb, queries, 10, impl="pandas")),
         )
+        # High-d builds fit the cell geometry in a PCA-reduced space:
+        # stock 384-d KMeans degenerates (half the corpus in one cell,
+        # measured round 9 — see IVFIndex.build's coarse_dim docstring),
+        # so >128-d studies take the documented production default.
+        ivf_kw = dict(seed=42) if DIM <= 128 else dict(seed=42, coarse_dim=64)
         idx = {}
         rec(
             "ivf_build",
             n,
-            lambda: idx.setdefault("i", IVFIndex.build(emb, seed=42)),
+            lambda: idx.setdefault("i", IVFIndex.build(emb, **ivf_kw)),
         )
         if any(
             want(o)
@@ -151,7 +156,12 @@ def main() -> None:
                 "ivfpq_search_adc",
             )
         ):
-            idx.setdefault("i", IVFIndex.build(emb, seed=42))
+            idx.setdefault("i", IVFIndex.build(emb, **ivf_kw))
+        if "i" in idx:
+            # occupancy health of the coarse partition (untimed; the
+            # degeneracy this catches is why coarse_dim exists)
+            print(f"  occupancy n={n}: {idx['i'].occupancy_stats()}",
+                  file=sys.stderr)
         rec(
             "ivf_search_nprobe8",
             n,
@@ -161,7 +171,10 @@ def main() -> None:
             # The production serving path: cell-partitioned persisted
             # layout, where `cell_id IN (probes)` is PARTITION PRUNING
             # — probed bytes scale with nprobe cells, not with N.
-            ipath = f"{REPO}/spark-warehouse/scaling/ivf_v{VEC_V}_{n}{dim_sfx}"
+            geom_sfx = "_c64" if "coarse_dim" in ivf_kw else ""
+            ipath = (
+                f"{REPO}/spark-warehouse/scaling/ivf_v{VEC_V}_{n}{dim_sfx}{geom_sfx}"
+            )
             # save() writes assignments then centroids — the centroids
             # _SUCCESS marker implies the whole index committed.
             if not _complete(f"{ipath}/centroids"):

@@ -1456,6 +1456,44 @@ def ann_ivf_merge_verdict_q(spark, sf_dir):
     return merge_verdict(merged, exact, full)
 
 
+_ANN_REDUCED_VERDICT_ORACLE = """
+SELECT CAST((SELECT count(*) FROM embeddings) AS BIGINT) AS n_total,
+       TRUE AS ids_unique,
+       TRUE AS geom_dim_ok,
+       TRUE AS occupancy_ok,
+       TRUE AS full_probe_exact
+"""
+
+
+@register("ann_reduced_verdict", _ANN_REDUCED_VERDICT_ORACLE)
+def ann_reduced_verdict_q(spark, sf_dir):
+    """Reduced-space coarse quantization, driver-hash-verified (round
+    9): ``IVFIndex.build(coarse_dim=16)`` fits the cell geometry in a
+    16-d PCA projection of the 64-d corpus — the remedy for the
+    MEASURED high-d KMeans degeneracy (at 500k x 384-d the stock build
+    put half the corpus in ONE cell, p50 occupancy 1, so nprobe=8 read
+    99.8% of the corpus; see IVFIndex.build's coarse_dim docstring and
+    SCALE.md round-9 table). The verdict pins: row count predicted by
+    the oracle, one cell per id, a CONSISTENT reduced geometry
+    (projection + centroids + stored geometry column all at
+    coarse_dim), healthy occupancy (max <= 4 x mean — the degeneracy
+    fails this by orders of magnitude), and full-probe == exact scan
+    (the projection moves cell BOUNDARIES only; distances and results
+    always come from the original vectors)."""
+    from vector_database_in_rust_spark.operators.ann import (
+        IVFIndex,
+        reduced_verdict,
+    )
+    from vector_database_in_rust_spark.operators.knn import knn_exact
+
+    emb = _emb(spark, sf_dir)
+    idx = IVFIndex.build(emb, num_cells=8, seed=42, coarse_dim=16)
+    q = _query_vec(spark, sf_dir, 0)
+    exact = knn_exact(emb, q, KNN_K)
+    full = idx.search(q, KNN_K, nprobe=len(idx.centroids))
+    return reduced_verdict(idx, exact, full, coarse_dim=16)
+
+
 @register("embedding_pca_whiten")
 def embedding_pca_whiten_q(spark, sf_dir):
     """PCA-whitened embeddings (rows-only by design — the projection
@@ -7862,6 +7900,13 @@ _ROUND9_WINDOW = [
     #     dedup_simhash_clusters is covered by the ★ hash, like
     #     dedup_semantic before it). ---
     "simhash_clusters_verdict",
+    # --- round-9 late addition: the reduced-geometry (coarse_dim)
+    #     build verdict — the fix for the measured 384-d KMeans
+    #     degeneracy. Takes the second never-verified front slot; the
+    #     youngest r06 refill row (docs_chi2_independence) yields its
+    #     slot to keep the window at 50 (it stays exactly as stale as
+    #     the other left-out r06 rows). ---
+    "ann_reduced_verdict",
     # --- 49 re-verification slots, least-recently-verified first
     #     (scripts/compose_window.py output, r05 cohort = the stalest
     #     evidence; the tail tops up with the oldest r06 rows). Max
@@ -7914,7 +7959,6 @@ _ROUND9_WINDOW = [
     "ann_hier_recall_verdict",  # last green r06
     "docs_zipf_fit",  # last green r06
     "source_entropy",  # last green r06
-    "docs_chi2_independence",  # last green r06
 ]
 
 

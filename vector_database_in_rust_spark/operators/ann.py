@@ -37,6 +37,7 @@ Scale notes (100 TB, ~1e11 vectors):
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -67,6 +68,50 @@ def _num_cells_default(n: int) -> int:
     return int(max(1, min(4096, round(np.sqrt(max(n, 1))))))
 
 
+# Name of the reduced-space geometry column a coarse_dim index carries in
+# its assignments (original vectors stay in vec_col for exact re-rank).
+GEOM_COL = "_rvec"
+
+
+def _pca_projection(
+    sample: DataFrame, *, vec_col: str, coarse_dim: int
+) -> np.ndarray:
+    """Top-``coarse_dim`` PCA projection (d, coarse_dim) fitted from a
+    bounded sample's covariance — plain PCA, NOT whitening (1/sqrt(eig)
+    rescaling would amplify noise directions, the opposite of what a
+    coarse quantizer wants). The corpus-sized work is the one
+    map-side-combinable d^2 moment aggregation ``linalg._moment_stats``
+    already provides; eigh is d x d driver numpy."""
+    from vector_database_in_rust_spark.operators.linalg import _moment_stats
+
+    xtx, s, n = _moment_stats(sample, vec_col=vec_col)
+    mean = s / n
+    cov = xtx / n - np.outer(mean, mean)
+    eigvals, vecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(eigvals, kind="stable")[::-1]
+    d = cov.shape[0]
+    if coarse_dim >= d:
+        raise ValueError(f"coarse_dim={coarse_dim} must be < dim={d}")
+    return np.ascontiguousarray(vecs[:, order[:coarse_dim]])
+
+
+def _project_udf(proj: np.ndarray):
+    """Vectorized Arrow-batch projection ``x @ proj`` as a pandas UDF —
+    composes onto any frame without re-stating its schema. float32
+    output: the reduced column is geometry only (KMeans fit, probe
+    argmin), never the exact re-rank surface."""
+    from pyspark.sql.functions import pandas_udf
+
+    p32 = np.ascontiguousarray(proj, dtype=np.float32)
+
+    @pandas_udf("array<float>")
+    def project(s: pd.Series) -> pd.Series:
+        x = np.vstack(s.apply(np.asarray, args=(np.float32,)))
+        return pd.Series(list(x @ p32))
+
+    return project
+
+
 class IVFIndex:
     """IVF coarse-quantization index over an embedding DataFrame.
 
@@ -82,11 +127,29 @@ class IVFIndex:
         *,
         id_col: str = "vec_id",
         vec_col: str = "embedding",
+        proj: np.ndarray | None = None,
     ):
         self.centroids = np.asarray(centroids, dtype=np.float64)
         self.assignments = assignments
         self.id_col = id_col
         self.vec_col = vec_col
+        # Reduced-space coarse geometry (round 9): when set, centroids
+        # live in the PCA-projected coarse_dim space, assignments carry
+        # the projected vector in GEOM_COL, and every cell-geometry
+        # operation (probe, assign, split, PQ residuals) uses that
+        # column — exact re-rank always reads the ORIGINAL vec_col.
+        self.proj = None if proj is None else np.asarray(proj, dtype=np.float64)
+
+    @property
+    def geom_col(self) -> str:
+        """Column carrying the vectors the CELL GEOMETRY is defined
+        over: the PCA-reduced column for a ``coarse_dim`` index, the
+        original vector column otherwise."""
+        return GEOM_COL if self.proj is not None else self.vec_col
+
+    def _geom_query(self, query) -> np.ndarray:
+        q = np.asarray(query, dtype=np.float64)
+        return q @ self.proj if self.proj is not None else q
 
     # -- build (replaces build_index, src/lib.rs:336-341) -----------------
 
@@ -100,39 +163,73 @@ class IVFIndex:
         max_fit_rows: int = 200_000,
         id_col: str = "vec_id",
         vec_col: str = "embedding",
+        coarse_dim: int | None = None,
     ) -> "IVFIndex":
+        """``coarse_dim`` (round 9, found by the 384-d scaling study):
+        fit the cell geometry in a PCA-reduced space instead of the raw
+        dimension. At high d, Lloyd's on (near-)isotropic data
+        degenerates — a centroid that averages m points shrinks toward
+        the mean, whose distance to EVERY point (~sqrt(d)·sigma) beats
+        any data-like centroid (~sqrt(2d)·sigma), so one runaway cell
+        swallows the corpus: measured at 500k x 384-d, 253,841 of
+        500,000 vectors in one cell (p50 occupancy: 1), nprobe=8
+        reading 99.8% of the corpus — "partition pruning" that prunes
+        nothing. The standard practice (OPQ / Faiss's recommended
+        pre-transform) is coarse quantization in a reduced space:
+        KMeans at 64-d measured occupancy max/mean 1.2 at the same
+        corpus. Exact re-rank ALWAYS uses the original vectors — only
+        cell boundaries (recall/cost routing, never correctness of the
+        returned distances) come from the reduced space."""
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector
 
         n = corpus.count()
         k = num_cells or _num_cells_default(n)
-        feat = corpus.select(
-            F.col(id_col),
-            F.col(vec_col),
-            array_to_vector(F.col(vec_col).cast("array<double>")).alias("_features"),
-        )
+        base = corpus.select(F.col(id_col), F.col(vec_col))
         # Fit on a bounded sample: KMeans quality needs representative
         # data, not all of it; assignment below touches every row exactly
         # once. This keeps the iterative fit O(sample) at 100 TB.
-        fit_df = feat
-        if n > max_fit_rows:
-            fit_df = feat.sample(fraction=max_fit_rows / n, seed=seed)
+        frac = max_fit_rows / n if n > max_fit_rows else None
+        proj = None
+        if coarse_dim is not None:
+            sample = base if frac is None else base.sample(fraction=frac, seed=seed)
+            proj = _pca_projection(
+                sample, vec_col=vec_col, coarse_dim=coarse_dim
+            )
+            base = base.withColumn(GEOM_COL, _project_udf(proj)(F.col(vec_col)))
+        geom = GEOM_COL if proj is not None else vec_col
+        feat = base.withColumn(
+            "_features", array_to_vector(F.col(geom).cast("array<double>"))
+        )
+        fit_df = feat if frac is None else feat.sample(fraction=frac, seed=seed)
         model = KMeans(
             k=k, seed=seed, featuresCol="_features", predictionCol="cell_id"
         ).fit(fit_df)
-        assignments = (
-            model.transform(feat)
-            .select(id_col, vec_col, F.col("cell_id").cast("int"))
+        keep = [id_col, vec_col] + ([GEOM_COL] if proj is not None else [])
+        assignments = model.transform(feat).select(
+            *keep, F.col("cell_id").cast("int")
         )
         centroids = np.vstack([np.asarray(c) for c in model.clusterCenters()])
-        return cls(centroids, assignments, id_col=id_col, vec_col=vec_col)
+        return cls(
+            centroids, assignments, id_col=id_col, vec_col=vec_col, proj=proj
+        )
 
     # -- persistence (absent in the reference; free here) -----------------
 
     def save(self, spark: SparkSession, path: str) -> None:
+        # centroids written LAST: its _SUCCESS marker implies the whole
+        # index (assignments + optional projection) committed.
         self.assignments.write.mode("overwrite").partitionBy("cell_id").parquet(
             f"{path}/assignments"
         )
+        if self.proj is not None:
+            prows = [
+                (int(i), [float(x) for x in row])
+                for i, row in enumerate(self.proj)
+            ]
+            spark.createDataFrame(
+                prows, "row_idx INT, coeffs ARRAY<DOUBLE>"
+            ).coalesce(1).write.mode("overwrite").parquet(f"{path}/proj")
         cent = [
             (int(i), [float(x) for x in row]) for i, row in enumerate(self.centroids)
         ]
@@ -154,12 +251,20 @@ class IVFIndex:
         )
         centroids = np.vstack([np.asarray(r["centroid"]) for r in cent_rows])
         assignments = spark.read.parquet(f"{path}/assignments")
-        return cls(centroids, assignments, id_col=id_col, vec_col=vec_col)
+        proj = None
+        if GEOM_COL in assignments.columns:
+            prows = (
+                spark.read.parquet(f"{path}/proj").orderBy("row_idx").collect()
+            )
+            proj = np.vstack([np.asarray(r["coeffs"]) for r in prows])
+        return cls(
+            centroids, assignments, id_col=id_col, vec_col=vec_col, proj=proj
+        )
 
     # -- search (replaces HnswIndex::search, src/lib.rs:152-169) ----------
 
     def _probe_cells(self, query: np.ndarray, nprobe: int) -> list[int]:
-        d = ((self.centroids - np.asarray(query, dtype=np.float64)) ** 2).sum(axis=1)
+        d = ((self.centroids - self._geom_query(query)) ** 2).sum(axis=1)
         order = np.argsort(d, kind="stable")[: max(1, nprobe)]
         return [int(c) for c in order]
 
@@ -236,11 +341,20 @@ class IVFIndex:
             (int(i), [float(x) for x in row]) for i, row in enumerate(self.centroids)
         ]
         cent_df = spark.createDataFrame(cent, "cell_id INT, centroid ARRAY<DOUBLE>")
+        # Reduced-geometry index: cell ranking compares the PROJECTED
+        # query against the reduced centroids; the exact re-rank below
+        # stays on the original query/vector columns.
+        q_geom_col = query_vec_col
+        if self.proj is not None:
+            q_geom_col = "_q_rvec"
+            queries = queries.withColumn(
+                q_geom_col, _project_udf(self.proj)(F.col(query_vec_col))
+            )
         qc = queries.join(F.broadcast(cent_df), how="cross").select(
             query_id_col,
             query_vec_col,
             "cell_id",
-            l2_squared(F.col(query_vec_col), F.col("centroid")).alias("_cd"),
+            l2_squared(F.col(q_geom_col), F.col("centroid")).alias("_cd"),
         )
         wp = Window.partitionBy(query_id_col).orderBy("_cd", "cell_id")
         probed = (
@@ -339,13 +453,20 @@ class IVFIndex:
             (int(i), [float(x) for x in row]) for i, row in enumerate(self.centroids)
         ]
         cent_df = spark.createDataFrame(cent, "cell_id INT, centroid ARRAY<DOUBLE>")
-        scored = new_vectors.select(self.id_col, self.vec_col).join(
-            F.broadcast(cent_df), how="cross"
-        ).select(
-            self.id_col,
-            self.vec_col,
+        incoming = new_vectors.select(self.id_col, self.vec_col)
+        if self.proj is not None:
+            # re-project with THIS index's transform (an incoming shard's
+            # own projection, if any, is irrelevant to this geometry)
+            incoming = incoming.withColumn(
+                GEOM_COL, _project_udf(self.proj)(F.col(self.vec_col))
+            )
+        keep = [self.id_col, self.vec_col] + (
+            [GEOM_COL] if self.proj is not None else []
+        )
+        scored = incoming.join(F.broadcast(cent_df), how="cross").select(
+            *keep,
             "cell_id",
-            l2_squared(F.col(self.vec_col), F.col("centroid")).alias("_d"),
+            l2_squared(F.col(self.geom_col), F.col("centroid")).alias("_d"),
         )
         from pyspark.sql import Window as _W
 
@@ -353,13 +474,14 @@ class IVFIndex:
         assigned = (
             scored.withColumn("_r", F.row_number().over(w))
             .filter(F.col("_r") == 1)
-            .select(self.id_col, self.vec_col, "cell_id")
+            .select(*keep, "cell_id")
         )
         return IVFIndex(
             self.centroids,
             self.assignments.unionByName(assigned),
             id_col=self.id_col,
             vec_col=self.vec_col,
+            proj=self.proj,
         )
 
     def merge(self, other: "IVFIndex") -> "IVFIndex":
@@ -409,6 +531,43 @@ class IVFIndex:
             .orderBy("cell_id")
         )
 
+    def occupancy_stats(self) -> dict:
+        """Cell-occupancy health check — ONE aggregation pass over the
+        assignments (index-sized driver result: five numbers). The
+        degeneracy this exists to catch was MEASURED, not hypothetical:
+        a stock 384-d build put half the corpus in one cell (max_share
+        0.51, p50 occupancy 1), silently turning every probe into a
+        corpus scan. Deliberately a method, not an automatic build
+        step: build() returns lazy assignments, and forcing an extra
+        eager pass on every build would double the assignment cost for
+        callers that persist immediately. Call it after build (the
+        scaling study does), or on load when inheriting an index of
+        unknown provenance. Rule of thumb: max_share should be O(1/k);
+        max_share * nprobe bounds the fraction of the corpus a probe
+        reads. Remedies: ``coarse_dim`` at build (high-d geometry),
+        ``rebalance()`` (drift/skew)."""
+        row = (
+            self.assignments.groupBy("cell_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(
+                F.count(F.lit(1)).alias("cells"),
+                F.sum("n").alias("rows"),
+                F.max("n").alias("max"),
+                F.expr("percentile_approx(n, 0.5)").alias("p50"),
+                F.expr("percentile_approx(n, 0.99)").alias("p99"),
+            )
+            .collect()[0]
+        )
+        total = int(row["rows"] or 0)
+        return {
+            "cells": int(row["cells"]),
+            "rows": total,
+            "max": int(row["max"]),
+            "p50": int(row["p50"]),
+            "p99": int(row["p99"]),
+            "max_share": (int(row["max"]) / total) if total else 0.0,
+        }
+
     def split_hot_cells(
         self,
         *,
@@ -446,10 +605,11 @@ class IVFIndex:
             return self
 
         vec_col = self.vec_col
+        geom_col = self.geom_col
 
         def fit2(pdf: pd.DataFrame) -> pd.DataFrame:
             c = int(pdf["cell_id"].iloc[0])
-            x = np.vstack(pdf[vec_col].apply(np.asarray, dtype=np.float64))
+            x = np.vstack(pdf[geom_col].apply(np.asarray, dtype=np.float64))
             if len(x) > max_cell_fit_rows:
                 rng = np.random.RandomState(seed * 131 + c)
                 x = x[rng.choice(len(x), size=max_cell_fit_rows, replace=False)]
@@ -495,13 +655,15 @@ class IVFIndex:
             ],
             "cell_id INT, c0 ARRAY<DOUBLE>, c1 ARRAY<DOUBLE>, new_id INT",
         )
-        d0 = l2_squared(F.col(vec_col), F.col("c0"))
-        d1 = l2_squared(F.col(vec_col), F.col("c1"))
+        carry = [self.id_col, vec_col] + (
+            [GEOM_COL] if self.proj is not None else []
+        )
+        d0 = l2_squared(F.col(geom_col), F.col("c0"))
+        d1 = l2_squared(F.col(geom_col), F.col("c1"))
         reassigned = (
             hot_rows.join(F.broadcast(remap), on="cell_id")
             .select(
-                self.id_col,
-                vec_col,
+                *carry,
                 F.when(d0 <= d1, F.col("cell_id"))
                 .otherwise(F.col("new_id"))
                 .cast("int")
@@ -509,13 +671,14 @@ class IVFIndex:
             )
         )
         cold = self.assignments.filter(~F.col("cell_id").isin(hot)).select(
-            self.id_col, vec_col, "cell_id"
+            *carry, "cell_id"
         )
         return IVFIndex(
             new_centroids,
             cold.unionByName(reassigned),
             id_col=self.id_col,
             vec_col=vec_col,
+            proj=self.proj,
         )
 
     def rebalance(
@@ -1001,12 +1164,19 @@ class IVFPQIndex:
         *,
         id_col: str = "vec_id",
         vec_col: str = "embedding",
+        proj: np.ndarray | None = None,
     ):
         self.centroids = np.asarray(centroids, dtype=np.float64)
         self.codebooks = np.asarray(codebooks, dtype=np.float64)  # (m, ksub, dsub)
         self.codes = codes  # vec_id, cell_id, codes BINARY (m bytes)
         self.id_col = id_col
         self.vec_col = vec_col
+        # Inherited from a coarse_dim IVF: codes quantize REDUCED-space
+        # residuals (this is OPQ-shaped IVFADC — project, then PQ the
+        # projected residual); ADC therefore approximates reduced-space
+        # distances and ``refine`` re-ranks against the TRUE vectors in
+        # the caller's store, exactly as for full-space codes.
+        self.proj = None if proj is None else np.asarray(proj, dtype=np.float64)
 
     _lloyd = staticmethod(_lloyd)
 
@@ -1023,6 +1193,7 @@ class IVFPQIndex:
     ) -> "IVFPQIndex":
         asg = ivf.assignments
         id_col, vec_col = ivf.id_col, ivf.vec_col
+        geom_col = ivf.geom_col
         centroids = ivf.centroids
         dim = centroids.shape[1]
         if dim % m != 0:
@@ -1036,8 +1207,8 @@ class IVFPQIndex:
         fit_df = asg
         if n > max_fit_rows:
             fit_df = asg.sample(fraction=max_fit_rows / n, seed=seed)
-        rows = fit_df.select(vec_col, "cell_id").collect()
-        x = np.vstack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
+        rows = fit_df.select(geom_col, "cell_id").collect()
+        x = np.vstack([np.asarray(r[geom_col], dtype=np.float64) for r in rows])
         cells = np.asarray([r["cell_id"] for r in rows])
         resid = x - centroids[cells]
         codebooks = np.stack(
@@ -1061,7 +1232,7 @@ class IVFPQIndex:
             cent, books = bc.value
             m_, _, dsub_ = books.shape
             for pdf in it:
-                xb = np.vstack(pdf[vec_col].apply(np.asarray, dtype=np.float64))
+                xb = np.vstack(pdf[geom_col].apply(np.asarray, dtype=np.float64))
                 rb = xb - cent[pdf["cell_id"].to_numpy()]
                 codes = np.empty((len(rb), m_), dtype=np.uint8)
                 for j in range(m_):
@@ -1076,16 +1247,21 @@ class IVFPQIndex:
                     }
                 )
 
-        codes = asg.select(id_col, vec_col, "cell_id").mapInPandas(
+        codes = asg.select(id_col, geom_col, "cell_id").mapInPandas(
             encode, schema="vec_id BIGINT, cell_id INT, codes BINARY"
         )
-        return cls(centroids, codebooks, codes, id_col=id_col, vec_col=vec_col)
+        return cls(
+            centroids, codebooks, codes,
+            id_col=id_col, vec_col=vec_col, proj=ivf.proj,
+        )
 
     def _adc_scored(self, query, nprobe: int) -> DataFrame:
         """ADC scores for all candidates in the probed cells: a static
         ``cell_id IN (...)`` scan over the codes (partition-prunable
         when saved partitioned by cell_id) + per-batch table gathers."""
         q = np.asarray(query, dtype=np.float64)
+        if self.proj is not None:
+            q = q @ self.proj
         d = ((self.centroids - q) ** 2).sum(axis=1)
         cells = [int(c) for c in np.argsort(d, kind="stable")[: max(1, nprobe)]]
         m, ksub, dsub = self.codebooks.shape
@@ -1187,6 +1363,14 @@ class IVFPQIndex:
         spark.createDataFrame(book, "m INT, code INT, centroid ARRAY<DOUBLE>").coalesce(
             1
         ).write.mode("overwrite").parquet(f"{path}/codebooks")
+        if self.proj is not None:
+            prows = [
+                (int(i), [float(x) for x in row])
+                for i, row in enumerate(self.proj)
+            ]
+            spark.createDataFrame(
+                prows, "row_idx INT, coeffs ARRAY<DOUBLE>"
+            ).coalesce(1).write.mode("overwrite").parquet(f"{path}/proj")
 
     @classmethod
     def load(
@@ -1210,7 +1394,19 @@ class IVFPQIndex:
         for r in book_rows:
             codebooks[r["m"], r["code"]] = np.asarray(r["centroid"])
         codes = spark.read.parquet(f"{path}/codes")
-        return cls(centroids, codebooks, codes, id_col=id_col, vec_col=vec_col)
+        # Optional reduced-geometry projection (saved only by coarse_dim
+        # indexes; absence of the directory IS the full-space marker).
+        try:
+            prows = (
+                spark.read.parquet(f"{path}/proj").orderBy("row_idx").collect()
+            )
+            proj = np.vstack([np.asarray(r["coeffs"]) for r in prows])
+        except Exception:
+            proj = None
+        return cls(
+            centroids, codebooks, codes,
+            id_col=id_col, vec_col=vec_col, proj=proj,
+        )
 
 
 class MultiProbeLSH:
@@ -1538,5 +1734,66 @@ def merge_verdict(
     return row.select(
         "n_total",
         "ids_unique",
+        (F.col("_hits") == F.col("_n_exact")).alias("full_probe_exact"),
+    )
+
+
+def reduced_verdict(
+    idx: "IVFIndex",
+    exact: DataFrame,
+    full_probe: DataFrame,
+    *,
+    coarse_dim: int,
+    occupancy_factor: float = 4.0,
+) -> DataFrame:
+    """Single-row verdict making the reduced-geometry build lane
+    driver-hash-verifiable (round 9, same mold as ``merge_verdict``):
+    a ``coarse_dim`` index must (a) hold every corpus row exactly once
+    (``n_total`` oracle-predictable, ``ids_unique``); (b) carry a
+    consistent reduced geometry — projection matrix present, centroids
+    AND the stored geometry column at exactly ``coarse_dim`` — pinned
+    as ``geom_dim_ok`` (a build that silently fell back to full-space
+    or mixed dimensions flips it); (c) keep the coarse partition
+    HEALTHY: ``occupancy_ok`` is max cell <= ``occupancy_factor`` x
+    mean — the measured 384-d degeneracy (max_share 0.51, i.e. ~k/2 x
+    mean at k=707) fails this bound by orders of magnitude; (d) stay
+    EXACT at full probe (approximation must come from cell pruning
+    only, never from the projection — re-rank reads original vectors).
+    """
+    has_proj = idx.proj is not None and idx.proj.shape[1] == coarse_dim
+    cent_ok = idx.centroids.shape[1] == coarse_dim
+    geom = idx.assignments.agg(
+        (F.max(F.size(GEOM_COL)) == F.lit(coarse_dim)).alias("_gmax"),
+        (F.min(F.size(GEOM_COL)) == F.lit(coarse_dim)).alias("_gmin"),
+    ) if GEOM_COL in idx.assignments.columns else None
+    occ = idx.assignments.groupBy("cell_id").agg(
+        F.count(F.lit(1)).alias("_n")
+    ).agg(
+        F.sum("_n").cast("long").alias("n_total"),
+        (F.max("_n") <= F.lit(occupancy_factor) * F.avg("_n")).alias(
+            "occupancy_ok"
+        ),
+    )
+    uniq = idx.assignments.agg(
+        (F.count(F.lit(1)) == F.count_distinct(F.col(idx.id_col))).alias(
+            "ids_unique"
+        )
+    )
+    n_exact = exact.agg(F.count(F.lit(1)).alias("_n_exact"))
+    hits = full_probe.join(exact.select("vec_id"), "vec_id").agg(
+        F.count(F.lit(1)).alias("_hits")
+    )
+    row = occ.join(F.broadcast(uniq)).join(F.broadcast(n_exact)).join(
+        F.broadcast(hits)
+    )
+    geom_expr = F.lit(False)
+    if has_proj and cent_ok and geom is not None:
+        row = row.join(F.broadcast(geom))
+        geom_expr = F.col("_gmax") & F.col("_gmin")
+    return row.select(
+        "n_total",
+        "ids_unique",
+        geom_expr.alias("geom_dim_ok"),
+        "occupancy_ok",
         (F.col("_hits") == F.col("_n_exact")).alias("full_probe_exact"),
     )
