@@ -123,13 +123,45 @@ def _shingle_index(
 
 BROADCAST_SAFE_ROWS = 20_000
 
+# Upper bound of the shuffle_hash band (round 9, found by the 5M-doc
+# ngram lane): a HINTED shuffled-hash join never falls back to
+# sort-merge, so at fixed partition count the per-task hash build grows
+# linearly with the corpus until it exceeds per-task execution memory
+# ("Can't acquire 1073741824 bytes memory to build hash relation",
+# measured at 5M docs / 32 partitions / 80 GB JVM). Above this band the
+# scaled sides take NO hint: the planner's sort-merge join spills to
+# disk instead of aborting, and AQE broadcast stays capped by the
+# session's 8 MB compressed adaptive threshold (session.py) — the same
+# residual bound documented below. On a real cluster the band scales
+# with spark.sql.shuffle.partitions; this default is sized to the
+# 32-slot study JVM where the failure was measured.
+SHUFFLE_HASH_SAFE_ROWS = 2_000_000
+
+
+def _scaled_side(df: DataFrame, corpus_rows: int | None) -> DataFrame:
+    """Apply the three-band join-strategy policy for a CORPUS-SCALED
+    join side: small (≤ BROADCAST_SAFE_ROWS) keeps AQE's broadcast
+    freedom (measurably faster at bench scale); the mid band pins
+    ``shuffle_hash`` (no sort, no compressed-broadcast driver collect
+    — the round-8 trap); the top band (> SHUFFLE_HASH_SAFE_ROWS)
+    removes the pin so sort-merge can spill (the round-9 hash-build
+    abort). ``None`` (size unknown) takes the defensive mid-band
+    hint, preserving pre-round-9 behavior for callers that never
+    counted."""
+    if corpus_rows is not None and (
+        corpus_rows <= BROADCAST_SAFE_ROWS
+        or corpus_rows > SHUFFLE_HASH_SAFE_ROWS
+    ):
+        return df
+    return df.hint("shuffle_hash")
+
 
 def _verify_candidate_pairs(
     sh: DataFrame,
     candidates: DataFrame,
     threshold: float,
     *,
-    corpus_bounded: bool = False,
+    corpus_rows: int | None = None,
 ) -> DataFrame:
     """EXACT Jaccard for an explicit (doc_a, doc_b) candidate list via
     pair EXPANSION: candidates join doc_a's shingles (fan-out =
@@ -152,19 +184,20 @@ def _verify_candidate_pairs(
     # 1.3+ GiB of driver-collected task results
     # (spark.driver.maxResultSize abort). shuffle_hash keeps the hash
     # build per-partition (no sort, no driver collect) and its build
-    # side shrinks as the cluster scales out. ``corpus_bounded=True``
-    # (caller attests the corpus is at or under BROADCAST_SAFE_ROWS
-    # DOCUMENTS) keeps AQE's broadcast freedom, which is measurably
-    # faster at bench scale. Honest bound: the gate counts documents,
-    # but these sides scale with SHINGLES — a small corpus of very
-    # long documents can still exceed the doc-count intuition. That
+    # side shrinks as the cluster scales out. ``corpus_rows`` drives
+    # the three-band policy (_scaled_side): at or under
+    # BROADCAST_SAFE_ROWS documents AQE keeps its broadcast freedom
+    # (measurably faster at bench scale); above SHUFFLE_HASH_SAFE_ROWS
+    # the pin comes OFF so sort-merge can spill instead of the hash
+    # build aborting. Honest bound: the gate counts documents, but
+    # these sides scale with SHINGLES — a small corpus of very long
+    # documents can still exceed the doc-count intuition. That
     # residual is capped by the session's 8 MB
     # spark.sql.adaptive.autoBroadcastJoinThreshold (session.py):
     # worst-case deserialized broadcast ~8 MB x compression (~160 MB),
     # well under driver abort territory.
-    if not corpus_bounded:
-        sa = sa.hint("shuffle_hash")
-        sb = sb.hint("shuffle_hash")
+    sa = _scaled_side(sa, corpus_rows)
+    sb = _scaled_side(sb, corpus_rows)
     ex = candidates.join(sa, "doc_a").alias("x")
     y = sb.alias("y")
     common = (
@@ -177,7 +210,7 @@ def _verify_candidate_pairs(
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     return _score_common_pairs(
-        common, sizes, threshold, corpus_bounded=corpus_bounded
+        common, sizes, threshold, corpus_rows=corpus_rows
     )
 
 
@@ -186,17 +219,16 @@ def _score_common_pairs(
     sizes: DataFrame,
     threshold: float,
     *,
-    corpus_bounded: bool = False,
+    corpus_rows: int | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b, n_common) + per-doc set sizes -> thresholded
     Jaccard rows. |union| = |A| + |B| - |intersection|."""
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
-    # per-doc sizes scale with the corpus: never broadcast above
-    # BROADCAST_SAFE_ROWS (see _verify_candidate_pairs)
-    if not corpus_bounded:
-        sa = sa.hint("shuffle_hash")
-        sb = sb.hint("shuffle_hash")
+    # per-doc sizes scale with the corpus: three-band policy (see
+    # _verify_candidate_pairs / _scaled_side)
+    sa = _scaled_side(sa, corpus_rows)
+    sb = _scaled_side(sb, corpus_rows)
     return (
         common.join(sa, "doc_a")
         .join(sb, "doc_b")
@@ -277,7 +309,6 @@ def ngram_jaccard_pairs(
     """
     sh = _shingle_index(docs, id_col, text_col, n)
     n_docs = known_count if known_count is not None else docs.count()
-    bounded = n_docs <= BROADCAST_SAFE_ROWS
     if method == "auto":
         method = "full" if n_docs <= PREFIX_AUTO_ROWS else "prefix"
     if method == "prefix":
@@ -285,7 +316,7 @@ def ngram_jaccard_pairs(
             sh,
             threshold=threshold,
             max_shingle_freq=max_shingle_freq,
-            corpus_bounded=bounded,
+            corpus_rows=n_docs,
         )
     if method != "full":
         raise ValueError(
@@ -299,8 +330,7 @@ def ngram_jaccard_pairs(
         # BROADCAST_SAFE_ROWS never broadcast — see
         # _verify_candidate_pairs for the measured trap
         freq = freq.filter(F.col("_f") <= max_shingle_freq)
-        if not bounded:
-            freq = freq.hint("shuffle_hash")
+        freq = _scaled_side(freq, n_docs)
         sh = sh.join(freq, "shingle").drop("_f")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
@@ -313,7 +343,7 @@ def ngram_jaccard_pairs(
         )
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    return _score_common_pairs(common, sizes, threshold, corpus_bounded=bounded)
+    return _score_common_pairs(common, sizes, threshold, corpus_rows=n_docs)
 
 
 def _jaccard_prefix_filtered(
@@ -321,7 +351,7 @@ def _jaccard_prefix_filtered(
     *,
     threshold: float,
     max_shingle_freq: int | None,
-    corpus_bounded: bool = False,
+    corpus_rows: int | None = None,
 ) -> DataFrame:
     """Prefix-filtered exact Jaccard join over a (doc_id, shingle) index.
 
@@ -355,10 +385,9 @@ def _jaccard_prefix_filtered(
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_f"))
     if max_shingle_freq is not None:
         freq = freq.filter(F.col("_f") <= max_shingle_freq)
-    # corpus-scaled side: never broadcast above BROADCAST_SAFE_ROWS
-    # (measured trap, see _verify_candidate_pairs)
-    if not corpus_bounded:
-        freq = freq.hint("shuffle_hash")
+    # corpus-scaled side: three-band join policy (measured traps at
+    # BOTH ends — see _scaled_side / _verify_candidate_pairs)
+    freq = _scaled_side(freq, corpus_rows)
     indexed = sh.join(freq, "shingle").persist()
 
     w_doc = Window.partitionBy("doc_id").orderBy(F.col("_f").asc(), F.col("shingle"))
@@ -418,7 +447,7 @@ def _jaccard_prefix_filtered(
         indexed.select("doc_id", "shingle"),
         candidates,
         threshold,
-        corpus_bounded=corpus_bounded,
+        corpus_rows=corpus_rows,
     )
     # Materialize the (small) pair list, then release the index cache —
     # same cache discipline as minhash_lsh_pairs.
@@ -637,7 +666,7 @@ def minhash_lsh_pairs(
     # Exact verification restricted to candidate pairs (pair-expansion
     # join over the persisted shingle index).
     result = _verify_candidate_pairs(
-        sh, candidates, threshold, corpus_bounded=n_docs <= BROADCAST_SAFE_ROWS
+        sh, candidates, threshold, corpus_rows=n_docs
     )
     # Materialize the (small) verified pair list, then RELEASE the
     # shingle-index cache — returning a lazy plan over a persisted input
@@ -2341,14 +2370,14 @@ def minhash_incremental(
         .distinct()
     )
     sh_all = sh_b.union(sh_c)
-    # the verification sides scale with corpus+batch: keep AQE's
-    # broadcast freedom only while that total is provably small (the
-    # same gate as minhash_lsh_pairs; counts are metadata-cheap and
-    # this operator is already eager)
-    bounded = corpus.count() + batch.count() <= BROADCAST_SAFE_ROWS
+    # the verification sides scale with corpus+batch: the three-band
+    # policy gets the combined total (the same gate as
+    # minhash_lsh_pairs; counts are metadata-cheap and this operator
+    # is already eager)
+    total_rows = corpus.count() + batch.count()
     result = (
         _verify_candidate_pairs(
-            sh_all, candidates, threshold, corpus_bounded=bounded
+            sh_all, candidates, threshold, corpus_rows=total_rows
         )
         .select(
             F.col("doc_a").alias("batch_id"),
@@ -2468,12 +2497,12 @@ def duplicated_span_stats(
     # strings compress so well that AQE's compressed-bytes estimate
     # judged it broadcastable at 500k docs, then collected 1.3 GiB of
     # deserialized rows into the driver (maxResultSize abort, study
-    # round 8). Above BROADCAST_SAFE_ROWS corpus-scaled sides never
-    # broadcast (pass known_count, or one count buys the small-corpus
-    # plan back its AQE freedom — the guards' gating pattern).
+    # round 8). Three-band policy (pass known_count, or one count buys
+    # the small-corpus plan back its AQE freedom): mid band pins
+    # shuffle_hash, the top band unpins so sort-merge can spill
+    # (round-9 hash-build abort, see _scaled_side).
     n_docs = known_count if known_count is not None else docs.count()
-    if n_docs > BROADCAST_SAFE_ROWS:
-        totals = totals.hint("shuffle_hash")
+    totals = _scaled_side(totals, n_docs)
     dup = (
         per_doc.join(totals, on="gram")
         .groupBy("doc_id")
