@@ -224,6 +224,63 @@ def test_occupancy_stats_math(spark):
     assert occ["max_share"] == pytest.approx(0.75)
 
 
+def test_occupancy_stats_empty_index(spark):
+    """An empty assignments table must report the (unhealthy) empty
+    index as zeros, not raise TypeError on NULL aggregates (r10
+    advisor)."""
+    asg = spark.createDataFrame(
+        [], "vec_id BIGINT, embedding ARRAY<FLOAT>, cell_id INT"
+    )
+    idx = IVFIndex(np.zeros((3, 1)), asg)
+    occ = idx.occupancy_stats()
+    assert occ == {
+        "cells": 0, "rows": 0, "max": 0, "p50": 0, "p99": 0,
+        "max_share": 0.0,
+    }
+
+
+def test_pq_overwrite_reduced_with_full_space(spark, hd_emb, ridx, tmp_path):
+    """Overwriting a path that held a REDUCED IVF-PQ with a FULL-SPACE
+    one must not resurrect the stale proj/ parquet: the meta marker —
+    not directory existence — decides geometry at load (r10 advisor).
+    The stale proj here has a different input dim (DIM x COARSE), so
+    the old probe would crash or silently mis-route."""
+    path = str(tmp_path / "pq_overwrite")
+    pq_reduced = IVFPQIndex.build(ridx, m=8, ksub=16, seed=42)
+    assert pq_reduced.proj is not None
+    pq_reduced.save(spark, path)
+    # full-space index over the same corpus, written to the SAME path
+    flat = IVFIndex.build(hd_emb, num_cells=8, seed=42)
+    pq_full = IVFPQIndex.build(flat, m=8, ksub=16, seed=42)
+    assert pq_full.proj is None
+    pq_full.save(spark, path)
+    loaded = IVFPQIndex.load(spark, path)
+    assert loaded.proj is None
+    q = hd_emb.filter("vec_id = 2").first()["embedding"]
+    want = [
+        tuple(r)
+        for r in pq_full.search(q, 5, nprobe=8, refine=4, store=hd_emb).collect()
+    ]
+    got = [
+        tuple(r)
+        for r in loaded.search(q, 5, nprobe=8, refine=4, store=hd_emb).collect()
+    ]
+    assert got == want and got
+
+
+def test_pq_legacy_load_without_meta(spark, ridx, tmp_path):
+    """Pre-round-10 saves carry no meta table; load falls back to the
+    narrowed directory-existence probe and still restores the
+    projection."""
+    import shutil
+
+    path = str(tmp_path / "pq_legacy")
+    IVFPQIndex.build(ridx, m=8, ksub=16, seed=42).save(spark, path)
+    shutil.rmtree(f"{path}/meta")
+    loaded = IVFPQIndex.load(spark, path)
+    assert loaded.proj is not None and loaded.proj.shape == (DIM, COARSE)
+
+
 def test_coarse_dim_validation(hd_emb):
     with pytest.raises(ValueError):
         IVFIndex.build(hd_emb, num_cells=4, coarse_dim=DIM)

@@ -1038,14 +1038,22 @@ def test_scaled_side_three_band_policy(spark):
     (round 8 found the bottom trap, round 9 the top one): small
     corpora keep AQE broadcast freedom (no hint), the mid band pins
     shuffle_hash (compressed-broadcast driver-collect trap), and
-    above SHUFFLE_HASH_SAFE_ROWS the pin comes OFF so sort-merge can
-    spill instead of the pinned hash build aborting ("Can't acquire
-    ... bytes memory to build hash relation", measured at 5M docs /
-    32 partitions). Unknown size takes the defensive mid-band hint."""
+    above SHUFFLE_HASH_SAFE_ROWS the hash pin switches to a ``merge``
+    pin, so the join can spill instead of the hash build aborting
+    ("Can't acquire ... bytes memory to build hash relation", measured
+    at 5M docs / 32 partitions) while staying hint-protected from
+    AQE's compressed-size broadcast conversion under caller-provided
+    sessions (round-10 advisor — no-hint relied on the STUDY session's
+    8 MB adaptive cap). Unknown size takes the defensive mid-band
+    hint."""
     df = spark.createDataFrame([(1, "a")], "doc_id BIGINT, shingle STRING")
-    # ends of the band: returned plan is the input, untouched
+    # bottom band: returned plan is the input, untouched (AQE freedom)
     assert dedup._scaled_side(df, dedup.BROADCAST_SAFE_ROWS) is df
-    assert dedup._scaled_side(df, dedup.SHUFFLE_HASH_SAFE_ROWS + 1) is df
+    # top band: merge-pinned (spillable, broadcast-proof)
+    top = dedup._scaled_side(df, dedup.SHUFFLE_HASH_SAFE_ROWS + 1)
+    assert top is not df
+    top_plan = top._jdf.queryExecution().logical().toString()
+    assert "merge" in top_plan and "shuffle_hash" not in top_plan
     # mid band and unknown: a hinted (new) plan
     mid = dedup._scaled_side(df, dedup.BROADCAST_SAFE_ROWS + 1)
     assert mid is not df

@@ -558,6 +558,14 @@ class IVFIndex:
             )
             .collect()[0]
         )
+        if int(row["cells"] or 0) == 0:
+            # Empty assignments: every aggregate above is NULL — report
+            # the (obviously unhealthy) empty index instead of letting
+            # the health check itself raise TypeError (r10 advisor).
+            return {
+                "cells": 0, "rows": 0, "max": 0, "p50": 0, "p99": 0,
+                "max_share": 0.0,
+            }
         total = int(row["rows"] or 0)
         return {
             "cells": int(row["cells"]),
@@ -1346,10 +1354,26 @@ class IVFPQIndex:
 
     def save(self, spark: SparkSession, path: str) -> None:
         """Codes partitioned by cell_id (partition-prunable ADC scans),
-        plus centroid and codebook tables — all plain parquet."""
+        plus centroid and codebook tables — all plain parquet. An
+        explicit ``meta`` table (``has_proj``) is written LAST: its
+        _SUCCESS marker implies the whole index — including the
+        optional projection, written BEFORE it — committed, and it is
+        the load-time authority on whether codes quantize reduced-space
+        residuals, so overwriting a path that previously held a
+        reduced index with a full-space one can never resurrect the
+        stale ``proj/`` directory (r10 advisor — the old
+        directory-existence probe did exactly that)."""
         self.codes.write.mode("overwrite").partitionBy("cell_id").parquet(
             f"{path}/codes"
         )
+        if self.proj is not None:
+            prows = [
+                (int(i), [float(x) for x in row])
+                for i, row in enumerate(self.proj)
+            ]
+            spark.createDataFrame(
+                prows, "row_idx INT, coeffs ARRAY<DOUBLE>"
+            ).coalesce(1).write.mode("overwrite").parquet(f"{path}/proj")
         cent = [(int(i), [float(x) for x in r]) for i, r in enumerate(self.centroids)]
         spark.createDataFrame(cent, "cell_id INT, centroid ARRAY<DOUBLE>").coalesce(
             1
@@ -1363,14 +1387,9 @@ class IVFPQIndex:
         spark.createDataFrame(book, "m INT, code INT, centroid ARRAY<DOUBLE>").coalesce(
             1
         ).write.mode("overwrite").parquet(f"{path}/codebooks")
-        if self.proj is not None:
-            prows = [
-                (int(i), [float(x) for x in row])
-                for i, row in enumerate(self.proj)
-            ]
-            spark.createDataFrame(
-                prows, "row_idx INT, coeffs ARRAY<DOUBLE>"
-            ).coalesce(1).write.mode("overwrite").parquet(f"{path}/proj")
+        spark.createDataFrame(
+            [(bool(self.proj is not None),)], "has_proj BOOLEAN"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
 
     @classmethod
     def load(
@@ -1394,15 +1413,32 @@ class IVFPQIndex:
         for r in book_rows:
             codebooks[r["m"], r["code"]] = np.asarray(r["centroid"])
         codes = spark.read.parquet(f"{path}/codes")
-        # Optional reduced-geometry projection (saved only by coarse_dim
-        # indexes; absence of the directory IS the full-space marker).
-        try:
+        # The meta table is the explicit full-vs-reduced marker (r10):
+        # a stale proj/ left by a previous reduced index at the same
+        # path is IGNORED when meta says full-space, and a genuine
+        # proj read error (corruption, permissions) PROPAGATES instead
+        # of being silently classified as "full-space". Legacy saves
+        # (pre-meta) fall back to directory existence, narrowed to the
+        # missing-path AnalysisException.
+        from pyspark.errors import AnalysisException
+
+        def _read_proj() -> np.ndarray:
             prows = (
                 spark.read.parquet(f"{path}/proj").orderBy("row_idx").collect()
             )
-            proj = np.vstack([np.asarray(r["coeffs"]) for r in prows])
-        except Exception:
-            proj = None
+            return np.vstack([np.asarray(r["coeffs"]) for r in prows])
+
+        try:
+            has_proj = bool(
+                spark.read.parquet(f"{path}/meta").first()["has_proj"]
+            )
+        except AnalysisException:
+            try:
+                proj = _read_proj()
+            except AnalysisException:
+                proj = None
+        else:
+            proj = _read_proj() if has_proj else None
         return cls(
             centroids, codebooks, codes,
             id_col=id_col, vec_col=vec_col, proj=proj,

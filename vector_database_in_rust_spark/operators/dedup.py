@@ -129,12 +129,15 @@ BROADCAST_SAFE_ROWS = 20_000
 # linearly with the corpus until it exceeds per-task execution memory
 # ("Can't acquire 1073741824 bytes memory to build hash relation",
 # measured at 5M docs / 32 partitions / 80 GB JVM). Above this band the
-# scaled sides take NO hint: the planner's sort-merge join spills to
-# disk instead of aborting, and AQE broadcast stays capped by the
-# session's 8 MB compressed adaptive threshold (session.py) — the same
-# residual bound documented below. On a real cluster the band scales
-# with spark.sql.shuffle.partitions; this default is sized to the
-# 32-slot study JVM where the failure was measured.
+# scaled sides pin ``merge`` (sort-merge): the sort spills to disk
+# instead of aborting, and the hint — unlike round 9's no-hint top band
+# — does not depend on the SESSION's adaptive-broadcast cap to keep AQE
+# from runtime-converting the join against a compressed-size estimate
+# (the round-8 driver-collect trap; these are library operators, and a
+# caller-provided session has no 8 MB adaptive threshold). On a real
+# cluster the band scales with spark.sql.shuffle.partitions; this
+# default is sized to the 32-slot study JVM where the failure was
+# measured.
 SHUFFLE_HASH_SAFE_ROWS = 2_000_000
 
 
@@ -144,15 +147,17 @@ def _scaled_side(df: DataFrame, corpus_rows: int | None) -> DataFrame:
     freedom (measurably faster at bench scale); the mid band pins
     ``shuffle_hash`` (no sort, no compressed-broadcast driver collect
     — the round-8 trap); the top band (> SHUFFLE_HASH_SAFE_ROWS)
-    removes the pin so sort-merge can spill (the round-9 hash-build
-    abort). ``None`` (size unknown) takes the defensive mid-band
-    hint, preserving pre-round-9 behavior for callers that never
-    counted."""
-    if corpus_rows is not None and (
-        corpus_rows <= BROADCAST_SAFE_ROWS
-        or corpus_rows > SHUFFLE_HASH_SAFE_ROWS
-    ):
+    pins ``merge`` so the join can SPILL (the round-9 hash-build
+    abort) while staying hint-protected from AQE broadcast conversion
+    under any caller session (round 10, advisor). ``None`` (size
+    unknown) takes the defensive mid-band hint, preserving
+    pre-round-9 behavior for callers that never counted."""
+    if corpus_rows is None:
+        return df.hint("shuffle_hash")
+    if corpus_rows <= BROADCAST_SAFE_ROWS:
         return df
+    if corpus_rows > SHUFFLE_HASH_SAFE_ROWS:
+        return df.hint("merge")
     return df.hint("shuffle_hash")
 
 
@@ -188,8 +193,8 @@ def _verify_candidate_pairs(
     # the three-band policy (_scaled_side): at or under
     # BROADCAST_SAFE_ROWS documents AQE keeps its broadcast freedom
     # (measurably faster at bench scale); above SHUFFLE_HASH_SAFE_ROWS
-    # the pin comes OFF so sort-merge can spill instead of the hash
-    # build aborting. Honest bound: the gate counts documents, but
+    # the pin switches to ``merge`` so the join can spill instead of
+    # the hash build aborting. Honest bound: the gate counts documents, but
     # these sides scale with SHINGLES — a small corpus of very long
     # documents can still exceed the doc-count intuition. That
     # residual is capped by the session's 8 MB
