@@ -284,3 +284,78 @@ def test_pq_legacy_load_without_meta(spark, ridx, tmp_path):
 def test_coarse_dim_validation(hd_emb):
     with pytest.raises(ValueError):
         IVFIndex.build(hd_emb, num_cells=4, coarse_dim=DIM)
+
+
+# --- HierarchicalIVF coarse_dim (round 10): the level-1 fit has the
+# identical high-d collapse mechanism the flat index fixed in round 9 —
+# these tests pin the same contract for the two-level quantizer. ---
+
+
+@pytest.fixture(scope="module")
+def hier_ridx(hd_emb):
+    from vector_database_in_rust_spark.operators.ann import HierarchicalIVF
+
+    return HierarchicalIVF.build(
+        hd_emb, k1=4, k2=4, seed=42, coarse_dim=COARSE
+    )
+
+
+def test_hier_reduced_structure(hier_ridx):
+    assert hier_ridx.proj is not None
+    assert hier_ridx.proj.shape == (DIM, COARSE)
+    assert hier_ridx.l1_centroids.shape[1] == COARSE
+    assert all(
+        block.shape[1] == COARSE
+        for block in hier_ridx.l2_centroids.values()
+    )
+    assert GEOM_COL in hier_ridx.assignments.columns
+    row = hier_ridx.assignments.select(
+        F.size(GEOM_COL).alias("rd"), F.size("embedding").alias("fd")
+    ).first()
+    assert (row["rd"], row["fd"]) == (COARSE, DIM)
+
+
+def test_hier_reduced_full_probe_equals_exact(hd_emb, queries, hier_ridx):
+    """Approximation comes ONLY from cell pruning — probing every
+    sub-cell reproduces the exact scan (re-rank reads the original
+    vectors, never the reduced geometry)."""
+    total = sum(len(v) for v in hier_ridx.l2_centroids.values())
+    exact = knn_batch(hd_emb, queries, K)
+    ann = hier_ridx.search_batch(queries, K, nprobe_l1=4, nprobe=total)
+    assert _recall(exact, ann) == 1.0
+
+
+def test_hier_reduced_partial_probe_recall(hd_emb, queries, hier_ridx):
+    exact = knn_batch(hd_emb, queries, K)
+    ann = hier_ridx.search_batch(queries, K)  # default: half of all cells
+    assert _recall(exact, ann) >= 0.9
+
+
+def test_hier_reduced_single_query_self(hd_emb, hier_ridx):
+    q = hd_emb.filter("vec_id = 5").first()["embedding"]
+    top = hier_ridx.search(q, 3).collect()
+    assert top[0]["vec_id"] == 5 and top[0]["dist"] == 0.0
+
+
+def test_hier_reduced_save_load_roundtrip(spark, hd_emb, hier_ridx, tmp_path):
+    from vector_database_in_rust_spark.operators.ann import HierarchicalIVF
+
+    q = hd_emb.filter("vec_id = 3").first()["embedding"]
+    before = [r["vec_id"] for r in hier_ridx.search(q, 5).collect()]
+    hier_ridx.save(spark, str(tmp_path / "hier_r"))
+    idx2 = HierarchicalIVF.load(spark, str(tmp_path / "hier_r"))
+    assert idx2.proj is not None and np.allclose(idx2.proj, hier_ridx.proj)
+    assert idx2.k2 == hier_ridx.k2
+    after = [r["vec_id"] for r in idx2.search(q, 5).collect()]
+    assert before == after and before
+
+
+def test_hier_full_space_unchanged(spark, hd_emb):
+    """Without coarse_dim the build must stay byte-compatible with the
+    round-9 layout: no GEOM_COL, full-dim centroids, proj None."""
+    from vector_database_in_rust_spark.operators.ann import HierarchicalIVF
+
+    idx = HierarchicalIVF.build(hd_emb, k1=4, k2=4, seed=42)
+    assert idx.proj is None
+    assert GEOM_COL not in idx.assignments.columns
+    assert idx.l1_centroids.shape[1] == DIM

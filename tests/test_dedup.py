@@ -1033,6 +1033,133 @@ def test_winnow_doc_cap_rarest_first(spark, monkeypatch):
     assert capped <= uncapped
 
 
+def _winnow_cluster_corpus(spark):
+    """Two planted dup groups, a bridge doc, a loner, a too-short doc.
+    Shared runs are >= k + window - 1 = 6 tokens so the winnowing
+    guarantee forces a shared fingerprint within each group."""
+    run1 = "p1 q1 r1 s1 t1 u1 v1 w1"
+    run2 = "m2 n2 o2 p2 q2 r2 s2 t2"
+    return _mkdocs(
+        spark,
+        [
+            (1, f"one two three {run1} four five six"),
+            (2, f"alpha beta {run1} gamma delta epsilon"),
+            (3, f"misc words here {run2} and more yet"),
+            (4, f"other stuff {run2} trailing tokens now"),
+            (5, "completely unrelated text with many distinct tokens here"),
+            (6, "too short"),  # < 6 tokens: no fingerprints at all
+            (7, f"bridge doc {run1} mid part {run2} tail bits"),
+        ],
+    )
+
+
+def test_winnow_clusters_partition_and_transitivity(spark):
+    """Clique contract (round 10): full corpus partition, min-member
+    labels, consistent sizes — and the bridge doc (sharing run1 with
+    group A and run2 with group B) transitively merges both groups,
+    exactly what connected components must do."""
+    docs = _winnow_cluster_corpus(spark)
+    out = {
+        r["doc_id"]: (r["cluster_id"], r["cluster_size"])
+        for r in dedup.winnow_clusters(docs, k=4, window=3).collect()
+    }
+    assert set(out) == {1, 2, 3, 4, 5, 6, 7}
+    # 1,2 share run1; 3,4 share run2; 7 bridges both -> one component
+    for d in (1, 2, 3, 4, 7):
+        assert out[d] == (1, 5)
+    # loner and too-short doc are singleton clusters (full partition)
+    assert out[5] == (5, 1)
+    assert out[6] == (6, 1)
+
+
+def test_winnow_clusters_matches_pair_closure(spark):
+    """The clique route must equal the independently computed
+    transitive closure of winnow_pairs(min_shared=1), label for
+    label — the lossless-contract claim the verdict hash-checks."""
+    docs = _winnow_cluster_corpus(spark)
+    clusters = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.winnow_clusters(docs, k=4, window=3).collect()
+    }
+    pair_cc = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.dedup_clusters(
+            dedup.winnow_pairs(docs, k=4, window=3, min_shared=1)
+        ).collect()
+    }
+    for d, lbl in pair_cc.items():
+        assert clusters[d] == lbl
+    # docs absent from the pair graph are singletons in the partition
+    for d in set(clusters) - set(pair_cc):
+        assert clusters[d] == d
+
+
+def test_winnow_clusters_verdict_green(spark):
+    docs = _winnow_cluster_corpus(spark)
+    row = dedup.winnow_clusters_verdict(docs, k=4, window=3).first()
+    assert row["n_docs"] == 7
+    assert row["one_cluster_per_doc"]
+    assert row["labels_are_min_member"]
+    assert row["sizes_consistent"]
+    assert row["matches_pair_closure"]
+
+
+def test_winnow_clusters_edge_count_is_incidence_bounded(spark):
+    """The contract's cost claim: a b-doc fingerprint bucket feeds the
+    CC b−1 star edges, not b(b−1)/2 pairs. 40 docs sharing one run =
+    one component via 39-ish edges; the pair route would materialize
+    780 pairs for the same answer."""
+    run = "z1 z2 z3 z4 z5 z6 z7 z8"
+    rows = [(i, f"doc {i} filler_{i}a filler_{i}b {run} tail_{i}c tail_{i}d")
+            for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    out = {
+        r["doc_id"]: (r["cluster_id"], r["cluster_size"])
+        for r in dedup.winnow_clusters(docs, k=4, window=3).collect()
+    }
+    assert all(v == (0, 40) for v in out.values())
+
+
+def test_ngram_auto_router_never_executes_derived_plans(spark):
+    """Round-10 advisor fix: `method=\"auto\"` without known_count must
+    not run an eager count over a DERIVED plan (joins/aggregates/Python
+    stages) just to route — it routes straight to \"prefix\". A bare
+    parquet-style scan still counts (one columnar scan, the documented
+    cheap case)."""
+    rows = [(i, f"tok{i} a b c d e f g h tok{i}x") for i in range(30)]
+    base = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    # derived plan: an aggregate makes count() a full recompute
+    derived = (
+        base.groupBy("doc_id").agg(F.first("text").alias("text"))
+    )
+    assert not dedup._count_is_scan_cheap(derived)
+    assert dedup._count_is_scan_cheap(base.select("doc_id", "text"))
+    assert dedup._count_is_scan_cheap(base.filter(F.col("doc_id") < 100))
+    # poison count(): the router must never call it on the derived plan
+    called = {"n": 0}
+    orig = type(derived).count
+
+    def counting(self):
+        called["n"] += 1
+        return orig(self)
+
+    try:
+        type(derived).count = counting
+        out = dedup.ngram_jaccard_pairs(derived, method="auto")
+    finally:
+        type(derived).count = orig
+    assert called["n"] == 0
+    # and the routed result is still the exact prefix-filtered join
+    want = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in dedup.ngram_jaccard_pairs(
+            base, method="prefix", known_count=30
+        ).collect()
+    }
+    got = {(r["doc_a"], r["doc_b"], r["jaccard"]) for r in out.collect()}
+    assert got == want
+
+
 def test_scaled_side_three_band_policy(spark):
     """The corpus-scaled join-side policy has three measured bands
     (round 8 found the bottom trap, round 9 the top one): small

@@ -243,3 +243,27 @@ def test_hard_negatives_label_mismatch_and_rank(spark, emb):
     assert [(r["vec_id"], r["dist"]) for r in a0] == [
         (r["vec_id"], r["dist"]) for r in expect
     ]
+
+
+def test_batch_query_guard_raises_on_oversized_frame(spark, emb, monkeypatch):
+    """The pandas batch path collects the query side; the round-10
+    guard bounds that collect (limit cap+1 — the check itself can
+    never ship a corpus) and raises loudly instead of silently
+    attempting a corpus-sized broadcast."""
+    from vector_database_in_rust_spark.operators import knn as knn_mod
+
+    monkeypatch.setattr(knn_mod, "BATCH_QUERY_SAFE_ROWS", 8)
+    queries = emb.limit(10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_embedding"),
+    )
+    with pytest.raises(ValueError, match="BATCH_QUERY_SAFE_ROWS"):
+        knn_batch(emb, queries, 3, impl="pandas")
+    # at or under the cap the same call goes through
+    ok = knn_batch(
+        emb,
+        queries.limit(8),
+        3,
+        impl="pandas",
+    )
+    assert ok.count() == 8 * 3

@@ -7420,6 +7420,55 @@ def winnow_pairs_q(spark, sf_dir):
     )
 
 
+@register("dedup_winnow_clusters")  # md5-prefix selection not portable -> rows-only
+def dedup_winnow_clusters_q(spark, sf_dir):
+    """Clique-mode winnowing dedup (round 10): the connected-component
+    partition of the shares-a-fingerprint doc graph at INCIDENCE cost
+    — star-contract each fingerprint to its minimum doc (b−1 edges per
+    bucket, never b(b−1)/2 pairs), then star CC. The contract fix for
+    the measured 5M-doc winnow_pairs DNF (~1e10 candidate pairs ≈
+    240 GB aggregation shuffle, NOTES_r9). Output-linear: one row per
+    doc. ★ twin: winnow_clusters_verdict."""
+    from vector_database_in_rust_spark.operators.dedup import winnow_clusters
+
+    return winnow_clusters(
+        _docs(spark, sf_dir),
+        k=4,
+        window=3,
+        known_count=_docs_count(spark, sf_dir),
+    )
+
+
+_WINNOW_CLUSTERS_VERDICT_ORACLE = """
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       TRUE AS one_cluster_per_doc,
+       TRUE AS labels_are_min_member,
+       TRUE AS sizes_consistent,
+       TRUE AS matches_pair_closure
+FROM documents
+"""
+
+
+@register("winnow_clusters_verdict", _WINNOW_CLUSTERS_VERDICT_ORACLE)
+def winnow_clusters_verdict_q(spark, sf_dir):
+    """Driver-verifiable verdict for the clique-mode winnowing lane
+    (round 10, the simhash_clusters_verdict mold): the partition
+    covers every document exactly once (count predicted by SQL),
+    labels are each cluster's minimum member, sizes are consistent,
+    and the partition EQUALS the transitive closure of the pair-mode
+    min_shared=1 graph — re-derived independently via
+    dedup_clusters(winnow_pairs(min_shared=1)), a different CC
+    implementation (message passing vs large/small star), label for
+    label, with non-paired docs pinned as singletons. A broken star
+    contraction or a guard asymmetry between the two routes flips a
+    boolean and the driver hash."""
+    from vector_database_in_rust_spark.operators.dedup import (
+        winnow_clusters_verdict,
+    )
+
+    return winnow_clusters_verdict(_docs(spark, sf_dir), k=4, window=3)
+
+
 _HARD_NEGATIVES_ORACLE = f"""
 WITH q AS (
   SELECT vec_id AS query_id, embedding AS qe, label AS qlabel

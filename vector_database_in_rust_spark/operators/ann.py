@@ -787,12 +787,22 @@ class HierarchicalIVF:
         id_col: str = "vec_id",
         vec_col: str = "embedding",
         k2_stride: int | None = None,
+        proj: np.ndarray | None = None,
     ):
         self.l1_centroids = np.asarray(l1_centroids, dtype=np.float64)
         self.l2_centroids = {int(k): np.asarray(v, dtype=np.float64) for k, v in l2_centroids.items()}
         self.assignments = assignments
         self.id_col = id_col
         self.vec_col = vec_col
+        # Reduced-space coarse geometry (round 10): the flat index's
+        # round-9 coarse_dim fix, threaded through BOTH levels — the
+        # level-1 KMeans has the identical high-d winner-take-all
+        # collapse mechanism (a mean-shrunk centroid beats every
+        # data-like centroid at ~sqrt(d)·sigma vs ~sqrt(2d)·sigma).
+        # When set, l1/l2 centroids live in the projected space,
+        # assignments carry GEOM_COL, and exact re-rank always reads
+        # the original vec_col.
+        self.proj = None if proj is None else np.asarray(proj, dtype=np.float64)
         # The composite-cell encoding is cell_id = l1 * stride + l2 with
         # the stride FIXED AT BUILD TIME (the requested k2), not inferred
         # from the realized sub-block sizes: if every super-cell
@@ -817,29 +827,46 @@ class HierarchicalIVF:
         lloyd_iters: int = 10,
         id_col: str = "vec_id",
         vec_col: str = "embedding",
+        coarse_dim: int | None = None,
     ) -> "HierarchicalIVF":
+        """``coarse_dim`` (round 10): fit BOTH quantizer levels in a
+        PCA-reduced space — the flat index's round-9 fix
+        (``IVFIndex.build``'s docstring has the measured 384-d
+        collapse; the hierarchical level-1 fit degenerates by the
+        same geometry, and a collapsed level 1 starves every level-2
+        fit of its own cell's data). Exact re-rank always reads the
+        original vectors, so full probe == exact at any projection."""
         import pandas as pd
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector
 
         n = corpus.count()
-        feat = corpus.select(
-            F.col(id_col), F.col(vec_col),
-            array_to_vector(F.col(vec_col).cast("array<double>")).alias("_f"),
+        base = corpus.select(F.col(id_col), F.col(vec_col))
+        frac = max_fit_rows / n if n > max_fit_rows else None
+        proj = None
+        if coarse_dim is not None:
+            sample = base if frac is None else base.sample(fraction=frac, seed=seed)
+            proj = _pca_projection(sample, vec_col=vec_col, coarse_dim=coarse_dim)
+            base = base.withColumn(GEOM_COL, _project_udf(proj)(F.col(vec_col)))
+        geom = GEOM_COL if proj is not None else vec_col
+        feat = base.withColumn(
+            "_f", array_to_vector(F.col(geom).cast("array<double>"))
         )
         fit_df = feat
-        if n > max_fit_rows:
-            fit_df = feat.sample(fraction=max_fit_rows / n, seed=seed)
+        if frac is not None:
+            fit_df = feat.sample(fraction=frac, seed=seed)
         l1_model = KMeans(k=k1, seed=seed, featuresCol="_f", predictionCol="l1").fit(fit_df)
         l1_cent = np.vstack([np.asarray(c) for c in l1_model.clusterCenters()])
 
         # Parallel level-2 fits: one seeded numpy Lloyd run per
         # super-cell group. Deterministic: seed derives from (seed, l1).
-        sample_l1 = l1_model.transform(fit_df).select("l1", vec_col)
+        # Fits run over the GEOMETRY column — reduced space when
+        # coarse_dim is set, the raw vectors otherwise.
+        sample_l1 = l1_model.transform(fit_df).select("l1", geom)
 
         def fit_group(pdf: pd.DataFrame) -> pd.DataFrame:
             l1 = int(pdf["l1"].iloc[0])
-            x = np.vstack(pdf[vec_col].apply(np.asarray, dtype=np.float64))
+            x = np.vstack(pdf[geom].apply(np.asarray, dtype=np.float64))
             k = min(k2, len(x))
             rng = np.random.RandomState(seed * 100003 + l1)
             cent = x[rng.choice(len(x), size=k, replace=False)]
@@ -876,13 +903,18 @@ class HierarchicalIVF:
 
         # Full-corpus assignment: one Arrow pass, two-stage argmin
         # against broadcast centroid blocks (2*sqrt(K) rows per vector).
+        # With coarse_dim the pass projects each batch itself (one
+        # matmul) — geometry argmins run reduced, the emitted row keeps
+        # the ORIGINAL vector plus GEOM_COL for maintenance parity with
+        # the flat index's layout (load keys on the column's presence).
         spark = corpus.sparkSession
-        bc = spark.sparkContext.broadcast((l1_cent, l2_cent_np, k2))
+        bc = spark.sparkContext.broadcast((l1_cent, l2_cent_np, k2, proj))
 
         def assign(it):
-            l1c, l2c, k2_ = bc.value
+            l1c, l2c, k2_, pj = bc.value
             for pdf in it:
-                x = np.vstack(pdf[vec_col].apply(np.asarray, dtype=np.float64))
+                xfull = np.vstack(pdf[vec_col].apply(np.asarray, dtype=np.float64))
+                x = xfull @ pj if pj is not None else xfull
                 d1 = ((x[:, None, :] - l1c[None, :, :]) ** 2).sum(axis=2)
                 a1 = d1.argmin(axis=1)
                 a2 = np.zeros(len(x), dtype=np.int64)
@@ -891,20 +923,26 @@ class HierarchicalIVF:
                     cc = l2c[int(l1)]
                     d2 = ((x[m][:, None, :] - cc[None, :, :]) ** 2).sum(axis=2)
                     a2[m] = d2.argmin(axis=1)
-                yield pd.DataFrame(
-                    {
-                        id_col: pdf[id_col],
-                        vec_col: pdf[vec_col],
-                        "cell_id": (a1 * k2_ + a2).astype("int32"),
-                    }
-                )
+                out = {
+                    id_col: pdf[id_col],
+                    vec_col: pdf[vec_col],
+                    "cell_id": (a1 * k2_ + a2).astype("int32"),
+                }
+                if pj is not None:
+                    out[GEOM_COL] = list(x.astype(np.float32))
+                yield pd.DataFrame(out)
 
         # Honor the caller's id column name AND type (the flat IVFIndex
         # path does; hardcoding `vec_id BIGINT` here broke custom — e.g.
         # string — ids under the engine facade's hierarchical build).
         id_type = corpus.schema[id_col].dataType.simpleString()
+        geom_field = ", _rvec ARRAY<FLOAT>" if proj is not None else ""
         assignments = corpus.select(id_col, vec_col).mapInPandas(
-            assign, schema=f"{id_col} {id_type}, {vec_col} ARRAY<FLOAT>, cell_id INT"
+            assign,
+            schema=(
+                f"{id_col} {id_type}, {vec_col} ARRAY<FLOAT>, "
+                f"cell_id INT{geom_field}"
+            ),
         )
         return cls(
             l1_cent,
@@ -913,10 +951,13 @@ class HierarchicalIVF:
             id_col=id_col,
             vec_col=vec_col,
             k2_stride=k2,
+            proj=proj,
         )
 
     def _probe_cells(self, query, *, nprobe_l1: int, nprobe: int) -> list[int]:
         q = np.asarray(query, dtype=np.float64)
+        if self.proj is not None:
+            q = q @ self.proj
         d1 = ((self.l1_centroids - q) ** 2).sum(axis=1)
         l1s = np.argsort(d1, kind="stable")[: max(1, nprobe_l1)]
         scored: list[tuple[float, int]] = []
@@ -1011,23 +1052,34 @@ class HierarchicalIVF:
         l2_df = spark.createDataFrame(
             l2_rows, "l1 INT, cell_id INT, centroid ARRAY<DOUBLE>"
         )
+        # Reduced-geometry index: BOTH centroid rankings compare the
+        # PROJECTED query against the reduced centroids; the exact
+        # re-rank below stays on the original query/vector columns.
+        q_geom_col = query_vec_col
+        if self.proj is not None:
+            q_geom_col = "_q_rvec"
+            queries = queries.withColumn(
+                q_geom_col, _project_udf(self.proj)(F.col(query_vec_col))
+            )
+        qcols = [query_id_col, query_vec_col] + (
+            [q_geom_col] if q_geom_col != query_vec_col else []
+        )
         q1 = queries.join(F.broadcast(l1_df), how="cross").select(
-            query_id_col,
-            query_vec_col,
+            *qcols,
             "l1",
-            l2_squared(F.col(query_vec_col), F.col("centroid")).alias("_d1"),
+            l2_squared(F.col(q_geom_col), F.col("centroid")).alias("_d1"),
         )
         w1 = Window.partitionBy(query_id_col).orderBy("_d1", "l1")
         probed_l1 = (
             q1.withColumn("_r1", F.row_number().over(w1))
             .filter(F.col("_r1") <= nprobe_l1)
-            .select(query_id_col, query_vec_col, "l1")
+            .select(*qcols, "l1")
         )
         q2 = probed_l1.join(F.broadcast(l2_df), on="l1").select(
             query_id_col,
             query_vec_col,
             "cell_id",
-            l2_squared(F.col(query_vec_col), F.col("centroid")).alias("_d2"),
+            l2_squared(F.col(q_geom_col), F.col("centroid")).alias("_d2"),
         )
         w2 = Window.partitionBy(query_id_col).orderBy("_d2", "cell_id")
         probed = (
@@ -1057,10 +1109,22 @@ class HierarchicalIVF:
     def save(self, spark: SparkSession, path: str) -> None:
         """Persist as plain parquet: assignments partitioned by the
         composite cell (partition-prunable probes after reload), level-1
-        centroids, and the (l1, l2, centroid) table."""
+        centroids, and the (l1, l2, centroid) table. The projection (if
+        any) is written before meta — the final meta _SUCCESS marker
+        implies the whole index committed — and load keys geometry on
+        GEOM_COL's presence in the assignments, the same explicit
+        marker the flat index uses."""
         self.assignments.write.mode("overwrite").partitionBy("cell_id").parquet(
             f"{path}/assignments"
         )
+        if self.proj is not None:
+            prows = [
+                (int(i), [float(x) for x in row])
+                for i, row in enumerate(self.proj)
+            ]
+            spark.createDataFrame(
+                prows, "row_idx INT, coeffs ARRAY<DOUBLE>"
+            ).coalesce(1).write.mode("overwrite").parquet(f"{path}/proj")
         l1 = [(int(i), [float(x) for x in row]) for i, row in enumerate(self.l1_centroids)]
         spark.createDataFrame(l1, "l1 INT, centroid ARRAY<DOUBLE>").coalesce(
             1
@@ -1098,6 +1162,12 @@ class HierarchicalIVF:
             l2.setdefault(int(r["l1"]), []).append(r["centroid"])
         l2_np = {k: np.asarray(v) for k, v in l2.items()}
         assignments = spark.read.parquet(f"{path}/assignments")
+        proj = None
+        if GEOM_COL in assignments.columns:
+            prows = (
+                spark.read.parquet(f"{path}/proj").orderBy("row_idx").collect()
+            )
+            proj = np.vstack([np.asarray(r["coeffs"]) for r in prows])
         try:
             stride = int(
                 spark.read.parquet(f"{path}/meta").first()["k2_stride"]
@@ -1113,6 +1183,7 @@ class HierarchicalIVF:
             id_col=id_col,
             vec_col=vec_col,
             k2_stride=stride,
+            proj=proj,
         )
 
 

@@ -252,6 +252,43 @@ def _score_common_pairs(
 
 PREFIX_AUTO_ROWS = 20_000
 
+# Optimized-plan node names whose presence makes `df.count()` a real
+# recomputation of the upstream pipeline rather than a single columnar
+# scan. Everything NOT listed that survives the optimizer over a file
+# source (Project, Filter, the relation itself) keeps count() at
+# one-scan cost — the "metadata-cheap on parquet inputs" case the
+# router docstrings describe.
+_EXPENSIVE_PLAN_NODES = (
+    "Join ",
+    "Aggregate ",
+    "Window ",
+    "Sort ",
+    "Generate ",
+    "Expand ",
+    "Union",
+    "Distinct",
+    "Deduplicate",
+    "MapInPandas",
+    "FlatMapGroupsInPandas",
+    "MapGroups",
+    "CoGroup",
+    "MapElements",
+    "Intersect",
+    "Except",
+    "GlobalLimit",
+)
+
+
+def _count_is_scan_cheap(df: DataFrame) -> bool:
+    """True when ``df.count()`` costs one columnar scan (bare file
+    relation, possibly projected/filtered) — false when the optimized
+    plan contains joins/aggregations/Python stages, i.e. when an eager
+    routing count would silently recompute the caller's whole upstream
+    (the derived-plan trap the r03 regression note and the r09/r10
+    advisors flagged). Inspection only — never executes the plan."""
+    tree = df._jdf.queryExecution().optimizedPlan().treeString()
+    return not any(marker in tree for marker in _EXPENSIVE_PLAN_NODES)
+
 
 def ngram_jaccard_pairs(
     docs: DataFrame,
@@ -281,12 +318,16 @@ def ngram_jaccard_pairs(
     ``method="auto"`` (default, round 8) routes by corpus size the way
     ``embedding_cosine_pairs`` does: "full" at or under
     ``PREFIX_AUTO_ROWS`` documents (one count, or pass
-    ``known_count``), "prefix" above. NOTE: without ``known_count``
-    the sizing count is an EAGER action on every call — metadata-cheap
-    on parquet scans, but a full upstream recompute when ``docs`` is a
-    derived plan (the extra-action-per-call trap the r03 regression
-    note in ``embedding_cosine_pairs`` records); such callers should
-    pass ``known_count`` or pre-materialize. Measured basis: on the 6k-doc
+    ``known_count``), "prefix" above. Sizing (round 10): without
+    ``known_count`` the router counts ONLY when the optimized plan
+    shows count() is one columnar scan (bare/projected/filtered file
+    relation — ``_count_is_scan_cheap``); a derived plan (joins,
+    aggregates, Python stages) routes straight to "prefix" with the
+    defensive join policy rather than eagerly recomputing the
+    caller's upstream (the extra-action-per-call trap the r03
+    regression note in ``embedding_cosine_pairs`` records). Such
+    callers can still pass ``known_count`` to unlock the small-corpus
+    fast path. Measured basis: on the 6k-doc
     driver corpus full wins ~2x (2.9 vs 6.3 s — the ranking window +
     candidate pass are pure overhead when the self-join is already
     small), but on a 50k-doc zipf-vocabulary corpus full's retained
@@ -313,9 +354,26 @@ def ngram_jaccard_pairs(
     thresholds/runs.
     """
     sh = _shingle_index(docs, id_col, text_col, n)
-    n_docs = known_count if known_count is not None else docs.count()
+    # Routing size (round 10, advisor): never EXECUTE a derived plan
+    # just to route it. known_count wins; a bare (projected/filtered)
+    # file scan is counted — one columnar scan, the documented cheap
+    # case; any plan with joins/aggregates/Python stages routes with
+    # n_docs=None — "prefix" (safe at any scale, ~2x overhead at
+    # driver scale is the insurance premium) and the defensive
+    # mid-band join policy, instead of silently recomputing the
+    # caller's upstream pipeline.
+    if known_count is not None:
+        n_docs: int | None = known_count
+    elif _count_is_scan_cheap(docs):
+        n_docs = docs.count()
+    else:
+        n_docs = None
     if method == "auto":
-        method = "full" if n_docs <= PREFIX_AUTO_ROWS else "prefix"
+        method = (
+            "full"
+            if n_docs is not None and n_docs <= PREFIX_AUTO_ROWS
+            else "prefix"
+        )
     if method == "prefix":
         return _jaccard_prefix_filtered(
             sh,
@@ -2756,6 +2814,65 @@ def winnow_fingerprints(
 WINNOW_DOC_CAP_ACTIVATION = 100_000
 
 
+def _winnow_retained_fps(
+    docs: DataFrame,
+    *,
+    k: int,
+    window: int,
+    max_fp_freq: int | None,
+    max_doc_fps: int | None,
+    text_col: str,
+    id_col: str,
+    known_count: int | None,
+) -> tuple[DataFrame, int]:
+    """The RETAINED winnow fingerprint set — distinct (doc_id, fp_hash)
+    after the document-frequency cut and the per-doc rarest-first cap —
+    shared verbatim by ``winnow_pairs`` (pair contract) and
+    ``winnow_clusters`` (clique contract), so the two operators agree
+    on the candidate graph by construction. Returns (fps, n_docs)."""
+    fps = winnow_fingerprints(
+        docs, k=k, window=window, text_col=text_col, id_col=id_col
+    ).select("doc_id", "fp_hash").distinct()
+    # The guard's no-op proof needs the corpus size; that count is an
+    # EAGER action per call — metadata-cheap on parquet inputs but a
+    # full upstream recompute on derived plans, so callers that know
+    # the size pass known_count (advisor, round 9 — the same bypass
+    # ngram_jaccard_pairs/duplicated_span_stats carry).
+    n_docs = known_count if known_count is not None else docs.count()
+    need_freq = max_fp_freq is not None and n_docs > max_fp_freq
+    need_cap = max_doc_fps is not None and n_docs > WINNOW_DOC_CAP_ACTIVATION
+    if need_freq or need_cap:
+        # one document-frequency window serves both guards; it rides
+        # the fp_hash exchange the downstream join needs anyway
+        fps = fps.withColumn(
+            "_f", F.count(F.lit(1)).over(Window.partitionBy("fp_hash"))
+        )
+        if need_freq:
+            fps = fps.filter(F.col("_f") <= max_fp_freq)
+        if need_cap:
+            # Per-doc rarest-first cap (the PPJoin-family lever, round
+            # 9): above WINNOW_DOC_CAP_ACTIVATION each doc keeps only
+            # its max_doc_fps globally RAREST retained fingerprints
+            # (df asc, hash tie-break) for the join — candidate mass
+            # is then bounded by n · max_doc_fps · bucket size instead
+            # of the under-cap Σdf² term that measured exp 1.45 at
+            # 50k→500k on zipf vocabulary. Metric above activation:
+            # "n_shared over each doc's rarest retained fingerprints"
+            # — the documented recall trade every df-cut lane makes;
+            # near-dups share their rare fingerprints first, so
+            # planted-dup recall holds (gated in tests).
+            w_doc = Window.partitionBy("doc_id").orderBy(
+                F.col("_f").asc(), F.col("fp_hash")
+            )
+            fps = (
+                fps.withColumn("_rk", F.row_number().over(w_doc))
+                .filter(F.col("_rk") <= max_doc_fps)
+                .drop("_rk")
+            )
+        fps = fps.drop("_f")
+    return fps, n_docs
+
+
 def winnow_pairs(
     docs: DataFrame,
     *,
@@ -2807,46 +2924,16 @@ def winnow_pairs(
     mass bound and the metric statement. No-op below activation, so
     driver-scale output (and the registered oracle) is bit-identical.
     """
-    fps = winnow_fingerprints(
-        docs, k=k, window=window, text_col=text_col, id_col=id_col
-    ).select("doc_id", "fp_hash").distinct()
-    # The guard's no-op proof needs the corpus size; that count is an
-    # EAGER action per call — metadata-cheap on parquet inputs but a
-    # full upstream recompute on derived plans, so callers that know
-    # the size pass known_count (advisor, round 9 — the same bypass
-    # ngram_jaccard_pairs/duplicated_span_stats carry).
-    n_docs = known_count if known_count is not None else docs.count()
-    need_freq = max_fp_freq is not None and n_docs > max_fp_freq
-    need_cap = max_doc_fps is not None and n_docs > WINNOW_DOC_CAP_ACTIVATION
-    if need_freq or need_cap:
-        # one document-frequency window serves both guards; it rides
-        # the fp_hash exchange the self-join needs anyway
-        fps = fps.withColumn(
-            "_f", F.count(F.lit(1)).over(Window.partitionBy("fp_hash"))
-        )
-        if need_freq:
-            fps = fps.filter(F.col("_f") <= max_fp_freq)
-        if need_cap:
-            # Per-doc rarest-first cap (the PPJoin-family lever, round
-            # 9): above WINNOW_DOC_CAP_ACTIVATION each doc keeps only
-            # its max_doc_fps globally RAREST retained fingerprints
-            # (df asc, hash tie-break) for the join — candidate mass
-            # is then bounded by n · max_doc_fps · bucket size instead
-            # of the under-cap Σdf² term that measured exp 1.45 at
-            # 50k→500k on zipf vocabulary. Metric above activation:
-            # "n_shared over each doc's rarest retained fingerprints"
-            # — the documented recall trade every df-cut lane makes;
-            # near-dups share their rare fingerprints first, so
-            # planted-dup recall holds (gated in tests).
-            w_doc = Window.partitionBy("doc_id").orderBy(
-                F.col("_f").asc(), F.col("fp_hash")
-            )
-            fps = (
-                fps.withColumn("_rk", F.row_number().over(w_doc))
-                .filter(F.col("_rk") <= max_doc_fps)
-                .drop("_rk")
-            )
-        fps = fps.drop("_f")
+    fps, _ = _winnow_retained_fps(
+        docs,
+        k=k,
+        window=window,
+        max_fp_freq=max_fp_freq,
+        max_doc_fps=max_doc_fps,
+        text_col=text_col,
+        id_col=id_col,
+        known_count=known_count,
+    )
     a = fps.alias("a")
     b = fps.alias("b")
     return (
@@ -2855,6 +2942,192 @@ def winnow_pairs(
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .where(F.col("n_shared") >= min_shared)
+    )
+
+
+def winnow_clusters(
+    docs: DataFrame,
+    *,
+    k: int = 4,
+    window: int = 3,
+    max_fp_freq: int | None = 500,
+    max_doc_fps: int | None = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    known_count: int | None = None,
+    max_iterations: int = 30,
+) -> DataFrame:
+    """Winnowing near-dup CLUSTERS without materializing pair lists —
+    the output-linear contract ``simhash_clusters`` proved out (round
+    9), applied to the MOSS fingerprint graph (round 10, verdict item
+    1). The measured wall: ``winnow_pairs`` at 5M docs DNF'd on ~1e10
+    candidate pairs ≈ 240 GB of aggregation shuffle (NOTES_r9) — the
+    pair CONTRACT, not any constant, is the single-node limit, while
+    downstream consumers (``dedup_apply``, cluster statistics) only
+    need cluster structure. This computes exactly the connected
+    components of the "shares ≥ 1 retained fingerprint" document graph
+    (the ``winnow_pairs(min_shared=1)`` closure) at INCIDENCE cost:
+
+    1. retained fingerprints (``_winnow_retained_fps`` — identical
+       guards to the pair route, so the two contracts agree on the
+       candidate graph by construction);
+    2. star-contract each fingerprint to its minimum document: for
+       every fp the rows (min_doc, other_doc) — ≤ |incidences| edges,
+       never a doc pair per co-occurrence (a bucket of b docs
+       contributes b−1 edges instead of b(b−1)/2 pairs; with the
+       per-doc cap active, |incidences| ≤ n · max_doc_fps). The
+       fp-min window rides the same fp_hash exchange the pair route's
+       self-join needs. Doc-graph components are preserved: two docs
+       sharing fp f are both adjacent to f's min doc;
+    3. connected components over those edges
+       (``dedup_clusters_star``'s O(log n) large-star/small-star
+       rounds, diameter-independent);
+    4. one left join lifting EVERY corpus document to its component —
+       docs with no retained shared fingerprint (including docs too
+       short to fingerprint) become singleton clusters, so the output
+       is a full partition of the corpus, like ``simhash_clusters``.
+
+    ``min_shared`` has no analogue here — requiring ≥ 2 shared
+    fingerprints per EDGE is inherently a pair-counting contract.
+    The min_shared=1 closure is the winnowing-guarantee-faithful one
+    (any shared substring of ≥ k+window−1 tokens forces one shared
+    fingerprint; min_shared=2 was a precision knob), and it is an
+    upper closure: every min_shared≥2 cluster is contained in one of
+    these components.
+
+    Returns (doc_id, cluster_id, cluster_size): ``cluster_id`` is the
+    component's minimum doc_id (the ``dedup_clusters`` canonical-keeper
+    contract), ``cluster_size`` its member count. Equivalence with the
+    pair-mode closure is pinned by pytest and driver-hash-checked by
+    ``winnow_clusters_verdict``."""
+    fps, _ = _winnow_retained_fps(
+        docs,
+        k=k,
+        window=window,
+        max_fp_freq=max_fp_freq,
+        max_doc_fps=max_doc_fps,
+        text_col=text_col,
+        id_col=id_col,
+        known_count=known_count,
+    )
+    w_fp = Window.partitionBy("fp_hash")
+    edges = (
+        fps.withColumn("_m", F.min("doc_id").over(w_fp))
+        .where(F.col("doc_id") != F.col("_m"))
+        .select(F.col("_m").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+        .distinct()
+    )
+    labels = dedup_clusters_star(edges, max_iterations=max_iterations)
+    member = (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(labels.withColumnRenamed("cluster_id", "_root"), "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce(F.col("_root"), F.col("doc_id")).alias("_root")
+        )
+    )
+    w_root = Window.partitionBy("_root")
+    return member.select(
+        "doc_id",
+        F.min("doc_id").over(w_root).alias("cluster_id"),
+        F.count(F.lit(1)).over(w_root).alias("cluster_size"),
+    )
+
+
+def winnow_clusters_verdict(
+    docs: DataFrame,
+    *,
+    k: int = 4,
+    window: int = 3,
+    max_fp_freq: int | None = 500,
+    max_doc_fps: int | None = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Single-row driver-hash-verifiable verdict for the clique-mode
+    winnowing lane (the ``simhash_clusters_verdict`` mold — md5-prefix
+    fingerprint selection is not portable SQL, so the oracle predicts
+    what it can and the distributed re-checks binarize the rest):
+
+    - ``n_docs``: one output row per corpus document (oracle predicts
+      count(documents) — the clique representation is a PARTITION);
+    - ``one_cluster_per_doc``: exactly one decision per doc;
+    - ``labels_are_min_member``: every cluster's id is the minimum
+      doc_id among its own members;
+    - ``sizes_consistent``: each row's cluster_size equals the
+      cluster's actual member count;
+    - ``matches_pair_closure``: the partition equals the transitive
+      closure of the PAIR-mode graph at min_shared=1 — computed
+      independently at driver scale via
+      ``dedup_clusters(winnow_pairs(min_shared=1))`` (the
+      message-passing CC, not the star CC the clique route uses) —
+      label for label, and every doc absent from the pair graph is a
+      singleton here. A broken star contraction, a lost singleton, or
+      a guard asymmetry between the two routes flips the boolean and
+      the driver hash."""
+    clusters = winnow_clusters(
+        docs,
+        k=k,
+        window=window,
+        max_fp_freq=max_fp_freq,
+        max_doc_fps=max_doc_fps,
+        id_col=id_col,
+        text_col=text_col,
+    ).localCheckpoint(eager=False)
+    pair_cc = dedup_clusters(
+        winnow_pairs(
+            docs,
+            k=k,
+            window=window,
+            min_shared=1,
+            max_fp_freq=max_fp_freq,
+            max_doc_fps=max_doc_fps,
+            id_col=id_col,
+            text_col=text_col,
+        )
+    )
+    agg = clusters.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        (F.count(F.lit(1)) == F.count_distinct("doc_id")).alias(
+            "one_cluster_per_doc"
+        ),
+    )
+    per_cluster = clusters.groupBy("cluster_id").agg(
+        F.min("doc_id").alias("_min_id"),
+        F.count(F.lit(1)).alias("_n"),
+        F.min("cluster_size").alias("_smin"),
+        F.max("cluster_size").alias("_smax"),
+    )
+    label_ok = per_cluster.agg(
+        F.min(F.col("_min_id") == F.col("cluster_id")).alias(
+            "labels_are_min_member"
+        ),
+        F.min(
+            (F.col("_smin") == F.col("_smax")) & (F.col("_smin") == F.col("_n"))
+        ).alias("sizes_consistent"),
+    )
+    joined = clusters.join(
+        pair_cc.withColumnRenamed("cluster_id", "_pair_label"),
+        "doc_id",
+        "left",
+    )
+    closure_ok = joined.agg(
+        F.min(
+            F.when(
+                F.col("_pair_label").isNotNull(),
+                F.col("_pair_label") == F.col("cluster_id"),
+            ).otherwise(F.col("cluster_size") == 1)
+        ).alias("matches_pair_closure")
+    )
+    return (
+        agg.join(F.broadcast(label_ok))
+        .join(F.broadcast(closure_ok))
+        .select(
+            "n_docs",
+            "one_cluster_per_doc",
+            "labels_are_min_member",
+            "sizes_consistent",
+            "matches_pair_closure",
+        )
     )
 
 

@@ -47,6 +47,16 @@ from vector_database_in_rust_spark.functions.vectors import (
 
 METRICS = {"l2_squared": l2_squared, "cosine": cosine_similarity}
 
+# Loud bound on the query-side driver collect in the pandas batch path
+# (round 10, advisor): queries are "broadcast-small by contract", but a
+# caller passing a corpus-sized frame used to hit an unbounded
+# .collect() — the exact driver-OOM shape BROADCAST_SAFE_ROWS exists to
+# prevent on the dedup side. 100k x 64-d float64 ~ 51 MB broadcast is
+# the documented ceiling; route bigger query sets through the ANN index
+# (the reference's own answer — HNSW exists because brute force per
+# query is O(N)).
+BATCH_QUERY_SAFE_ROWS = 100_000
+
 
 def _dist(metric: str, a: Column, b: Column) -> Column:
     if metric not in METRICS:
@@ -211,7 +221,21 @@ def _knn_batch_pandas(
     if metric not in METRICS:
         raise ValueError(f"unknown metric {metric!r}; one of {sorted(METRICS)}")
 
-    q_rows = queries.select(query_id_col, query_vec_col).collect()
+    # Bounded collect: limit(cap+1) makes the guard itself safe — an
+    # oversized frame ships cap+1 rows and raises loudly, never the
+    # whole corpus (and the check costs no extra Spark job).
+    q_rows = (
+        queries.select(query_id_col, query_vec_col)
+        .limit(BATCH_QUERY_SAFE_ROWS + 1)
+        .collect()
+    )
+    if len(q_rows) > BATCH_QUERY_SAFE_ROWS:
+        raise ValueError(
+            f"knn_batch queries frame exceeds BATCH_QUERY_SAFE_ROWS="
+            f"{BATCH_QUERY_SAFE_ROWS}: the batch path broadcasts the "
+            "query matrix by contract — route corpus-sized query sets "
+            "through the IVF index (IVFIndex.search_batch) instead"
+        )
     q_ids = np.array([r[query_id_col] for r in q_rows], dtype=np.int64)
     q_mat = np.array([r[query_vec_col] for r in q_rows], dtype=np.float64)
     spark = corpus.sparkSession
