@@ -2465,39 +2465,13 @@ def _sha_feature_oracle(dim: int) -> str:
     )
 
 
-_MM_FEATURES_ORACLE = f"""
-WITH h AS (
-  SELECT doc_id AS media_id, 'image' AS media_type,
-         cast(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-         sha256(text) AS hx
-  FROM documents
-),
-w AS (SELECT media_id, media_type, n_bytes, {_SHA_W8} AS w8 FROM h),
-f AS (SELECT media_id, media_type, n_bytes, {_sha_feature_oracle(16)} AS q FROM w)
-SELECT media_id, media_type, n_bytes,
-       cast(len(q) AS BIGINT) AS feature_dim,
-       round(sqrt(list_inner_product(q::DOUBLE[], q::DOUBLE[])) / 1000.0, 4) AS feature_norm,
-       md5(array_to_string(q, ',')) AS feature_md5
-FROM f
-"""
-
-
-@register("multimodal_features", _MM_FEATURES_ORACLE)
-def multimodal_features_q(spark, sf_dir):
-    """Arrow-batched feature extraction over binary media payloads
-    (decode stubbed deterministically — no media libs in the container;
-    the mapInPandas plumbing, schema and batching are the real path).
-    The raw ARRAY<FLOAT> is projected to portable scalar digests
-    (dim / quantized norm / md5) — array columns don't hash portably."""
-    from vector_database_in_rust_spark.operators.multimodal import (
-        attach_binary_payload,
-        extract_features,
-        feature_digests,
-    )
-
-    return feature_digests(
-        extract_features(attach_binary_payload(_docs(spark, sf_dir)))
-    )
+# (multimodal_features — the stub-decode feature lane — was RETIRED
+# from the registry in round 10, r9 verdict item 7: its oracle
+# replicated the stub's own sha256 formula, so the green row attested
+# pipeline shape, not decoding. The real-decode lanes media_decode_* /
+# media_resize_real / media_frames_real carry the ★ evidence; the
+# extract_features operator itself stays pytest-covered as the
+# documented library plug slot.)
 
 
 _EMBED_DOCS_ORACLE = f"""
@@ -2619,79 +2593,14 @@ def pipeline_chunk_embed_search_q(spark, sf_dir):
     )
 
 
-_RESIZE_W = _RESIZE_H = 8  # 64 output bytes -> 128 hex chars
-
-_MEDIA_RESIZE_ORACLE = f"""
-SELECT doc_id AS media_id,
-       cast({_RESIZE_W} AS INT) AS out_w, cast({_RESIZE_H} AS INT) AS out_h,
-       cast({_RESIZE_W * _RESIZE_H} AS BIGINT) AS n_bytes,
-       md5(substr(repeat(sha256(text), {_RESIZE_W * _RESIZE_H // 32 + 1}), 1,
-                  {2 * _RESIZE_W * _RESIZE_H})) AS resized_md5
-FROM documents
-"""
-
-
-@register("media_resize", _MEDIA_RESIZE_ORACLE)
-def media_resize_q(spark, sf_dir):
-    """Stub image resize (BINARY in -> exactly w*h BINARY out through
-    Arrow batches; real slot = PIL). Output bytes are pinned via md5 of
-    their hex encoding — the sha256-stretch derivation is hex-string
-    arithmetic DuckDB reproduces exactly."""
-    from vector_database_in_rust_spark.operators.multimodal import (
-        attach_binary_payload,
-        resize_media,
-    )
-
-    out = resize_media(
-        attach_binary_payload(_docs(spark, sf_dir)),
-        width=_RESIZE_W,
-        height=_RESIZE_H,
-    )
-    return out.select(
-        "media_id",
-        "out_w",
-        "out_h",
-        F.octet_length("content").cast("long").alias("n_bytes"),
-        F.md5(F.lower(F.hex("content"))).alias("resized_md5"),
-    )
-
-
-_MEDIA_FRAMES_ORACLE = """
-WITH f AS (
-  SELECT doc_id AS media_id, text, length(text) // 64 AS n_frames
-  FROM documents
-),
-e AS (
-  SELECT media_id, text,
-         unnest(generate_series(0, cast(n_frames AS BIGINT) - 1, 4)) AS i
-  FROM f
-)
-SELECT media_id, cast(i AS INT) AS frame_idx,
-       cast(64 AS BIGINT) AS n_frame_bytes,
-       md5(substr(text, i * 64 + 1, 64)) AS frame_md5
-FROM e
-"""
-
-
-@register("media_frames", _MEDIA_FRAMES_ORACLE)
-def media_frames_q(spark, sf_dir):
-    """Stub video frame sampling: every 4th full 64-byte frame of the
-    payload, exploded executor-side in mapInPandas (real slot =
-    pyav/ffmpeg keyframes). Frame bytes pinned by md5 — the fixture
-    payload is ASCII text, so DuckDB's char-based substr md5 is
-    byte-identical."""
-    from vector_database_in_rust_spark.operators.multimodal import (
-        attach_binary_payload,
-        frame_sample,
-    )
-
-    out = frame_sample(attach_binary_payload(_docs(spark, sf_dir)), every_n=4)
-    return out.select(
-        "media_id",
-        "frame_idx",
-        F.octet_length("frame").cast("long").alias("n_frame_bytes"),
-        F.md5("frame").alias("frame_md5"),
-    )
+# (media_resize / media_frames — the stub-decode resize and
+# frame-sampling lanes — were RETIRED from the registry in round 10,
+# r9 verdict item 7: their oracles replicated the stub transform's own
+# byte arithmetic, verifying Arrow plumbing rather than real
+# computation, and real-decode twins (media_resize_real,
+# media_frames_real/_mjpeg/_mpeg1) already hold hash-checked driver
+# rows. The resize_media / frame_sample operators stay pytest-covered
+# as the documented library plug slots.)
 
 
 # ---------------------------------------------------------------------------
@@ -8011,4 +7920,70 @@ _ROUND9_WINDOW = [
 ]
 
 
-_rotate_registry(_ROUND9_WINDOW)
+_ROUND10_WINDOW = [
+    # --- 1 never-verified: the round-10 clique-mode winnowing verdict
+    #     (the contract fix for the measured 5M-doc winnow_pairs pair-
+    #     materialization DNF) takes the front slot; its rows-only twin
+    #     dedup_winnow_clusters is covered by the ★ hash, like
+    #     dedup_simhash_clusters before it. ---
+    "winnow_clusters_verdict",
+    # --- 49 re-verification slots, least-recently-verified first
+    #     (scripts/compose_window.py output; the r06 cohort is the
+    #     stalest evidence in the registry, topped up with the oldest
+    #     r07 rows). The three stub media lanes (multimodal_features,
+    #     media_resize, media_frames) left the registry this round —
+    #     r9 verdict item 7 — so they no longer hold slots anywhere.
+    #     Max staleness after a green r10: r07 (3 rounds). ---
+    "docs_chi2_independence",  # last green r06
+    "events_bootstrap_ci",  # last green r06
+    "events_transitions",  # last green r06
+    "fuzzy_name_pairs",  # last green r06
+    "eval_rank_metrics",  # last green r06
+    "pipeline_pretrain_corpus",  # last green r06
+    "gram_matrix",  # last green r06
+    "media_quarantine",  # last green r06
+    "tpch_q9_product_profit",  # last green r06
+    "tpch_q16_supplier_counts",  # last green r06
+    "tpch_q19_discounted_revenue",  # last green r06
+    "tpch_q20_promotion_suppliers",  # last green r06
+    "cooccurrence_pmi",  # last green r06
+    "quality_logistic",  # last green r06
+    "diversity_sample",  # last green r06
+    "media_frames_real",  # last green r06
+    "media_decode_mulaw",  # last green r06
+    "media_frames_mjpeg",  # last green r06
+    "media_decode_adpcm",  # last green r06
+    "media_frames_mpeg1",  # last green r06
+    "dsir_select",  # last green r06
+    "tokenize_bpe",  # last green r06
+    "heavy_hitters_verdict",  # last green r06
+    "dedup_triangles",  # last green r06
+    "events_scd2",  # last green r06
+    "events_scd2_merge",  # last green r06
+    "dq_report",  # last green r06
+    "events_unpivot",  # last green r06
+    "events_daily_full_join",  # last green r06
+    "search_maxsim",  # last green r06
+    "length_buckets_approx",  # last green r06
+    "hll_merge_verdict",  # last green r06
+    "events_cube",  # last green r06
+    "events_funnel",  # last green r06
+    "events_retention",  # last green r06
+    "events_zorder",  # last green r06
+    "weighted_sample",  # last green r06
+    "split_leakage_safe",  # last green r06
+    "ann_search_filtered",  # last green r06
+    "stream_interval_join",  # last green r06
+    "source_cap",  # last green r06
+    "dedup_segments",  # last green r06
+    "winnow_fingerprint",  # last green r06
+    "winnow_pairs",  # last green r06
+    "hard_negatives",  # last green r06
+    "scan_embeddings",  # last green r07
+    "count_vectors",  # last green r07
+    "fetch_by_id",  # last green r07
+    "validate_dims",  # last green r07
+]
+
+
+_rotate_registry(_ROUND10_WINDOW)
