@@ -22,6 +22,8 @@ import os
 import sys
 import time
 
+from pyspark.sql import functions as F
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
@@ -74,7 +76,16 @@ def _complete(path: str) -> bool:
 
 
 def main() -> None:
-    spark = get_spark(app_name="scaling-study")
+    # Corpus-scaled shuffle partitions (round 10, NOTES_r9 next-step 1):
+    # the r9 ngram@5M abort was a per-task hash build at FIXED 32
+    # partitions — per-task state scales with corpus/partitions, so the
+    # 5M-doc lanes run with more, smaller tasks. Env-pinned per
+    # invocation so each lane's setting is explicit in its log.
+    shuffle = os.environ.get("SCALING_SHUFFLE_PARTITIONS")
+    spark = get_spark(
+        app_name="scaling-study",
+        shuffle_partitions=int(shuffle) if shuffle else None,
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     from vector_database_in_rust_spark.operators import dedup, knn
@@ -211,16 +222,34 @@ def main() -> None:
                 HierarchicalIVF,
             )
 
+            # same high-d rule as the flat index: the level-1 fit has
+            # the identical collapse mechanism, so >128-d studies take
+            # the reduced-geometry production default (round 10)
+            hier_kw = dict(seed=42) if DIM <= 128 else dict(seed=42, coarse_dim=64)
             hier = {}
             rec(
                 "hier_build",
                 n,
                 lambda: hier.setdefault(
-                    "i", HierarchicalIVF.build(emb, seed=42)
+                    "i", HierarchicalIVF.build(emb, **hier_kw)
                 ),
             )
+            if "i" in hier:
+                hocc = (
+                    hier["i"].assignments.groupBy("cell_id")
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .agg(F.count(F.lit(1)).alias("cells"),
+                         F.max("n").alias("max"), F.sum("n").alias("rows"))
+                    .first()
+                )
+                print(
+                    f"  hier occupancy n={n}: cells={hocc['cells']} "
+                    f"max={hocc['max']} max_share="
+                    f"{hocc['max'] / max(hocc['rows'], 1):.4f}",
+                    file=sys.stderr,
+                )
             if want("hier_search"):
-                hier.setdefault("i", HierarchicalIVF.build(emb, seed=42))
+                hier.setdefault("i", HierarchicalIVF.build(emb, **hier_kw))
                 rec(
                     "hier_search",
                     n,
@@ -267,9 +296,9 @@ def main() -> None:
 
     DOC_OPS = (
         "dedup_exact minhash_lsh simhash_pairs simhash_clusters "
-        "quality_score ngram_jaccard winnow_pairs dup_span_stats "
-        "corpus_shuffle bm25_top10 pack_sequences dsir_select "
-        "curate_corpus cc_star"
+        "quality_score ngram_jaccard winnow_pairs winnow_clusters "
+        "dup_span_stats corpus_shuffle bm25_top10 pack_sequences "
+        "dsir_select curate_corpus cc_star"
     ).split()
 
     for n in DOC_SIZES if any(want(o) for o in DOC_OPS) else []:
@@ -312,7 +341,16 @@ def main() -> None:
         rec(
             "winnow_pairs",
             n,
-            lambda: _sink(dedup.winnow_pairs(docs)),
+            lambda: _sink(dedup.winnow_pairs(docs, known_count=n)),
+        )
+        # clique mode (round 10): output-linear winnowing clusters —
+        # measurable at corpus sizes where the pair aggregation's
+        # candidate mass (~1e10 pairs at 5M docs) exceeds single-box
+        # shuffle scratch
+        rec(
+            "winnow_clusters",
+            n,
+            lambda: _sink(dedup.winnow_clusters(docs, known_count=n)),
         )
         rec(
             "dup_span_stats",

@@ -286,6 +286,37 @@ def test_coarse_dim_validation(hd_emb):
         IVFIndex.build(hd_emb, num_cells=4, coarse_dim=DIM)
 
 
+def test_partial_probe_recall_at_reference_dim(spark):
+    """The reference's own dimension (readme.md:9: all-MiniLM-L6-v2,
+    384-d): planted clusters at 384-d, reduced-geometry build, and a
+    4/16 partial probe must stay high-recall — the pytest anchor for
+    the measured ladder in scripts/recall_ladder_384.py (round 10,
+    verdict item 4)."""
+    rng = np.random.default_rng(11)
+    dim, n, n_clusters = 384, 1500, 15
+    centers = rng.standard_normal((n_clusters, dim)) * 4.0
+    labels = rng.integers(0, n_clusters, size=n)
+    x = centers[labels] + rng.standard_normal((n, dim))
+    emb = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "vec_id": np.arange(n, dtype=np.int64),
+                "embedding": list(x.astype(np.float32)),
+            }
+        ),
+        "vec_id BIGINT, embedding ARRAY<FLOAT>",
+    ).cache()
+    emb.count()
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_embedding"),
+    )
+    idx = IVFIndex.build(emb, num_cells=16, seed=42, coarse_dim=48)
+    exact = knn_batch(emb, queries, K)
+    assert _recall(exact, idx.search_batch(queries, K, nprobe=4)) >= 0.9
+    assert _recall(exact, idx.search_batch(queries, K, nprobe=16)) == 1.0
+
+
 # --- HierarchicalIVF coarse_dim (round 10): the level-1 fit has the
 # identical high-d collapse mechanism the flat index fixed in round 9 —
 # these tests pin the same contract for the two-level quantizer. ---

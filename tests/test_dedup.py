@@ -34,6 +34,67 @@ def test_minhash_lsh_recall_and_precision(spark, docs):
         assert len(approx & exact) / len(exact) >= 0.8
 
 
+def test_minhash_clusters_refines_pair_closure(spark, docs):
+    """Clique-mode MinHash (round 10): full corpus partition; every
+    verified-star-edge cluster sits INSIDE one pair-closure cluster
+    (star edges are a subset of the verified pair set); docs the pair
+    route leaves unpaired are singletons; sf-smoke coverage is 1.0
+    (every pair-clustered doc stays clustered)."""
+    clusters = {
+        r["doc_id"]: (r["cluster_id"], r["cluster_size"])
+        for r in dedup.minhash_clusters(docs, threshold=THRESH).collect()
+    }
+    assert len(clusters) == docs.count()
+    pair_cc = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.dedup_clusters(
+            dedup.minhash_lsh_pairs(docs, threshold=THRESH)
+        ).collect()
+    }
+    # containment: one pair label per clique cluster
+    label_of_clique: dict = {}
+    for d, (cl, size) in clusters.items():
+        if d in pair_cc:
+            label_of_clique.setdefault(cl, set()).add(pair_cc[d])
+        else:
+            assert size == 1, f"unpaired doc {d} clustered (size {size})"
+    assert all(len(s) == 1 for s in label_of_clique.values())
+    # coverage on this corpus: every pair-clustered doc stays clustered
+    for d in pair_cc:
+        assert clusters[d][1] > 1
+    # partition invariants
+    by_cluster: dict = {}
+    for d, (cl, size) in clusters.items():
+        by_cluster.setdefault(cl, []).append((d, size))
+    for cl, members in by_cluster.items():
+        assert cl == min(d for d, _ in members)
+        assert {s for _, s in members} == {len(members)}
+
+
+def test_minhash_clusters_verdict_green(spark, docs):
+    row = dedup.minhash_clusters_verdict(docs, threshold=THRESH).first()
+    assert row["n_docs"] == docs.count()
+    assert row["one_cluster_per_doc"]
+    assert row["labels_are_min_member"]
+    assert row["sizes_consistent"]
+    assert row["refines_pair_closure"]
+    assert row["coverage_ok"]
+
+
+def test_minhash_clusters_no_dups_all_singletons(spark):
+    """A corpus with no near-dups (and hence no verified edges) must
+    come back as all singleton clusters — the empty-edge path through
+    the star CC."""
+    rows = [
+        (i, " ".join(f"u{i}_{j}" for j in range(30))) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    out = dedup.minhash_clusters(df, threshold=0.5).collect()
+    assert len(out) == 40
+    assert all(r["cluster_id"] == r["doc_id"] and r["cluster_size"] == 1
+               for r in out)
+
+
 def test_shingle_impls_identical(spark, docs):
     """The Arrow-batched shingler and the Catalyst expression must emit
     the SAME (doc_id, shingle) set — the exact dedup oracle rests on it."""

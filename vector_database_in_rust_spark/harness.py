@@ -4884,6 +4884,48 @@ FROM documents
 """
 
 
+@register("dedup_minhash_clusters")  # hash-seeded signatures -> rows-only
+def dedup_minhash_clusters_q(spark, sf_dir):
+    """Clique-mode MinHash dedup (round 10): star edges per band
+    bucket (b-1 per bucket, never b(b-1)/2), exact-Jaccard
+    verification of the LINEAR edge set only, CC, full-corpus
+    partition. The contract answer to the pair route's measured
+    exp ~1.1 candidate-pair verification mass.
+    ★ twin: minhash_clusters_verdict."""
+    from vector_database_in_rust_spark.operators.dedup import minhash_clusters
+
+    return minhash_clusters(_docs(spark, sf_dir))
+
+
+_MINHASH_CLUSTERS_VERDICT_ORACLE = """
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       TRUE AS one_cluster_per_doc,
+       TRUE AS labels_are_min_member,
+       TRUE AS sizes_consistent,
+       TRUE AS refines_pair_closure,
+       TRUE AS coverage_ok
+FROM documents
+"""
+
+
+@register("minhash_clusters_verdict", _MINHASH_CLUSTERS_VERDICT_ORACLE)
+def minhash_clusters_verdict_q(spark, sf_dir):
+    """Driver-verifiable verdict for the clique-mode MinHash lane
+    (round 10): full-partition invariants, CONTAINMENT in the
+    independently computed pair-closure (verified star edges are a
+    subset of the verified pair set, so every clique cluster must sit
+    inside one dedup_clusters(minhash_lsh_pairs) cluster), and a
+    star-edge recall floor (>= 80% of pair-clustered docs stay
+    clustered; measured 1.0 at driver scale). A broken bucket
+    contraction, verification asymmetry, or recall collapse flips a
+    boolean and the driver hash."""
+    from vector_database_in_rust_spark.operators.dedup import (
+        minhash_clusters_verdict,
+    )
+
+    return minhash_clusters_verdict(_docs(spark, sf_dir))
+
+
 @register("simhash_clusters_verdict", _SIMHASH_CLUSTERS_VERDICT_ORACLE)
 def simhash_clusters_verdict_q(spark, sf_dir):
     """Driver-verifiable verdict for the clique-mode SimHash lane
@@ -7921,12 +7963,15 @@ _ROUND9_WINDOW = [
 
 
 _ROUND10_WINDOW = [
-    # --- 1 never-verified: the round-10 clique-mode winnowing verdict
+    # --- 2 never-verified: the round-10 clique-mode winnowing verdict
     #     (the contract fix for the measured 5M-doc winnow_pairs pair-
-    #     materialization DNF) takes the front slot; its rows-only twin
-    #     dedup_winnow_clusters is covered by the ★ hash, like
-    #     dedup_simhash_clusters before it. ---
+    #     materialization DNF) and the clique-mode MinHash verdict
+    #     (linear star-edge verification vs the pair route's measured
+    #     exp ~1.1 candidate mass) take the front slots; their
+    #     rows-only twins are covered by the ★ hashes, like
+    #     dedup_simhash_clusters before them. ---
     "winnow_clusters_verdict",
+    "minhash_clusters_verdict",
     # --- 49 re-verification slots, least-recently-verified first
     #     (scripts/compose_window.py output; the r06 cohort is the
     #     stalest evidence in the registry, topped up with the oldest
@@ -7982,7 +8027,9 @@ _ROUND10_WINDOW = [
     "scan_embeddings",  # last green r07
     "count_vectors",  # last green r07
     "fetch_by_id",  # last green r07
-    "validate_dims",  # last green r07
+    # (validate_dims, also last green r07, yielded its refill slot to
+    #  minhash_clusters_verdict — it stays exactly as stale as the
+    #  other left-out r07 rows, within the 3-round bound)
 ]
 
 

@@ -742,6 +742,236 @@ def minhash_lsh_pairs(
     return result
 
 
+def minhash_clusters(
+    docs: DataFrame,
+    *,
+    threshold: float = 0.5,
+    n: int = 3,
+    num_perm: int = 64,
+    num_bands: int = 16,
+    seed: int = 42,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_shingle_freq: int | None = DEFAULT_MAX_SHINGLE_FREQ,
+    max_band_bucket: int | None = 500,
+    max_iterations: int = 30,
+) -> DataFrame:
+    """MinHash near-dup CLUSTERS with LINEAR exact-verification cost —
+    the clique-contract answer to the measured exp ~1.1 of
+    ``minhash_lsh_pairs`` on zipf vocabulary (round 10, verdict item
+    5). The pair route's superlinear term is candidate-PAIR mass
+    (Σ bucket² within the cap) flowing through the exact-Jaccard
+    verification join; dedup consumers (``dedup_apply``, cluster
+    stats) need cluster structure, not the pair list. This operator:
+
+    1. same shingle index, hot-shingle cut, signatures, banding and
+       bucket cap as ``minhash_lsh_pairs`` (identical candidate
+       universe by construction);
+    2. STAR edges per band bucket — (bucket-min doc, member) — so a
+       b-doc bucket contributes b−1 edges, never b(b−1)/2 pairs:
+       ≤ n_docs · num_bands edges corpus-wide, LINEAR;
+    3. exact-Jaccard verification of the star edges only (the same
+       ``_verify_candidate_pairs`` expansion the pair route uses —
+       but over a linear edge set);
+    4. connected components over the VERIFIED edges
+       (``dedup_clusters_star``), lifted to a full corpus partition
+       (docs with no verified edge are singletons).
+
+    Contract (documented trade vs the pair route): every merge is
+    witnessed by an exact J >= ``threshold`` pair, so clusters are
+    the closure of a verified SUBGRAPH of the candidate graph —
+    precision class identical to ``dedup_clusters(minhash_lsh_pairs)``
+    (that closure also chains pairwise witnesses), and every cluster
+    here is CONTAINED in one pair-closure cluster (verified star
+    edges are a subset of the verified pair set). Recall is bounded
+    by star-edge coverage: a bucket member whose Jaccard with the
+    bucket-min doc is under threshold loses that witness even if it
+    clears threshold with another member; near-dup groups share their
+    signatures (that is what put them in one bucket), so planted-dup
+    recall holds — measured and hash-checked by
+    ``minhash_clusters_verdict``'s containment + coverage booleans.
+
+    Returns (doc_id, cluster_id, cluster_size); eager like
+    ``minhash_lsh_pairs`` (caches released before return)."""
+    rows_per_band = num_perm // num_bands
+    sh = _shingle_index(docs, id_col, text_col, n)
+    n_docs = docs.count()
+    if max_shingle_freq is not None and n_docs > max_shingle_freq:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_f"))
+            .filter(F.col("_f") > max_shingle_freq)
+            .select("shingle")
+        )
+        sh = sh.join(hot, "shingle", "left_anti")
+    sh = sh.persist()
+    h32 = F.xxhash64("shingle").bitwiseAND(F.lit((1 << 32) - 1))
+    params = minhash_permutation_params(num_perm, seed)
+    sigs = (
+        sh.select("doc_id", h32.alias("h"))
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.min(
+                    (F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_PRIME)
+                ).alias(f"s{i}")
+                for i, (a, b) in enumerate(params)
+            ]
+        )
+    )
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.xxhash64(
+                    *[F.col(f"s{b * rows_per_band + r}") for r in range(rows_per_band)]
+                ).alias("band_hash"),
+            )
+            for b in range(num_bands)
+        ]
+    )
+    banded = sigs.select("doc_id", F.explode(bands).alias("band")).select(
+        "doc_id", F.col("band.band_id").alias("band_id"),
+        F.col("band.band_hash").alias("band_hash"),
+    )
+    w_bucket = Window.partitionBy("band_id", "band_hash")
+    if max_band_bucket is not None and n_docs > max_band_bucket:
+        banded = (
+            banded.withColumn("_bn", F.count(F.lit(1)).over(w_bucket))
+            .filter(F.col("_bn") <= max_band_bucket)
+            .drop("_bn")
+        )
+    # Star contraction per bucket: the min window rides the same
+    # (band_id, band_hash) exchange the bucket cap used — and the one
+    # the pair route's self-join would have needed.
+    edges = (
+        banded.withColumn("_m", F.min("doc_id").over(w_bucket))
+        .where(F.col("doc_id") != F.col("_m"))
+        .select(F.col("_m").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+        .distinct()
+    )
+    verified = _verify_candidate_pairs(
+        sh, edges, threshold, corpus_rows=n_docs
+    )
+    labels = dedup_clusters_star(
+        verified.select("doc_a", "doc_b"), max_iterations=max_iterations
+    )
+    member = (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(labels.withColumnRenamed("cluster_id", "_root"), "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce(F.col("_root"), F.col("doc_id")).alias("_root")
+        )
+    )
+    w_root = Window.partitionBy("_root")
+    result = member.select(
+        "doc_id",
+        F.min("doc_id").over(w_root).alias("cluster_id"),
+        F.count(F.lit(1)).over(w_root).alias("cluster_size"),
+    ).localCheckpoint(eager=True)
+    sh.unpersist()
+    return result
+
+
+def minhash_clusters_verdict(
+    docs: DataFrame,
+    *,
+    threshold: float = 0.5,
+    min_coverage: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Single-row driver-hash-verifiable verdict for the clique-mode
+    MinHash lane (round 10): hash-seeded signatures are not portable
+    SQL, so the oracle predicts the corpus count and the distributed
+    re-checks binarize the rest:
+
+    - ``n_docs``: one row per corpus document (a full partition);
+    - ``one_cluster_per_doc`` / ``labels_are_min_member`` /
+      ``sizes_consistent``: the standard partition invariants;
+    - ``refines_pair_closure``: every cluster is CONTAINED in one
+      ``dedup_clusters(minhash_lsh_pairs(...))`` cluster — verified
+      star edges are a subset of the verified pair set, so a clique
+      cluster spanning two pair-closure clusters (or a paired doc
+      left clustered while its pair label is missing) means a broken
+      contraction or verification asymmetry;
+    - ``coverage_ok``: among docs the PAIR route clusters
+      (non-singleton), at least ``min_coverage`` are non-singleton
+      here — the star-edge recall floor, measured 1.0 at driver scale
+      (bucket-mates of a near-dup group verify against the bucket-min
+      doc)."""
+    clusters = minhash_clusters(
+        docs, threshold=threshold, id_col=id_col, text_col=text_col
+    )
+    pair_cc = dedup_clusters(
+        minhash_lsh_pairs(
+            docs, threshold=threshold, id_col=id_col, text_col=text_col
+        )
+    )
+    agg = clusters.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        (F.count(F.lit(1)) == F.count_distinct("doc_id")).alias(
+            "one_cluster_per_doc"
+        ),
+    )
+    per_cluster = clusters.groupBy("cluster_id").agg(
+        F.min("doc_id").alias("_min_id"),
+        F.count(F.lit(1)).alias("_n"),
+        F.min("cluster_size").alias("_smin"),
+        F.max("cluster_size").alias("_smax"),
+    )
+    label_ok = per_cluster.agg(
+        F.min(F.col("_min_id") == F.col("cluster_id")).alias(
+            "labels_are_min_member"
+        ),
+        F.min(
+            (F.col("_smin") == F.col("_smax")) & (F.col("_smin") == F.col("_n"))
+        ).alias("sizes_consistent"),
+    )
+    joined = clusters.join(
+        pair_cc.withColumnRenamed("cluster_id", "_pair_label"),
+        "doc_id",
+        "left",
+    ).localCheckpoint(eager=False)
+    # containment: within each clique cluster, every member that the
+    # pair route labels must carry ONE common pair label, and members
+    # with no pair label must be singletons here
+    per_clique = joined.groupBy("cluster_id").agg(
+        F.count_distinct("_pair_label").alias("_n_pair_labels"),
+        F.max(
+            F.when(F.col("_pair_label").isNull(), F.col("cluster_size"))
+        ).alias("_unpaired_size"),
+    )
+    contain_ok = per_clique.agg(
+        F.min(
+            (F.col("_n_pair_labels") <= 1)
+            & (
+                F.col("_unpaired_size").isNull()
+                | (F.col("_unpaired_size") == 1)
+            )
+        ).alias("refines_pair_closure")
+    )
+    coverage = joined.filter(F.col("_pair_label").isNotNull()).agg(
+        (
+            F.count(F.when(F.col("cluster_size") > 1, 1))
+            >= F.lit(float(min_coverage)) * F.count(F.lit(1))
+        ).alias("coverage_ok")
+    )
+    return (
+        agg.join(F.broadcast(label_ok))
+        .join(F.broadcast(contain_ok))
+        .join(F.broadcast(coverage))
+        .select(
+            "n_docs",
+            "one_cluster_per_doc",
+            "labels_are_min_member",
+            "sizes_consistent",
+            "refines_pair_closure",
+            "coverage_ok",
+        )
+    )
+
+
 def simhash_fingerprints(
     docs: DataFrame,
     *,
