@@ -7408,11 +7408,11 @@ def winnow_clusters_verdict_q(spark, sf_dir):
     labels are each cluster's minimum member, sizes are consistent,
     and the partition EQUALS the transitive closure of the pair-mode
     min_shared=1 graph — re-derived independently via
-    dedup_clusters(winnow_pairs(min_shared=1)), a different CC
-    implementation (message passing vs large/small star), label for
-    label, with non-paired docs pinned as singletons. A broken star
-    contraction or a guard asymmetry between the two routes flips a
-    boolean and the driver hash."""
+    dedup_clusters_star(winnow_pairs(min_shared=1)), a different CC
+    implementation (large/small star vs the clique route's frontier
+    propagation), label for label, with non-paired docs pinned as
+    singletons. A broken star contraction or a guard asymmetry
+    between the two routes flips a boolean and the driver hash."""
     from vector_database_in_rust_spark.operators.dedup import (
         winnow_clusters_verdict,
     )

@@ -3209,9 +3209,18 @@ def winnow_clusters(
        fp-min window rides the same fp_hash exchange the pair route's
        self-join needs. Doc-graph components are preserved: two docs
        sharing fp f are both adjacent to f's min doc;
-    3. connected components over those edges
-       (``dedup_clusters_star``'s O(log n) large-star/small-star
-       rounds, diameter-independent);
+    3. connected components over those edges via FRONTIER label
+       propagation (``dedup_clusters``): the star contraction makes
+       every component dense and shallow — each bucket member is one
+       hop from its bucket min — which is exactly the regime the
+       frontier algorithm converges fastest in (O(component diameter)
+       rounds, per-round cost collapsing with the frontier). The
+       measured alternative was not close: large-star/small-star CC
+       (``dedup_clusters_star``) rewrites the FULL edge list with ~6
+       shuffles plus two exceptAll convergence joins per round, and
+       clocked 577 s at 50k zipf docs on this graph where the whole
+       pair route runs in 17 s (round-10 campaign, before/after in
+       SCALE.md);
     4. one left join lifting EVERY corpus document to its component —
        docs with no retained shared fingerprint (including docs too
        short to fingerprint) become singleton clusters, so the output
@@ -3247,7 +3256,7 @@ def winnow_clusters(
         .select(F.col("_m").alias("doc_a"), F.col("doc_id").alias("doc_b"))
         .distinct()
     )
-    labels = dedup_clusters_star(edges, max_iterations=max_iterations)
+    labels = dedup_clusters(edges, max_iterations=max_iterations)
     member = (
         docs.select(F.col(id_col).alias("doc_id"))
         .join(labels.withColumnRenamed("cluster_id", "_root"), "doc_id", "left")
@@ -3288,12 +3297,12 @@ def winnow_clusters_verdict(
     - ``matches_pair_closure``: the partition equals the transitive
       closure of the PAIR-mode graph at min_shared=1 — computed
       independently at driver scale via
-      ``dedup_clusters(winnow_pairs(min_shared=1))`` (the
-      message-passing CC, not the star CC the clique route uses) —
-      label for label, and every doc absent from the pair graph is a
-      singleton here. A broken star contraction, a lost singleton, or
-      a guard asymmetry between the two routes flips the boolean and
-      the driver hash."""
+      ``dedup_clusters_star(winnow_pairs(min_shared=1))`` (the
+      large/small-star CC, not the frontier propagation the clique
+      route uses) — label for label, and every doc absent from the
+      pair graph is a singleton here. A broken star contraction, a
+      lost singleton, or a guard asymmetry between the two routes
+      flips the boolean and the driver hash."""
     clusters = winnow_clusters(
         docs,
         k=k,
@@ -3303,7 +3312,7 @@ def winnow_clusters_verdict(
         id_col=id_col,
         text_col=text_col,
     ).localCheckpoint(eager=False)
-    pair_cc = dedup_clusters(
+    pair_cc = dedup_clusters_star(
         winnow_pairs(
             docs,
             k=k,
