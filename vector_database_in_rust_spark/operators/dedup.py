@@ -352,6 +352,15 @@ def ngram_jaccard_pairs(
     eagerly materializing its (small) result. At production scale,
     write the index to Parquet once and reuse it across
     thresholds/runs.
+
+    Single-node scale limit (measured, round 10): at 5M zipf docs the
+    candidate-VERIFICATION spill alone exceeds ~68 GB of scratch (the
+    r9 hash-build abort is fixed — the merge-pinned plan spills as
+    designed — but the exact pair contract's candidate mass is the
+    wall; trivially sharded on a cluster). When only cluster
+    structure is needed at that scale on one box, route to
+    ``minhash_clusters`` (linear star-edge verification) or
+    ``winnow_clusters``/``simhash_clusters``.
     """
     sh = _shingle_index(docs, id_col, text_col, n)
     # Routing size (round 10, advisor): never EXECUTE a derived plan
