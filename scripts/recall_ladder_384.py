@@ -124,9 +124,10 @@ def main() -> None:
              F.sum("n").alias("rows"))
         .first()
     )
+    # `or 0`: NULL aggregates on an empty assignments table
     print(f"hier IVF build (k1=k2={k1}, coarse_dim={COARSE}): "
           f"{time.time() - t0:.1f}s, cells={hocc['cells']}, "
-          f"max_share={hocc['max'] / max(hocc['rows'], 1):.5f}")
+          f"max_share={(hocc['max'] or 0) / max(hocc['rows'] or 0, 1):.5f}")
 
     print(f"\nrecall@{K} vs exact, {N_QUERIES} self-queries, n={n}, "
           f"dim={DIM}, planted clusters={N_CLUSTERS}, seed={SEED}\n")

@@ -242,10 +242,12 @@ def main() -> None:
                          F.max("n").alias("max"), F.sum("n").alias("rows"))
                     .first()
                 )
+                # `or 0`: on an empty assignments table both aggregates
+                # are NULL/None (the occupancy_stats NULL-aggregate trap)
                 print(
                     f"  hier occupancy n={n}: cells={hocc['cells']} "
                     f"max={hocc['max']} max_share="
-                    f"{hocc['max'] / max(hocc['rows'], 1):.4f}",
+                    f"{(hocc['max'] or 0) / max(hocc['rows'] or 0, 1):.4f}",
                     file=sys.stderr,
                 )
             if want("hier_search"):
@@ -313,7 +315,7 @@ def main() -> None:
         rec(
             "minhash_lsh",
             n,
-            lambda: _sink(dedup.minhash_lsh_pairs(docs)),
+            lambda: _sink(dedup.minhash_lsh_pairs(docs, known_count=n)),
         )
         rec(
             "simhash_pairs",
@@ -386,7 +388,7 @@ def main() -> None:
         # (minhash pairs re-derived here — eager, so the pair list is
         # computed before the clock starts on the CC rounds)
         if want("cc_star"):
-            pairs = dedup.minhash_lsh_pairs(docs)
+            pairs = dedup.minhash_lsh_pairs(docs, known_count=n)
             rec(
                 "cc_star",
                 n,

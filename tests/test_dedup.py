@@ -1252,3 +1252,177 @@ def test_scaled_side_three_band_policy(spark):
         "shuffle_hash"
         in unknown._jdf.queryExecution().logical().toString()
     )
+
+
+def test_dedup_clusters_nonconvergence_raises_under_contract(spark):
+    """Round-11 advisor (medium): the clique-contract operators promise
+    EXACT connected components, so their CC call must RAISE — not warn —
+    when labels are still changing at max_iterations. Both engines honor
+    on_nonconverge="raise"; a converged run is unaffected."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "doc_a BIGINT, doc_b BIGINT"
+    )
+    with pytest.raises(RuntimeError, match="did NOT converge"):
+        dedup.dedup_clusters(
+            pairs, max_iterations=2, on_nonconverge="raise"
+        ).collect()
+    with pytest.raises(RuntimeError, match="did NOT reach a fixpoint"):
+        dedup.dedup_clusters_star(
+            pairs, max_iterations=1, on_nonconverge="raise"
+        ).collect()
+    # converged runs return normally under the same flag
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.dedup_clusters(
+            pairs, max_iterations=20, on_nonconverge="raise"
+        ).collect()
+    }
+    assert got == {i: 0 for i in range(13)}
+    with pytest.raises(ValueError, match="on_nonconverge"):
+        dedup.dedup_clusters(pairs, on_nonconverge="explode")
+
+
+def test_count_router_node_tokens_not_fooled_by_names(spark):
+    """Round-11 advisor: _count_is_scan_cheap matches node NAMES at line
+    start — an attribute literally aliased "Union" (printed `Union#12`
+    inside the Project's expression list) must not misroute a genuinely
+    cheap scan, while a real Union/aggregate node still classifies
+    derived. Cached inputs (InMemoryRelation) classify derived too: an
+    unmaterialized cache makes count() compute the whole upstream."""
+    rows = [(i, f"tok{i} a b c") for i in range(10)]
+    base = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    named = base.select(
+        F.col("doc_id").alias("Union"), F.col("text").alias("Distinct")
+    )
+    assert dedup._count_is_scan_cheap(named)
+    assert not dedup._count_is_scan_cheap(base.union(base))
+    assert not dedup._count_is_scan_cheap(base.distinct())
+    cached = base.select("doc_id", "text").persist()
+    try:
+        assert not dedup._count_is_scan_cheap(cached)
+    finally:
+        cached.unpersist()
+
+
+def test_minhash_router_never_executes_derived_plans(spark):
+    """Round-11 advisor: minhash_lsh_pairs / minhash_clusters take
+    known_count and, without it, follow the ngram router discipline —
+    zero count() calls on a DERIVED plan (the defensive guards they
+    then enable are provably output-identical no-ops at this scale)."""
+    rows = [(i, f"tok{i % 10} a b c d e f g h i j k") for i in range(30)]
+    base = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    derived = base.groupBy("doc_id").agg(F.first("text").alias("text"))
+    called = {"n": 0}
+    orig = type(derived).count
+
+    def counting(self):
+        called["n"] += 1
+        return orig(self)
+
+    try:
+        type(derived).count = counting
+        pairs = dedup.minhash_lsh_pairs(derived).collect()
+        clusters = dedup.minhash_clusters(derived).collect()
+    finally:
+        type(derived).count = orig
+    assert called["n"] == 0
+    # defensive-arm output == known_count-arm output (guards are no-ops)
+    want_pairs = dedup.minhash_lsh_pairs(base, known_count=30).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in pairs} == {
+        (r["doc_a"], r["doc_b"]) for r in want_pairs
+    }
+    want_clusters = dedup.minhash_clusters(base, known_count=30).collect()
+    assert {(r["doc_id"], r["cluster_id"]) for r in clusters} == {
+        (r["doc_id"], r["cluster_id"]) for r in want_clusters
+    }
+
+
+def test_ngram_clusters_groups_planted_dups(spark):
+    """Planted near-dup groups collapse to one cluster each (canonical
+    min-id label, consistent sizes); unrelated docs stay singletons —
+    and every corpus doc gets exactly one row (full partition)."""
+    rows = []
+    for g in range(4):
+        base = " ".join(f"g{g}w{i}" for i in range(30))
+        rows.append((g * 10, base))
+        rows.append((g * 10 + 1, base + " extraA extraB"))
+        rows.append((g * 10 + 2, base.replace(f"g{g}w7", "mutated")))
+    for s in range(100, 112):
+        rows.append((s, " ".join(f"s{s}x{i}" for i in range(25))))
+    docs_df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    out = {
+        r["doc_id"]: (r["cluster_id"], r["cluster_size"])
+        for r in dedup.ngram_clusters(
+            docs_df, known_count=len(rows)
+        ).collect()
+    }
+    assert len(out) == len(rows)
+    for g in range(4):
+        assert out[g * 10] == (g * 10, 3)
+        assert out[g * 10 + 1] == (g * 10, 3)
+        assert out[g * 10 + 2] == (g * 10, 3)
+    for s in range(100, 112):
+        assert out[s] == (s, 1)
+
+
+def test_ngram_clusters_refine_pair_closure_on_corpus(spark, docs):
+    """On the real driver corpus: every clique cluster is CONTAINED in
+    one exact-pair-closure cluster (verified star edges are a subset of
+    the lossless pair set), and star-edge coverage is total at this
+    scale — every pair-clustered doc stays non-singleton."""
+    n = docs.count()
+    clusters = {
+        r["doc_id"]: (r["cluster_id"], r["cluster_size"])
+        for r in dedup.ngram_clusters(docs, known_count=n).collect()
+    }
+    pair_cc = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.dedup_clusters_star(
+            dedup.ngram_jaccard_pairs(docs, threshold=0.5, known_count=n)
+        ).collect()
+    }
+    assert len(clusters) == n
+    # containment: one pair label per clique cluster; unpaired docs
+    # must be singletons here
+    by_clique: dict[int, set] = {}
+    for d, (c, sz) in clusters.items():
+        if d in pair_cc:
+            by_clique.setdefault(c, set()).add(pair_cc[d])
+        else:
+            assert sz == 1, f"doc {d} clustered without a pair witness"
+    assert all(len(lbls) == 1 for lbls in by_clique.values())
+    # coverage at driver scale: 1.0 (the verdict floors it at 0.8)
+    uncovered = [d for d in pair_cc if clusters[d][1] == 1]
+    assert not uncovered, f"pair-clustered docs left singleton: {uncovered}"
+
+
+def test_ngram_clusters_verdict_all_green(spark, docs):
+    row = dedup.ngram_clusters_verdict(docs, known_count=docs.count()).first()
+    assert row["n_docs"] == docs.count()
+    assert row["one_cluster_per_doc"]
+    assert row["labels_are_min_member"]
+    assert row["sizes_consistent"]
+    assert row["refines_pair_closure"]
+    assert row["coverage_ok"]
+
+
+def test_ngram_clusters_star_cap_keeps_planted_recall(spark):
+    """The rarest-first star cap (R=16 default) is the linearity lever;
+    planted dup groups must survive an aggressively small cap too —
+    near-dups share their RAREST shingles first, so the witness edge
+    rides one of the R rarest buckets."""
+    rows = []
+    base = " ".join(f"w{i}" for i in range(60))
+    for d in range(6):
+        rows.append((d, base + f" tail{d}a tail{d}b"))
+    for s in range(50, 70):
+        rows.append((s, " ".join(f"s{s}x{i}" for i in range(30))))
+    docs_df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    out = {
+        r["doc_id"]: (r["cluster_id"], r["cluster_size"])
+        for r in dedup.ngram_clusters(
+            docs_df, known_count=len(rows), max_doc_star_shingles=4
+        ).collect()
+    }
+    assert all(out[d] == (0, 6) for d in range(6))
+    assert all(out[s] == (s, 1) for s in range(50, 70))

@@ -613,7 +613,11 @@ def dedup_minhash_lsh(spark, sf_dir):
     tests/test_dedup.py asserts recovery vs the exact Jaccard join."""
     from vector_database_in_rust_spark.operators.dedup import minhash_lsh_pairs
 
-    return minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.5)
+    return minhash_lsh_pairs(
+        _docs(spark, sf_dir),
+        threshold=0.5,
+        known_count=_docs_count(spark, sf_dir),
+    )
 
 
 @register("dedup_simhash")  # fingerprint hashing not portable -> rows-only
@@ -4833,7 +4837,9 @@ def dedup_minhash_verdict_q(spark, sf_dir):
 
     docs = _docs(spark, sf_dir)
     return pairs_recall_verdict(
-        minhash_lsh_pairs(docs, threshold=0.5),
+        minhash_lsh_pairs(
+            docs, threshold=0.5, known_count=_docs_count(spark, sf_dir)
+        ),
         _jaccard_pairs_cached(spark, sf_dir, threshold=0.5),
         min_recall=0.8,
     )
@@ -4894,7 +4900,9 @@ def dedup_minhash_clusters_q(spark, sf_dir):
     ★ twin: minhash_clusters_verdict."""
     from vector_database_in_rust_spark.operators.dedup import minhash_clusters
 
-    return minhash_clusters(_docs(spark, sf_dir))
+    return minhash_clusters(
+        _docs(spark, sf_dir), known_count=_docs_count(spark, sf_dir)
+    )
 
 
 _MINHASH_CLUSTERS_VERDICT_ORACLE = """
@@ -4923,7 +4931,57 @@ def minhash_clusters_verdict_q(spark, sf_dir):
         minhash_clusters_verdict,
     )
 
-    return minhash_clusters_verdict(_docs(spark, sf_dir))
+    return minhash_clusters_verdict(
+        _docs(spark, sf_dir), known_count=_docs_count(spark, sf_dir)
+    )
+
+
+@register("dedup_ngram_clusters")  # rarity-ranked star selection -> rows-only
+def dedup_ngram_clusters_q(spark, sf_dir):
+    """Clique-mode n-gram Jaccard dedup (round 11): per-doc rarest-first
+    star incidence (R globally rarest retained shingles), star edges
+    per shingle bucket (b-1, never b(b-1)/2), lossless length
+    prefilter, exact-Jaccard verification of the LINEAR edge set only,
+    frontier CC, full-corpus partition. The contract answer to the
+    exact pair route's measured 5M-doc DNF on candidate-verification
+    scratch (SCALE.md r10). ★ twin: ngram_clusters_verdict."""
+    from vector_database_in_rust_spark.operators.dedup import ngram_clusters
+
+    return ngram_clusters(
+        _docs(spark, sf_dir), known_count=_docs_count(spark, sf_dir)
+    )
+
+
+_NGRAM_CLUSTERS_VERDICT_ORACLE = """
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       TRUE AS one_cluster_per_doc,
+       TRUE AS labels_are_min_member,
+       TRUE AS sizes_consistent,
+       TRUE AS refines_pair_closure,
+       TRUE AS coverage_ok
+FROM documents
+"""
+
+
+@register("ngram_clusters_verdict", _NGRAM_CLUSTERS_VERDICT_ORACLE)
+def ngram_clusters_verdict_q(spark, sf_dir):
+    """Driver-verifiable verdict for the clique-mode n-gram Jaccard
+    lane (round 11, the minhash_clusters_verdict mold): full-partition
+    invariants, CONTAINMENT in the independently computed pair-closure
+    (the pair route is lossless-exact, so every verified star edge is
+    a pair there; the independent route runs on the OTHER CC engine —
+    dedup_clusters_star vs the clique route's frontier propagation),
+    and a star-edge recall floor (>= 80% of pair-clustered docs stay
+    clustered; measured 1.0 at driver scale). A broken bucket
+    contraction, verification asymmetry, or recall collapse flips a
+    boolean and the driver hash."""
+    from vector_database_in_rust_spark.operators.dedup import (
+        ngram_clusters_verdict,
+    )
+
+    return ngram_clusters_verdict(
+        _docs(spark, sf_dir), known_count=_docs_count(spark, sf_dir)
+    )
 
 
 @register("simhash_clusters_verdict", _SIMHASH_CLUSTERS_VERDICT_ORACLE)
@@ -8033,4 +8091,70 @@ _ROUND10_WINDOW = [
 ]
 
 
-_rotate_registry(_ROUND10_WINDOW)
+_ROUND11_WINDOW = [
+    # --- 1 never-verified: the round-11 clique-mode n-gram Jaccard
+    #     verdict (the contract fix for the last measured single-box
+    #     scale wall — exact pair verification DNF'd at 5M docs on
+    #     ~68 GB of candidate-verification scratch, SCALE.md r10)
+    #     takes the front slot; its rows-only twin
+    #     dedup_ngram_clusters is covered by the ★ hash, like the
+    #     minhash/winnow/simhash clique twins before it. ---
+    "ngram_clusters_verdict",
+    # --- 49 re-verification slots, least-recently-verified first
+    #     (scripts/compose_window.py output; the r07 cohort is the
+    #     stalest evidence in the registry, topped up with the two
+    #     oldest r08 rows). Max staleness after a green r11: r08
+    #     (3 rounds). ---
+    "validate_dims",  # last green r07
+    "knn_join_documents",  # last green r07
+    "token_count",  # last green r07
+    "lang_id",  # last green r07
+    "quality_score",  # last green r07
+    "doc_fingerprint",  # last green r07
+    "multimodal_join",  # last green r07
+    "events_hourly_rollup",  # last green r07
+    "events_salted_agg",  # last green r07
+    "events_anomalies",  # last green r07
+    "events_pivot",  # last green r07
+    "events_histogram",  # last green r07
+    "stream_hourly_rollup",  # last green r07
+    "stream_sessionize",  # last green r07
+    "events_json_stats",  # last green r07
+    "tpch_q1_pricing",  # last green r07
+    "top_customers_by_region",  # last green r07
+    "embedding_sq8",  # last green r07
+    "ann_multiprobe_verdict",  # last green r07
+    "knn_sq8",  # last green r07
+    "ann_rebalance_verdict",  # last green r07
+    "ann_pq_search",  # last green r07
+    "stream_ann_ingest",  # last green r07
+    "multimodal_join_bucketed",  # last green r07
+    "vectors_upsert",  # last green r07
+    "vectors_delete",  # last green r07
+    "curate_corpus",  # last green r07
+    "curate_with_repetition",  # last green r07
+    "sample_stratified",  # last green r07
+    "mix_corpus",  # last green r07
+    "vocab_top_tokens",  # last green r07
+    "shard_manifest",  # last green r07
+    "media_stats",  # last green r07
+    "range_search",  # last green r07
+    "knn_cosine",  # last green r07
+    "label_topk",  # last green r07
+    "label_centroids",  # last green r07
+    "sql_knn",  # last green r07
+    "sql_join_agg",  # last green r07
+    "parts_by_type",  # last green r07
+    "supplier_revenue",  # last green r07
+    "events_asof_join",  # last green r07
+    "events_percentiles",  # last green r07
+    "events_grouping_sets",  # last green r07
+    "order_status_setops",  # last green r07
+    "normalize_text",  # last green r07
+    "events_ks_test",  # last green r07
+    "l2_distance",  # last green r08
+    "cosine_similarity",  # last green r08
+]
+
+
+_rotate_registry(_ROUND11_WINDOW)

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import logging
 import os
+import re
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -259,12 +260,12 @@ PREFIX_AUTO_ROWS = 20_000
 # one-scan cost — the "metadata-cheap on parquet inputs" case the
 # router docstrings describe.
 _EXPENSIVE_PLAN_NODES = (
-    "Join ",
-    "Aggregate ",
-    "Window ",
-    "Sort ",
-    "Generate ",
-    "Expand ",
+    "Join",
+    "Aggregate",
+    "Window",
+    "Sort",
+    "Generate",
+    "Expand",
     "Union",
     "Distinct",
     "Deduplicate",
@@ -276,6 +277,22 @@ _EXPENSIVE_PLAN_NODES = (
     "Intersect",
     "Except",
     "GlobalLimit",
+    # A cached-but-unmaterialized InMemoryRelation makes count() compute
+    # the WHOLE underlying plan on first action — classify it derived
+    # (defensive route; both routes are exact, so this is perf-only).
+    "InMemoryRelation",
+)
+
+# Node names appear at the START of a treeString line, after the
+# tree-drawing prefix (":", "+", "-", "*", "(", digits for codegen ids,
+# and whitespace). Matching there — instead of bare substring
+# containment — keeps attribute/relation NAMES from colliding with node
+# tokens (round 11, advisor: a column literally named "Union" prints as
+# `Union#12` inside an expression list and would misroute a genuinely
+# cheap scan).
+_EXPENSIVE_NODE_RE = re.compile(
+    r"^[\s:+\-*()\d]*(?:" + "|".join(_EXPENSIVE_PLAN_NODES) + r")\b",
+    re.MULTILINE,
 )
 
 
@@ -287,7 +304,20 @@ def _count_is_scan_cheap(df: DataFrame) -> bool:
     (the derived-plan trap the r03 regression note and the r09/r10
     advisors flagged). Inspection only — never executes the plan."""
     tree = df._jdf.queryExecution().optimizedPlan().treeString()
-    return not any(marker in tree for marker in _EXPENSIVE_PLAN_NODES)
+    return _EXPENSIVE_NODE_RE.search(tree) is None
+
+
+def _router_count(docs: DataFrame, known_count: int | None) -> int | None:
+    """The shared sizing discipline for every corpus-count router
+    (round 11, advisor — one definition so the lanes can't drift):
+    ``known_count`` wins; a plan whose count() is one columnar scan is
+    counted; a DERIVED plan is never executed just to route it —
+    callers get ``None`` and take their documented defensive arm."""
+    if known_count is not None:
+        return known_count
+    if _count_is_scan_cheap(docs):
+        return docs.count()
+    return None
 
 
 def ngram_jaccard_pairs(
@@ -371,12 +401,7 @@ def ngram_jaccard_pairs(
     # driver scale is the insurance premium) and the defensive
     # mid-band join policy, instead of silently recomputing the
     # caller's upstream pipeline.
-    if known_count is not None:
-        n_docs: int | None = known_count
-    elif _count_is_scan_cheap(docs):
-        n_docs = docs.count()
-    else:
-        n_docs = None
+    n_docs = _router_count(docs, known_count)
     if method == "auto":
         method = (
             "full"
@@ -528,6 +553,263 @@ def _jaccard_prefix_filtered(
     return result
 
 
+def ngram_clusters(
+    docs: DataFrame,
+    *,
+    threshold: float = 0.5,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_shingle_freq: int | None = DEFAULT_MAX_SHINGLE_FREQ,
+    max_doc_star_shingles: int | None = 16,
+    known_count: int | None = None,
+    max_iterations: int = 30,
+) -> DataFrame:
+    """n-gram Jaccard near-dup CLUSTERS with LINEAR exact-verification
+    cost — the clique-contract twin of ``ngram_jaccard_pairs`` (round
+    11, verdict item 1), in the mold ``minhash_clusters`` (r10),
+    ``winnow_clusters`` (r10) and ``simhash_clusters`` (r9) proved out:
+    when candidate-PAIR mass is the measured wall (the exact pair
+    contract DNF'd at 5M zipf docs on ~68 GB of candidate-verification
+    scratch, SCALE.md r10 — cluster-trivial per node, single-box
+    fatal), change the output CONTRACT, not the constants. Dedup
+    consumers (``dedup_apply``, cluster stats) need cluster structure,
+    not the pair list.
+
+    1. shingle inverted index + the same ``max_shingle_freq`` document-
+       frequency cut as the pair route (identical retained-shingle
+       metric, so verified edges here are pairs THERE by construction);
+    2. per-doc RAREST-FIRST star incidence: each doc enters the star
+       join through its ``max_doc_star_shingles`` globally rarest
+       retained shingles (df asc, shingle tie-break — the same rarity
+       ranking the prefix filter uses). Rare shingles are precisely the
+       ones whose buckets are near-dup-dominated — a shingle shared by
+       few documents is shared because those documents overlap — so
+       the recall trade concentrates witnesses where they verify;
+    3. STAR edges per shingle bucket — (bucket-min doc, member) — so a
+       b-doc bucket contributes b−1 edges, never b(b−1)/2 pairs:
+       ≤ n_docs · max_doc_star_shingles edges corpus-wide, LINEAR. The
+       bucket-min window rides the shingle-keyed exchange the pair
+       route's self-join would have needed;
+    4. LOSSLESS length prefilter on the edge set (Arasu et al. 2006:
+       J >= t forces min(|A|,|B|) >= t·max(|A|,|B|)) — prunes the
+       verification expansion, never a true pair;
+    5. exact-Jaccard verification of the surviving LINEAR edge set
+       (the same ``_verify_candidate_pairs`` expansion the pair route
+       uses — over ≤ n·R edges instead of the quadratic candidate
+       mass), sizes measured on the FULL retained index (step 1), so
+       the metric is exactly the pair route's "Jaccard over retained
+       shingles";
+    6. connected components over the verified edges (frontier
+       propagation — star-contracted graphs are one hop shallow, the
+       regime ``dedup_clusters`` measured 3.5x faster in at 50k than
+       large/small-star CC), lifted to a full corpus partition (docs
+       with no verified edge are singletons). Non-convergence RAISES:
+       the contract is exact components of the verified edge graph.
+
+    Contract (the documented trade vs the pair route): every merge is
+    witnessed by an exact J >= ``threshold`` pair over the same
+    retained-shingle universe, so clusters provably REFINE the
+    ``dedup_clusters(ngram_jaccard_pairs(...))`` partition (verified
+    star edges are a SUBSET of the exact pair set — the pair route is
+    lossless, so any true pair it could miss does not exist). Recall
+    is bounded by star-edge coverage: a doc whose Jaccard with its
+    buckets' min docs is under threshold loses those witnesses even if
+    it clears threshold with another bucket member. Near-dup groups
+    share their rare shingles first (rarity is global), so the group's
+    bucket-min for a rare shared shingle is usually a fellow dup and
+    the witness verifies — measured 1.0 coverage at driver scale and
+    floor-checked at 0.8 by ``ngram_clusters_verdict``.
+
+    Returns (doc_id, cluster_id, cluster_size); eager like its clique
+    siblings (caches released before return). Reference anchor: the
+    id-joined similarity-results shape of semantic_search.py:43-46
+    generalized to corpus scale; lib.rs:74-97 (exact k-NN) as the
+    exactness-of-verification contract."""
+    sh = _shingle_index(docs, id_col, text_col, n)
+    n_docs = _router_count(docs, known_count)
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_f"))
+    if max_shingle_freq is not None:
+        freq = freq.filter(F.col("_f") <= max_shingle_freq)
+    freq = _scaled_side(freq, n_docs)
+    indexed = sh.join(freq, "shingle").persist()
+
+    star_src = indexed
+    if max_doc_star_shingles is not None:
+        w_doc = Window.partitionBy("doc_id").orderBy(
+            F.col("_f").asc(), F.col("shingle")
+        )
+        star_src = (
+            indexed.withColumn("_rk", F.row_number().over(w_doc))
+            .filter(F.col("_rk") <= max_doc_star_shingles)
+            .drop("_rk")
+        )
+    w_bucket = Window.partitionBy("shingle")
+    edges = (
+        star_src.withColumn("_m", F.min("doc_id").over(w_bucket))
+        .where(F.col("doc_id") != F.col("_m"))
+        .select(F.col("_m").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # Lossless length prefilter: sizes come from the FULL retained
+    # index (the verification metric), corpus-scaled sides take the
+    # three-band join policy.
+    sizes = indexed.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    ea = _scaled_side(
+        sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("_na")),
+        n_docs,
+    )
+    eb = _scaled_side(
+        sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("_nb")),
+        n_docs,
+    )
+    edges = (
+        edges.join(ea, "doc_a")
+        .join(eb, "doc_b")
+        .filter(
+            F.least(F.col("_na"), F.col("_nb"))
+            >= F.round(
+                F.lit(threshold) * F.greatest(F.col("_na"), F.col("_nb")), 6
+            )
+        )
+        .select("doc_a", "doc_b")
+    )
+    verified = _verify_candidate_pairs(
+        indexed.select("doc_id", "shingle"), edges, threshold,
+        corpus_rows=n_docs,
+    )
+    labels = dedup_clusters(
+        verified.select("doc_a", "doc_b"),
+        max_iterations=max_iterations,
+        on_nonconverge="raise",
+    )
+    member = (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(labels.withColumnRenamed("cluster_id", "_root"), "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce(F.col("_root"), F.col("doc_id")).alias("_root")
+        )
+    )
+    w_root = Window.partitionBy("_root")
+    result = member.select(
+        "doc_id",
+        F.min("doc_id").over(w_root).alias("cluster_id"),
+        F.count(F.lit(1)).over(w_root).alias("cluster_size"),
+    ).localCheckpoint(eager=True)
+    indexed.unpersist()
+    return result
+
+
+def ngram_clusters_verdict(
+    docs: DataFrame,
+    *,
+    threshold: float = 0.5,
+    n: int = 3,
+    min_coverage: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    known_count: int | None = None,
+) -> DataFrame:
+    """Single-row driver-hash-verifiable verdict for the clique-mode
+    n-gram Jaccard lane (round 11) — the ``minhash_clusters_verdict``
+    mold. The star-edge selection is rarity-ranked (not portable SQL at
+    reasonable oracle cost), so the oracle predicts the corpus count
+    and the distributed re-checks binarize the rest:
+
+    - ``n_docs``: one row per corpus document (a full partition);
+    - ``one_cluster_per_doc`` / ``labels_are_min_member`` /
+      ``sizes_consistent``: the standard partition invariants;
+    - ``refines_pair_closure``: every cluster is CONTAINED in one
+      ``dedup_clusters_star(ngram_jaccard_pairs(...))`` cluster — the
+      pair route is EXACT (lossless prefix filtering), so a verified
+      star edge that is not a pair there cannot exist; a clique
+      cluster spanning two pair-closure clusters (or a clustered doc
+      with no pair label) means a broken contraction, a guard
+      asymmetry, or a verification bug. The independent route runs on
+      the OTHER CC engine (large/small star) vs the clique route's
+      frontier propagation;
+    - ``coverage_ok``: among docs the PAIR route clusters, at least
+      ``min_coverage`` are non-singleton here — the star-edge recall
+      floor, measured 1.0 at driver scale."""
+    clusters = ngram_clusters(
+        docs,
+        threshold=threshold,
+        n=n,
+        id_col=id_col,
+        text_col=text_col,
+        known_count=known_count,
+    )
+    pair_cc = dedup_clusters_star(
+        ngram_jaccard_pairs(
+            docs,
+            threshold=threshold,
+            n=n,
+            id_col=id_col,
+            text_col=text_col,
+            known_count=known_count,
+        )
+    )
+    agg = clusters.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        (F.count(F.lit(1)) == F.count_distinct("doc_id")).alias(
+            "one_cluster_per_doc"
+        ),
+    )
+    per_cluster = clusters.groupBy("cluster_id").agg(
+        F.min("doc_id").alias("_min_id"),
+        F.count(F.lit(1)).alias("_n"),
+        F.min("cluster_size").alias("_smin"),
+        F.max("cluster_size").alias("_smax"),
+    )
+    label_ok = per_cluster.agg(
+        F.min(F.col("_min_id") == F.col("cluster_id")).alias(
+            "labels_are_min_member"
+        ),
+        F.min(
+            (F.col("_smin") == F.col("_smax")) & (F.col("_smin") == F.col("_n"))
+        ).alias("sizes_consistent"),
+    )
+    joined = clusters.join(
+        pair_cc.withColumnRenamed("cluster_id", "_pair_label"),
+        "doc_id",
+        "left",
+    ).localCheckpoint(eager=False)
+    per_clique = joined.groupBy("cluster_id").agg(
+        F.count_distinct("_pair_label").alias("_n_pair_labels"),
+        F.max(
+            F.when(F.col("_pair_label").isNull(), F.col("cluster_size"))
+        ).alias("_unpaired_size"),
+    )
+    contain_ok = per_clique.agg(
+        F.min(
+            (F.col("_n_pair_labels") <= 1)
+            & (
+                F.col("_unpaired_size").isNull()
+                | (F.col("_unpaired_size") == 1)
+            )
+        ).alias("refines_pair_closure")
+    )
+    coverage = joined.filter(F.col("_pair_label").isNotNull()).agg(
+        (
+            F.count(F.when(F.col("cluster_size") > 1, 1))
+            >= F.lit(float(min_coverage)) * F.count(F.lit(1))
+        ).alias("coverage_ok")
+    )
+    return (
+        agg.join(F.broadcast(label_ok))
+        .join(F.broadcast(contain_ok))
+        .join(F.broadcast(coverage))
+        .select(
+            "n_docs",
+            "one_cluster_per_doc",
+            "labels_are_min_member",
+            "sizes_consistent",
+            "refines_pair_closure",
+            "coverage_ok",
+        )
+    )
+
+
 def fingerprint_dups(
     docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -591,6 +873,7 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     max_shingle_freq: int | None = DEFAULT_MAX_SHINGLE_FREQ,
     max_band_bucket: int | None = 500,
+    known_count: int | None = None,
 ) -> DataFrame:
     """MinHash + banded LSH near-dup pairs, verified exactly.
 
@@ -656,11 +939,18 @@ def minhash_lsh_pairs(
     # A shingle's document frequency (and a band bucket's size) cannot
     # exceed the corpus row count, so each guard is PROVABLY a no-op —
     # and its aggregation pass skippable — when n_docs is at or under
-    # its threshold. One metadata-cheap count() buys the small-corpus
-    # path back its exact pre-guard plan (the operator is eager
-    # anyway, like its docstring says).
-    n_docs = docs.count()
-    if max_shingle_freq is not None and n_docs > max_shingle_freq:
+    # its threshold. Sizing follows the ngram_jaccard_pairs router
+    # discipline (round 11, advisor): ``known_count`` wins; a bare
+    # (projected/filtered) file scan is counted — one columnar scan;
+    # a DERIVED plan is never executed just to route it — n_docs=None
+    # takes the defensive arm everywhere below (guards applied — they
+    # are provably output-identical no-ops on small corpora whether or
+    # not they run, the skip was only a plan simplification — and the
+    # mid-band join hints via _scaled_side).
+    n_docs = _router_count(docs, known_count)
+    if max_shingle_freq is not None and (
+        n_docs is None or n_docs > max_shingle_freq
+    ):
         hot = (
             sh.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("_f"))
@@ -698,7 +988,9 @@ def minhash_lsh_pairs(
         "doc_id", F.col("band.band_id").alias("band_id"),
         F.col("band.band_hash").alias("band_hash"),
     )
-    if max_band_bucket is not None and n_docs > max_band_bucket:
+    if max_band_bucket is not None and (
+        n_docs is None or n_docs > max_band_bucket
+    ):
         # Skip oversized buckets BEFORE the self-join. Bucket sizes
         # come from a COUNT WINDOW over exactly the partitioning the
         # self-join shuffles on — one pass over the exchange the plan
@@ -764,6 +1056,7 @@ def minhash_clusters(
     max_shingle_freq: int | None = DEFAULT_MAX_SHINGLE_FREQ,
     max_band_bucket: int | None = 500,
     max_iterations: int = 30,
+    known_count: int | None = None,
 ) -> DataFrame:
     """MinHash near-dup CLUSTERS with LINEAR exact-verification cost —
     the clique-contract answer to the measured exp ~1.1 of
@@ -804,8 +1097,14 @@ def minhash_clusters(
     ``minhash_lsh_pairs`` (caches released before return)."""
     rows_per_band = num_perm // num_bands
     sh = _shingle_index(docs, id_col, text_col, n)
-    n_docs = docs.count()
-    if max_shingle_freq is not None and n_docs > max_shingle_freq:
+    # Sizing: the shared router discipline (round 11, advisor —
+    # ``known_count`` wins, scan-cheap plans are counted, derived plans
+    # are never executed to route; None takes every defensive arm, and
+    # the guards it enables are provably no-ops on small corpora).
+    n_docs = _router_count(docs, known_count)
+    if max_shingle_freq is not None and (
+        n_docs is None or n_docs > max_shingle_freq
+    ):
         hot = (
             sh.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("_f"))
@@ -844,7 +1143,9 @@ def minhash_clusters(
         F.col("band.band_hash").alias("band_hash"),
     )
     w_bucket = Window.partitionBy("band_id", "band_hash")
-    if max_band_bucket is not None and n_docs > max_band_bucket:
+    if max_band_bucket is not None and (
+        n_docs is None or n_docs > max_band_bucket
+    ):
         banded = (
             banded.withColumn("_bn", F.count(F.lit(1)).over(w_bucket))
             .filter(F.col("_bn") <= max_band_bucket)
@@ -862,8 +1163,15 @@ def minhash_clusters(
     verified = _verify_candidate_pairs(
         sh, edges, threshold, corpus_rows=n_docs
     )
+    # Non-convergence RAISES (round 11, advisor): this operator's
+    # contract is "exactly the connected components of the verified
+    # star-edge graph" — a silently split cluster at max_iterations
+    # would contradict it in the rows-only lane, where no verdict
+    # boolean stands guard.
     labels = dedup_clusters_star(
-        verified.select("doc_a", "doc_b"), max_iterations=max_iterations
+        verified.select("doc_a", "doc_b"),
+        max_iterations=max_iterations,
+        on_nonconverge="raise",
     )
     member = (
         docs.select(F.col(id_col).alias("doc_id"))
@@ -889,6 +1197,7 @@ def minhash_clusters_verdict(
     min_coverage: float = 0.8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    known_count: int | None = None,
 ) -> DataFrame:
     """Single-row driver-hash-verifiable verdict for the clique-mode
     MinHash lane (round 10): hash-seeded signatures are not portable
@@ -910,11 +1219,19 @@ def minhash_clusters_verdict(
       (bucket-mates of a near-dup group verify against the bucket-min
       doc)."""
     clusters = minhash_clusters(
-        docs, threshold=threshold, id_col=id_col, text_col=text_col
+        docs,
+        threshold=threshold,
+        id_col=id_col,
+        text_col=text_col,
+        known_count=known_count,
     )
     pair_cc = dedup_clusters(
         minhash_lsh_pairs(
-            docs, threshold=threshold, id_col=id_col, text_col=text_col
+            docs,
+            threshold=threshold,
+            id_col=id_col,
+            text_col=text_col,
+            known_count=known_count,
         )
     )
     agg = clusters.agg(
@@ -1221,11 +1538,13 @@ def simhash_clusters(
         docs, id_col=id_col, text_col=text_col
     ).localCheckpoint(eager=False)
     fp_edges = _simhash_fp_pairs(fp.select("simhash").distinct(), max_hamming)
+    # exact-components contract -> non-convergence raises (round 11)
     fp_labels = dedup_clusters_star(
         fp_edges.select(
             F.col("_sa").alias("doc_a"), F.col("_sb").alias("doc_b")
         ),
         max_iterations=max_iterations,
+        on_nonconverge="raise",
     ).select(
         F.col("doc_id").alias("simhash"), F.col("cluster_id").alias("_root")
     )
@@ -2207,6 +2526,7 @@ def dedup_clusters(
     pairs: DataFrame,
     *,
     max_iterations: int = 20,
+    on_nonconverge: str = "warn",
 ) -> DataFrame:
     """Connected components over a near-dup pair list: every document in
     a duplicate cluster gets the cluster's minimum doc_id as
@@ -2234,7 +2554,19 @@ def dedup_clusters(
     the data. This is intentionally a genuinely non-SQL-expressible
     operator (fixpoint recursion) -> rows-only harness check + pytest
     against a driver-side union-find oracle.
+
+    ``on_nonconverge`` (round 11, advisor): what to do when labels are
+    still changing at ``max_iterations`` — ``"warn"`` (default,
+    exploratory use: partial labels are still a refinement of the true
+    components) or ``"raise"`` (the clique-contract operators pass
+    this: their documented contract is EXACT connected components, and
+    a silently split cluster on a diameter->budget chain would
+    contradict it in the rows-only lanes no verdict boolean guards).
     """
+    if on_nonconverge not in ("warn", "raise"):
+        raise ValueError(
+            f"on_nonconverge must be 'warn' or 'raise', got {on_nonconverge!r}"
+        )
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(pairs.select(F.col("doc_b"), F.col("doc_a")))
@@ -2280,15 +2612,16 @@ def dedup_clusters(
         if n_changed == 0:
             break
     if n_changed > 0:
-        logger.warning(
-            "dedup_clusters did NOT converge within max_iterations=%d "
-            "(%d labels still changing) — returned cluster ids are only "
-            "partially propagated. Components deeper than the iteration "
-            "budget need a higher max_iterations (rounds ~ component "
-            "diameter).",
-            max_iterations,
-            n_changed,
+        msg = (
+            f"dedup_clusters did NOT converge within "
+            f"max_iterations={max_iterations} ({n_changed} labels still "
+            f"changing) — returned cluster ids are only partially "
+            f"propagated. Components deeper than the iteration budget "
+            f"need a higher max_iterations (rounds ~ component diameter)."
         )
+        if on_nonconverge == "raise":
+            raise RuntimeError(msg)
+        logger.warning(msg)
     return labels
 
 
@@ -2333,6 +2666,7 @@ def dedup_clusters_star(
     pairs: DataFrame,
     *,
     max_iterations: int = 30,
+    on_nonconverge: str = "warn",
 ) -> DataFrame:
     """Connected components by alternating large-star/small-star rounds
     (Kiveris et al. 2014, "Connected Components in MapReduce and
@@ -2359,7 +2693,16 @@ def dedup_clusters_star(
     out without a final propagation pass. ``localCheckpoint`` per
     round cuts the iterative lineage, same discipline as
     ``dedup_clusters``.
+
+    ``on_nonconverge``: ``"warn"`` (default) or ``"raise"`` — same
+    contract lever as ``dedup_clusters`` (the clique-mode operators
+    pass ``"raise"``; their exact-components contract cannot tolerate
+    a silent partial merge).
     """
+    if on_nonconverge not in ("warn", "raise"):
+        raise ValueError(
+            f"on_nonconverge must be 'warn' or 'raise', got {on_nonconverge!r}"
+        )
     edges = (
         pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
         .filter(F.col("u") != F.col("v"))
@@ -2375,12 +2718,15 @@ def dedup_clusters_star(
             break
         edges = nxt
     if not converged:
-        logger.warning(
-            "dedup_clusters_star did NOT reach a fixpoint within "
-            "max_iterations=%d — returned cluster ids may be partially "
-            "merged. Rounds needed are O(log n); raise max_iterations.",
-            max_iterations,
+        msg = (
+            f"dedup_clusters_star did NOT reach a fixpoint within "
+            f"max_iterations={max_iterations} — returned cluster ids may "
+            f"be partially merged. Rounds needed are O(log n); raise "
+            f"max_iterations."
         )
+        if on_nonconverge == "raise":
+            raise RuntimeError(msg)
+        logger.warning(msg)
     labels = edges.select(
         F.col("u").alias("doc_id"), F.col("v").alias("cluster_id")
     ).union(
@@ -3265,7 +3611,12 @@ def winnow_clusters(
         .select(F.col("_m").alias("doc_a"), F.col("doc_id").alias("doc_b"))
         .distinct()
     )
-    labels = dedup_clusters(edges, max_iterations=max_iterations)
+    # "computes exactly the connected components" (above) — so
+    # non-convergence RAISES rather than silently returning a split
+    # partition in the rows-only lane (round 11, advisor).
+    labels = dedup_clusters(
+        edges, max_iterations=max_iterations, on_nonconverge="raise"
+    )
     member = (
         docs.select(F.col(id_col).alias("doc_id"))
         .join(labels.withColumnRenamed("cluster_id", "_root"), "doc_id", "left")
