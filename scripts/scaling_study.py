@@ -210,10 +210,14 @@ def main() -> None:
                 n,
                 lambda: _sink(pca_whiten(emb, pca["m"])),
             )
+        # same high-d rule as the index builds: the internal KMeans
+        # collapses at 384-d without reduced geometry (round 11,
+        # verdict item 7 — the dedup consumer of the coarse_dim fix)
+        sd_kw = dict(seed=42) if DIM <= 128 else dict(seed=42, coarse_dim=64)
         rec(
             "semantic_dedup",
             n,
-            lambda: _sink(dedup.semantic_dedup(emb, seed=42)),
+            lambda: _sink(dedup.semantic_dedup(emb, **sd_kw)),
         )
         # two-level coarse quantizer: k1 parallel level-2 fits via
         # applyInPandas, assignment costs 2·sqrt(K) distance rows/vec
@@ -257,6 +261,36 @@ def main() -> None:
                     n,
                     lambda: _sink(hier["i"].search(q, 10)),
                 )
+            if want("hier_search_persisted"):
+                # The production serving path (round 11, verdict item
+                # 3): composite-cell-partitioned persisted layout,
+                # static two-level `cell_id IN (probes)` = partition
+                # pruning — probed bytes scale with nprobe cells, not
+                # with N (the flat lane's analogue row).
+                hier.setdefault("i", HierarchicalIVF.build(emb, **hier_kw))
+                geom_sfx = "_c64" if "coarse_dim" in hier_kw else ""
+                hpath = (
+                    f"{REPO}/spark-warehouse/scaling/"
+                    f"hier_v{VEC_V}_{n}{dim_sfx}{geom_sfx}"
+                )
+                # save() writes assignments first, meta LAST — meta's
+                # _SUCCESS implies the whole index committed.
+                if not _complete(f"{hpath}/meta"):
+                    hier["i"].save(spark, hpath)
+                hloaded = HierarchicalIVF.load(spark, hpath)
+                one_q = spark.createDataFrame(
+                    [(0, q)], "query_id BIGINT, query_embedding ARRAY<FLOAT>"
+                )
+                _sink(  # warm footer caches, like the flat lane
+                    hloaded.search_batch_pruned(one_q, 10, nprobe=8)
+                )
+                rec(
+                    "hier_search_persisted",
+                    n,
+                    lambda: _sink(
+                        hloaded.search_batch_pruned(one_q, 10, nprobe=8)
+                    ),
+                )
         # quantized serving path: PQ fit is sample-bounded, encoding is
         # one pass, ADC search reads m-byte codes (+ exact refine from
         # the store)
@@ -297,10 +331,10 @@ def main() -> None:
     from vector_database_in_rust_spark.operators.search import bm25_scores
 
     DOC_OPS = (
-        "dedup_exact minhash_lsh simhash_pairs simhash_clusters "
-        "quality_score ngram_jaccard winnow_pairs winnow_clusters "
-        "dup_span_stats corpus_shuffle bm25_top10 pack_sequences "
-        "dsir_select curate_corpus cc_star"
+        "dedup_exact minhash_lsh minhash_clusters simhash_pairs "
+        "simhash_clusters quality_score ngram_jaccard ngram_clusters "
+        "winnow_pairs winnow_clusters dup_span_stats corpus_shuffle "
+        "bm25_top10 pack_sequences dsir_select curate_corpus cc_star"
     ).split()
 
     for n in DOC_SIZES if any(want(o) for o in DOC_OPS) else []:
@@ -316,6 +350,14 @@ def main() -> None:
             "minhash_lsh",
             n,
             lambda: _sink(dedup.minhash_lsh_pairs(docs, known_count=n)),
+        )
+        # clique mode (round 10, measured round 11): linear star-edge
+        # verification (<= n * num_bands exact-Jaccard checks) instead
+        # of the pair route's candidate-pair verification mass
+        rec(
+            "minhash_clusters",
+            n,
+            lambda: _sink(dedup.minhash_clusters(docs, known_count=n)),
         )
         rec(
             "simhash_pairs",
@@ -338,7 +380,16 @@ def main() -> None:
         rec(
             "ngram_jaccard",
             n,
-            lambda: _sink(dedup.ngram_jaccard_pairs(docs)),
+            lambda: _sink(dedup.ngram_jaccard_pairs(docs, known_count=n)),
+        )
+        # clique mode (round 11): rarest-first star incidence + exact
+        # verification of the LINEAR edge set (<= n * 16 edges) — the
+        # contract answer to the exact pair route's 5M DNF on
+        # candidate-verification scratch
+        rec(
+            "ngram_clusters",
+            n,
+            lambda: _sink(dedup.ngram_clusters(docs, known_count=n)),
         )
         rec(
             "winnow_pairs",

@@ -702,3 +702,52 @@ def test_ivf_merge_then_rebalance_chain(spark, emb):
     occ = [r["n_vectors"] for r in merged.cell_stats().collect()]
     assert sum(occ) == emb.count() + 200
     assert max(occ) <= 2.0 * (sum(occ) / len(occ))
+
+
+def test_hier_search_batch_pruned_matches_in_memory(spark, emb, queries, tmp_path):
+    """Round-11 verdict item 3: the persisted two-level probe (static
+    composite cell_id IN -> partition pruning) must return EXACTLY the
+    rows of the in-memory hier batch probe, and its scan must carry the
+    cell filter as a PartitionFilter."""
+    import re
+
+    from vector_database_in_rust_spark.operators.ann import HierarchicalIVF
+    from vector_database_in_rust_spark.plans.explain import formatted_plan
+
+    idx = HierarchicalIVF.build(emb, k1=4, k2=4, seed=42)
+    idx.save(spark, str(tmp_path / "hier"))
+    loaded = HierarchicalIVF.load(spark, str(tmp_path / "hier"))
+
+    want = [
+        tuple(r) for r in idx.search_batch(queries, K, nprobe=6).collect()
+    ]
+    res = loaded.search_batch_pruned(queries, K, nprobe=6)
+    got = [tuple(r) for r in res.collect()]
+    assert got == want
+
+    plan = formatted_plan(res)
+    assert "PartitionFilters" in plan
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan).group(1)
+    assert "cell_id" in pf, f"cell filter not pushed to partitions: {pf}"
+
+
+def test_hier_search_batch_pruned_reduced_geometry(spark, emb, queries, tmp_path):
+    """The persisted probe under coarse_dim: probe ranking runs in the
+    projected space (driver-side, via the persisted projection), exact
+    re-rank on original vectors; full probe budget == exact top-k."""
+    from vector_database_in_rust_spark.operators.ann import HierarchicalIVF
+    from vector_database_in_rust_spark.operators.knn import knn_batch
+
+    idx = HierarchicalIVF.build(emb, k1=3, k2=3, seed=42, coarse_dim=8)
+    idx.save(spark, str(tmp_path / "hier_red"))
+    loaded = HierarchicalIVF.load(spark, str(tmp_path / "hier_red"))
+    assert loaded.proj is not None
+    total = sum(len(v) for v in loaded.l2_centroids.values())
+    got = [
+        tuple(r)
+        for r in loaded.search_batch_pruned(
+            queries, K, nprobe=total
+        ).collect()
+    ]
+    want = [tuple(r) for r in knn_batch(emb, queries, K).collect()]
+    assert got == want

@@ -1426,3 +1426,28 @@ def test_ngram_clusters_star_cap_keeps_planted_recall(spark):
     }
     assert all(out[d] == (0, 6) for d in range(6))
     assert all(out[s] == (s, 1) for s in range(50, 70))
+
+
+def test_semantic_dedup_reduced_geometry_decisions_stay_exact(spark):
+    """Round-11 verdict item 7: semantic_dedup under coarse_dim — the
+    clustering GEOMETRY runs in the projected space (the 384-d KMeans
+    collapse fix), but duplicate decisions are full-dimension exact:
+    the verdict invariants (independent full-d BLAS re-check) must all
+    hold, and planted near-dup groups must still lose a member."""
+    df, planted = _semantic_corpus(spark)
+    res = dedup.semantic_dedup(
+        df, threshold=0.99, num_cells=4, seed=42, coarse_dim=4
+    )
+    keep = {r["vec_id"]: r["keep"] for r in res.collect()}
+    assert len(keep) == df.count()
+    # The reduced-space clustering may group differently, so assert the
+    # contract (some planted member drops; nothing without a witness)
+    # via the verdict's independent full-d re-check:
+    row = dedup.semantic_dedup_verdict(
+        df, threshold=0.99, num_cells=4, seed=42, coarse_dim=4
+    ).first()
+    assert row["n_total"] == df.count()
+    assert row["ids_unique"]
+    assert row["kept_valid"]
+    assert row["dropped_valid"]
+    assert row["some_dropped"]

@@ -2315,6 +2315,7 @@ def semantic_dedup(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    coarse_dim: int | None = None,
 ) -> DataFrame:
     """Cluster-scoped semantic deduplication — the SemDeDup recipe
     (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
@@ -2371,10 +2372,28 @@ def semantic_dedup(
 
     from vector_database_in_rust_spark.operators.ann import IVFIndex
 
+    # ``coarse_dim`` (round 11, verdict item 7): at the reference's own
+    # 384-d the internal KMeans has the measured winner-take-all
+    # collapse (IVFIndex.build's docstring) — a collapsed clustering
+    # funnels the corpus into one cell and the within-cluster quadratic
+    # term explodes (rebalance then splits blindly). The reduced-space
+    # fit is pure GEOMETRY: the greedy pruning below always reads the
+    # original vectors, so decisions stay full-dimension exact.
     idx = IVFIndex.build(
-        emb, num_cells=num_cells, seed=seed, id_col=id_col, vec_col=vec_col
+        emb,
+        num_cells=num_cells,
+        seed=seed,
+        id_col=id_col,
+        vec_col=vec_col,
+        coarse_dim=coarse_dim,
     ).rebalance(factor=occupancy_factor, seed=seed)
     cents = idx.centroids
+    # With reduced geometry the centroids live in the PROJECTED space —
+    # the keep-the-outlier ORDERING (similarity to the cluster centroid,
+    # a routing heuristic, never a returned quantity) is computed over
+    # the geometry column; the duplicate-decision cosines below always
+    # use the ORIGINAL full-dimension vectors.
+    geom = idx.geom_col
     eps = float(threshold)
 
     def prune(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -2384,9 +2403,17 @@ def semantic_dedup(
         u = np.divide(
             x, norms[:, None], out=np.zeros_like(x), where=norms[:, None] > 0
         )
+        if geom != vec_col:
+            xg = np.vstack(pdf[geom].apply(np.asarray, dtype=np.float64))
+            gn = np.linalg.norm(xg, axis=1)
+            ug = np.divide(
+                xg, gn[:, None], out=np.zeros_like(xg), where=gn[:, None] > 0
+            )
+        else:
+            ug = u
         c = cents[cell]
         cn = np.linalg.norm(c)
-        csim = u @ (c / cn if cn > 0 else c)
+        csim = ug @ (c / cn if cn > 0 else c)
         ids = pdf[id_col].to_numpy()
         order = np.lexsort((ids, csim))  # csim primary, id tie-break
         m = len(ids)
@@ -2417,6 +2444,7 @@ def semantic_dedup_verdict(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    coarse_dim: int | None = None,
 ) -> DataFrame:
     """Single-row driver-hash-verifiable verdict for the (non-SQL)
     SemDeDup lane, in the verdict-twin mold: run
@@ -2452,6 +2480,7 @@ def semantic_dedup_verdict(
         seed=seed,
         id_col=id_col,
         vec_col=vec_col,
+        coarse_dim=coarse_dim,
     ).persist()
     # ^ the decisions subtree feeds BOTH the per-cluster re-check and
     # the ids_unique aggregate; without the persist the KMeans
