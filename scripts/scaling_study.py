@@ -115,7 +115,8 @@ def main() -> None:
     VEC_OPS = (
         "knn_exact knn_batch_16q ivf_build ivf_search_nprobe8 "
         "ivf_search_persisted pca_fit pca_project semantic_dedup "
-        "hier_build hier_search ivfpq_build ivfpq_search_adc "
+        "hier_build hier_search hier_search_persisted "
+        "ivfpq_build ivfpq_search_adc "
         "embedding_cosine"
     ).split()
 
@@ -221,7 +222,11 @@ def main() -> None:
         )
         # two-level coarse quantizer: k1 parallel level-2 fits via
         # applyInPandas, assignment costs 2·sqrt(K) distance rows/vec
-        if want("hier_build") or want("hier_search"):
+        if (
+            want("hier_build")
+            or want("hier_search")
+            or want("hier_search_persisted")
+        ):
             from vector_database_in_rust_spark.operators.ann import (
                 HierarchicalIVF,
             )
@@ -383,13 +388,20 @@ def main() -> None:
             lambda: _sink(dedup.ngram_jaccard_pairs(docs, known_count=n)),
         )
         # clique mode (round 11): rarest-first star incidence + exact
-        # verification of the LINEAR edge set (<= n * 16 edges) — the
+        # verification of the LINEAR edge set (<= n * R edges) — the
         # contract answer to the exact pair route's 5M DNF on
-        # candidate-verification scratch
+        # candidate-verification scratch. R is env-tunable for the 5M
+        # lane: verification scratch ~ edges x avg retained shingles,
+        # and the box budget (df -h /) decides the operating point.
+        star_r = int(os.environ.get("SCALING_NGRAM_STAR", "16"))
         rec(
             "ngram_clusters",
             n,
-            lambda: _sink(dedup.ngram_clusters(docs, known_count=n)),
+            lambda: _sink(
+                dedup.ngram_clusters(
+                    docs, known_count=n, max_doc_star_shingles=star_r
+                )
+            ),
         )
         rec(
             "winnow_pairs",

@@ -621,12 +621,24 @@ def ngram_clusters(
     the witness verifies — measured 1.0 coverage at driver scale and
     floor-checked at 0.8 by ``ngram_clusters_verdict``.
 
+    Scale note (the reason this lane exists): every internal column is
+    FIXED-WIDTH — shingles are 64-bit xxhash64 values from step 1 on,
+    so the verification expansion shuffles 3 longs per row instead of
+    doc-pair + text shingle. The metric becomes "Jaccard over hashed
+    retained shingles": a collision merges two shingles with
+    probability ~|A|·|B|/2^64 ≈ 1e-15 per pair — corpus-wide expected
+    effect across 1e8 verified edges is ~1e-7 flipped decisions,
+    documented and accepted (the same trade every MinHash lane makes
+    at its first hashing step).
+
     Returns (doc_id, cluster_id, cluster_size); eager like its clique
     siblings (caches released before return). Reference anchor: the
     id-joined similarity-results shape of semantic_search.py:43-46
     generalized to corpus scale; lib.rs:74-97 (exact k-NN) as the
     exactness-of-verification contract."""
-    sh = _shingle_index(docs, id_col, text_col, n)
+    sh = _shingle_index(docs, id_col, text_col, n).select(
+        "doc_id", F.xxhash64("shingle").alias("shingle")
+    )
     n_docs = _router_count(docs, known_count)
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_f"))
     if max_shingle_freq is not None:
