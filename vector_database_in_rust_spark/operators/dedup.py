@@ -1172,8 +1172,19 @@ def minhash_clusters(
         .select(F.col("_m").alias("doc_a"), F.col("doc_id").alias("doc_b"))
         .distinct()
     )
+    # Verification runs over the xxhash64-HASHED retained index (round
+    # 11): the expansion join's mass is Σ_edges |A| rows, and at 5M
+    # docs the string-shingle form measured ~320 GB of shuffle scratch
+    # (ENOSPC on a 72 GB-free box) where the fixed-width form fits.
+    # Jaccard over hashed retained sets equals Jaccard over retained
+    # sets modulo ~1e-15-per-pair collisions — the ngram_clusters
+    # trade, documented there. Signatures/banding above are untouched,
+    # so the candidate universe stays identical to the pair route's.
     verified = _verify_candidate_pairs(
-        sh, edges, threshold, corpus_rows=n_docs
+        sh.select("doc_id", F.xxhash64("shingle").alias("shingle")),
+        edges,
+        threshold,
+        corpus_rows=n_docs,
     )
     # Non-convergence RAISES (round 11, advisor): this operator's
     # contract is "exactly the connected components of the verified
