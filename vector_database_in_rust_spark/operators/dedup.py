@@ -1067,6 +1067,7 @@ def minhash_clusters(
     text_col: str = "text",
     max_shingle_freq: int | None = DEFAULT_MAX_SHINGLE_FREQ,
     max_band_bucket: int | None = 500,
+    max_doc_star_edges: int | None = 4,
     max_iterations: int = 30,
     known_count: int | None = None,
 ) -> DataFrame:
@@ -1082,8 +1083,11 @@ def minhash_clusters(
        bucket cap as ``minhash_lsh_pairs`` (identical candidate
        universe by construction);
     2. STAR edges per band bucket — (bucket-min doc, member) — so a
-       b-doc bucket contributes b−1 edges, never b(b−1)/2 pairs:
-       ≤ n_docs · num_bands edges corpus-wide, LINEAR;
+       b-doc bucket contributes b−1 edges, never b(b−1)/2 pairs;
+       each doc then keeps the edges from its ``max_doc_star_edges``
+       SMALLEST (most selective) buckets: ≤ n_docs · that budget
+       edges corpus-wide, LINEAR with a small constant (the inline
+       comment has the measured 5M rationale);
     3. exact-Jaccard verification of the star edges only (the same
        ``_verify_candidate_pairs`` expansion the pair route uses —
        but over a linear edge set);
@@ -1166,12 +1170,35 @@ def minhash_clusters(
     # Star contraction per bucket: the min window rides the same
     # (band_id, band_hash) exchange the bucket cap used — and the one
     # the pair route's self-join would have needed.
-    edges = (
+    star = (
         banded.withColumn("_m", F.min("doc_id").over(w_bucket))
+        .withColumn("_bn", F.count(F.lit(1)).over(w_bucket))
         .where(F.col("doc_id") != F.col("_m"))
-        .select(F.col("_m").alias("doc_a"), F.col("doc_id").alias("doc_b"))
-        .distinct()
     )
+    if max_doc_star_edges is not None:
+        # Per-doc EDGE budget (round 11, found by the 5M campaign): on
+        # convergent zipf signatures nearly every doc shares some band
+        # bucket, so the raw star set approaches n·num_bands edges and
+        # the verification expansion (Σ_edges |A| ≈ edges x ~100
+        # retained shingles) measured ~190 GB of shuffle at 5M docs —
+        # ENOSPC on a 72 GB-free box. Keep each doc's edges from its
+        # ``max_doc_star_edges`` SMALLEST buckets (bucket size asc =
+        # most selective first; band_id tie-break): a true near-dup
+        # group shares its own tiny bucket in every band, so the
+        # genuine witness edge rides the top of this order, while the
+        # dropped edges are the boilerplate-bucket long tail. Edge set
+        # ≤ n · max_doc_star_edges by construction; the recall trade
+        # is exactly the ngram_clusters rarest-first discipline, and
+        # the verdict's coverage floor measures it.
+        w_doc_e = Window.partitionBy("doc_id").orderBy(
+            F.col("_bn").asc(), F.col("band_id")
+        )
+        star = star.withColumn("_rk", F.row_number().over(w_doc_e)).filter(
+            F.col("_rk") <= max_doc_star_edges
+        )
+    edges = star.select(
+        F.col("_m").alias("doc_a"), F.col("doc_id").alias("doc_b")
+    ).distinct()
     # Verification runs over the xxhash64-HASHED retained index (round
     # 11): the expansion join's mass is Σ_edges |A| rows, and at 5M
     # docs the string-shingle form measured ~320 GB of shuffle scratch
