@@ -1252,6 +1252,19 @@ def test_scaled_side_three_band_policy(spark):
         "shuffle_hash"
         in unknown._jdf.queryExecution().logical().toString()
     )
+    # round 11: the top band is PARTITION-AWARE — the r9 abort is a
+    # per-task quantity (corpus_rows / shuffle_partitions), so a
+    # session running corpus-scaled partitions keeps the no-sort hash
+    # join (the merge pin's sort spilled ~70 GB at 5M and ENOSPC'd),
+    # while 32-partition sessions keep the r9-safe merge pin above.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "256")
+        wide = dedup._scaled_side(df, 5_000_000)
+        wide_plan = wide._jdf.queryExecution().logical().toString()
+        assert "shuffle_hash" in wide_plan and "merge" not in wide_plan
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def test_dedup_clusters_nonconvergence_raises_under_contract(spark):

@@ -152,13 +152,34 @@ def _scaled_side(df: DataFrame, corpus_rows: int | None) -> DataFrame:
     abort) while staying hint-protected from AQE broadcast conversion
     under any caller session (round 10, advisor). ``None`` (size
     unknown) takes the defensive mid-band hint, preserving
-    pre-round-9 behavior for callers that never counted."""
+    pre-round-9 behavior for callers that never counted.
+
+    Round 11 — the top band is PARTITION-AWARE: the r9 abort ("Can't
+    acquire ... bytes to build hash relation") is a PER-TASK quantity,
+    corpus_rows / shuffle_partitions, measured fatal at 5M docs / 32
+    partitions and documented safe at the 2M/32 calibration point
+    (SHUFFLE_HASH_SAFE_ROWS' own boundary). A session running with
+    corpus-scaled partitions (the 5M lanes run 256) keeps per-task
+    build state UNDER that measured-safe quota, so it keeps the
+    no-sort hash join — the merge pin's sort otherwise has to spill
+    the downstream join's full input (measured r11: sorting the
+    star-edge verification expansion at 5M docs spilled ~70 GB and
+    ENOSPC'd three times where the hash form fits). Sessions at the
+    default 32 partitions keep the r9-safe merge pin unchanged."""
     if corpus_rows is None:
         return df.hint("shuffle_hash")
     if corpus_rows <= BROADCAST_SAFE_ROWS:
         return df
     if corpus_rows > SHUFFLE_HASH_SAFE_ROWS:
-        return df.hint("merge")
+        try:
+            parts = int(
+                df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+            )
+        except Exception:
+            parts = 32
+        per_task_quota = SHUFFLE_HASH_SAFE_ROWS / 32
+        if corpus_rows / max(parts, 1) > per_task_quota:
+            return df.hint("merge")
     return df.hint("shuffle_hash")
 
 
