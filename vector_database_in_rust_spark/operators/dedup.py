@@ -1103,12 +1103,14 @@ def minhash_clusters(
     1. same shingle index, hot-shingle cut, signatures, banding and
        bucket cap as ``minhash_lsh_pairs`` (identical candidate
        universe by construction);
-    2. STAR edges per band bucket — (bucket-min doc, member) — so a
-       b-doc bucket contributes b−1 edges, never b(b−1)/2 pairs;
-       each doc then keeps the edges from its ``max_doc_star_edges``
-       SMALLEST (most selective) buckets: ≤ n_docs · that budget
-       edges corpus-wide, LINEAR with a small constant (the inline
-       comment has the measured 5M rationale);
+    2. CHAIN edges per band bucket — (previous member, member) in
+       doc_id order — so a b-doc bucket contributes b−1 edges, never
+       b(b−1)/2 pairs, with BOTH endpoints' fan-out bounded (the
+       min-star form concentrated thousands of edges on one hot
+       bucket-min doc — the inline comment has the measured 5M skew
+       rationale); each doc then keeps the edges from its
+       ``max_doc_star_edges`` SMALLEST (most selective) buckets:
+       ≤ n_docs · that budget edges corpus-wide, LINEAR;
     3. exact-Jaccard verification of the star edges only (the same
        ``_verify_candidate_pairs`` expansion the pair route uses —
        but over a linear edge set);
@@ -1121,12 +1123,13 @@ def minhash_clusters(
     the closure of a verified SUBGRAPH of the candidate graph —
     precision class identical to ``dedup_clusters(minhash_lsh_pairs)``
     (that closure also chains pairwise witnesses), and every cluster
-    here is CONTAINED in one pair-closure cluster (verified star
+    here is CONTAINED in one pair-closure cluster (verified chain
     edges are a subset of the verified pair set). Recall is bounded
-    by star-edge coverage: a bucket member whose Jaccard with the
-    bucket-min doc is under threshold loses that witness even if it
-    clears threshold with another member; near-dup groups share their
-    signatures (that is what put them in one bucket), so planted-dup
+    by chain-edge coverage: a bucket member whose Jaccard with its
+    bucket NEIGHBORS is under threshold loses those witnesses even if
+    it clears threshold with another member; a near-dup group's own
+    bucket is usually exactly the group (that is what put them in one
+    bucket), so consecutive members are group members and planted-dup
     recall holds — measured and hash-checked by
     ``minhash_clusters_verdict``'s containment + coverage booleans.
 
@@ -1188,21 +1191,32 @@ def minhash_clusters(
             .filter(F.col("_bn") <= max_band_bucket)
             .drop("_bn")
         )
-    # Star contraction per bucket: the min window rides the same
-    # (band_id, band_hash) exchange the bucket cap used — and the one
-    # the pair route's self-join would have needed.
+    # CHAIN contraction per bucket (round 11, third form measured): an
+    # ordered window emits (previous member, member) edges — the same
+    # b−1 edges per b-doc bucket as a min-star, the same component
+    # closure (a path connects what a star connects), but BOTH edge
+    # endpoints have bounded fan-out. The min-star form put one hot
+    # doc (the min of thousands of boilerplate buckets on convergent
+    # zipf signatures) on the doc_a side of the verification
+    # expansion, and the expansion join's hash form gets no AQE skew
+    # splitting — the 5M lane stalled on the hot task and died where
+    # the chain form's max per-doc fan-out (num_bands edges as left
+    # endpoint, ``max_doc_star_edges`` as right) streams evenly. The
+    # windows ride the same (band_id, band_hash) exchange the bucket
+    # cap used — and the one the pair route's self-join would need.
+    w_chain = Window.partitionBy("band_id", "band_hash").orderBy("doc_id")
     star = (
-        banded.withColumn("_m", F.min("doc_id").over(w_bucket))
+        banded.withColumn("_prev", F.lag("doc_id").over(w_chain))
         .withColumn("_bn", F.count(F.lit(1)).over(w_bucket))
-        .where(F.col("doc_id") != F.col("_m"))
+        .where(F.col("_prev").isNotNull())
     )
     if max_doc_star_edges is not None:
         # Per-doc EDGE budget (round 11, found by the 5M campaign): on
         # convergent zipf signatures nearly every doc shares some band
-        # bucket, so the raw star set approaches n·num_bands edges and
-        # the verification expansion (Σ_edges |A| ≈ edges x ~100
-        # retained shingles) measured ~190 GB of shuffle at 5M docs —
-        # ENOSPC on a 72 GB-free box. Keep each doc's edges from its
+        # bucket, so the raw edge set approaches n·num_bands and the
+        # verification expansion (Σ_edges |A| ≈ edges x ~100 retained
+        # shingles) measured ~190 GB of shuffle at 5M docs — ENOSPC on
+        # a 72 GB-free box. Keep each doc's edges from its
         # ``max_doc_star_edges`` SMALLEST buckets (bucket size asc =
         # most selective first; band_id tie-break): a true near-dup
         # group shares its own tiny bucket in every band, so the
@@ -1218,7 +1232,7 @@ def minhash_clusters(
             F.col("_rk") <= max_doc_star_edges
         )
     edges = star.select(
-        F.col("_m").alias("doc_a"), F.col("doc_id").alias("doc_b")
+        F.col("_prev").alias("doc_a"), F.col("doc_id").alias("doc_b")
     ).distinct()
     # Verification runs over the xxhash64-HASHED retained index (round
     # 11): the expansion join's mass is Σ_edges |A| rows, and at 5M
