@@ -359,10 +359,19 @@ def main() -> None:
         # clique mode (round 10, measured round 11): linear star-edge
         # verification (<= n * num_bands exact-Jaccard checks) instead
         # of the pair route's candidate-pair verification mass
+        # Edge budget env-tunable for the 5M lane (same pattern as the
+        # ngram star knob): expansion scratch ~ edges x ~100 retained
+        # shingles x 24 B of incompressible hashed longs, sized
+        # against `df -h /`.
+        mh_edges = int(os.environ.get("SCALING_MINHASH_EDGES", "4"))
         rec(
             "minhash_clusters",
             n,
-            lambda: _sink(dedup.minhash_clusters(docs, known_count=n)),
+            lambda: _sink(
+                dedup.minhash_clusters(
+                    docs, known_count=n, max_doc_star_edges=mh_edges
+                )
+            ),
         )
         rec(
             "simhash_pairs",
