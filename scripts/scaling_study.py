@@ -235,6 +235,14 @@ def main() -> None:
             # the identical collapse mechanism, so >128-d studies take
             # the reduced-geometry production default (round 10)
             hier_kw = dict(seed=42) if DIM <= 128 else dict(seed=42, coarse_dim=64)
+            # Grid override (round 11): the default 8x8=64 composite
+            # cells probe 12.5% of the corpus at nprobe=8 — an order
+            # coarser than the flat lane's k~sqrt(N) grid (~1.1%).
+            # SCALING_HIER_K1/K2 size a comparable-probe-fraction row.
+            if os.environ.get("SCALING_HIER_K1"):
+                hier_kw["k1"] = int(os.environ["SCALING_HIER_K1"])
+            if os.environ.get("SCALING_HIER_K2"):
+                hier_kw["k2"] = int(os.environ["SCALING_HIER_K2"])
             hier = {}
             rec(
                 "hier_build",
@@ -274,9 +282,16 @@ def main() -> None:
                 # with N (the flat lane's analogue row).
                 hier.setdefault("i", HierarchicalIVF.build(emb, **hier_kw))
                 geom_sfx = "_c64" if "coarse_dim" in hier_kw else ""
+                # a non-default grid must not reuse the default grid's
+                # saved layout (the _complete check would skip save)
+                grid_sfx = (
+                    f"_g{hier_kw.get('k1', 8)}x{hier_kw.get('k2', 8)}"
+                    if ("k1" in hier_kw or "k2" in hier_kw)
+                    else ""
+                )
                 hpath = (
                     f"{REPO}/spark-warehouse/scaling/"
-                    f"hier_v{VEC_V}_{n}{dim_sfx}{geom_sfx}"
+                    f"hier_v{VEC_V}_{n}{dim_sfx}{geom_sfx}{grid_sfx}"
                 )
                 # save() writes assignments first, meta LAST — meta's
                 # _SUCCESS implies the whole index committed.
