@@ -1152,8 +1152,17 @@ def minhash_clusters(
             .select("shingle")
         )
         sh = sh.join(hot, "shingle", "left_anti")
-    sh = sh.persist()
-    h32 = F.xxhash64("shingle").bitwiseAND(F.lit((1 << 32) - 1))
+    # Persist the HASHED retained index, not the string one (round 11,
+    # found by the 5M campaign's fourth ENOSPC): every downstream
+    # consumer — the 32-bit signature hash below (masking this stored
+    # hash equals the old xxhash64(string) & mask), the verification
+    # sets, the per-doc sizes — needs only xxhash64(shingle). Two
+    # fixed-width longs per row instead of a ~20-char string cut the
+    # cache-spill footprint ~3x at 5M docs (~30 GB -> ~10 GB) and drop
+    # the re-hash pass the verification arm used to run over the
+    # string cache.
+    sh = sh.select("doc_id", F.xxhash64("shingle").alias("shingle")).persist()
+    h32 = F.col("shingle").bitwiseAND(F.lit((1 << 32) - 1))
     params = minhash_permutation_params(num_perm, seed)
     sigs = (
         sh.select("doc_id", h32.alias("h"))
@@ -1242,8 +1251,9 @@ def minhash_clusters(
     # sets modulo ~1e-15-per-pair collisions — the ngram_clusters
     # trade, documented there. Signatures/banding above are untouched,
     # so the candidate universe stays identical to the pair route's.
+    # (``sh`` is already the hashed index — persisted that way above.)
     verified = _verify_candidate_pairs(
-        sh.select("doc_id", F.xxhash64("shingle").alias("shingle")),
+        sh,
         edges,
         threshold,
         corpus_rows=n_docs,
