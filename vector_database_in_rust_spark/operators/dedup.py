@@ -991,7 +991,16 @@ def minhash_lsh_pairs(
             .select("shingle")
         )
         sh = sh.join(hot, "shingle", "left_anti")
-    sh = sh.persist()
+    # Repartition by doc_id before persisting (round 11 — the
+    # minhash_clusters 5M diagnosis, same mechanism here): after the
+    # anti-join the index is partitioned BY SHINGLE, so the signature
+    # groupBy(doc_id) gets degenerate map-side combine (each doc's
+    # shingles scatter across every partition; the partial-aggregate
+    # shuffle scales as docs_per_task x n_partitions x 520 B — ~8 GB
+    # at 500k/32 for a 2.6 GB result). One narrow exchange here makes
+    # the aggregation fully combining and pre-aligns the verification
+    # join's doc_a side and the per-doc-size pass.
+    sh = sh.repartition("doc_id").persist()
     h32 = F.xxhash64("shingle").bitwiseAND(F.lit((1 << 32) - 1))
     params = minhash_permutation_params(num_perm, seed)
     sigs = (
@@ -1161,7 +1170,29 @@ def minhash_clusters(
     # cache-spill footprint ~3x at 5M docs (~30 GB -> ~10 GB) and drop
     # the re-hash pass the verification arm used to run over the
     # string cache.
-    sh = sh.select("doc_id", F.xxhash64("shingle").alias("shingle")).persist()
+    #
+    # Repartition by doc_id BEFORE persisting (round 11, fifth ENOSPC,
+    # diagnosed by scripts/probe_5m_preamble.py): the hot-cut anti-join
+    # leaves the index partitioned BY SHINGLE, so the signature
+    # groupBy(doc_id) below gets fully DEGENERATE map-side combine —
+    # each doc's ~118 shingles scatter across every partition, every
+    # task emits partial 64-column minima for ~every doc it sees, and
+    # the partial-aggregate shuffle write scales as
+    # distinct_docs_per_task x n_partitions x 520 B: ~8 GB at 500k/32
+    # (survivable, but pure waste), ~100+ GB at 5M/256 (the measured
+    # ENOSPC — stage 19 died ~76 GB in at 96/256 tasks). One narrow
+    # 16 B/row exchange here makes the signature aggregation fully
+    # combining (exactly n_docs output rows), lets groupBy(doc_id) and
+    # the per-doc-size pass reuse the partitioning (ENSURE_REQUIREMENTS
+    # elides their exchanges), and pre-aligns the verification join's
+    # doc_a side. The same reasoning holds on a 1000-executor cluster:
+    # partial aggregation over keys that scatter across the input
+    # partitioning is a no-op that costs a full extra copy of the data.
+    sh = (
+        sh.select("doc_id", F.xxhash64("shingle").alias("shingle"))
+        .repartition("doc_id")
+        .persist()
+    )
     h32 = F.col("shingle").bitwiseAND(F.lit((1 << 32) - 1))
     params = minhash_permutation_params(num_perm, seed)
     sigs = (
