@@ -649,3 +649,26 @@ def test_semantic_dedup_single_cluster_shuffle(audits):
     single shuffle, no sort, no broadcast of anything corpus-sized."""
     a = audits("dedup_semantic")
     assert a.n_shuffle_exchanges == 1
+
+
+def test_minhash_index_doc_aligned_agg(spark):
+    """The MinHash retained index must come back hash-partitioned on
+    doc_id (round 11: the hot-cut anti-join otherwise leaves it
+    partitioned by shingle, and the 64-column signature groupBy(doc_id)
+    gets degenerate map-side combine — the partial-aggregate shuffle
+    scales as docs_per_task x n_partitions x 520 B, the measured ~76 GB
+    ENOSPC at 5M/256). Pin: the preamble plan carries the explicit
+    doc_id repartition, and a doc_id aggregation over it plans ZERO
+    additional exchanges (ENSURE_REQUIREMENTS reuses the alignment)."""
+    from pyspark.sql import functions as F
+
+    from vector_database_in_rust_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    idx = dedup._minhash_retained_index(
+        docs, "doc_id", "text", 3, 10_000, None, hashed=True
+    )
+    base = audit(idx)
+    assert "REPARTITION_BY_COL" in base.formatted, base.formatted
+    agg = audit(idx.groupBy("doc_id").agg(F.min("shingle").alias("m")))
+    assert agg.n_shuffle_exchanges == base.n_shuffle_exchanges, agg.formatted

@@ -122,6 +122,64 @@ def _shingle_index(
     return sel.mapInPandas(gen, "doc_id BIGINT, shingle STRING")
 
 
+def _minhash_retained_index(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    max_shingle_freq: int | None,
+    n_docs: int | None,
+    *,
+    hashed: bool,
+) -> DataFrame:
+    """Shared MinHash preamble: shingle index -> hot-shingle cut ->
+    (optionally) xxhash64 the shingles -> repartition by doc_id.
+    Returns the UNPERSISTED retained index, hash-partitioned on doc_id.
+
+    The doc_id repartition is load-bearing at scale (round 11, found by
+    the 5M campaign's fifth ENOSPC and isolated by
+    scripts/probe_5m_preamble.py): the hot-cut anti-join leaves the
+    index partitioned BY SHINGLE, so the 64-column signature
+    groupBy(doc_id) downstream gets fully DEGENERATE map-side combine —
+    each doc's ~118 shingles scatter across every partition, every task
+    emits partial minima for ~every doc it sees, and the
+    partial-aggregate shuffle write scales as distinct_docs_per_task x
+    n_partitions x 520 B: ~8 GB at 500k docs / 32 partitions for a
+    2.6 GB result (pure waste), ~100+ GB at 5M / 256 (the measured
+    ENOSPC — stage 19 died ~76 GB in at 96/256 tasks). One narrow
+    exchange here makes the signature aggregation fully combining
+    (exactly n_docs output rows), lets the per-doc-size pass reuse the
+    partitioning (ENSURE_REQUIREMENTS elides its exchange), and
+    pre-aligns the verification join's doc_a side. The same reasoning
+    holds on a 1000-executor cluster: partial aggregation over keys
+    that scatter across the input partitioning is a no-op that costs a
+    full extra copy of the data. Plan-pinned by
+    tests/test_plans.py::test_minhash_index_doc_aligned_agg.
+
+    ``hashed=True`` (the clique route) additionally persists only
+    xxhash64(shingle) — two fixed-width longs per row instead of a
+    ~20-char string, ~3x smaller cache at 5M docs; masking the stored
+    hash reproduces the 32-bit signature hash exactly, and verification
+    over hashed sets equals string-set Jaccard modulo documented
+    ~1e-15-per-pair collisions. The pair route keeps strings because
+    its published metric is Jaccard over the retained STRING sets.
+    """
+    sh = _shingle_index(docs, id_col, text_col, n)
+    if max_shingle_freq is not None and (
+        n_docs is None or n_docs > max_shingle_freq
+    ):
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_f"))
+            .filter(F.col("_f") > max_shingle_freq)
+            .select("shingle")
+        )
+        sh = sh.join(hot, "shingle", "left_anti")
+    if hashed:
+        sh = sh.select("doc_id", F.xxhash64("shingle").alias("shingle"))
+    return sh.repartition("doc_id")
+
+
 BROADCAST_SAFE_ROWS = 20_000
 
 # Upper bound of the shuffle_hash band (round 9, found by the 5M-doc
@@ -968,7 +1026,7 @@ def minhash_lsh_pairs(
     # partials, and the hot relation (df > cut) is small at any
     # realistic cut, so AQE plans the anti-join as a broadcast —
     # measured 4.07 s -> ~3 s at sf0.1 vs the retained-join form.
-    sh = _shingle_index(docs, id_col, text_col, n)
+    #
     # A shingle's document frequency (and a band bucket's size) cannot
     # exceed the corpus row count, so each guard is PROVABLY a no-op —
     # and its aggregation pass skippable — when n_docs is at or under
@@ -981,26 +1039,12 @@ def minhash_lsh_pairs(
     # not they run, the skip was only a plan simplification — and the
     # mid-band join hints via _scaled_side).
     n_docs = _router_count(docs, known_count)
-    if max_shingle_freq is not None and (
-        n_docs is None or n_docs > max_shingle_freq
-    ):
-        hot = (
-            sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("_f"))
-            .filter(F.col("_f") > max_shingle_freq)
-            .select("shingle")
-        )
-        sh = sh.join(hot, "shingle", "left_anti")
-    # Repartition by doc_id before persisting (round 11 — the
-    # minhash_clusters 5M diagnosis, same mechanism here): after the
-    # anti-join the index is partitioned BY SHINGLE, so the signature
-    # groupBy(doc_id) gets degenerate map-side combine (each doc's
-    # shingles scatter across every partition; the partial-aggregate
-    # shuffle scales as docs_per_task x n_partitions x 520 B — ~8 GB
-    # at 500k/32 for a 2.6 GB result). One narrow exchange here makes
-    # the aggregation fully combining and pre-aligns the verification
-    # join's doc_a side and the per-doc-size pass.
-    sh = sh.repartition("doc_id").persist()
+    # Strings persisted here (hashed=False): this route's published
+    # metric is Jaccard over the retained STRING sets. The doc_id
+    # alignment rationale lives in _minhash_retained_index.
+    sh = _minhash_retained_index(
+        docs, id_col, text_col, n, max_shingle_freq, n_docs, hashed=False
+    ).persist()
     h32 = F.xxhash64("shingle").bitwiseAND(F.lit((1 << 32) - 1))
     params = minhash_permutation_params(num_perm, seed)
     sigs = (
@@ -1145,54 +1189,17 @@ def minhash_clusters(
     Returns (doc_id, cluster_id, cluster_size); eager like
     ``minhash_lsh_pairs`` (caches released before return)."""
     rows_per_band = num_perm // num_bands
-    sh = _shingle_index(docs, id_col, text_col, n)
     # Sizing: the shared router discipline (round 11, advisor —
     # ``known_count`` wins, scan-cheap plans are counted, derived plans
     # are never executed to route; None takes every defensive arm, and
     # the guards it enables are provably no-ops on small corpora).
     n_docs = _router_count(docs, known_count)
-    if max_shingle_freq is not None and (
-        n_docs is None or n_docs > max_shingle_freq
-    ):
-        hot = (
-            sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("_f"))
-            .filter(F.col("_f") > max_shingle_freq)
-            .select("shingle")
-        )
-        sh = sh.join(hot, "shingle", "left_anti")
-    # Persist the HASHED retained index, not the string one (round 11,
-    # found by the 5M campaign's fourth ENOSPC): every downstream
-    # consumer — the 32-bit signature hash below (masking this stored
-    # hash equals the old xxhash64(string) & mask), the verification
-    # sets, the per-doc sizes — needs only xxhash64(shingle). Two
-    # fixed-width longs per row instead of a ~20-char string cut the
-    # cache-spill footprint ~3x at 5M docs (~30 GB -> ~10 GB) and drop
-    # the re-hash pass the verification arm used to run over the
-    # string cache.
-    #
-    # Repartition by doc_id BEFORE persisting (round 11, fifth ENOSPC,
-    # diagnosed by scripts/probe_5m_preamble.py): the hot-cut anti-join
-    # leaves the index partitioned BY SHINGLE, so the signature
-    # groupBy(doc_id) below gets fully DEGENERATE map-side combine —
-    # each doc's ~118 shingles scatter across every partition, every
-    # task emits partial 64-column minima for ~every doc it sees, and
-    # the partial-aggregate shuffle write scales as
-    # distinct_docs_per_task x n_partitions x 520 B: ~8 GB at 500k/32
-    # (survivable, but pure waste), ~100+ GB at 5M/256 (the measured
-    # ENOSPC — stage 19 died ~76 GB in at 96/256 tasks). One narrow
-    # 16 B/row exchange here makes the signature aggregation fully
-    # combining (exactly n_docs output rows), lets groupBy(doc_id) and
-    # the per-doc-size pass reuse the partitioning (ENSURE_REQUIREMENTS
-    # elides their exchanges), and pre-aligns the verification join's
-    # doc_a side. The same reasoning holds on a 1000-executor cluster:
-    # partial aggregation over keys that scatter across the input
-    # partitioning is a no-op that costs a full extra copy of the data.
-    sh = (
-        sh.select("doc_id", F.xxhash64("shingle").alias("shingle"))
-        .repartition("doc_id")
-        .persist()
-    )
+    # HASHED index persisted (hashed=True) and doc_id-aligned — both
+    # load-bearing at 5M (the fourth and fifth ENOSPC respectively);
+    # rationale and plan pin in _minhash_retained_index.
+    sh = _minhash_retained_index(
+        docs, id_col, text_col, n, max_shingle_freq, n_docs, hashed=True
+    ).persist()
     h32 = F.col("shingle").bitwiseAND(F.lit((1 << 32) - 1))
     params = minhash_permutation_params(num_perm, seed)
     sigs = (
