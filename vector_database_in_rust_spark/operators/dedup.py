@@ -723,7 +723,19 @@ def ngram_clusters(
     if max_shingle_freq is not None:
         freq = freq.filter(F.col("_f") <= max_shingle_freq)
     freq = _scaled_side(freq, n_docs)
-    indexed = sh.join(freq, "shingle").persist()
+    # doc_id-aligned persist (round 11, the minhash fifth-ENOSPC
+    # lesson applied here): the freq join leaves the index partitioned
+    # by shingle, but every heavy consumer downstream is doc-keyed —
+    # the rarest-first budget window (w_doc) would re-exchange the
+    # FULL index on doc_id anyway, the per-doc sizes aggregate gets
+    # degenerate map-side combine on a shingle-partitioned input
+    # (docs_per_task x n_partitions x 16 B of partials), and the
+    # verification expansion's doc_a side re-exchanges it again. One
+    # explicit alignment here replaces the w_doc exchange 1:1 and
+    # lets sizes and the doc_a join side reuse the partitioning; the
+    # only shingle-keyed consumer after the budget filter (w_bucket)
+    # runs over the ≤ n·R filtered rows, not the full index.
+    indexed = sh.join(freq, "shingle").repartition("doc_id").persist()
 
     star_src = indexed
     if max_doc_star_shingles is not None:
