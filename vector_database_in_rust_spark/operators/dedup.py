@@ -564,7 +564,14 @@ def _jaccard_prefix_filtered(
     # corpus-scaled side: three-band join policy (measured traps at
     # BOTH ends — see _scaled_side / _verify_candidate_pairs)
     freq = _scaled_side(freq, corpus_rows)
-    indexed = sh.join(freq, "shingle").persist()
+    # doc_id-aligned persist (round 11, the minhash fifth-ENOSPC
+    # lesson): the rarity windows below re-exchange the FULL index on
+    # doc_id anyway, so aligning at persist is a 1:1 swap that also
+    # lets the verification expansion's doc_a side and its per-doc
+    # sizes aggregate reuse the partitioning instead of exchanging the
+    # index twice more. The prefix self-join exchanges only the
+    # prefix-filtered subset on shingle.
+    indexed = sh.join(freq, "shingle").repartition("doc_id").persist()
 
     w_doc = Window.partitionBy("doc_id").orderBy(F.col("_f").asc(), F.col("shingle"))
     w_cnt = Window.partitionBy("doc_id")
