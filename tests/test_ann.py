@@ -751,3 +751,55 @@ def test_hier_search_batch_pruned_reduced_geometry(spark, emb, queries, tmp_path
     ]
     want = [tuple(r) for r in knn_batch(emb, queries, K).collect()]
     assert got == want
+
+
+def test_serving_paths_bounded_query_collect(spark, emb, queries, monkeypatch):
+    """Round-12 verdict item 2: both persisted serving paths collect
+    the query side under the SAME loud bound as knn_batch — an
+    oversized query frame raises naming the distributed reroute
+    (search_batch) instead of silently pulling it onto the driver;
+    the guard's limit(cap+1) means the check itself never ships more
+    than cap+1 rows."""
+    from vector_database_in_rust_spark.operators import knn as knn_mod
+    from vector_database_in_rust_spark.operators.ann import HierarchicalIVF
+
+    monkeypatch.setattr(knn_mod, "BATCH_QUERY_SAFE_ROWS", 8)
+    big = emb.limit(10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_embedding"),
+    )
+
+    flat = IVFIndex.build(emb, num_cells=8, seed=42)
+    with pytest.raises(ValueError, match="IVFIndex.search_batch_pruned.*search_batch"):
+        flat.search_batch_pruned(big, K, nprobe=2)
+
+    hier = HierarchicalIVF.build(emb, k1=3, k2=3, seed=42)
+    with pytest.raises(
+        ValueError, match="HierarchicalIVF.search_batch_pruned.*search_batch"
+    ):
+        hier.search_batch_pruned(big, K, nprobe=2)
+
+    # at or under the cap both paths go through unchanged
+    assert flat.search_batch_pruned(big.limit(8), K, nprobe=2).count() > 0
+    assert hier.search_batch_pruned(big.limit(8), K, nprobe=2).count() > 0
+
+
+def test_knn_batch_guard_names_exact_reroute(spark, emb, monkeypatch):
+    """Round-12 verdict item 7: the knn_batch oversize raise must name
+    the exact call to make instead (IVFIndex.build + search_batch with
+    the caller's own column names)."""
+    from vector_database_in_rust_spark.operators import knn as knn_mod
+
+    monkeypatch.setattr(knn_mod, "BATCH_QUERY_SAFE_ROWS", 4)
+    big = emb.limit(6).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qvec"),
+    )
+    with pytest.raises(ValueError) as ei:
+        knn_batch(
+            emb, big, 3, impl="pandas", query_id_col="qid", query_vec_col="qvec"
+        )
+    msg = str(ei.value)
+    assert "IVFIndex.build" in msg
+    assert "search_batch" in msg
+    assert "'qid'" in msg and "'qvec'" in msg

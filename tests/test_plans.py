@@ -669,6 +669,25 @@ def test_minhash_index_doc_aligned_agg(spark):
         docs, "doc_id", "text", 3, 10_000, None, hashed=True
     )
     base = audit(idx)
-    assert "REPARTITION_BY_COL" in base.formatted, base.formatted
+    # The property the fix depends on is an Exchange hash-partitioned on
+    # doc_id — pin that, not Spark's cosmetic REPARTITION_BY_COL tag
+    # (round 12, advisor: the tag is an explain-rendering detail).
+    assert "hashpartitioning(doc_id" in base.formatted, base.formatted
     agg = audit(idx.groupBy("doc_id").agg(F.min("shingle").alias("m")))
     assert agg.n_shuffle_exchanges == base.n_shuffle_exchanges, agg.formatted
+
+
+def test_minhash_index_skips_alignment_when_known_small(spark):
+    """Router discipline on the alignment exchange (round 12, advisor):
+    a KNOWN broadcast-small corpus skips the doc_id repartition — the
+    degenerate-combine waste it prevents is bounded tiny there — while
+    n_docs=None keeps the defensive aligned arm (pinned above)."""
+    from vector_database_in_rust_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    small = audit(
+        dedup._minhash_retained_index(
+            docs, "doc_id", "text", 3, 10_000, 500, hashed=True
+        )
+    )
+    assert "hashpartitioning(doc_id" not in small.formatted, small.formatted

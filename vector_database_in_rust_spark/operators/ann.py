@@ -42,7 +42,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from vector_database_in_rust_spark.functions.vectors import l2_squared
-from vector_database_in_rust_spark.operators.knn import knn_exact
+from vector_database_in_rust_spark.operators.knn import (
+    bounded_query_collect,
+    knn_exact,
+)
 
 DEFAULT_SEED = 42
 
@@ -402,11 +405,23 @@ class IVFIndex:
         only the probed cells' files are read — the IVF analogue of HNSW
         skipping unvisited graph regions, without relying on dynamic
         partition pruning kicking in for the join. Queries are
-        broadcast-small by contract (same as ``knn_batch``); results are
-        row-identical to :meth:`search_batch` at the same nprobe.
+        broadcast-small by contract (same as ``knn_batch``), enforced by
+        the same bounded collect; results are row-identical to
+        :meth:`search_batch` at the same nprobe.
         """
         spark = queries.sparkSession
-        q_rows = queries.select(query_id_col, query_vec_col).collect()
+        q_rows = bounded_query_collect(
+            queries,
+            query_id_col,
+            query_vec_col,
+            caller="IVFIndex.search_batch_pruned",
+            reroute=(
+                "index.search_batch(queries, k, nprobe=..., "
+                f"query_id_col={query_id_col!r}, "
+                f"query_vec_col={query_vec_col!r}) — the distributed "
+                "assign-then-join path with no driver collect"
+            ),
+        )
         data = []
         for r in q_rows:
             vec = [float(x) for x in r[query_vec_col]]
@@ -1138,7 +1153,20 @@ class HierarchicalIVF:
         if nprobe is None:
             nprobe = max(1, total // 2)
         spark = queries.sparkSession
-        q_rows = queries.select(query_id_col, query_vec_col).collect()
+        # Bounded collect (round 12): same broadcast-small contract and
+        # same loud guard as knn_batch / IVFIndex.search_batch_pruned.
+        q_rows = bounded_query_collect(
+            queries,
+            query_id_col,
+            query_vec_col,
+            caller="HierarchicalIVF.search_batch_pruned",
+            reroute=(
+                "index.search_batch(queries, k, nprobe_l1=..., nprobe=..., "
+                f"query_id_col={query_id_col!r}, "
+                f"query_vec_col={query_vec_col!r}) — the distributed "
+                "assign-then-join path with no driver collect"
+            ),
+        )
         data = []
         for r in q_rows:
             vec = [float(x) for x in r[query_vec_col]]

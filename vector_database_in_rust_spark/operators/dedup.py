@@ -177,6 +177,14 @@ def _minhash_retained_index(
         sh = sh.join(hot, "shingle", "left_anti")
     if hashed:
         sh = sh.select("doc_id", F.xxhash64("shingle").alias("shingle"))
+    # Router discipline (round 12, advisor): the alignment exchange pays
+    # for itself only when the degenerate-combine waste it prevents
+    # (docs_per_task x n_partitions x signature-row bytes) exceeds one
+    # narrow corpus copy — at a KNOWN broadcast-small corpus the waste
+    # is bounded tiny, so skip the shuffle. n_docs=None (derived plans
+    # are never executed just to route) takes the defensive aligned arm.
+    if n_docs is not None and n_docs <= BROADCAST_SAFE_ROWS:
+        return sh
     return sh.repartition("doc_id")
 
 
@@ -1035,16 +1043,8 @@ def minhash_lsh_pairs(
     # One persisted shingle index feeds signature generation AND the
     # exact verification below (otherwise the corpus re-tokenizes 3x).
     # The frequency cut applies BEFORE the persist so both consumers
-    # see the same retained-shingle universe. Shape note: unlike
-    # ngram_jaccard_pairs (whose self-join needs the index shuffled by
-    # shingle anyway, so joining the RETAINED set reuses that
-    # exchange), minhash's next consumer groups by doc_id — a
-    # shingle-keyed equi-join here would be a pure extra corpus-sized
-    # shuffle. Anti-join against the HOT set instead: the frequency
-    # aggregation exchanges map-side-combined (shingle, count)
-    # partials, and the hot relation (df > cut) is small at any
-    # realistic cut, so AQE plans the anti-join as a broadcast —
-    # measured 4.07 s -> ~3 s at sf0.1 vs the retained-join form.
+    # see the same retained-shingle universe; the cut's anti-join shape
+    # and the doc_id alignment both live in _minhash_retained_index.
     #
     # A shingle's document frequency (and a band bucket's size) cannot
     # exceed the corpus row count, so each guard is PROVABLY a no-op —
