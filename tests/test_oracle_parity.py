@@ -75,7 +75,7 @@ def test_range_search_nonempty(spark):
 # own CORRECTNESS_r{N}.json (the r7 judge's red pytest: post-run, every
 # window member's last-green became 7 and the staleness assertion
 # compared the out-of-window r04 cohort against it).
-WINDOW_ROUND = 11
+WINDOW_ROUND = 12
 
 
 def _last_green_round(before_round: int | None = None) -> dict[str, int]:
@@ -134,24 +134,38 @@ def test_window_composition():
     window = list(harness.QUERIES)[:50]
     assert len(set(window)) == 50
     assert window == getattr(harness, f"_ROUND{WINDOW_ROUND}_WINDOW")
-    # every window member must verify something: all 50 are oracle-backed
+    # Every window member must verify something: an oracle hash, or —
+    # for declared rows-only lanes (r11 verdict item 1: the rows-only
+    # tier rotates on the SAME staleness discipline) — the driver's
+    # rows-green no_oracle record. Rows-only slots must stay the
+    # bounded exception, never the norm.
     no_oracle = [q for q in window if q not in harness.ORACLES]
-    assert not no_oracle, f"window slots without an oracle: {no_oracle}"
+    assert len(no_oracle) <= 15, (
+        f"{len(no_oracle)} rows-only window slots — the rows-only tier "
+        f"is 15 lanes total; hash-verified lanes must fill the rest"
+    )
 
     verified = _driver_verified(before_round=WINDOW_ROUND)
-    never = {q for q in harness.ORACLES if q not in verified}
+    never = {q for q in harness.QUERIES if q not in verified}
     assert len(never) <= 50, (
-        f"{len(never)} never-verified oracle-backed queries cannot fit one "
+        f"{len(never)} never-verified queries cannot fit one "
         "50-slot driver window — stop registering and rotate first"
     )
     missing = never - set(window)
     assert not missing, (
-        f"oracle-backed queries would enter the next round unverified while "
+        f"queries would enter the next round unverified while "
         f"window slots go to re-verification: {sorted(missing)}"
     )
-    # Debt must stay window-sized with room for re-verification: at most
-    # a handful of new registrations per round, never a backlog.
-    assert len(never) <= 10, f"verification debt grew: {len(never)} > 10"
+    # Debt must stay window-sized with room for re-verification: at
+    # most a handful of new registrations per round, never a backlog.
+    # Oracle-backed debt keeps the strict cap; the rows-only tier's
+    # one-time catch-up (15 lanes, round 12 — none held a green row
+    # under correctness_row_green before the r12 window ran) is
+    # allowed on top and shrinks to zero once that window lands.
+    never_oracle = {q for q in never if q in harness.ORACLES}
+    assert len(never_oracle) <= 10, (
+        f"verification debt grew: {len(never_oracle)} > 10"
+    )
 
     # refill tail ordered by verification age (oldest green first)
     last_green = _last_green_round(before_round=WINDOW_ROUND)

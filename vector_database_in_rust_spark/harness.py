@@ -8157,4 +8157,74 @@ _ROUND11_WINDOW = [
 ]
 
 
-_rotate_registry(_ROUND11_WINDOW)
+_ROUND12_WINDOW = [
+    # --- 15 never-driver-verified lanes claim the front (r11 verdict
+    #     item 1): the composer now rotates BOTH tiers, and none of the
+    #     rows-only tier's 15 lanes holds a green driver row under the
+    #     shared correctness_row_green predicate (6 never appeared in
+    #     any window; the 9 that ran in r03 predate the rows-green
+    #     record shape). Every one has a hash-verified ★ twin — this
+    #     closes the EVIDENCE gap, not a suspected defect. ---
+    "dedup_embedding_lsh",  # never executed (rows-only)
+    "dedup_semantic",  # never executed (rows-only)
+    "dedup_minhash_lsh",  # never executed (rows-only)
+    "dedup_simhash",  # never executed (rows-only)
+    "ann_build",  # never executed (rows-only)
+    "ann_search",  # never executed (rows-only)
+    "ann_search_hier",  # never executed (rows-only)
+    "ann_search_persisted",  # never executed (rows-only)
+    "ann_multiprobe",  # never executed (rows-only)
+    "ann_rebalance",  # never executed (rows-only)
+    "embedding_pca_whiten",  # never executed (rows-only)
+    "dedup_simhash_clusters",  # never executed (rows-only)
+    "dedup_minhash_clusters",  # never executed (rows-only)
+    "dedup_ngram_clusters",  # never executed (rows-only)
+    "dedup_winnow_clusters",  # never executed (rows-only)
+    # --- 35 re-verification slots, least-recently-verified first
+    #     (scripts/compose_window.py output): the r08 cohort is the
+    #     stalest oracle evidence. 12 r08 lanes do not fit this
+    #     window (62 lanes at-or-before r08 > 50 slots) and head the
+    #     r13 window: events_range_join, dedup_clusters,
+    #     dedup_incremental, minhash_incremental, dedup_pagerank,
+    #     dedup_apply, repetition_stats, redact_pii, curriculum_order,
+    #     media_decode_image, media_decode_audio, media_resize_real
+    #     (registry order). ---
+    "knn_exact",  # last green r08
+    "knn_batch",  # last green r08
+    "dedup_embedding_cosine",  # last green r08
+    "dedup_semantic_verdict",  # last green r08
+    "ann_ivf_merge_verdict",  # last green r08
+    "pca_whiten_verdict",  # last green r08
+    "pack_sequences",  # last green r08
+    "pack_bin_manifest",  # last green r08
+    "chunk_documents",  # last green r08
+    "json_quarantine",  # last green r08
+    "store_versions",  # last green r08
+    "store_diff",  # last green r08
+    "embed_documents",  # last green r08
+    "pipeline_chunk_embed_search",  # last green r08
+    "sessionize_events",  # last green r08
+    "tpch_q3_shipping",  # last green r08
+    "orders_anti_join",  # last green r08
+    "orders_semi_join",  # last green r08
+    "tpch_q5_local_volume",  # last green r08
+    "tpch_q6_forecast",  # last green r08
+    "search_mmr",  # last green r08
+    "tpch_q10_returns",  # last green r08
+    "tpch_q14_promo",  # last green r08
+    "tpch_q18_large_orders",  # last green r08
+    "pipeline_curate_chunk_shard",  # last green r08
+    "decontaminate_corpus",  # last green r08
+    "search_bm25",  # last green r08
+    "search_hybrid_rrf",  # last green r08
+    "search_tfidf",  # last green r08
+    "search_hybrid_rrf3",  # last green r08
+    "inverted_index",  # last green r08
+    "dedup_substring",  # last green r08
+    "stream_dedup_redelivery",  # last green r08
+    "stream_curate",  # last green r08
+    "events_moving_avg",  # last green r08
+]
+
+
+_rotate_registry(_ROUND12_WINDOW)
