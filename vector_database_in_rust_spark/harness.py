@@ -5647,6 +5647,42 @@ def pipeline_pretrain_corpus_q(spark, sf_dir):
     )
 
 
+_PRETRAIN_DEDUP_ORACLE = f"""
+WITH v AS ({_CURATE_ORACLE})
+SELECT (SELECT count(*) FROM documents) AS n_input,
+       (SELECT count(*) FROM v WHERE kept) AS n_curated,
+       (SELECT count(*) - count(DISTINCT md5(text)) FROM documents)
+         AS n_exact_dups,
+       TRUE AS minhash_nonincreasing,
+       TRUE AS minhash_keeps_canonicals,
+       TRUE AS semantic_subset,
+       TRUE AS split_partitions_survivors,
+       TRUE AS pack_tokens_conserved
+"""
+
+
+@register("pipeline_dedup_verdict", _PRETRAIN_DEDUP_ORACLE)
+def pipeline_dedup_verdict_q(spark, sf_dir):
+    """The COMPOSED dedup-centric corpus build (round 12, verdict item
+    5): curate (incl. exact/fingerprint dedup) -> minhash_clusters ->
+    dedup_apply -> stub embeddings -> semantic_dedup -> holdout split
+    -> pack_sequences, verified as one row. SQL-expressible stage
+    counts are oracle-recomputed; the KMeans/CC stages emit
+    clustering-independent BOOLEAN invariants pinned TRUE (the
+    registry's standing verdict pattern — engine-side independence
+    lives in pipeline.pretrain_dedup_verdict's cross-stage joins).
+    Measured at 500k/5M by scripts/r12_pipeline.py (SCALE.md r12)."""
+    from vector_database_in_rust_spark.operators.pipeline import (
+        pretrain_dedup_verdict,
+    )
+
+    return pretrain_dedup_verdict(
+        _docs(spark, sf_dir),
+        min_quality=_CURATE_MIN_QUALITY,
+        keep_langs=_CURATE_LANGS,
+    )
+
+
 _GRAM_ORACLE = """
 WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS x, label::DOUBLE AS y FROM embeddings
@@ -8180,15 +8216,21 @@ _ROUND12_WINDOW = [
     "dedup_minhash_clusters",  # never executed (rows-only)
     "dedup_ngram_clusters",  # never executed (rows-only)
     "dedup_winnow_clusters",  # never executed (rows-only)
-    # --- 35 re-verification slots, least-recently-verified first
+    # --- round-12 registration: the composed dedup-pipeline verdict
+    #     (never verified — same-commit window slot per the standing
+    #     registry rule). Takes the slot of events_moving_avg, the
+    #     newest r08 refill (dropping a same-round refill keeps the
+    #     non-decreasing refill ordering and the staleness bound). ---
+    "pipeline_dedup_verdict",  # never executed (new this round)
+    # --- 34 re-verification slots, least-recently-verified first
     #     (scripts/compose_window.py output): the r08 cohort is the
-    #     stalest oracle evidence. 12 r08 lanes do not fit this
-    #     window (62 lanes at-or-before r08 > 50 slots) and head the
-    #     r13 window: events_range_join, dedup_clusters,
-    #     dedup_incremental, minhash_incremental, dedup_pagerank,
-    #     dedup_apply, repetition_stats, redact_pii, curriculum_order,
-    #     media_decode_image, media_decode_audio, media_resize_real
-    #     (registry order). ---
+    #     stalest oracle evidence. 13 r08 lanes do not fit this
+    #     window (62 at-or-before-r08 lanes + 1 new registration > 50
+    #     slots) and head the r13 window: events_range_join,
+    #     dedup_clusters, dedup_incremental, minhash_incremental,
+    #     dedup_pagerank, dedup_apply, repetition_stats, redact_pii,
+    #     curriculum_order, media_decode_image, media_decode_audio,
+    #     media_resize_real, events_moving_avg (registry order). ---
     "knn_exact",  # last green r08
     "knn_batch",  # last green r08
     "dedup_embedding_cosine",  # last green r08
@@ -8223,7 +8265,6 @@ _ROUND12_WINDOW = [
     "dedup_substring",  # last green r08
     "stream_dedup_redelivery",  # last green r08
     "stream_curate",  # last green r08
-    "events_moving_avg",  # last green r08
 ]
 
 
