@@ -803,3 +803,27 @@ def test_knn_batch_guard_names_exact_reroute(spark, emb, monkeypatch):
     assert "IVFIndex.build" in msg
     assert "search_batch" in msg
     assert "'qid'" in msg and "'qvec'" in msg
+
+
+def test_rebuild_due_trigger(spark, emb):
+    """Round-12 verdict item 6: the measured ingest-maintenance rule.
+    A healthy seeded build is NOT due; funneling an out-of-distribution
+    blob into the fixed centroid set (assign_new's documented drift
+    shape) pushes the hottest cell past factor x mean and trips it."""
+    from vector_database_in_rust_spark.operators.ann import rebuild_due
+
+    idx = IVFIndex.build(emb, num_cells=16, seed=42)
+    occ = idx.occupancy_stats()
+    assert rebuild_due(occ) is False, occ
+
+    # a tight far-away blob: every new vector lands in ONE cell
+    dim = len(emb.first()["embedding"])
+    blob = spark.createDataFrame(
+        [(10_000 + i, [100.0 + 0.001 * i] * dim) for i in range(3000)],
+        "vec_id BIGINT, embedding ARRAY<FLOAT>",
+    )
+    drifted = idx.assign_new(blob)
+    occ2 = drifted.occupancy_stats()
+    assert rebuild_due(occ2) is True, occ2
+    # empty index is due by definition
+    assert rebuild_due({"cells": 0, "max_share": 0.0}) is True

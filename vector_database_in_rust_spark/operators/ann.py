@@ -115,6 +115,44 @@ def _project_udf(proj: np.ndarray):
     return project
 
 
+def rebuild_due(occ: dict, *, max_share_factor: float = 8.0) -> bool:
+    """The measured ingest-maintenance trigger (round 12, verdict item
+    6): True when the hottest cell holds more than ``max_share_factor``
+    times the mean cell occupancy — time to ``split_hot_cells()`` /
+    ``rebalance()`` or schedule a full rebuild.
+
+    Rationale, from the r12 drift study (scripts/r12_ivf_drift.py,
+    SCALE.md r12): ``assign_new`` ingests drifted batches into the
+    FIXED centroid set, so out-of-distribution mass piles into the few
+    cells nearest the new mode. The measured failure is COST, not
+    recall — probe ranking still finds the hot cells, but each probe
+    reads a growing fraction of the corpus (probed-rows fraction
+    scales with max_share x nprobe), eroding the entire point of the
+    index. Occupancy is the right production trigger because it is
+    observable without ground truth (one aggregation pass,
+    ``occupancy_stats``) and it moves BEFORE recall does.
+
+    The 8x default: a healthy seeded build measures max_share within
+    ~2-4x mean (uniform and planted corpora, SCALE.md r9-r11), so 8x
+    only fires on real concentration; the r12 drift curve (SCALE.md)
+    anchors where it fires and what each repair buys. Trigger early
+    and the repair is cheap (``split_hot_cells`` touches hot cells
+    only). The reference cannot ingest at all (build-once graph,
+    src/lib.rs:336-341); this rule is what makes the engine's ingest
+    path an OPERATED advantage rather than a decaying one.
+    """
+    cells = int(occ.get("cells") or 0)
+    if cells <= 0:
+        return True  # empty/unhealthy index: rebuild by definition
+    # The relative bound degenerates past certainty at small k
+    # (factor/cells >= 1 whenever cells <= factor, so it could NEVER
+    # fire on a small index); a cell holding half the corpus is
+    # unhealthy at any k — probing it alone is half a scan — so the
+    # absolute 0.5 cap keeps the trigger meaningful everywhere.
+    bound = min(0.5, max_share_factor / cells)
+    return float(occ.get("max_share") or 0.0) > bound
+
+
 class IVFIndex:
     """IVF coarse-quantization index over an embedding DataFrame.
 
