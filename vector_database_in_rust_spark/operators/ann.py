@@ -115,6 +115,97 @@ def _project_udf(proj: np.ndarray):
     return project
 
 
+def _pruned_blas_topk(
+    assignments: DataFrame,
+    data: list,
+    k: int,
+    *,
+    id_col: str,
+    vec_col: str,
+    round_digits: int | None,
+) -> DataFrame:
+    """Score a partition-pruned candidate scan against its probe set
+    with per-cell BLAS batches — the serving-side analogue of
+    ``knn_batch``'s blocked matmul (round 12).
+
+    ``data`` is the driver-side probe list [(query_id, vec, cell_id)].
+    The first 5M x 384-d serve measurement showed the expression form
+    (broadcast join + zip_with/aggregate L2) spending 24-48 s on
+    ~1.2M candidate-pair x 384-element interpreted array ops while the
+    pruned scan itself was seconds; the identical work is one
+    ``Q @ X.T`` per (Arrow batch, cell) here. Per (cell, query) only
+    the top-k rows are emitted — ordered by (ROUNDED dist, vec_id),
+    the global window's exact key, so the map-side cut provably
+    contains the global top-k — and the ranking window then sees
+    ``cells x queries x k`` rows instead of every candidate pair.
+    Results are row-identical to the expression form: same rounding,
+    same (dist, vec_id) total order.
+    """
+    spark = assignments.sparkSession
+    probe_map: dict[int, tuple[list, list]] = {}
+    for qid, vec, cell in data:
+        probe_map.setdefault(int(cell), ([], []))
+        probe_map[int(cell)][0].append(int(qid))
+        probe_map[int(cell)][1].append(vec)
+    packed = {
+        c: (np.asarray(qids, dtype=np.int64),
+            np.asarray(vecs, dtype=np.float64))
+        for c, (qids, vecs) in probe_map.items()
+    }
+    bc = spark.sparkContext.broadcast(packed)
+    all_cells = sorted(packed)
+
+    def block(batches):
+        probes = bc.value
+        for pdf in batches:
+            out_q, out_v, out_d = [], [], []
+            for cell, sub in pdf.groupby("cell_id"):
+                pq = probes.get(int(cell))
+                if pq is None:
+                    continue
+                qids, qmat = pq
+                x = np.vstack(
+                    sub[vec_col].apply(np.asarray, args=(np.float64,))
+                )
+                ids = sub[id_col].to_numpy()
+                # ||q-x||^2 = ||q||^2 + ||x||^2 - 2 q.x — one BLAS call
+                d = (
+                    (qmat * qmat).sum(axis=1)[:, None]
+                    + (x * x).sum(axis=1)[None, :]
+                    - 2.0 * (qmat @ x.T)
+                )
+                if round_digits is not None:
+                    d = np.round(d, round_digits)
+                kk = min(k, d.shape[1])
+                for qi in range(d.shape[0]):
+                    # top-k under the window's exact (dist, vec_id) key
+                    order = np.lexsort((ids, d[qi]))[:kk]
+                    out_q.extend([qids[qi]] * kk)
+                    out_v.extend(ids[order])
+                    out_d.extend(d[qi][order])
+            yield pd.DataFrame(
+                {
+                    "query_id": pd.Series(out_q, dtype="int64"),
+                    "vec_id": pd.Series(out_v, dtype="int64"),
+                    "dist": pd.Series(out_d, dtype="float64"),
+                }
+            )
+
+    cand = assignments.filter(F.col("cell_id").isin(all_cells)).select(
+        "cell_id", F.col(id_col), F.col(vec_col)
+    )
+    scored = cand.mapInPandas(
+        block, "query_id BIGINT, vec_id BIGINT, dist DOUBLE"
+    )
+    w = Window.partitionBy("query_id").orderBy("dist", "vec_id")
+    return (
+        scored.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= k)
+        .drop("_r")
+        .orderBy("query_id", "dist", "vec_id")
+    )
+
+
 def rebuild_due(occ: dict, *, max_share_factor: float = 8.0) -> bool:
     """The measured ingest-maintenance trigger (round 12, verdict item
     6): True when the hottest cell holds more than ``max_share_factor``
@@ -260,9 +351,18 @@ class IVFIndex:
     def save(self, spark: SparkSession, path: str) -> None:
         # centroids written LAST: its _SUCCESS marker implies the whole
         # index (assignments + optional projection) committed.
-        self.assignments.write.mode("overwrite").partitionBy("cell_id").parquet(
-            f"{path}/assignments"
-        )
+        #
+        # repartition("cell_id") before the partitioned write: without
+        # it every shuffle partition holding rows of a cell writes its
+        # own file into that cell's directory — shuffle_partitions x
+        # num_cells files (measured: 64 x 2201 ~ 141k files at 5M x
+        # 384-d, and the pruned serve paid 15-66 s in per-file open/
+        # footer overhead for a 0.4-1.5% probed fraction). One narrow
+        # build-time exchange makes each cell exactly one file; probes
+        # then open nprobe files per query, not nprobe x shuffle_n.
+        self.assignments.repartition("cell_id").write.mode(
+            "overwrite"
+        ).partitionBy("cell_id").parquet(f"{path}/assignments")
         if self.proj is not None:
             prows = [
                 (int(i), [float(x) for x in row])
@@ -444,10 +544,12 @@ class IVFIndex:
         skipping unvisited graph regions, without relying on dynamic
         partition pruning kicking in for the join. Queries are
         broadcast-small by contract (same as ``knn_batch``), enforced by
-        the same bounded collect; results are row-identical to
+        the same bounded collect. Candidate scoring runs per-cell BLAS
+        batches with a map-side top-k cut (``_pruned_blas_topk`` —
+        round 12: the expression-form L2 over long arrays dominated the
+        measured 384-d serve); results are row-identical to
         :meth:`search_batch` at the same nprobe.
         """
-        spark = queries.sparkSession
         q_rows = bounded_query_collect(
             queries,
             query_id_col,
@@ -465,27 +567,13 @@ class IVFIndex:
             vec = [float(x) for x in r[query_vec_col]]
             for c in self._probe_cells(vec, nprobe):
                 data.append((r[query_id_col], vec, c))
-        probed = spark.createDataFrame(
-            data, f"{query_id_col} BIGINT, {query_vec_col} ARRAY<DOUBLE>, cell_id INT"
-        )
-        all_cells = sorted({c for (_, _, c) in data})
-        cand = self.assignments.filter(F.col("cell_id").isin(all_cells)).join(
-            F.broadcast(probed), on="cell_id", how="inner"
-        )
-        dist = l2_squared(F.col(self.vec_col), F.col(query_vec_col))
-        if round_digits is not None:
-            dist = F.round(dist, round_digits)
-        scored = cand.select(
-            F.col(query_id_col).alias("query_id"),
-            F.col(self.id_col).alias("vec_id"),
-            dist.alias("dist"),
-        )
-        w = Window.partitionBy("query_id").orderBy("dist", "vec_id")
-        return (
-            scored.withColumn("_r", F.row_number().over(w))
-            .filter(F.col("_r") <= k)
-            .drop("_r")
-            .orderBy("query_id", "dist", "vec_id")
+        return _pruned_blas_topk(
+            self.assignments,
+            data,
+            k,
+            id_col=self.id_col,
+            vec_col=self.vec_col,
+            round_digits=round_digits,
         )
 
     def assign_new(self, new_vectors: DataFrame) -> "IVFIndex":
@@ -1190,7 +1278,6 @@ class HierarchicalIVF:
             nprobe_l1 = len(self.l1_centroids)
         if nprobe is None:
             nprobe = max(1, total // 2)
-        spark = queries.sparkSession
         # Bounded collect (round 12): same broadcast-small contract and
         # same loud guard as knn_batch / IVFIndex.search_batch_pruned.
         q_rows = bounded_query_collect(
@@ -1210,28 +1297,13 @@ class HierarchicalIVF:
             vec = [float(x) for x in r[query_vec_col]]
             for c in self._probe_cells(vec, nprobe_l1=nprobe_l1, nprobe=nprobe):
                 data.append((r[query_id_col], vec, c))
-        probed = spark.createDataFrame(
+        return _pruned_blas_topk(
+            self.assignments,
             data,
-            f"{query_id_col} BIGINT, {query_vec_col} ARRAY<DOUBLE>, cell_id INT",
-        )
-        all_cells = sorted({c for (_, _, c) in data})
-        cand = self.assignments.filter(F.col("cell_id").isin(all_cells)).join(
-            F.broadcast(probed), on="cell_id", how="inner"
-        )
-        dist = l2_squared(F.col(self.vec_col), F.col(query_vec_col))
-        if round_digits is not None:
-            dist = F.round(dist, round_digits)
-        scored = cand.select(
-            F.col(query_id_col).alias("query_id"),
-            F.col(self.id_col).alias("vec_id"),
-            dist.alias("dist"),
-        )
-        w = Window.partitionBy("query_id").orderBy("dist", "vec_id")
-        return (
-            scored.withColumn("_r", F.row_number().over(w))
-            .filter(F.col("_r") <= k)
-            .drop("_r")
-            .orderBy("query_id", "dist", "vec_id")
+            k,
+            id_col=self.id_col,
+            vec_col=self.vec_col,
+            round_digits=round_digits,
         )
 
     # -- persistence (same layout discipline as IVFIndex.save) ------------
@@ -1243,10 +1315,13 @@ class HierarchicalIVF:
         any) is written before meta — the final meta _SUCCESS marker
         implies the whole index committed — and load keys geometry on
         GEOM_COL's presence in the assignments, the same explicit
-        marker the flat index uses."""
-        self.assignments.write.mode("overwrite").partitionBy("cell_id").parquet(
-            f"{path}/assignments"
-        )
+        marker the flat index uses. The cell_id repartition before the
+        partitioned write is the flat save's one-file-per-cell
+        discipline (see IVFIndex.save — the 141k-file layout it
+        prevents was measured on THIS class at 5M x 384-d)."""
+        self.assignments.repartition("cell_id").write.mode(
+            "overwrite"
+        ).partitionBy("cell_id").parquet(f"{path}/assignments")
         if self.proj is not None:
             prows = [
                 (int(i), [float(x) for x in row])
@@ -1564,9 +1639,10 @@ class IVFPQIndex:
         reduced index with a full-space one can never resurrect the
         stale ``proj/`` directory (r10 advisor — the old
         directory-existence probe did exactly that)."""
-        self.codes.write.mode("overwrite").partitionBy("cell_id").parquet(
-            f"{path}/codes"
-        )
+        # one-file-per-cell discipline (see IVFIndex.save)
+        self.codes.repartition("cell_id").write.mode(
+            "overwrite"
+        ).partitionBy("cell_id").parquet(f"{path}/codes")
         if self.proj is not None:
             prows = [
                 (int(i), [float(x) for x in row])
@@ -1764,9 +1840,10 @@ class MultiProbeLSH:
         )
 
     def save(self, spark: SparkSession, path: str) -> None:
-        self.buckets.write.mode("overwrite").partitionBy("table").parquet(
-            f"{path}/buckets"
-        )
+        # one-file-per-partition-dir discipline (see IVFIndex.save)
+        self.buckets.repartition("table").write.mode(
+            "overwrite"
+        ).partitionBy("table").parquet(f"{path}/buckets")
         meta = [
             (int(t), [float(x) for x in self.projections[t]], float(self.offsets[t]))
             for t in range(self.projections.shape[0])
