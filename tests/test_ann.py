@@ -827,3 +827,23 @@ def test_rebuild_due_trigger(spark, emb):
     assert rebuild_due(occ2) is True, occ2
     # empty index is due by definition
     assert rebuild_due({"cells": 0, "max_share": 0.0}) is True
+
+
+def test_rebuild_due_growth_baseline(spark, emb):
+    """Clustered-corpus mode: with a build-time baseline the trigger
+    fires on max_share GROWTH, not on the corpus's intrinsic
+    concentration (the 5M x 384-d planted build measures ~24x mean
+    while healthy — the absolute rule would cry wolf on day one)."""
+    from vector_database_in_rust_spark.operators.ann import rebuild_due
+
+    idx = IVFIndex.build(emb, num_cells=16, seed=42)
+    base = idx.occupancy_stats()
+    # fresh build vs its own baseline: never due, however concentrated
+    assert rebuild_due(base, baseline=base) is False
+    dim = len(emb.first()["embedding"])
+    blob = spark.createDataFrame(
+        [(20_000 + i, [100.0] * dim) for i in range(3000)],
+        "vec_id BIGINT, embedding ARRAY<FLOAT>",
+    )
+    grown = idx.assign_new(blob).occupancy_stats()
+    assert rebuild_due(grown, baseline=base) is True

@@ -206,7 +206,13 @@ def _pruned_blas_topk(
     )
 
 
-def rebuild_due(occ: dict, *, max_share_factor: float = 8.0) -> bool:
+def rebuild_due(
+    occ: dict,
+    *,
+    max_share_factor: float = 8.0,
+    baseline: dict | None = None,
+    growth_factor: float = 3.0,
+) -> bool:
     """The measured ingest-maintenance trigger (round 12, verdict item
     6): True when the hottest cell holds more than ``max_share_factor``
     times the mean cell occupancy — time to ``split_hot_cells()`` /
@@ -223,25 +229,38 @@ def rebuild_due(occ: dict, *, max_share_factor: float = 8.0) -> bool:
     observable without ground truth (one aggregation pass,
     ``occupancy_stats``) and it moves BEFORE recall does.
 
-    The 8x default: a healthy seeded build measures max_share within
-    ~2-4x mean (uniform and planted corpora, SCALE.md r9-r11), so 8x
-    only fires on real concentration; the r12 drift curve (SCALE.md)
-    anchors where it fires and what each repair buys. Trigger early
-    and the repair is cheap (``split_hot_cells`` touches hot cells
-    only). The reference cannot ingest at all (build-once graph,
+    The 8x default fits corpora whose intrinsic mode count is at or
+    above num_cells (uniform/well-spread builds measure max_share
+    within ~2-4x mean, SCALE.md r9-r11; the r12 drift curve crosses 8x
+    at +25% drifted ingest while recall is still flat and probed cost
+    has already doubled). Heavily CLUSTERED corpora are the measured
+    caveat: the 5M x 384-d planted-1000-cluster build holds max_share
+    ~24x mean while perfectly healthy (1000 modes cannot spread over
+    2201 cells) — an absolute rule would cry wolf on day one. For
+    those, pass the BUILD-time ``occupancy_stats()`` as ``baseline``:
+    the trigger then fires on GROWTH — max_share exceeding
+    ``growth_factor`` x its build-time value (drift is what moves
+    max_share after a build; the r12 study measured 16x growth at
+    +100% drifted ingest against a 1.4x-mean base). Trigger early and
+    the repair is cheap (``split_hot_cells`` touches hot cells only).
+    The reference cannot ingest at all (build-once graph,
     src/lib.rs:336-341); this rule is what makes the engine's ingest
     path an OPERATED advantage rather than a decaying one.
     """
     cells = int(occ.get("cells") or 0)
     if cells <= 0:
         return True  # empty/unhealthy index: rebuild by definition
+    share = float(occ.get("max_share") or 0.0)
+    if baseline is not None:
+        base_share = float(baseline.get("max_share") or 0.0)
+        if base_share > 0:
+            return share > min(0.5, growth_factor * base_share)
     # The relative bound degenerates past certainty at small k
     # (factor/cells >= 1 whenever cells <= factor, so it could NEVER
     # fire on a small index); a cell holding half the corpus is
     # unhealthy at any k — probing it alone is half a scan — so the
     # absolute 0.5 cap keeps the trigger meaningful everywhere.
-    bound = min(0.5, max_share_factor / cells)
-    return float(occ.get("max_share") or 0.0) > bound
+    return share > min(0.5, max_share_factor / cells)
 
 
 class IVFIndex:
