@@ -847,3 +847,64 @@ def test_rebuild_due_growth_baseline(spark, emb):
     )
     grown = idx.assign_new(blob).occupancy_stats()
     assert rebuild_due(grown, baseline=base) is True
+
+
+def test_hier_assign_new_incremental(spark, emb):
+    """Round-12 ingest parity: HierarchicalIVF.assign_new places new
+    vectors by the SAME two-stage rule as build (shared closure), the
+    receiver is untouched, and ingested vectors are findable by
+    self-query and land in their build-rule cell."""
+    import numpy as np
+
+    from vector_database_in_rust_spark.operators.ann import HierarchicalIVF
+
+    base = emb.filter(F.col("vec_id") < 400)
+    new = emb.filter(F.col("vec_id") >= 400)
+    idx = HierarchicalIVF.build(base, k1=3, k2=3, seed=42)
+    before = idx.assignments.count()
+    grown = idx.assign_new(new)
+    assert before == 400 and idx.assignments.count() == 400  # purity
+    assert grown.assignments.count() == 500
+    q = emb.filter("vec_id = 450").first()["embedding"]
+    total = sum(len(v) for v in grown.l2_centroids.values())
+    top = grown.search_batch(
+        spark.createDataFrame(
+            [(0, [float(x) for x in q])],
+            "query_id BIGINT, query_embedding ARRAY<DOUBLE>",
+        ),
+        1,
+        nprobe=total,
+    ).collect()
+    assert top[0]["vec_id"] == 450 and top[0]["dist"] == 0.0
+    # ingest placement == the build rule: re-assigning an already-
+    # assigned BUILD vector must reproduce its build cell
+    sample = idx.assignments.filter("vec_id < 20").select(
+        "vec_id", "embedding"
+    )
+    re_assigned = idx.assign_new(sample).assignments.filter("vec_id < 20")
+    orig = {
+        r["vec_id"]: r["cell_id"]
+        for r in idx.assignments.filter("vec_id < 20").collect()
+    }
+    for r in re_assigned.collect():
+        assert r["cell_id"] == orig[r["vec_id"]], r
+
+
+def test_hier_assign_new_reduced_geometry(spark, emb):
+    """Ingest under coarse_dim: new rows are projected with THIS
+    index's transform and carry GEOM_COL, so save/load and the pruned
+    serve keep working after ingest."""
+    from vector_database_in_rust_spark.operators.ann import (
+        GEOM_COL,
+        HierarchicalIVF,
+    )
+
+    base = emb.filter(F.col("vec_id") < 400)
+    new = emb.filter(F.col("vec_id") >= 400)
+    idx = HierarchicalIVF.build(base, k1=3, k2=3, seed=42, coarse_dim=8)
+    grown = idx.assign_new(new)
+    assert GEOM_COL in grown.assignments.columns
+    assert grown.assignments.count() == 500
+    assert (
+        grown.assignments.filter(F.col(GEOM_COL).isNull()).count() == 0
+    )

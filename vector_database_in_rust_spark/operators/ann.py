@@ -206,6 +206,40 @@ def _pruned_blas_topk(
     )
 
 
+def _hier_assign_fn(bc, id_col: str, vec_col: str):
+    """The two-level assignment pass as a mapInPandas closure factory —
+    shared by ``HierarchicalIVF.build`` (full-corpus assignment) and
+    ``HierarchicalIVF.assign_new`` (incremental ingest), so the ingest
+    rule is BY CONSTRUCTION the build's rule: argmin against the l1
+    blocks, then against the winning super-cell's l2 block
+    (2·sqrt(K) distance rows per vector). ``bc`` broadcasts
+    (l1_centroids, l2_centroids, k2_stride, proj)."""
+
+    def assign(it):
+        l1c, l2c, k2_, pj = bc.value
+        for pdf in it:
+            xfull = np.vstack(pdf[vec_col].apply(np.asarray, dtype=np.float64))
+            x = xfull @ pj if pj is not None else xfull
+            d1 = ((x[:, None, :] - l1c[None, :, :]) ** 2).sum(axis=2)
+            a1 = d1.argmin(axis=1)
+            a2 = np.zeros(len(x), dtype=np.int64)
+            for l1 in np.unique(a1):
+                m = a1 == l1
+                cc = l2c[int(l1)]
+                d2 = ((x[m][:, None, :] - cc[None, :, :]) ** 2).sum(axis=2)
+                a2[m] = d2.argmin(axis=1)
+            out = {
+                id_col: pdf[id_col],
+                vec_col: pdf[vec_col],
+                "cell_id": (a1 * k2_ + a2).astype("int32"),
+            }
+            if pj is not None:
+                out[GEOM_COL] = list(x.astype(np.float32))
+            yield pd.DataFrame(out)
+
+    return assign
+
+
 def rebuild_due(
     occ: dict,
     *,
@@ -1069,28 +1103,7 @@ class HierarchicalIVF:
         # the flat index's layout (load keys on the column's presence).
         spark = corpus.sparkSession
         bc = spark.sparkContext.broadcast((l1_cent, l2_cent_np, k2, proj))
-
-        def assign(it):
-            l1c, l2c, k2_, pj = bc.value
-            for pdf in it:
-                xfull = np.vstack(pdf[vec_col].apply(np.asarray, dtype=np.float64))
-                x = xfull @ pj if pj is not None else xfull
-                d1 = ((x[:, None, :] - l1c[None, :, :]) ** 2).sum(axis=2)
-                a1 = d1.argmin(axis=1)
-                a2 = np.zeros(len(x), dtype=np.int64)
-                for l1 in np.unique(a1):
-                    m = a1 == l1
-                    cc = l2c[int(l1)]
-                    d2 = ((x[m][:, None, :] - cc[None, :, :]) ** 2).sum(axis=2)
-                    a2[m] = d2.argmin(axis=1)
-                out = {
-                    id_col: pdf[id_col],
-                    vec_col: pdf[vec_col],
-                    "cell_id": (a1 * k2_ + a2).astype("int32"),
-                }
-                if pj is not None:
-                    out[GEOM_COL] = list(x.astype(np.float32))
-                yield pd.DataFrame(out)
+        assign = _hier_assign_fn(bc, id_col, vec_col)
 
         # Honor the caller's id column name AND type (the flat IVFIndex
         # path does; hardcoding `vec_id BIGINT` here broke custom — e.g.
@@ -1323,6 +1336,46 @@ class HierarchicalIVF:
             id_col=self.id_col,
             vec_col=self.vec_col,
             round_digits=round_digits,
+        )
+
+    def assign_new(self, new_vectors: DataFrame) -> "HierarchicalIVF":
+        """Incrementally index NEW vectors against the EXISTING two-level
+        centroid structure (no refit) — ingest parity with
+        ``IVFIndex.assign_new`` (round 12), on the index class sized for
+        serving-scale cell counts. One Arrow pass over the new rows runs
+        the SAME two-stage argmin as build's assignment
+        (``_hier_assign_fn`` — shared closure, so ingest placement
+        equals build placement by construction), then unions into the
+        assignments. Returns a NEW HierarchicalIVF; the receiver is
+        untouched (the flat class's purity contract). Drift policy:
+        ``rebuild_due`` over ``assignments``-derived occupancy, same as
+        flat — the r12 drift study's trigger applies per composite
+        cell. The reference cannot ingest at all (build-once graph,
+        src/lib.rs:336-341)."""
+        spark = new_vectors.sparkSession
+        bc = spark.sparkContext.broadcast(
+            (self.l1_centroids, self.l2_centroids, self.k2, self.proj)
+        )
+        assign = _hier_assign_fn(bc, self.id_col, self.vec_col)
+        id_type = new_vectors.schema[self.id_col].dataType.simpleString()
+        geom_field = (
+            f", {GEOM_COL} ARRAY<FLOAT>" if self.proj is not None else ""
+        )
+        assigned = new_vectors.select(self.id_col, self.vec_col).mapInPandas(
+            assign,
+            schema=(
+                f"{self.id_col} {id_type}, {self.vec_col} ARRAY<FLOAT>, "
+                f"cell_id INT{geom_field}"
+            ),
+        )
+        return HierarchicalIVF(
+            self.l1_centroids,
+            self.l2_centroids,
+            self.assignments.unionByName(assigned),
+            id_col=self.id_col,
+            vec_col=self.vec_col,
+            k2_stride=self.k2,
+            proj=self.proj,
         )
 
     # -- persistence (same layout discipline as IVFIndex.save) ------------
