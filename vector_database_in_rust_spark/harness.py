@@ -1460,6 +1460,75 @@ def ann_ivf_merge_verdict_q(spark, sf_dir):
     return merge_verdict(merged, exact, full)
 
 
+_ANN_INGEST_HIER_ORACLE = """
+SELECT CAST((SELECT count(*) FROM embeddings) AS BIGINT) AS n_total,
+       TRUE AS ids_unique,
+       TRUE AS placement_matches_build,
+       TRUE AS ingested_self_query_exact
+"""
+
+
+@register("ann_ingest_hier_verdict", _ANN_INGEST_HIER_ORACLE)
+def ann_ingest_hier_verdict_q(spark, sf_dir):
+    """Hierarchical ingest, driver-hash-verified (round 12): build the
+    two-level index on 60% of the corpus, ``assign_new`` the remaining
+    40% against the FROZEN centroid structure (the capability the
+    reference lacks entirely — its graph is build-once per process,
+    src/lib.rs:336-341), and pin: grown row count == count(embeddings)
+    (oracle-PREDICTED from the table), ids unique, re-assigning a
+    sample of BUILD vectors through the ingest path reproduces their
+    build cells exactly (placement equality is the shared-closure
+    contract), and an ingested vector is findable by full-probe
+    self-query at dist 0. Scale: ingest is one Arrow pass over the NEW
+    rows only — 2·sqrt(K) distance rows per vector, nothing
+    corpus-sized moves."""
+    from vector_database_in_rust_spark.operators.ann import HierarchicalIVF
+
+    emb = _emb(spark, sf_dir)
+    base = emb.filter(F.col("vec_id") % 5 < 3)
+    new = emb.filter(F.col("vec_id") % 5 >= 3)
+    idx = HierarchicalIVF.build(base, k1=3, k2=3, seed=42)
+    grown = idx.assign_new(new)
+    n_total = grown.assignments.count()
+    ids_unique = (
+        grown.assignments.select(grown.id_col).distinct().count() == n_total
+    )
+    sample = idx.assignments.filter(F.col("vec_id") % 50 == 0).select(
+        "vec_id", "embedding"
+    )
+    orig = {
+        r["vec_id"]: r["cell_id"]
+        for r in idx.assignments.filter(F.col("vec_id") % 50 == 0)
+        .select("vec_id", "cell_id")
+        .collect()
+    }
+    re_cells = idx.assign_new(sample).assignments.filter(
+        F.col("vec_id") % 50 == 0
+    )
+    placement = all(
+        r["cell_id"] == orig[r["vec_id"]]
+        for r in re_cells.select("vec_id", "cell_id").collect()
+    ) and len(orig) > 0
+    probe_vec = new.orderBy("vec_id").first()
+    total_sub = sum(len(v) for v in grown.l2_centroids.values())
+    top = grown.search_batch(
+        spark.createDataFrame(
+            [(0, [float(x) for x in probe_vec["embedding"]])],
+            "query_id BIGINT, query_embedding ARRAY<DOUBLE>",
+        ),
+        1,
+        nprobe=total_sub,
+    ).first()
+    self_exact = (
+        top["vec_id"] == probe_vec["vec_id"] and top["dist"] == 0.0
+    )
+    return spark.createDataFrame(
+        [(n_total, bool(ids_unique), bool(placement), bool(self_exact))],
+        "n_total BIGINT, ids_unique BOOLEAN, "
+        "placement_matches_build BOOLEAN, ingested_self_query_exact BOOLEAN",
+    )
+
+
 _ANN_REDUCED_VERDICT_ORACLE = """
 SELECT CAST((SELECT count(*) FROM embeddings) AS BIGINT) AS n_total,
        TRUE AS ids_unique,
@@ -8222,15 +8291,17 @@ _ROUND12_WINDOW = [
     #     newest r08 refill (dropping a same-round refill keeps the
     #     non-decreasing refill ordering and the staleness bound). ---
     "pipeline_dedup_verdict",  # never executed (new this round)
-    # --- 34 re-verification slots, least-recently-verified first
+    "ann_ingest_hier_verdict",  # never executed (new this round)
+    # --- 33 re-verification slots, least-recently-verified first
     #     (scripts/compose_window.py output): the r08 cohort is the
-    #     stalest oracle evidence. 13 r08 lanes do not fit this
-    #     window (62 at-or-before-r08 lanes + 1 new registration > 50
+    #     stalest oracle evidence. 14 r08 lanes do not fit this
+    #     window (62 at-or-before-r08 lanes + 2 new registrations > 50
     #     slots) and head the r13 window: events_range_join,
     #     dedup_clusters, dedup_incremental, minhash_incremental,
     #     dedup_pagerank, dedup_apply, repetition_stats, redact_pii,
     #     curriculum_order, media_decode_image, media_decode_audio,
-    #     media_resize_real, events_moving_avg (registry order). ---
+    #     media_resize_real, events_moving_avg, stream_curate
+    #     (registry order). ---
     "knn_exact",  # last green r08
     "knn_batch",  # last green r08
     "dedup_embedding_cosine",  # last green r08
@@ -8264,7 +8335,6 @@ _ROUND12_WINDOW = [
     "inverted_index",  # last green r08
     "dedup_substring",  # last green r08
     "stream_dedup_redelivery",  # last green r08
-    "stream_curate",  # last green r08
 ]
 
 
