@@ -908,3 +908,19 @@ def test_hier_assign_new_reduced_geometry(spark, emb):
     assert (
         grown.assignments.filter(F.col(GEOM_COL).isNull()).count() == 0
     )
+
+
+def test_pruned_serve_empty_query_set(spark, emb, tmp_path):
+    """Edge: an empty (but schema-valid) query frame returns an empty
+    result through the BLAS pruned path on both classes — no vstack or
+    broadcast of degenerate shapes."""
+    from vector_database_in_rust_spark.operators.ann import HierarchicalIVF
+
+    empty = emb.limit(0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_embedding"),
+    )
+    flat = IVFIndex.build(emb, num_cells=8, seed=42)
+    assert flat.search_batch_pruned(empty, 5, nprobe=2).count() == 0
+    hier = HierarchicalIVF.build(emb, k1=3, k2=3, seed=42)
+    assert hier.search_batch_pruned(empty, 5, nprobe=2).count() == 0
