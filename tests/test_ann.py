@@ -924,3 +924,32 @@ def test_pruned_serve_empty_query_set(spark, emb, tmp_path):
     assert flat.search_batch_pruned(empty, 5, nprobe=2).count() == 0
     hier = HierarchicalIVF.build(emb, k1=3, k2=3, seed=42)
     assert hier.search_batch_pruned(empty, 5, nprobe=2).count() == 0
+
+
+def test_pruned_serve_string_ids(spark, emb, tmp_path):
+    """Regression (round 13, advisor): the BLAS pruned serve hardcoded
+    vec_id BIGINT / int64 pandas dtype, crashing the supported custom
+    string-id configuration the expression path handled (the hier build
+    had the same hardcoding bug in round 11). String doc AND query ids
+    must round-trip through both classes' pruned path, row-matching the
+    declarative search_batch."""
+    from vector_database_in_rust_spark.operators.ann import HierarchicalIVF
+
+    docs = emb.select(
+        F.concat(F.lit("doc-"), F.col("vec_id")).alias("vec_id"),
+        "embedding",
+    )
+    queries = docs.filter(F.col("vec_id").isin("doc-3", "doc-7")).select(
+        F.concat(F.lit("q-"), F.col("vec_id")).alias("query_id"),
+        F.col("embedding").alias("query_embedding"),
+    )
+    flat = IVFIndex.build(docs, num_cells=8, seed=42)
+    want = [tuple(r) for r in flat.search_batch(queries, 5, nprobe=8).collect()]
+    got = [tuple(r) for r in flat.search_batch_pruned(queries, 5, nprobe=8).collect()]
+    assert got == want
+    assert got[0][0].startswith("q-doc-") and got[0][1].startswith("doc-")
+
+    hier = HierarchicalIVF.build(docs, k1=3, k2=3, seed=42, id_col="vec_id")
+    hwant = [tuple(r) for r in hier.search_batch(queries, 5).collect()]
+    hgot = [tuple(r) for r in hier.search_batch_pruned(queries, 5).collect()]
+    assert hgot == hwant

@@ -123,6 +123,7 @@ def _pruned_blas_topk(
     id_col: str,
     vec_col: str,
     round_digits: int | None,
+    query_id_type: str = "bigint",
 ) -> DataFrame:
     """Score a partition-pruned candidate scan against its probe set
     with per-cell BLAS batches — the serving-side analogue of
@@ -138,22 +139,35 @@ def _pruned_blas_topk(
     the global window's exact key, so the map-side cut provably
     contains the global top-k — and the ranking window then sees
     ``cells x queries x k`` rows instead of every candidate pair.
-    Results are row-identical to the expression form: same rounding,
-    same (dist, vec_id) total order.
+
+    Rounding matches ``search_batch``'s ``F.round`` RULE (HALF_UP on a
+    non-negative squared distance; the expanded form's tiny negative
+    float error is clamped to 0 first — a true squared distance is
+    >= 0, and an un-clamped -0.0 would hash-differ from 0.0). Results
+    are row-identical to the expression form except when a distance
+    lands within one BLAS-expansion ulp of a rounding boundary — the
+    expanded ||q||^2+||x||^2-2q.x and the elementwise sum can differ
+    in the last float place there (round-12 advisor note).
+
+    Id columns pass through with their source types: ``vec_id`` takes
+    ``assignments[id_col]``'s type, ``query_id`` the caller-declared
+    ``query_id_type`` — hardcoded BIGINT here broke custom string ids
+    under the engine facade (round 13; same class of bug as the hier
+    build's hardcoded schema, fixed round 11).
     """
     spark = assignments.sparkSession
     probe_map: dict[int, tuple[list, list]] = {}
     for qid, vec, cell in data:
         probe_map.setdefault(int(cell), ([], []))
-        probe_map[int(cell)][0].append(int(qid))
+        probe_map[int(cell)][0].append(qid)
         probe_map[int(cell)][1].append(vec)
     packed = {
-        c: (np.asarray(qids, dtype=np.int64),
-            np.asarray(vecs, dtype=np.float64))
+        c: (list(qids), np.asarray(vecs, dtype=np.float64))
         for c, (qids, vecs) in probe_map.items()
     }
     bc = spark.sparkContext.broadcast(packed)
     all_cells = sorted(packed)
+    id_type = assignments.schema[id_col].dataType.simpleString()
 
     def block(batches):
         probes = bc.value
@@ -174,8 +188,13 @@ def _pruned_blas_topk(
                     + (x * x).sum(axis=1)[None, :]
                     - 2.0 * (qmat @ x.T)
                 )
+                d = np.maximum(d, 0.0)
                 if round_digits is not None:
-                    d = np.round(d, round_digits)
+                    # HALF_UP on non-negative values == F.round's rule
+                    # (np.round is half-even and can differ on exact
+                    # boundary values).
+                    s = 10.0 ** round_digits
+                    d = np.floor(d * s + 0.5) / s
                 kk = min(k, d.shape[1])
                 for qi in range(d.shape[0]):
                     # top-k under the window's exact (dist, vec_id) key
@@ -183,10 +202,13 @@ def _pruned_blas_topk(
                     out_q.extend([qids[qi]] * kk)
                     out_v.extend(ids[order])
                     out_d.extend(d[qi][order])
+            # object dtype: Arrow coerces to the declared schema types,
+            # so int/string/etc ids all pass through unchanged (an
+            # int64-forced Series crashed string ids).
             yield pd.DataFrame(
                 {
-                    "query_id": pd.Series(out_q, dtype="int64"),
-                    "vec_id": pd.Series(out_v, dtype="int64"),
+                    "query_id": pd.Series(out_q, dtype=object),
+                    "vec_id": pd.Series(out_v, dtype=object),
                     "dist": pd.Series(out_d, dtype="float64"),
                 }
             )
@@ -195,7 +217,7 @@ def _pruned_blas_topk(
         "cell_id", F.col(id_col), F.col(vec_col)
     )
     scored = cand.mapInPandas(
-        block, "query_id BIGINT, vec_id BIGINT, dist DOUBLE"
+        block, f"query_id {query_id_type}, vec_id {id_type}, dist DOUBLE"
     )
     w = Window.partitionBy("query_id").orderBy("dist", "vec_id")
     return (
@@ -600,8 +622,10 @@ class IVFIndex:
         the same bounded collect. Candidate scoring runs per-cell BLAS
         batches with a map-side top-k cut (``_pruned_blas_topk`` —
         round 12: the expression-form L2 over long arrays dominated the
-        measured 384-d serve); results are row-identical to
-        :meth:`search_batch` at the same nprobe.
+        measured 384-d serve); results match :meth:`search_batch` at
+        the same nprobe, modulo distances landing within one
+        BLAS-expansion ulp of a rounding boundary (see
+        ``_pruned_blas_topk``).
         """
         q_rows = bounded_query_collect(
             queries,
@@ -627,6 +651,7 @@ class IVFIndex:
             id_col=self.id_col,
             vec_col=self.vec_col,
             round_digits=round_digits,
+            query_id_type=queries.schema[query_id_col].dataType.simpleString(),
         )
 
     def assign_new(self, new_vectors: DataFrame) -> "IVFIndex":
@@ -1300,8 +1325,9 @@ class HierarchicalIVF:
         partition pruning (``PartitionFilters`` in the plan): only the
         probed cells' files are read — probed bytes scale with nprobe
         cells, not with N. Queries are broadcast-small by contract
-        (same as ``knn_batch``); results are row-identical to
-        :meth:`search_batch` at the same (nprobe_l1, nprobe). Reduced-
+        (same as ``knn_batch``); results match :meth:`search_batch` at
+        the same (nprobe_l1, nprobe) modulo rounding-boundary ulp ties
+        (see ``_pruned_blas_topk``). Reduced-
         geometry (``coarse_dim``) indexes rank probes in the projected
         space via :meth:`_probe_cells`; the exact re-rank below always
         reads the original vectors."""
@@ -1336,6 +1362,7 @@ class HierarchicalIVF:
             id_col=self.id_col,
             vec_col=self.vec_col,
             round_digits=round_digits,
+            query_id_type=queries.schema[query_id_col].dataType.simpleString(),
         )
 
     def assign_new(self, new_vectors: DataFrame) -> "HierarchicalIVF":

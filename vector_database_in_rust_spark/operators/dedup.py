@@ -134,7 +134,12 @@ def _minhash_retained_index(
 ) -> DataFrame:
     """Shared MinHash preamble: shingle index -> hot-shingle cut ->
     (optionally) xxhash64 the shingles -> repartition by doc_id.
-    Returns the UNPERSISTED retained index, hash-partitioned on doc_id.
+    Returns the UNPERSISTED retained index. Partitioning contract:
+    hash-partitioned on doc_id when the corpus is large or of unknown
+    size (``n_docs is None`` or ``n_docs > BROADCAST_SAFE_ROWS``); a
+    KNOWN broadcast-small corpus returns the shingle-partitioned index
+    as-is (the round-12 small-corpus gate below — the degenerate-combine
+    waste the alignment prevents is bounded tiny there).
 
     The doc_id repartition is load-bearing at scale (round 11, found by
     the 5M campaign's fifth ENOSPC and isolated by
