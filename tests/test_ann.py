@@ -953,3 +953,187 @@ def test_pruned_serve_string_ids(spark, emb, tmp_path):
     hwant = [tuple(r) for r in hier.search_batch(queries, 5).collect()]
     hgot = [tuple(r) for r in hier.search_batch_pruned(queries, 5).collect()]
     assert hgot == hwant
+
+
+def test_probed_fraction_budget_resolution(spark, emb):
+    """Round 13 (r12 drift-study footgun): a rebuild changed the cell
+    count 707 -> 1000 and the SAME absolute nprobe silently halved the
+    probed fraction (recall 0.994 -> 0.856). Budgets expressed as a
+    cell FRACTION must re-derive nprobe from the current cell count."""
+    import pytest as _pytest
+    from vector_database_in_rust_spark.operators.ann import HierarchicalIVF
+
+    coarse = IVFIndex.build(emb, num_cells=8, seed=42)
+    fine = IVFIndex.build(emb, num_cells=16, seed=42)
+    assert coarse.nprobe_for_frac(0.5) == 4
+    assert fine.nprobe_for_frac(0.5) == 8
+    assert fine.nprobe_for_frac(0.01) == 1  # ceil, floor-to-1
+    with _pytest.raises(ValueError, match="not both"):
+        fine.search(emb.first()["embedding"], 3, nprobe=4, target_frac=0.5)
+    with _pytest.raises(ValueError, match="target_frac"):
+        fine.nprobe_for_frac(1.5)
+
+    hier = HierarchicalIVF.build(emb, k1=4, k2=4, seed=42)
+    assert hier.nprobe_for_frac(0.25) == max(1, int(-(-0.25 * hier.num_cells // 1)))
+
+
+def test_target_frac_matches_explicit_nprobe(spark, emb, queries):
+    """target_frac=f must return exactly the rows of
+    nprobe=ceil(f x cells) on every serving path — same budget, two
+    spellings."""
+    idx = IVFIndex.build(emb, num_cells=16, seed=42)
+    want = [tuple(r) for r in idx.search_batch(queries, K, nprobe=8).collect()]
+    got = [
+        tuple(r)
+        for r in idx.search_batch(queries, K, target_frac=0.5).collect()
+    ]
+    assert got == want
+
+
+def test_target_frac_serving_survives_rebuild(spark, emb, queries):
+    """The policy the budget exists for: serve a COARSER and a FINER
+    build of the same corpus at the same fraction — full fraction must
+    be exact on BOTH (an absolute nprobe carried across the rebuild
+    would under-probe the finer index)."""
+    exact = knn_batch(emb, queries, K)
+    for cells in (8, 16):
+        idx = IVFIndex.build(emb, num_cells=cells, seed=42)
+        ann = idx.search_batch(queries, K, target_frac=1.0)
+        assert _recall(exact, ann) == 1.0
+        assert idx.nprobe_for_frac(1.0) == cells
+
+
+def test_build_auto_routes_on_cell_count(spark, emb):
+    """The router encodes the measured flat-vs-hier bracket (SCALE.md
+    r12): flat at single-box cell counts, hier when cells outgrow one
+    KMeans fit. The flat route must be EXACTLY IVFIndex.build — same
+    parameters, same seed, identical assignments."""
+    from vector_database_in_rust_spark.operators.ann import (
+        HierarchicalIVF,
+        build_auto,
+    )
+
+    routed = build_auto(emb, num_cells=8, seed=7)
+    assert isinstance(routed, IVFIndex)
+    direct = IVFIndex.build(emb, num_cells=8, seed=7)
+    assert (
+        routed.assignments.select("vec_id", "cell_id")
+        .exceptAll(direct.assignments.select("vec_id", "cell_id"))
+        .count()
+        == 0
+    )
+
+    hier = build_auto(emb, num_cells=9, seed=7, flat_cell_limit=4)
+    assert isinstance(hier, HierarchicalIVF)
+    # balanced split: ceil(sqrt(9)) = 3 per level, >= requested cells
+    assert len(hier.l1_centroids) == 3
+    assert hier.num_cells >= 9 - 3  # sample under-fill can shrink blocks
+    # the routed hier index serves: full probe == exact
+    q = emb.filter("vec_id = 5").first()["embedding"]
+    top = hier.search(q, 3, nprobe=hier.num_cells).collect()
+    assert top[0]["vec_id"] == 5 and top[0]["dist"] == 0.0
+
+
+def _drift_cluster_df(spark, n=300, id_start=1000):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    point = rng.rand(64) * 0.05 + 2.0  # far outside the unit cube
+    rows = [
+        (id_start + i, [float(x) for x in point + rng.rand(64) * 0.01], 0)
+        for i in range(n)
+    ]
+    return point, spark.createDataFrame(
+        rows, "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT"
+    )
+
+
+def test_hier_split_hot_cells_overflow(spark, emb):
+    """Round 13 (hier drift repair): ingest a tight OOD cluster, split
+    hot cells, and pin the overflow-cell contract: (a) lossless,
+    (b) occupancy strictly improves, (c) new cells live OUTSIDE the
+    composite id range (cold saved partitions never move), (d) full
+    probe stays exact, (e) deterministic, (f) the split is pure (the
+    receiver index is untouched)."""
+    import numpy as np
+
+    from vector_database_in_rust_spark.operators.ann import HierarchicalIVF
+
+    point, new = _drift_cluster_df(spark)
+
+    def build_split():
+        idx = HierarchicalIVF.build(emb, k1=3, k2=3, seed=42).assign_new(new)
+        return idx, idx.split_hot_cells(factor=2.0, seed=42)
+
+    idx, split = build_split()
+    assert not idx.overflow  # purity: receiver untouched
+    assert split.overflow, "the OOD pile-up must have split"
+    base = idx.k2 * len(idx.l1_centroids)
+    assert all(c >= base for c in split.overflow)
+    assert split.num_cells == idx.num_cells + len(split.overflow)
+
+    before = {r["cell_id"]: r["n_vectors"] for r in idx.cell_stats().collect()}
+    after = {r["cell_id"]: r["n_vectors"] for r in split.cell_stats().collect()}
+    assert sum(after.values()) == 800
+    assert split.assignments.select("vec_id").distinct().count() == 800
+    assert max(after.values()) < max(before.values())
+
+    corpus = emb.select("vec_id", "embedding").unionByName(
+        new.select("vec_id", "embedding")
+    )
+    q = [float(x) for x in point]
+    exact = [r["vec_id"] for r in knn_exact(corpus, q, 10).collect()]
+    got = [
+        r["vec_id"] for r in split.search(q, 10, nprobe=split.num_cells).collect()
+    ]
+    assert got == exact
+
+    _, split2 = build_split()
+    assert split.assignments.select("vec_id", "cell_id").exceptAll(
+        split2.assignments.select("vec_id", "cell_id")
+    ).count() == 0
+    assert sorted(split.overflow) == sorted(split2.overflow)
+
+
+def test_hier_split_probe_paths_agree_and_roundtrip(spark, emb, tmp_path):
+    """With overflow cells present, the three serving paths must agree
+    — driver probe ranking (search), declarative batch ranking
+    (search_batch), and the persisted pruned path after a save/load
+    round trip (overflow must survive persistence) — and post-split
+    ingest must be able to LAND in an overflow cell."""
+    from vector_database_in_rust_spark.operators.ann import HierarchicalIVF
+
+    point, new = _drift_cluster_df(spark)
+    split = (
+        HierarchicalIVF.build(emb, k1=3, k2=3, seed=42)
+        .assign_new(new)
+        .split_hot_cells(factor=2.0, seed=42)
+    )
+    queries = spark.createDataFrame(
+        [(0, [float(x) for x in point])],
+        "query_id BIGINT, query_embedding ARRAY<DOUBLE>",
+    )
+    want = [tuple(r) for r in split.search_batch(queries, K, nprobe=4).collect()]
+    split.save(spark, str(tmp_path / "hsplit"))
+    loaded = HierarchicalIVF.load(spark, str(tmp_path / "hsplit"))
+    assert loaded.overflow and sorted(loaded.overflow) == sorted(split.overflow)
+    got = [
+        tuple(r)
+        for r in loaded.search_batch_pruned(queries, K, nprobe=4).collect()
+    ]
+    assert got == want
+
+    # ingest into the split structure: a vector ON the drift point must
+    # be assigned to one of the drift cells (composite-updated or
+    # overflow), and probe-1 must place that cell first.
+    probe_cell = split._probe_cells(point, nprobe_l1=3, nprobe=1)[0]
+    one = spark.createDataFrame(
+        [(9_999_999, [float(x) for x in point])],
+        "vec_id BIGINT, embedding ARRAY<FLOAT>",
+    )
+    grown = split.assign_new(one)
+    landed = (
+        grown.assignments.filter(F.col("vec_id") == 9_999_999)
+        .first()["cell_id"]
+    )
+    assert landed == probe_cell

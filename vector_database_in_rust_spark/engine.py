@@ -260,23 +260,38 @@ class VectorEngine:
         return self
 
     def search(
-        self, query: Sequence[float], k: int, *, nprobe: int = 8
+        self,
+        query: Sequence[float],
+        k: int,
+        *,
+        nprobe: int | None = None,
+        target_frac: float | None = None,
     ) -> DataFrame:
         """== ``VectorDB.search`` (src/lib.rs:344-347): ANN when an index
         exists, exact brute force otherwise (the reference errors instead;
-        graceful fallback is strictly more useful)."""
+        graceful fallback is strictly more useful). ``target_frac``
+        expresses the probe budget as a cell fraction — rebuild-safe,
+        see ``IVFIndex.nprobe_for_frac`` (an exact fallback ignores
+        both knobs: it always scans everything)."""
         if self.index is None:
             return self.search_exact(query, k)
-        return self.index.search(query, k, nprobe=nprobe)
+        return self.index.search(query, k, nprobe=nprobe, target_frac=target_frac)
 
     def search_batch(
-        self, queries: DataFrame, k: int, *, nprobe: int = 8
+        self,
+        queries: DataFrame,
+        k: int,
+        *,
+        nprobe: int | None = None,
+        target_frac: float | None = None,
     ) -> DataFrame:
         if self.index is None:
             return knn_ops.knn_batch(
                 self.df, queries, k, id_col=self.id_col, vec_col=self.vec_col
             )
-        return self.index.search_batch(queries, k, nprobe=nprobe)
+        return self.index.search_batch(
+            queries, k, nprobe=nprobe, target_frac=target_frac
+        )
 
     def search_filtered(
         self,

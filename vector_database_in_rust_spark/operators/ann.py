@@ -228,6 +228,117 @@ def _pruned_blas_topk(
     )
 
 
+def _occupancy_stats(assignments: DataFrame) -> dict:
+    """One-pass cell-occupancy summary over an assignment table —
+    shared by ``IVFIndex.occupancy_stats`` (see its docstring for the
+    measured degeneracy it catches and the remedies),
+    ``HierarchicalIVF.occupancy_stats``, and the streaming-maintenance
+    monitor."""
+    row = (
+        assignments.groupBy("cell_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.count(F.lit(1)).alias("cells"),
+            F.sum("n").alias("rows"),
+            F.max("n").alias("max"),
+            F.expr("percentile_approx(n, 0.5)").alias("p50"),
+            F.expr("percentile_approx(n, 0.99)").alias("p99"),
+        )
+        .collect()[0]
+    )
+    if int(row["cells"] or 0) == 0:
+        # Empty assignments: every aggregate above is NULL — report
+        # the (obviously unhealthy) empty index instead of letting
+        # the health check itself raise TypeError (r10 advisor).
+        return {
+            "cells": 0, "rows": 0, "max": 0, "p50": 0, "p99": 0,
+            "max_share": 0.0,
+        }
+    total = int(row["rows"] or 0)
+    return {
+        "cells": int(row["cells"]),
+        "rows": total,
+        "max": int(row["max"]),
+        "p50": int(row["p50"]),
+        "p99": int(row["p99"]),
+        "max_share": (int(row["max"]) / total) if total else 0.0,
+    }
+
+
+def _fit_hot_subcentroids(
+    hot_rows: DataFrame,
+    *,
+    geom_col: str,
+    seed: int,
+    max_cell_fit_rows: int,
+) -> dict:
+    """Per-hot-cell seeded local 2-means, one ``applyInPandas`` group
+    per cell (the HierarchicalIVF level-2 discipline) — shared by the
+    flat AND hierarchical ``split_hot_cells`` so both classes split
+    under the identical rule. Returns {(cell_id, sub): centroid}."""
+    import pandas as pd
+
+    def fit2(pdf: pd.DataFrame) -> pd.DataFrame:
+        c = int(pdf["cell_id"].iloc[0])
+        x = np.vstack(pdf[geom_col].apply(np.asarray, dtype=np.float64))
+        if len(x) > max_cell_fit_rows:
+            rng = np.random.RandomState(seed * 131 + c)
+            x = x[rng.choice(len(x), size=max_cell_fit_rows, replace=False)]
+        cent = _lloyd(x, 2, seed * 31 + c)
+        if len(cent) < 2:  # degenerate single-point cell
+            cent = np.vstack([cent[0], cent[0]])
+        return pd.DataFrame(
+            {
+                "cell_id": [c, c],
+                "sub": [0, 1],
+                "centroid": [list(map(float, cent[0])), list(map(float, cent[1]))],
+            }
+        )
+
+    return {
+        (r["cell_id"], r["sub"]): np.asarray(r["centroid"])
+        for r in hot_rows.groupBy("cell_id")
+        .applyInPandas(fit2, "cell_id INT, sub INT, centroid ARRAY<DOUBLE>")
+        .collect()
+    }
+
+
+def _reassign_hot_rows(
+    hot_rows: DataFrame,
+    subs: dict,
+    new_id: dict,
+    *,
+    geom_col: str,
+    carry: list[str],
+) -> DataFrame:
+    """Re-score each hot cell's rows against its two sub-centroids:
+    the closer-to-sub0 half keeps the cell id, the rest moves to the
+    cell's fresh id (ties keep the old id). Shared by both classes'
+    ``split_hot_cells``."""
+    spark = hot_rows.sparkSession
+    remap = spark.createDataFrame(
+        [
+            (
+                int(c),
+                [float(x) for x in subs[(c, 0)]],
+                [float(x) for x in subs[(c, 1)]],
+                int(nid),
+            )
+            for c, nid in new_id.items()
+        ],
+        "cell_id INT, c0 ARRAY<DOUBLE>, c1 ARRAY<DOUBLE>, new_id INT",
+    )
+    d0 = l2_squared(F.col(geom_col), F.col("c0"))
+    d1 = l2_squared(F.col(geom_col), F.col("c1"))
+    return hot_rows.join(F.broadcast(remap), on="cell_id").select(
+        *carry,
+        F.when(d0 <= d1, F.col("cell_id"))
+        .otherwise(F.col("new_id"))
+        .cast("int")
+        .alias("cell_id"),
+    )
+
+
 def _hier_assign_fn(bc, id_col: str, vec_col: str):
     """The two-level assignment pass as a mapInPandas closure factory —
     shared by ``HierarchicalIVF.build`` (full-corpus assignment) and
@@ -235,31 +346,76 @@ def _hier_assign_fn(bc, id_col: str, vec_col: str):
     rule is BY CONSTRUCTION the build's rule: argmin against the l1
     blocks, then against the winning super-cell's l2 block
     (2·sqrt(K) distance rows per vector). ``bc`` broadcasts
-    (l1_centroids, l2_centroids, k2_stride, proj)."""
+    (l1_centroids, l2_centroids, k2_stride, proj, overflow_by_parent);
+    overflow cells (post-build splits) compete with the winning
+    super-cell's own sub-cells, composite winning distance ties
+    (same keep-the-old rule as ``_reassign_hot_rows``)."""
 
     def assign(it):
-        l1c, l2c, k2_, pj = bc.value
+        l1c, l2c, k2_, pj, ovf = bc.value
         for pdf in it:
             xfull = np.vstack(pdf[vec_col].apply(np.asarray, dtype=np.float64))
             x = xfull @ pj if pj is not None else xfull
             d1 = ((x[:, None, :] - l1c[None, :, :]) ** 2).sum(axis=2)
             a1 = d1.argmin(axis=1)
-            a2 = np.zeros(len(x), dtype=np.int64)
+            cell = np.zeros(len(x), dtype=np.int64)
             for l1 in np.unique(a1):
                 m = a1 == l1
                 cc = l2c[int(l1)]
                 d2 = ((x[m][:, None, :] - cc[None, :, :]) ** 2).sum(axis=2)
-                a2[m] = d2.argmin(axis=1)
+                a2 = d2.argmin(axis=1)
+                best = int(l1) * k2_ + a2
+                ov = ovf.get(int(l1)) if ovf else None
+                if ov is not None:
+                    ids, cents = ov
+                    dov = ((x[m][:, None, :] - cents[None, :, :]) ** 2).sum(
+                        axis=2
+                    )
+                    ov_arg = dov.argmin(axis=1)
+                    ov_min = dov[np.arange(len(ov_arg)), ov_arg]
+                    d2_min = d2[np.arange(len(a2)), a2]
+                    best = np.where(ov_min < d2_min, ids[ov_arg], best)
+                cell[m] = best
             out = {
                 id_col: pdf[id_col],
                 vec_col: pdf[vec_col],
-                "cell_id": (a1 * k2_ + a2).astype("int32"),
+                "cell_id": cell.astype("int32"),
             }
             if pj is not None:
                 out[GEOM_COL] = list(x.astype(np.float32))
             yield pd.DataFrame(out)
 
     return assign
+
+
+def _resolve_nprobe(
+    nprobe: int | None,
+    target_frac: float | None,
+    num_cells: int,
+    *,
+    default: int,
+) -> int:
+    """Resolve a serving probe budget from either an absolute cell
+    count (``nprobe``) or a cell FRACTION (``target_frac``) — the
+    rebuild-safe way to express it (round 13, closing the r12 drift
+    study's sharpest finding): a ``rebuild_due``-triggered full rebuild
+    changed the cell count 707 -> 1000, so the SAME nprobe=8 probed
+    half the fraction and recall fell 0.994 -> 0.856 at matched
+    settings (SCALE.md r12). A fraction-expressed budget re-derives
+    nprobe from the CURRENT cell count, so serving cost and recall
+    survive rebuilds, splits, and merges without hand re-tuning."""
+    if target_frac is not None:
+        if nprobe is not None:
+            raise ValueError(
+                "pass nprobe OR target_frac, not both — they are two "
+                "expressions of the same probe budget"
+            )
+        if not (0.0 < target_frac <= 1.0):
+            raise ValueError(
+                f"target_frac must be in (0, 1], got {target_frac}"
+            )
+        return max(1, int(np.ceil(target_frac * num_cells)))
+    return default if nprobe is None else nprobe
 
 
 def rebuild_due(
@@ -353,6 +509,19 @@ class IVFIndex:
         over: the PCA-reduced column for a ``coarse_dim`` index, the
         original vector column otherwise."""
         return GEOM_COL if self.proj is not None else self.vec_col
+
+    @property
+    def num_cells(self) -> int:
+        return int(self.centroids.shape[0])
+
+    def nprobe_for_frac(self, target_frac: float) -> int:
+        """nprobe probing ~``target_frac`` of this index's cells —
+        ``ceil(target_frac x num_cells)``. Express standing serving
+        budgets this way (or pass ``target_frac=`` to the search
+        methods directly): an absolute nprobe silently changes meaning
+        whenever maintenance changes the cell count (see
+        ``_resolve_nprobe`` for the measured rebuild footgun)."""
+        return _resolve_nprobe(None, target_frac, self.num_cells, default=8)
 
     def _geom_query(self, query) -> np.ndarray:
         q = np.asarray(query, dtype=np.float64)
@@ -484,13 +653,23 @@ class IVFIndex:
         order = np.argsort(d, kind="stable")[: max(1, nprobe)]
         return [int(c) for c in order]
 
-    def search(self, query, k: int, *, nprobe: int = 8) -> DataFrame:
+    def search(
+        self,
+        query,
+        k: int,
+        *,
+        nprobe: int | None = None,
+        target_frac: float | None = None,
+    ) -> DataFrame:
         """Single-query ANN: probe nprobe cells, exact re-rank to top-k.
 
         The cell filter is a pushed-down ``cell_id IN (...)`` predicate —
         on cell-partitioned Parquet that is partition pruning, the IVF
-        analogue of HNSW skipping unvisited graph regions.
+        analogue of HNSW skipping unvisited graph regions. The probe
+        budget is ``nprobe`` cells (default 8) or, rebuild-safe, the
+        cell fraction ``target_frac`` (see ``nprobe_for_frac``).
         """
+        nprobe = _resolve_nprobe(nprobe, target_frac, self.num_cells, default=8)
         cells = self._probe_cells(query, nprobe)
         cand = self.assignments.filter(F.col("cell_id").isin(cells))
         return knn_exact(cand, list(map(float, query)), k,
@@ -503,7 +682,8 @@ class IVFIndex:
         *,
         metadata: DataFrame,
         predicate,
-        nprobe: int = 8,
+        nprobe: int | None = None,
+        target_frac: float | None = None,
         meta_id_col: str | None = None,
     ) -> DataFrame:
         """Filtered ANN with PRE-filter semantics: the metadata predicate
@@ -525,6 +705,7 @@ class IVFIndex:
         probing when |matches| << |probed cells|; the caller sees
         identical results either way, so the flip is a pure cost choice.
         """
+        nprobe = _resolve_nprobe(nprobe, target_frac, self.num_cells, default=8)
         cells = self._probe_cells(np.asarray(query, dtype=np.float64), nprobe)
         cand = self.assignments.filter(F.col("cell_id").isin(cells))
         keep = metadata.filter(predicate).select(
@@ -540,7 +721,8 @@ class IVFIndex:
         queries: DataFrame,
         k: int,
         *,
-        nprobe: int = 8,
+        nprobe: int | None = None,
+        target_frac: float | None = None,
         query_id_col: str = "query_id",
         query_vec_col: str = "query_embedding",
         round_digits: int | None = 4,
@@ -551,7 +733,11 @@ class IVFIndex:
            |queries| * num_cells scored rows) -> top-nprobe cells/query;
         2. candidates = assignments semi-joined on probed cells;
         3. per-query exact re-rank via ranking window.
+
+        Probe budget: ``nprobe`` cells (default 8) or the rebuild-safe
+        cell fraction ``target_frac`` (see ``nprobe_for_frac``).
         """
+        nprobe = _resolve_nprobe(nprobe, target_frac, self.num_cells, default=8)
         spark = queries.sparkSession
         cent = [
             (int(i), [float(x) for x in row]) for i, row in enumerate(self.centroids)
@@ -602,13 +788,18 @@ class IVFIndex:
         queries: DataFrame,
         k: int,
         *,
-        nprobe: int = 8,
+        nprobe: int | None = None,
+        target_frac: float | None = None,
         query_id_col: str = "query_id",
         query_vec_col: str = "query_embedding",
         round_digits: int | None = 4,
     ) -> DataFrame:
         """Batch ANN over a PERSISTED cell-partitioned index — the
-        production serving shape.
+        production serving shape. Probe budget: ``nprobe`` cells
+        (default 8) or the rebuild-safe cell fraction ``target_frac``
+        (see ``nprobe_for_frac`` — the r12 drift study measured recall
+        0.994 -> 0.856 from serving a rebuilt index at a stale absolute
+        nprobe).
 
         Probe cells are computed driver-side against the centroid matrix
         (tiny by construction: num_cells x dim), so the candidate scan
@@ -627,6 +818,7 @@ class IVFIndex:
         BLAS-expansion ulp of a rounding boundary (see
         ``_pruned_blas_topk``).
         """
+        nprobe = _resolve_nprobe(nprobe, target_frac, self.num_cells, default=8)
         q_rows = bounded_query_collect(
             queries,
             query_id_col,
@@ -765,35 +957,7 @@ class IVFIndex:
         max_share * nprobe bounds the fraction of the corpus a probe
         reads. Remedies: ``coarse_dim`` at build (high-d geometry),
         ``rebalance()`` (drift/skew)."""
-        row = (
-            self.assignments.groupBy("cell_id")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .agg(
-                F.count(F.lit(1)).alias("cells"),
-                F.sum("n").alias("rows"),
-                F.max("n").alias("max"),
-                F.expr("percentile_approx(n, 0.5)").alias("p50"),
-                F.expr("percentile_approx(n, 0.99)").alias("p99"),
-            )
-            .collect()[0]
-        )
-        if int(row["cells"] or 0) == 0:
-            # Empty assignments: every aggregate above is NULL — report
-            # the (obviously unhealthy) empty index instead of letting
-            # the health check itself raise TypeError (r10 advisor).
-            return {
-                "cells": 0, "rows": 0, "max": 0, "p50": 0, "p99": 0,
-                "max_share": 0.0,
-            }
-        total = int(row["rows"] or 0)
-        return {
-            "cells": int(row["cells"]),
-            "rows": total,
-            "max": int(row["max"]),
-            "p50": int(row["p50"]),
-            "p99": int(row["p99"]),
-            "max_share": (int(row["max"]) / total) if total else 0.0,
-        }
+        return _occupancy_stats(self.assignments)
 
     def split_hot_cells(
         self,
@@ -819,8 +983,6 @@ class IVFIndex:
         state is the occupancy table (num_cells rows) and 2 x |hot|
         sub-centroids. Returns a NEW IVFIndex (assignments lazily
         re-derived; the caller persists/saves as usual)."""
-        import pandas as pd
-
         occ = {
             r["cell_id"]: r["n_vectors"] for r in self.cell_stats().collect()
         }
@@ -834,30 +996,13 @@ class IVFIndex:
         vec_col = self.vec_col
         geom_col = self.geom_col
 
-        def fit2(pdf: pd.DataFrame) -> pd.DataFrame:
-            c = int(pdf["cell_id"].iloc[0])
-            x = np.vstack(pdf[geom_col].apply(np.asarray, dtype=np.float64))
-            if len(x) > max_cell_fit_rows:
-                rng = np.random.RandomState(seed * 131 + c)
-                x = x[rng.choice(len(x), size=max_cell_fit_rows, replace=False)]
-            cent = _lloyd(x, 2, seed * 31 + c)
-            if len(cent) < 2:  # degenerate single-point cell
-                cent = np.vstack([cent[0], cent[0]])
-            return pd.DataFrame(
-                {
-                    "cell_id": [c, c],
-                    "sub": [0, 1],
-                    "centroid": [list(map(float, cent[0])), list(map(float, cent[1]))],
-                }
-            )
-
         hot_rows = self.assignments.filter(F.col("cell_id").isin(hot))
-        subs = {
-            (r["cell_id"], r["sub"]): np.asarray(r["centroid"])
-            for r in hot_rows.groupBy("cell_id")
-            .applyInPandas(fit2, "cell_id INT, sub INT, centroid ARRAY<DOUBLE>")
-            .collect()
-        }
+        subs = _fit_hot_subcentroids(
+            hot_rows,
+            geom_col=geom_col,
+            seed=seed,
+            max_cell_fit_rows=max_cell_fit_rows,
+        )
 
         k_old = self.centroids.shape[0]
         new_centroids = self.centroids.copy()
@@ -869,33 +1014,11 @@ class IVFIndex:
             appended.append(subs[(c, 1)])
         new_centroids = np.vstack([new_centroids] + appended)
 
-        spark = self.assignments.sparkSession
-        remap = spark.createDataFrame(
-            [
-                (
-                    int(c),
-                    [float(x) for x in subs[(c, 0)]],
-                    [float(x) for x in subs[(c, 1)]],
-                    int(new_id[c]),
-                )
-                for c in hot
-            ],
-            "cell_id INT, c0 ARRAY<DOUBLE>, c1 ARRAY<DOUBLE>, new_id INT",
-        )
         carry = [self.id_col, vec_col] + (
             [GEOM_COL] if self.proj is not None else []
         )
-        d0 = l2_squared(F.col(geom_col), F.col("c0"))
-        d1 = l2_squared(F.col(geom_col), F.col("c1"))
-        reassigned = (
-            hot_rows.join(F.broadcast(remap), on="cell_id")
-            .select(
-                *carry,
-                F.when(d0 <= d1, F.col("cell_id"))
-                .otherwise(F.col("new_id"))
-                .cast("int")
-                .alias("cell_id"),
-            )
+        reassigned = _reassign_hot_rows(
+            hot_rows, subs, new_id, geom_col=geom_col, carry=carry
         )
         cold = self.assignments.filter(~F.col("cell_id").isin(hot)).select(
             *carry, "cell_id"
@@ -931,6 +1054,63 @@ class IVFIndex:
             nxt.assignments = nxt.assignments.localCheckpoint(eager=False)
             idx = nxt
         return idx
+
+
+def build_auto(
+    corpus: DataFrame,
+    *,
+    num_cells: int | None = None,
+    seed: int = DEFAULT_SEED,
+    max_fit_rows: int = 200_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    coarse_dim: int | None = None,
+    flat_cell_limit: int = 2048,
+):
+    """Index-class router encoding the measured flat-vs-hier bracket
+    (round 13, from the r12 5M x 384-d class x dimension matrix,
+    SCALE.md r12): at single-box cell counts the FLAT index wins
+    everything — build 167.7 s vs 296.4 s, serve 1.39-2.17 s vs
+    2.08-3.73 s, recall 1.000 vs 0.988-1.000 at ~2.2k cells — because
+    one stock KMeans fit is cheaper than the two-level fit plus its
+    extra assignment stage. The hierarchy's case is the cell count
+    OUTGROWING one KMeans fit (~1e11 vectors -> ~3e5 cells, the 100 TB
+    regime): its per-super-cell level-2 fits are embarrassingly
+    parallel and its assignment pass costs 2*sqrt(K) distance rows per
+    vector instead of K.
+
+    Routes on the TARGET CELL COUNT (``num_cells`` or the sqrt(N)
+    default): ``<= flat_cell_limit`` builds :class:`IVFIndex` with
+    exactly the flat build's parameters (same seed -> identical index);
+    above it builds :class:`HierarchicalIVF` with
+    ``k1 = k2 = ceil(sqrt(cells))`` (the balanced split, total
+    sub-cells >= the requested count). The 2048 default sits just
+    inside the measured bracket's flat-wins region (~2.2k cells); on a
+    real cluster raise it toward the largest k one KMeans|| fit
+    handles comfortably."""
+    n = corpus.count()
+    cells = num_cells or _num_cells_default(n)
+    if cells <= flat_cell_limit:
+        return IVFIndex.build(
+            corpus,
+            num_cells=cells,
+            seed=seed,
+            max_fit_rows=max_fit_rows,
+            id_col=id_col,
+            vec_col=vec_col,
+            coarse_dim=coarse_dim,
+        )
+    side = int(np.ceil(np.sqrt(cells)))
+    return HierarchicalIVF.build(
+        corpus,
+        k1=side,
+        k2=side,
+        seed=seed,
+        max_fit_rows=max_fit_rows,
+        id_col=id_col,
+        vec_col=vec_col,
+        coarse_dim=coarse_dim,
+    )
 
 
 class LSHIndex:
@@ -1007,9 +1187,21 @@ class HierarchicalIVF:
         vec_col: str = "embedding",
         k2_stride: int | None = None,
         proj: np.ndarray | None = None,
+        overflow: dict | None = None,
     ):
         self.l1_centroids = np.asarray(l1_centroids, dtype=np.float64)
         self.l2_centroids = {int(k): np.asarray(v, dtype=np.float64) for k, v in l2_centroids.items()}
+        # Overflow cells (round 13, drift repair): cells created by
+        # split_hot_cells AFTER build, living OUTSIDE the composite
+        # l1*stride+l2 id range (ids >= k1*stride, so saved partitions
+        # and the stride decode never change). Each maps
+        # cell_id -> (parent_l1, centroid); an overflow cell behaves as
+        # one more sub-cell of its parent super-cell in every probe,
+        # ranking, and assignment path.
+        self.overflow = {
+            int(c): (int(p), np.asarray(v, dtype=np.float64))
+            for c, (p, v) in (overflow or {}).items()
+        }
         self.assignments = assignments
         self.id_col = id_col
         self.vec_col = vec_col
@@ -1032,6 +1224,23 @@ class HierarchicalIVF:
             int(k2_stride)
             if k2_stride is not None
             else max(len(v) for v in self.l2_centroids.values())
+        )
+
+    @property
+    def num_cells(self) -> int:
+        """Total sub-cells (incl. overflow) — the denominator of a
+        fraction-expressed probe budget, mirroring
+        ``IVFIndex.num_cells``."""
+        return sum(len(v) for v in self.l2_centroids.values()) + len(
+            self.overflow
+        )
+
+    def nprobe_for_frac(self, target_frac: float) -> int:
+        """nprobe probing ~``target_frac`` of this index's composite
+        cells (see ``IVFIndex.nprobe_for_frac`` and ``_resolve_nprobe``
+        for the measured rebuild footgun this exists to close)."""
+        return _resolve_nprobe(
+            None, target_frac, self.num_cells, default=8
         )
 
     @classmethod
@@ -1127,7 +1336,7 @@ class HierarchicalIVF:
         # the ORIGINAL vector plus GEOM_COL for maintenance parity with
         # the flat index's layout (load keys on the column's presence).
         spark = corpus.sparkSession
-        bc = spark.sparkContext.broadcast((l1_cent, l2_cent_np, k2, proj))
+        bc = spark.sparkContext.broadcast((l1_cent, l2_cent_np, k2, proj, {}))
         assign = _hier_assign_fn(bc, id_col, vec_col)
 
         # Honor the caller's id column name AND type (the flat IVFIndex
@@ -1152,18 +1361,38 @@ class HierarchicalIVF:
             proj=proj,
         )
 
+    def _overflow_by_parent(self) -> dict[int, tuple[np.ndarray, np.ndarray]]:
+        """Overflow cells grouped per super-cell: l1 -> (cell ids,
+        centroid matrix) — the shape every probe/assign path consumes."""
+        by_parent: dict[int, tuple[list, list]] = {}
+        for cid, (parent, cent) in sorted(self.overflow.items()):
+            by_parent.setdefault(parent, ([], []))
+            by_parent[parent][0].append(cid)
+            by_parent[parent][1].append(cent)
+        return {
+            p: (np.asarray(ids, dtype=np.int64), np.vstack(cents))
+            for p, (ids, cents) in by_parent.items()
+        }
+
     def _probe_cells(self, query, *, nprobe_l1: int, nprobe: int) -> list[int]:
         q = np.asarray(query, dtype=np.float64)
         if self.proj is not None:
             q = q @ self.proj
         d1 = ((self.l1_centroids - q) ** 2).sum(axis=1)
         l1s = np.argsort(d1, kind="stable")[: max(1, nprobe_l1)]
+        ovf = self._overflow_by_parent()
         scored: list[tuple[float, int]] = []
         for l1 in l1s:
             cc = self.l2_centroids[int(l1)]
             d2 = ((cc - q) ** 2).sum(axis=1)
             for l2, dv in enumerate(d2):
                 scored.append((float(dv), int(l1) * self.k2 + l2))
+            ov = ovf.get(int(l1))
+            if ov is not None:
+                ids, cents = ov
+                dov = ((cents - q) ** 2).sum(axis=1)
+                for cid, dv in zip(ids, dov):
+                    scored.append((float(dv), int(cid)))
         scored.sort()
         return [c for _, c in scored[: max(1, nprobe)]]
 
@@ -1174,9 +1403,12 @@ class HierarchicalIVF:
         *,
         nprobe_l1: int | None = None,
         nprobe: int | None = None,
+        target_frac: float | None = None,
     ) -> DataFrame:
         """Probe ``nprobe`` sub-cells drawn from the ``nprobe_l1``
-        closest super-cells, then exact re-rank.
+        closest super-cells, then exact re-rank. ``target_frac``
+        expresses the sub-cell budget as a cell fraction instead
+        (rebuild-safe; see ``nprobe_for_frac``).
 
         Defaults are the RECALL-EQUIVALENT operating point vs the flat
         ``IVFIndex`` at the same probed-corpus fraction: rank ALL
@@ -1196,11 +1428,12 @@ class HierarchicalIVF:
         super-cell L2 fits) and the 2*sqrt(K) assignment pass, not
         search-time L1 pruning.
         """
-        total = sum(len(v) for v in self.l2_centroids.values())
         if nprobe_l1 is None:
             nprobe_l1 = len(self.l1_centroids)
-        if nprobe is None:
-            nprobe = max(1, total // 2)
+        nprobe = _resolve_nprobe(
+            nprobe, target_frac, self.num_cells,
+            default=max(1, self.num_cells // 2),
+        )
         cells = self._probe_cells(query, nprobe_l1=nprobe_l1, nprobe=nprobe)
         cand = self.assignments.filter(F.col("cell_id").isin(cells))
         return knn_exact(cand, list(map(float, query)), k,
@@ -1213,6 +1446,7 @@ class HierarchicalIVF:
         *,
         nprobe_l1: int | None = None,
         nprobe: int | None = None,
+        target_frac: float | None = None,
         query_id_col: str = "query_id",
         query_vec_col: str = "query_embedding",
         round_digits: int | None = 4,
@@ -1229,13 +1463,16 @@ class HierarchicalIVF:
            per-query exact re-rank via ranking window.
 
         Defaults mirror :meth:`search`: all super-cells, half of all
-        sub-cells (the flat-equivalent probe budget).
+        sub-cells (the flat-equivalent probe budget). ``target_frac``
+        expresses the sub-cell budget as a cell fraction instead
+        (rebuild-safe; see ``nprobe_for_frac``).
         """
-        total = sum(len(v) for v in self.l2_centroids.values())
         if nprobe_l1 is None:
             nprobe_l1 = len(self.l1_centroids)
-        if nprobe is None:
-            nprobe = max(1, total // 2)
+        nprobe = _resolve_nprobe(
+            nprobe, target_frac, self.num_cells,
+            default=max(1, self.num_cells // 2),
+        )
         spark = queries.sparkSession
         l1_rows = [
             (int(i), [float(x) for x in row])
@@ -1246,6 +1483,13 @@ class HierarchicalIVF:
             (int(l1), int(l1) * self.k2 + int(l2), [float(x) for x in row])
             for l1, block in sorted(self.l2_centroids.items())
             for l2, row in enumerate(block)
+        ]
+        # Overflow cells rank as extra sub-cells of their parent — the
+        # declarative path sees exactly the centroid set _probe_cells
+        # scores driver-side.
+        l2_rows += [
+            (int(parent), int(cid), [float(x) for x in cent])
+            for cid, (parent, cent) in sorted(self.overflow.items())
         ]
         l2_df = spark.createDataFrame(
             l2_rows, "l1 INT, cell_id INT, centroid ARRAY<DOUBLE>"
@@ -1309,6 +1553,7 @@ class HierarchicalIVF:
         *,
         nprobe_l1: int | None = None,
         nprobe: int | None = None,
+        target_frac: float | None = None,
         query_id_col: str = "query_id",
         query_vec_col: str = "query_embedding",
         round_digits: int | None = 4,
@@ -1316,6 +1561,9 @@ class HierarchicalIVF:
         """Batch ANN over a PERSISTED cell-partitioned hierarchical
         index — the production serving shape, the two-level twin of
         :meth:`IVFIndex.search_batch_pruned` (round 11, verdict item 3).
+        ``target_frac`` expresses the sub-cell budget as a cell
+        fraction instead of an absolute nprobe (rebuild-safe; see
+        ``nprobe_for_frac``).
 
         Both centroid levels are driver-resident by construction
         (k1 + k1·k2 ≈ 2·sqrt(K) rows), so the two-stage probe ranking
@@ -1331,11 +1579,12 @@ class HierarchicalIVF:
         geometry (``coarse_dim``) indexes rank probes in the projected
         space via :meth:`_probe_cells`; the exact re-rank below always
         reads the original vectors."""
-        total = sum(len(v) for v in self.l2_centroids.values())
         if nprobe_l1 is None:
             nprobe_l1 = len(self.l1_centroids)
-        if nprobe is None:
-            nprobe = max(1, total // 2)
+        nprobe = _resolve_nprobe(
+            nprobe, target_frac, self.num_cells,
+            default=max(1, self.num_cells // 2),
+        )
         # Bounded collect (round 12): same broadcast-small contract and
         # same loud guard as knn_batch / IVFIndex.search_batch_pruned.
         q_rows = bounded_query_collect(
@@ -1381,7 +1630,13 @@ class HierarchicalIVF:
         src/lib.rs:336-341)."""
         spark = new_vectors.sparkSession
         bc = spark.sparkContext.broadcast(
-            (self.l1_centroids, self.l2_centroids, self.k2, self.proj)
+            (
+                self.l1_centroids,
+                self.l2_centroids,
+                self.k2,
+                self.proj,
+                self._overflow_by_parent(),
+            )
         )
         assign = _hier_assign_fn(bc, self.id_col, self.vec_col)
         id_type = new_vectors.schema[self.id_col].dataType.simpleString()
@@ -1403,7 +1658,126 @@ class HierarchicalIVF:
             vec_col=self.vec_col,
             k2_stride=self.k2,
             proj=self.proj,
+            overflow=self.overflow,
         )
+
+    def cell_stats(self) -> DataFrame:
+        """Per-cell occupancy — same contract as ``IVFIndex.cell_stats``."""
+        return (
+            self.assignments.groupBy("cell_id")
+            .agg(F.count(F.lit(1)).alias("n_vectors"))
+            .orderBy("cell_id")
+        )
+
+    def occupancy_stats(self) -> dict:
+        """Occupancy health over the COMPOSITE cells — same contract
+        and remedies as ``IVFIndex.occupancy_stats`` (the r12 drift
+        study's ``rebuild_due`` trigger consumes this on either
+        class)."""
+        return _occupancy_stats(self.assignments)
+
+    def split_hot_cells(
+        self,
+        *,
+        factor: float = 2.0,
+        seed: int = DEFAULT_SEED,
+        max_cell_fit_rows: int = 100_000,
+    ) -> "HierarchicalIVF":
+        """Hot-cell repair for the two-level index (round 13, closing
+        the measured hier-drift gap): ``assign_new`` funnels
+        out-of-distribution vectors into cells whose BUILD-time
+        centroids sit far from the new modes, so probe ranking
+        misorders them and recall decays (measured at 500k + 8 OOD
+        batches: hier 0.74-0.81 vs flat 0.98-0.99 at equal nprobe,
+        SCALE.md r12 — flat could repair via split_hot_cells; hier
+        could not). Same rule as :meth:`IVFIndex.split_hot_cells` —
+        every cell with occupancy > ``factor`` x mean splits in two by
+        a seeded local 2-means (shared ``_fit_hot_subcentroids`` /
+        ``_reassign_hot_rows`` helpers, so both classes split under
+        the identical discipline).
+
+        Id bookkeeping: a split's sub0 keeps the cell id (its centroid
+        updates in place); sub1 becomes an OVERFLOW cell — a fresh id
+        >= k1 x stride carrying its parent super-cell, so the
+        composite encoding, the stride decode, and every saved cold
+        partition stay untouched. Overflow cells participate in probe
+        ranking, declarative batch ranking, and ingest assignment as
+        extra sub-cells of their parent (see ``_overflow_by_parent``).
+        Returns a NEW index; the receiver is untouched."""
+        occ = {
+            r["cell_id"]: r["n_vectors"] for r in self.cell_stats().collect()
+        }
+        if not occ:
+            return self
+        mean_occ = sum(occ.values()) / len(occ)
+        hot = sorted(
+            c for c, n in occ.items() if n > factor * mean_occ and n >= 2
+        )
+        if not hot:
+            return self
+
+        geom_col = GEOM_COL if self.proj is not None else self.vec_col
+        hot_rows = self.assignments.filter(F.col("cell_id").isin(hot))
+        subs = _fit_hot_subcentroids(
+            hot_rows,
+            geom_col=geom_col,
+            seed=seed,
+            max_cell_fit_rows=max_cell_fit_rows,
+        )
+
+        base = self.k2 * len(self.l1_centroids)
+        next_id = max([base - 1] + list(self.overflow.keys())) + 1
+        new_l2 = {k: v.copy() for k, v in self.l2_centroids.items()}
+        new_overflow = dict(self.overflow)
+        new_id: dict[int, int] = {}
+        for c in hot:
+            if c < base:
+                parent, sub = c // self.k2, c % self.k2
+                new_l2[parent][sub] = subs[(c, 0)]
+            else:
+                parent = self.overflow[c][0]
+                new_overflow[c] = (parent, subs[(c, 0)])
+            new_overflow[next_id] = (parent, subs[(c, 1)])
+            new_id[c] = next_id
+            next_id += 1
+
+        carry = [self.id_col, self.vec_col] + (
+            [GEOM_COL] if self.proj is not None else []
+        )
+        reassigned = _reassign_hot_rows(
+            hot_rows, subs, new_id, geom_col=geom_col, carry=carry
+        )
+        cold = self.assignments.filter(~F.col("cell_id").isin(hot)).select(
+            *carry, "cell_id"
+        )
+        return HierarchicalIVF(
+            self.l1_centroids,
+            new_l2,
+            cold.unionByName(reassigned),
+            id_col=self.id_col,
+            vec_col=self.vec_col,
+            k2_stride=self.k2,
+            proj=self.proj,
+            overflow=new_overflow,
+        )
+
+    def rebalance(
+        self,
+        *,
+        factor: float = 2.0,
+        seed: int = DEFAULT_SEED,
+        max_rounds: int = 4,
+    ) -> "HierarchicalIVF":
+        """Iterate ``split_hot_cells`` to the occupancy bound — same
+        loop and lineage-cut discipline as ``IVFIndex.rebalance``."""
+        idx = self
+        for r in range(max_rounds):
+            nxt = idx.split_hot_cells(factor=factor, seed=seed + r)
+            if nxt is idx:
+                return idx
+            nxt.assignments = nxt.assignments.localCheckpoint(eager=False)
+            idx = nxt
+        return idx
 
     # -- persistence (same layout discipline as IVFIndex.save) ------------
 
@@ -1441,8 +1815,18 @@ class HierarchicalIVF:
         spark.createDataFrame(l2, "l1 INT, l2 INT, centroid ARRAY<DOUBLE>").coalesce(
             1
         ).write.mode("overwrite").parquet(f"{path}/l2_centroids")
+        if self.overflow:
+            ov = [
+                (int(c), int(p), [float(x) for x in cent])
+                for c, (p, cent) in sorted(self.overflow.items())
+            ]
+            spark.createDataFrame(
+                ov, "cell_id INT, parent_l1 INT, centroid ARRAY<DOUBLE>"
+            ).coalesce(1).write.mode("overwrite").parquet(f"{path}/overflow")
         # The cell-id stride is build-time state, not derivable from the
         # centroid blocks (an under-filled build has max block < stride).
+        # Written LAST (after overflow): its _SUCCESS marker implies the
+        # whole index committed.
         spark.createDataFrame([(int(self.k2),)], "k2_stride INT").coalesce(
             1
         ).write.mode("overwrite").parquet(f"{path}/meta")
@@ -1480,6 +1864,16 @@ class HierarchicalIVF:
             # pre-round-7 saves carry no meta; fall back to the old
             # inference (correct whenever some super-cell filled up)
             stride = None
+        try:
+            # absent on any index never split (and on every pre-r13
+            # save) — a local-FS existence check would break non-local
+            # paths, so probe by reading like the stride above.
+            overflow = {
+                int(r["cell_id"]): (int(r["parent_l1"]), r["centroid"])
+                for r in spark.read.parquet(f"{path}/overflow").collect()
+            }
+        except Exception:
+            overflow = {}
         return cls(
             l1,
             l2_np,
@@ -1488,6 +1882,7 @@ class HierarchicalIVF:
             vec_col=vec_col,
             k2_stride=stride,
             proj=proj,
+            overflow=overflow,
         )
 
 
