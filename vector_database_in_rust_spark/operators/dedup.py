@@ -2463,6 +2463,28 @@ def _cosine_pairs_pandas(
     )
 
 
+def _semantic_greedy_keep(u, order, eps: float):
+    """SemDeDup's within-cluster greedy keep rule over unit-normalized
+    vectors ``u`` visited in ``order``: keep a row unless it has cosine
+    (rounded to 6, the repo determinism contract) >= ``eps`` with an
+    already-kept row. THE single definition — :func:`semantic_dedup`
+    prunes with it and :func:`semantic_threshold_for` calibrates
+    against it, so the calibrator measures exactly the rule the
+    operator applies (round 13)."""
+    import numpy as np
+
+    keep = np.zeros(len(u), dtype=bool)
+    kept = np.empty_like(u)
+    nk = 0
+    for i in order:
+        if nk and np.round(kept[:nk] @ u[i], 6).max() >= eps:
+            continue
+        keep[i] = True
+        kept[nk] = u[i]
+        nk += 1
+    return keep
+
+
 def semantic_dedup(
     emb: DataFrame,
     *,
@@ -2574,15 +2596,7 @@ def semantic_dedup(
         ids = pdf[id_col].to_numpy()
         order = np.lexsort((ids, csim))  # csim primary, id tie-break
         m = len(ids)
-        keep = np.zeros(m, dtype=bool)
-        kept = np.empty_like(u)
-        nk = 0
-        for i in order:
-            if nk and np.round(kept[:nk] @ u[i], 6).max() >= eps:
-                continue
-            keep[i] = True
-            kept[nk] = u[i]
-            nk += 1
+        keep = _semantic_greedy_keep(u, order, eps)
         return pd.DataFrame(
             {id_col: ids, "cluster_id": np.full(m, cell), "keep": keep}
         ).astype({id_col: "int64", "cluster_id": "int32", "keep": "bool"})
@@ -2590,6 +2604,141 @@ def semantic_dedup(
     return idx.assignments.groupBy("cell_id").applyInPandas(
         prune, schema=f"{id_col} BIGINT, cluster_id INT, keep BOOLEAN"
     )
+
+
+SEMANTIC_GRID_DEFAULT = (
+    0.5, 0.6, 0.7, 0.75, 0.8, 0.85, 0.9, 0.925, 0.95, 0.975,
+    0.99, 0.995, 0.999,
+)
+
+
+def semantic_threshold_for(
+    emb: DataFrame,
+    survival_target: float,
+    *,
+    grid: tuple = SEMANTIC_GRID_DEFAULT,
+    num_cells: int | None = None,
+    occupancy_factor: float = 4.0,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    coarse_dim: int | None = None,
+) -> dict:
+    """Calibrate :func:`semantic_dedup`'s ``threshold`` to hit a target
+    KEEP fraction on THIS corpus (round 13, verdict item 6). Why a
+    fixed threshold cannot be carried across corpus sizes — measured,
+    not hypothetical (NOTES_r12, the composed-pipeline calibration):
+    within-cluster cosines are conditioned HIGH (KMeans groups similar
+    vectors) and cluster size grows with N, so the SAME 0.99 threshold
+    kept 67% of a 50k corpus but 11% of the 5M corpus. A pipeline that
+    wants "prune ~30%" must re-derive eps per corpus; this does it.
+
+    Method: cluster exactly as :func:`semantic_dedup` does (same
+    IVFIndex + rebalance, same seed discipline — the calibrated eps
+    transfers exactly because the clustering is reproducible given the
+    same parameters), then ONE ``applyInPandas`` pass per cluster runs
+    the REAL greedy rule (``_semantic_greedy_keep`` — shared with the
+    operator, not a quantile proxy) at every grid threshold and emits
+    per-(cluster, threshold) keep counts. Global survival per
+    threshold is a sum; the returned eps linearly interpolates between
+    the two bracketing grid points. Cost: the within-cluster quadratic
+    work x ``len(grid)``, bounded per cluster by the same
+    ``occupancy_factor`` rebalance bound the operator itself relies
+    on; everything else (clustering, shuffle shape) is ONE
+    semantic_dedup-shaped pass.
+
+    Returns ``{"threshold", "survival", "curve"}`` — ``curve`` is the
+    measured [(eps, survival)] grid for inspection; ``survival`` is
+    the measured survival at the nearest bracketing points (the
+    interpolation's anchor), so a caller can see how tight the bracket
+    was. Targets outside the measured range clamp to the nearest grid
+    endpoint (a survival_target below 1/N or above 1.0 is not
+    achievable by any eps)."""
+    import numpy as np
+    import pandas as pd
+
+    from vector_database_in_rust_spark.operators.ann import IVFIndex
+
+    if not (0.0 < survival_target <= 1.0):
+        raise ValueError(
+            f"survival_target must be in (0, 1], got {survival_target}"
+        )
+    grid = tuple(sorted(float(t) for t in grid))
+    idx = IVFIndex.build(
+        emb,
+        num_cells=num_cells,
+        seed=seed,
+        id_col=id_col,
+        vec_col=vec_col,
+        coarse_dim=coarse_dim,
+    ).rebalance(factor=occupancy_factor, seed=seed)
+    cents = idx.centroids
+    geom = idx.geom_col
+
+    def count_kept(pdf: pd.DataFrame) -> pd.DataFrame:
+        cell = int(pdf["cell_id"].iloc[0])
+        x = np.vstack(pdf[vec_col].apply(np.asarray, dtype=np.float64))
+        norms = np.linalg.norm(x, axis=1)
+        u = np.divide(
+            x, norms[:, None], out=np.zeros_like(x), where=norms[:, None] > 0
+        )
+        if geom != vec_col:
+            xg = np.vstack(pdf[geom].apply(np.asarray, dtype=np.float64))
+            gn = np.linalg.norm(xg, axis=1)
+            ug = np.divide(
+                xg, gn[:, None], out=np.zeros_like(xg),
+                where=gn[:, None] > 0,
+            )
+        else:
+            ug = u
+        c = cents[cell]
+        cn = np.linalg.norm(c)
+        csim = ug @ (c / cn if cn > 0 else c)
+        ids = pdf[id_col].to_numpy()
+        order = np.lexsort((ids, csim))
+        return pd.DataFrame(
+            {
+                "gi": range(len(grid)),
+                "kept": [
+                    int(_semantic_greedy_keep(u, order, t).sum())
+                    for t in grid
+                ],
+                "n": [len(ids)] * len(grid),
+            }
+        )
+
+    rows = (
+        idx.assignments.groupBy("cell_id")
+        .applyInPandas(count_kept, schema="gi INT, kept BIGINT, n BIGINT")
+        .groupBy("gi")
+        .agg(F.sum("kept").alias("kept"), F.sum("n").alias("n"))
+        .collect()
+    )
+    by_gi = {int(r["gi"]): (int(r["kept"]), int(r["n"])) for r in rows}
+    n_total = by_gi[0][1]
+    curve = [
+        (grid[gi], by_gi[gi][0] / n_total) for gi in sorted(by_gi)
+    ]
+    # survival is empirically monotone non-decreasing in eps on real
+    # curves; walk the measured curve for the bracketing pair either way
+    below = [(t, s) for t, s in curve if s <= survival_target]
+    above = [(t, s) for t, s in curve if s >= survival_target]
+    if not above:  # target above every measured survival: clamp high
+        t, s = curve[-1]
+        return {"threshold": t, "survival": s, "curve": curve}
+    if not below:  # target below every measured survival: clamp low
+        t, s = curve[0]
+        return {"threshold": t, "survival": s, "curve": curve}
+    t_lo, s_lo = max(below, key=lambda p: p[1])
+    t_hi, s_hi = min(above, key=lambda p: p[1])
+    if s_hi == s_lo:
+        return {"threshold": t_lo, "survival": s_lo, "curve": curve}
+    frac = (survival_target - s_lo) / (s_hi - s_lo)
+    return {
+        "threshold": t_lo + frac * (t_hi - t_lo),
+        "survival": (s_lo, s_hi),
+        "curve": curve,
+    }
 
 
 def semantic_dedup_verdict(
