@@ -118,6 +118,13 @@ def run_median(spark, name: str, sf_dir: str, repeats: int) -> tuple[float, floa
 # 0.3s scale a single contended sample shifts a 3-repeat median by the
 # very 20-30% the drift flag is meant to detect.
 SUBSEC_CUTOFF = 1.0
+# ...and queries ABOVE this one get them too (round 13, verdict item 7):
+# the multi-second dedup lanes sit in the box's documented +-2-3x
+# contention class, and at n=3 one stalled sample moves the median —
+# the driver flagged dedup_ngram_jaccard +28% (r11) and +66% (r12),
+# both adjudicated flat by uncontended triples. Leaving ONLY the
+# 1-2 s band at base repeats matches observed variance to sample size.
+MULTISEC_CUTOFF = 2.0
 DRIFT_LIMIT = 0.20
 
 
@@ -191,7 +198,10 @@ def main() -> None:
     n_runs: dict[str, int] = {}
     drift: dict[str, dict[str, float]] = {}
     for name in BENCH_QUERIES:
-        n = subsec_runs if 0 < prev.get(name, float("inf")) < SUBSEC_CUTOFF else repeats
+        p_med = prev.get(name, float("inf"))
+        n = subsec_runs if (
+            0 < p_med < SUBSEC_CUTOFF or p_med > MULTISEC_CUTOFF
+        ) else repeats
         n_runs[name] = n
         try:
             med, lo = run_median(spark, name, sf_dir, n)
@@ -204,16 +214,30 @@ def main() -> None:
             continue
         p = prev.get(name, -1.0)
         if p > 0 and med > 0 and abs(med - p) / p > DRIFT_LIMIT:
-            drift[name] = {
-                "prev": p,
-                "now": round(med, 3),
-                "pct": round(100.0 * (med - p) / p, 1),
-            }
-            print(
-                f"bench: {name} drifted {drift[name]['pct']:+.1f}% vs previous "
-                f"round ({p:.3f}s -> {med:.3f}s, n={n})",
-                file=sys.stderr,
-            )
+            # Gate UPWARD drift on the min too (verdict item 7): box
+            # contention inflates the median while the min stays on the
+            # plan's true cost; a real regression inflates both. A slow
+            # median with a min inside the limit is annotated as
+            # contention, not recorded as drift.
+            if med > p and (lo - p) / p <= DRIFT_LIMIT:
+                print(
+                    f"bench: {name} median +{100.0 * (med - p) / p:.1f}% but "
+                    f"min {lo:.3f}s is within {DRIFT_LIMIT:.0%} of prev "
+                    f"{p:.3f}s — contention, not drift (n={n})",
+                    file=sys.stderr,
+                )
+            else:
+                drift[name] = {
+                    "prev": p,
+                    "now": round(med, 3),
+                    "min": round(lo, 3),
+                    "pct": round(100.0 * (med - p) / p, 1),
+                }
+                print(
+                    f"bench: {name} drifted {drift[name]['pct']:+.1f}% vs "
+                    f"previous round ({p:.3f}s -> {med:.3f}s, n={n})",
+                    file=sys.stderr,
+                )
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(
         json.dumps(

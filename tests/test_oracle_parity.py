@@ -75,7 +75,7 @@ def test_range_search_nonempty(spark):
 # own CORRECTNESS_r{N}.json (the r7 judge's red pytest: post-run, every
 # window member's last-green became 7 and the staleness assertion
 # compared the out-of-window r04 cohort against it).
-WINDOW_ROUND = 12
+WINDOW_ROUND = 13
 
 
 def _last_green_round(before_round: int | None = None) -> dict[str, int]:

@@ -38,3 +38,104 @@ def test_streaming_append_with_quarantine(spark, tmp_path):
     q = spark.read.parquet(str(quarantine))
     assert q.count() == 1
     assert q.first()["vec_id"] == 90001
+
+
+def test_stream_ingest_into_index_reconciles_with_batch(spark, tmp_path):
+    """Round 13 composition: streaming the corpus through
+    stream_ingest_into_index must grow the index to EXACTLY the
+    one-shot batch assign_new result (same (id, cell) set — micro-batch
+    boundaries cannot change placement against frozen centroids), with
+    one monitored history row per micro-batch and the store append
+    intact."""
+    from vector_database_in_rust_spark.operators.ann import IVFIndex
+    from vector_database_in_rust_spark.streaming.maintenance import (
+        stream_ingest_into_index,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") < 300).select("vec_id", "embedding")
+    rest = emb.filter(F.col("vec_id") >= 300)
+
+    src = tmp_path / "incoming"
+    store = tmp_path / "store"
+    src.mkdir()
+    base.write.parquet(str(store))
+    rest.filter(F.col("vec_id") < 400).write.parquet(str(src / "b1"))
+    rest.filter(F.col("vec_id") >= 400).write.parquet(str(src / "b2"))
+
+    idx = IVFIndex.build(base, num_cells=8, seed=42)
+    report = stream_ingest_into_index(
+        read_vector_stream(spark, str(src) + "/*"),
+        idx,
+        str(store),
+        dimensions=64,
+        checkpoint_path=str(tmp_path / "ckpt"),
+    )
+
+    assert len(report.history) == 2  # maxFilesPerTrigger=1, two files
+    assert [h["rows_in"] for h in report.history] == [100, 100]
+    assert all(isinstance(h["rebuild_due"], bool) for h in report.history)
+    rows = [h["occupancy"]["rows"] for h in report.history]
+    assert rows == sorted(rows) and rows[-1] == 500
+
+    batch_idx = idx.assign_new(rest.select("vec_id", "embedding"))
+    diff = (
+        report.index.assignments.select("vec_id", "cell_id")
+        .exceptAll(batch_idx.assignments.select("vec_id", "cell_id"))
+        .count()
+    )
+    assert diff == 0
+    assert report.index.assignments.count() == 500
+    assert spark.read.parquet(str(store)).count() == 500
+    # purity: the input index object was not mutated
+    assert idx.assignments.count() == 300
+
+
+def test_stream_ingest_trigger_fires_on_drift(spark, tmp_path):
+    """The composed pipeline must SURFACE the maintenance trigger when
+    a drifted stream piles into one cell (the r12 drift study's
+    measured moment) — growth-relative mode against the build-time
+    occupancy baseline."""
+    import numpy as np
+
+    from vector_database_in_rust_spark.operators.ann import IVFIndex
+    from vector_database_in_rust_spark.streaming.maintenance import (
+        stream_ingest_into_index,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    base = emb.select("vec_id", "embedding")
+    rng = np.random.RandomState(7)
+    point = rng.rand(64) * 0.05 + 2.0
+    drift = spark.createDataFrame(
+        [
+            (10_000 + i, [float(x) for x in point + rng.rand(64) * 0.01], 0)
+            for i in range(400)
+        ],
+        "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT",
+    )
+
+    src = tmp_path / "incoming"
+    store = tmp_path / "store"
+    src.mkdir()
+    base.write.parquet(str(store))
+    drift.write.parquet(str(src / "b1"))
+
+    idx = IVFIndex.build(base, num_cells=8, seed=42)
+    baseline = idx.occupancy_stats()
+    report = stream_ingest_into_index(
+        read_vector_stream(spark, str(src) + "/*"),
+        idx,
+        str(store),
+        dimensions=64,
+        checkpoint_path=str(tmp_path / "ckpt"),
+        baseline=baseline,
+        growth_factor=2.0,
+    )
+    assert report.triggered
+    # ...and the surfaced repair works: split on the grown index
+    # restores the occupancy bound the trigger watches.
+    repaired = report.index.rebalance(factor=2.0, seed=42)
+    occ = repaired.occupancy_stats()
+    assert occ["max_share"] < report.history[-1]["occupancy"]["max_share"]
+    assert occ["rows"] == 900
