@@ -115,14 +115,27 @@ def main() -> None:
     print(f"full rebuild: {time.time() - t0:.1f}s "
           f"({idx.num_cells} -> {rebuilt.num_cells} cells)", flush=True)
 
+    f_rows_pre = probed_fraction(idx, queries_rows, NPROBE)
     r_stale = serve("rebuilt, STALE nprobe=8", rebuilt, nprobe=NPROBE)
-    r_frac = serve(f"rebuilt, target_frac={f0:.4f}", rebuilt,
-                   target_frac=f0)
+    r_cellfrac = serve(
+        f"rebuilt, cell-frac={f0:.4f}", rebuilt, target_frac=f0
+    )
+    # The honest matched-budget comparison is the probed ROWS fraction
+    # (the true serve cost): the drifted index's hot cells inflate its
+    # rows fraction above its cell fraction, so matching cells alone
+    # under-spends on the (balanced) rebuilt index. On a balanced index
+    # cell fraction ~ rows fraction, so target the drifted rows frac.
+    r_rowsfrac = serve(
+        f"rebuilt, rows-frac={f_rows_pre:.4f}", rebuilt,
+        target_frac=min(1.0, f_rows_pre),
+    )
     print(
-        f"\nverdict: pre={r_pre:.3f} stale={r_stale:.3f} "
-        f"frac-matched={r_frac:.3f} -> "
-        f"{'HOLDS' if r_frac >= r_pre - 0.005 else 'FAILS'} "
-        "(claim: fraction-expressed budget survives the rebuild)",
+        f"\nverdict: pre={r_pre:.3f}@rows{f_rows_pre:.4f} "
+        f"stale={r_stale:.3f} cell-matched={r_cellfrac:.3f} "
+        f"rows-matched={r_rowsfrac:.3f} -> "
+        f"{'HOLDS' if r_rowsfrac >= r_pre - 0.005 else 'FAILS'} "
+        "(claim: a fraction-expressed budget at the matched probed "
+        "fraction holds recall across the rebuild)",
         flush=True,
     )
     spark.stop()

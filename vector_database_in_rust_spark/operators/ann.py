@@ -403,7 +403,18 @@ def _resolve_nprobe(
     half the fraction and recall fell 0.994 -> 0.856 at matched
     settings (SCALE.md r12). A fraction-expressed budget re-derives
     nprobe from the CURRENT cell count, so serving cost and recall
-    survive rebuilds, splits, and merges without hand re-tuning."""
+    survive rebuilds, splits, and merges without hand re-tuning.
+
+    ``target_frac`` is a CELL fraction. On a balanced index (what a
+    fresh build or a post-``rebalance`` index is) the probed ROWS
+    fraction — the true serve cost — tracks it closely; on a
+    drift-skewed index the hot cells probe MORE rows than the cell
+    fraction suggests (measured r13: the drifted 707-cell index read
+    4.2x its cell fraction in rows). When carrying a budget across a
+    rebuild, match the ROWS fraction the old serve actually paid
+    (SCALE.md r13 rebuild-fraction study: rows-matched serve holds
+    recall through the rebuild; cell-matched under-spends against a
+    drift-inflated baseline)."""
     if target_frac is not None:
         if nprobe is not None:
             raise ValueError(

@@ -2712,7 +2712,7 @@ def semantic_threshold_for(
         .applyInPandas(count_kept, schema="gi INT, kept BIGINT, n BIGINT")
         .groupBy("gi")
         .agg(F.sum("kept").alias("kept"), F.sum("n").alias("n"))
-        .collect()
+        .collect()  # bounded-collect: exactly |grid| aggregate rows
     )
     by_gi = {int(r["gi"]): (int(r["kept"]), int(r["n"])) for r in rows}
     n_total = by_gi[0][1]
