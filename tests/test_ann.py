@@ -1137,3 +1137,33 @@ def test_hier_split_probe_paths_agree_and_roundtrip(spark, emb, tmp_path):
         .first()["cell_id"]
     )
     assert landed == probe_cell
+
+
+def test_nprobe_for_rows_frac_worst_case_bound(spark, emb):
+    """Rows-budget resolver (round 13): the returned nprobe's FATTEST
+    possible probe set stays within the rows budget, and one more cell
+    would exceed it — on a deliberately skewed index where the cell
+    fraction under-states rows cost (the measured rebuild-study
+    distinction)."""
+    from vector_database_in_rust_spark.operators.ann import HierarchicalIVF
+
+    point, new = _drift_cluster_df(spark, n=300, id_start=50_000)
+    idx = IVFIndex.build(emb, num_cells=8, seed=42).assign_new(new)
+    occ = sorted(
+        (r["n_vectors"] for r in idx.cell_stats().collect()), reverse=True
+    )
+    total = sum(occ)
+    for frac in (0.05, 0.2, 0.5, 1.0):
+        k = idx.nprobe_for_rows_frac(frac)
+        assert sum(occ[:k]) / total <= frac or k == 1
+        if k < len(occ):
+            assert sum(occ[: k + 1]) / total > frac
+    assert idx.nprobe_for_rows_frac(1.0) == len(occ)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        idx.nprobe_for_rows_frac(0.0)
+
+    hier = HierarchicalIVF.build(emb, k1=3, k2=3, seed=42)
+    k = hier.nprobe_for_rows_frac(1.0)
+    assert k == hier.cell_stats().count()

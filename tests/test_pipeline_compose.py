@@ -85,3 +85,27 @@ def test_planted_near_dup_dropped_canonical_kept(spark):
     assert cl.get(new_id) == src["doc_id"], (
         "twin must cluster under its source as canonical"
     )
+
+
+def test_semantic_survival_target_calibrates_stage(spark):
+    """Round 13: semantic_survival_target replaces the fixed eps with a
+    calibrated one — the semantic stage's measured keep fraction must
+    land near the target (the r12 5M run showed a fixed eps drifting
+    67% -> 11% across corpus sizes; the knob exists so 'keep ~X%'
+    survives scale). Tolerance is loose at this tiny corpus (calibrator
+    contract tests pin +-10% at larger sizes)."""
+    docs = _docs(spark)
+    target = 0.5
+    stages = pretrain_dedup_stages(
+        docs,
+        persist_boundaries=True,
+        semantic_survival_target=target,
+        min_quality=0.35,
+    )
+    decisions = stages["semantic_keep"].collect()
+    survival = sum(1 for r in decisions if r["keep"]) / len(decisions)
+    assert abs(survival - target) <= 0.15, f"survival {survival:.3f}"
+    # composition stays lossless: survivors == kept decisions
+    assert stages["survivors"].count() == sum(
+        1 for r in decisions if r["keep"]
+    )

@@ -429,6 +429,33 @@ def _resolve_nprobe(
     return default if nprobe is None else nprobe
 
 
+def _nprobe_for_rows_frac(cell_stats_df: DataFrame, target_rows_frac: float) -> int:
+    """Worst-case ROWS-budget resolver (round 13, from the
+    rebuild-fraction study): the largest nprobe such that ANY probe set
+    of that size reads at most ``target_rows_frac`` of the corpus —
+    i.e. the cumulative share of the nprobe FATTEST cells stays within
+    budget (always >= 1: a top-k serve must probe something). Exists
+    because a cell fraction under-states the rows cost on a skewed
+    index (measured: the drifted 707-cell index read 4.2x its cell
+    fraction in rows); this is the knob for a hard serve-cost SLO.
+    One cell-bounded aggregation pass (num_cells driver rows)."""
+    if not (0.0 < target_rows_frac <= 1.0):
+        raise ValueError(
+            f"target_rows_frac must be in (0, 1], got {target_rows_frac}"
+        )
+    occ = [int(r["n_vectors"]) for r in cell_stats_df.collect()]
+    total = sum(occ)
+    if not total:
+        return 1
+    cum, k = 0.0, 0
+    for share in sorted((n / total for n in occ), reverse=True):
+        if cum + share > target_rows_frac:
+            break
+        cum += share
+        k += 1
+    return max(1, k)
+
+
 def rebuild_due(
     occ: dict,
     *,
@@ -533,6 +560,13 @@ class IVFIndex:
         whenever maintenance changes the cell count (see
         ``_resolve_nprobe`` for the measured rebuild footgun)."""
         return _resolve_nprobe(None, target_frac, self.num_cells, default=8)
+
+    def nprobe_for_rows_frac(self, target_rows_frac: float) -> int:
+        """Worst-case ROWS-budget nprobe: any probe set of this size
+        reads <= ``target_rows_frac`` of the corpus, whatever its
+        occupancy skew (see ``_nprobe_for_rows_frac`` — a cell
+        fraction under-states rows cost on a drift-skewed index)."""
+        return _nprobe_for_rows_frac(self.cell_stats(), target_rows_frac)
 
     def _geom_query(self, query) -> np.ndarray:
         q = np.asarray(query, dtype=np.float64)
@@ -1253,6 +1287,11 @@ class HierarchicalIVF:
         return _resolve_nprobe(
             None, target_frac, self.num_cells, default=8
         )
+
+    def nprobe_for_rows_frac(self, target_rows_frac: float) -> int:
+        """Worst-case ROWS-budget nprobe over the composite cells —
+        same contract as ``IVFIndex.nprobe_for_rows_frac``."""
+        return _nprobe_for_rows_frac(self.cell_stats(), target_rows_frac)
 
     @classmethod
     def build(

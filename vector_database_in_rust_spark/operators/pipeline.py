@@ -142,6 +142,7 @@ def pretrain_dedup_stages(
     keep_langs: tuple[str, ...] = ("en", "de", "fr"),
     minhash_threshold: float = 0.5,
     semantic_threshold: float = 0.99,
+    semantic_survival_target: float | None = None,
     embed_dim: int = 32,
     context_len: int = 2048,
     num_shards: int = 8,
@@ -180,6 +181,17 @@ def pretrain_dedup_stages(
     re-tune when swapping in a real model
     (embed.REAL_ENCODER_AVAILABLE).
 
+    ``semantic_survival_target`` (round 13) replaces the fixed
+    threshold with a calibrated one: the r12 5M run showed the SAME
+    0.99 eps keeping 67% at 50k but 11% at 5M (within-cluster cosine
+    conditioning tightens with corpus size), so a pipeline that means
+    "keep ~X%" must re-derive eps per corpus.
+    :func:`~...dedup.semantic_threshold_for` measures the real greedy
+    rule on THIS run's embeddings (identical clustering parameters, so
+    the eps transfers exactly) and overrides ``semantic_threshold``;
+    cost is one extra clustered pass x |grid| before the semantic
+    stage.
+
     Returns an ordered dict of stage DataFrames:
     ``curated`` (kept doc rows), ``clusters`` (minhash near-dup
     clusters), ``minhash`` (post-near-dup corpus), ``semantic_keep``
@@ -214,6 +226,17 @@ def pretrain_dedup_stages(
         minhash_corpus = minhash_corpus.persist()
 
     emb = encode_documents(minhash_corpus, dim=embed_dim)
+    if semantic_survival_target is not None:
+        from vector_database_in_rust_spark.operators.dedup import (
+            semantic_threshold_for,
+        )
+
+        semantic_threshold = semantic_threshold_for(
+            emb,
+            semantic_survival_target,
+            id_col="doc_id",
+            vec_col="embedding",
+        )["threshold"]
     keep = semantic_dedup(
         emb,
         threshold=semantic_threshold,
