@@ -14,6 +14,12 @@ from vector_database_in_rust_spark.schemas import TABLE_NAMES
 
 def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
+    # An in-memory DuckDB cannot spill without a temp_directory, so a
+    # heavy oracle (search_mmr's k-level chained self-joins) competing
+    # with the suite's Spark JVM for RAM dies with OutOfMemoryException
+    # instead of spilling — one flaked run in the r13 end-state suite,
+    # green in isolation. Give it a spill path; correctness unchanged.
+    con.execute("SET temp_directory='/tmp/duckdb_oracle_spill'")
     for name in TABLE_NAMES:
         con.sql(
             f"CREATE VIEW {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'"
