@@ -139,3 +139,43 @@ def test_stream_ingest_trigger_fires_on_drift(spark, tmp_path):
     occ = repaired.occupancy_stats()
     assert occ["max_share"] < report.history[-1]["occupancy"]["max_share"]
     assert occ["rows"] == 900
+
+
+def test_stream_ingest_into_index_hier_class(spark, tmp_path):
+    """The composition is class-generic: a HierarchicalIVF grows
+    through the same pipeline with the same reconciliation contract
+    (the monitor consumes the shared occupancy surface on either
+    class)."""
+    from vector_database_in_rust_spark.operators.ann import HierarchicalIVF
+    from vector_database_in_rust_spark.streaming.maintenance import (
+        stream_ingest_into_index,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") < 300).select("vec_id", "embedding")
+    rest = emb.filter(F.col("vec_id") >= 300)
+
+    src = tmp_path / "incoming"
+    store = tmp_path / "store"
+    src.mkdir()
+    base.write.parquet(str(store))
+    rest.write.parquet(str(src / "b1"))
+
+    idx = HierarchicalIVF.build(base, k1=3, k2=3, seed=42)
+    report = stream_ingest_into_index(
+        read_vector_stream(spark, str(src) + "/*"),
+        idx,
+        str(store),
+        dimensions=64,
+        checkpoint_path=str(tmp_path / "ckpt"),
+    )
+    assert report.index.assignments.count() == 500
+    batch_idx = idx.assign_new(rest.select("vec_id", "embedding"))
+    assert (
+        report.index.assignments.select("vec_id", "cell_id")
+        .exceptAll(batch_idx.assignments.select("vec_id", "cell_id"))
+        .count()
+        == 0
+    )
+    assert len(report.history) == 1
+    assert isinstance(report.history[0]["rebuild_due"], bool)
