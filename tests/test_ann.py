@@ -1167,3 +1167,49 @@ def test_nprobe_for_rows_frac_worst_case_bound(spark, emb):
     hier = HierarchicalIVF.build(emb, k1=3, k2=3, seed=42)
     k = hier.nprobe_for_rows_frac(1.0)
     assert k == hier.cell_stats().count()
+
+
+def test_search_batch_blas_matches_expr(spark, emb, queries):
+    """impl='blas' (cogroup per-cell matmul — the distributed-query
+    high-dim path, round 13) must return exactly the expression form's
+    rows on both classes, including through a reduced-geometry index
+    and for string ids; invalid impl raises."""
+    import pytest as _pytest
+
+    from vector_database_in_rust_spark.operators.ann import HierarchicalIVF
+
+    idx = IVFIndex.build(emb, num_cells=16, seed=42)
+    want = [tuple(r) for r in idx.search_batch(queries, K, nprobe=6).collect()]
+    got = [
+        tuple(r)
+        for r in idx.search_batch(queries, K, nprobe=6, impl="blas").collect()
+    ]
+    assert got == want
+    with _pytest.raises(ValueError, match="impl"):
+        idx.search_batch(queries, K, impl="numpy")
+
+    red = IVFIndex.build(emb, num_cells=16, seed=42, coarse_dim=8)
+    assert [
+        tuple(r)
+        for r in red.search_batch(queries, K, nprobe=8, impl="blas").collect()
+    ] == [tuple(r) for r in red.search_batch(queries, K, nprobe=8).collect()]
+
+    hier = HierarchicalIVF.build(emb, k1=3, k2=3, seed=42)
+    assert [
+        tuple(r) for r in hier.search_batch(queries, K, impl="blas").collect()
+    ] == [tuple(r) for r in hier.search_batch(queries, K).collect()]
+
+    docs = emb.select(
+        F.concat(F.lit("d"), F.col("vec_id")).alias("vec_id"), "embedding"
+    )
+    sq = docs.limit(2).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_embedding"),
+    )
+    sidx = IVFIndex.build(docs, num_cells=8, seed=42)
+    assert [
+        tuple(r) for r in sidx.search_batch(sq, 5, nprobe=8, impl="blas").collect()
+    ] == [tuple(r) for r in sidx.search_batch(sq, 5, nprobe=8).collect()]
+
+    empty = queries.limit(0)
+    assert idx.search_batch(empty, K, nprobe=4, impl="blas").count() == 0

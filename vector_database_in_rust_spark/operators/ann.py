@@ -339,6 +339,85 @@ def _reassign_hot_rows(
     )
 
 
+def _cogroup_blas_topk(
+    probed: DataFrame,
+    assignments: DataFrame,
+    k: int,
+    *,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    query_vec_col: str,
+    round_digits: int | None,
+    query_id_type: str,
+) -> DataFrame:
+    """BLAS candidate scoring for DISTRIBUTED query batches (round 13
+    — the remaining expression-form hot path after r12's
+    ``_pruned_blas_topk`` fixed the broadcast-small serve): cogroup the
+    probed (query, cell) pairs with the assignments ON cell_id and run
+    one ``Q_c @ X_c.T`` per cell, emitting only each (query, cell)'s
+    top-k under the global window's exact (rounded dist, vec_id) key —
+    the same map-side-cut containment argument as ``_pruned_blas_topk``
+    (and the same HALF_UP rounding + >= 0 clamp), so the downstream
+    window sees cells x queries x k rows instead of every candidate
+    pair. Cost shape: one shuffle of the probed pairs + one of the
+    candidates, both keyed by cell_id — queries never collect to the
+    driver, so this is the path for query batches too large to
+    broadcast. Group size per cell is (queries probing the cell) x
+    (cell occupancy); the occupancy maintenance discipline
+    (split/rebalance/rebuild_due) bounds the candidate side exactly as
+    it bounds every other per-cell operation."""
+    id_type = assignments.schema[id_col].dataType.simpleString()
+
+    def block(key, probes, cands):
+        if probes.empty or cands.empty:
+            return pd.DataFrame({"query_id": [], "vec_id": [], "dist": []})
+        qmat = np.vstack(probes[query_vec_col].apply(np.asarray, args=(np.float64,)))
+        qids = probes[query_id_col].to_numpy()
+        x = np.vstack(cands[vec_col].apply(np.asarray, args=(np.float64,)))
+        ids = cands[id_col].to_numpy()
+        d = (
+            (qmat * qmat).sum(axis=1)[:, None]
+            + (x * x).sum(axis=1)[None, :]
+            - 2.0 * (qmat @ x.T)
+        )
+        d = np.maximum(d, 0.0)
+        if round_digits is not None:
+            s = 10.0 ** round_digits
+            d = np.floor(d * s + 0.5) / s
+        kk = min(k, d.shape[1])
+        out_q, out_v, out_d = [], [], []
+        for qi in range(d.shape[0]):
+            order = np.lexsort((ids, d[qi]))[:kk]
+            out_q.extend([qids[qi]] * kk)
+            out_v.extend(ids[order])
+            out_d.extend(d[qi][order])
+        return pd.DataFrame(
+            {
+                "query_id": pd.Series(out_q, dtype=object),
+                "vec_id": pd.Series(out_v, dtype=object),
+                "dist": pd.Series(out_d, dtype="float64"),
+            }
+        )
+
+    scored = (
+        probed.groupBy("cell_id")
+        .cogroup(
+            assignments.select("cell_id", id_col, vec_col).groupBy("cell_id")
+        )
+        .applyInPandas(
+            block, f"query_id {query_id_type}, vec_id {id_type}, dist DOUBLE"
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("dist", "vec_id")
+    return (
+        scored.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= k)
+        .drop("_r")
+        .orderBy("query_id", "dist", "vec_id")
+    )
+
+
 def _hier_assign_fn(bc, id_col: str, vec_col: str):
     """The two-level assignment pass as a mapInPandas closure factory —
     shared by ``HierarchicalIVF.build`` (full-corpus assignment) and
@@ -771,6 +850,7 @@ class IVFIndex:
         query_id_col: str = "query_id",
         query_vec_col: str = "query_embedding",
         round_digits: int | None = 4,
+        impl: str = "expr",
     ) -> DataFrame:
         """Batch ANN, fully declarative (no driver-side per-query loop):
 
@@ -781,7 +861,18 @@ class IVFIndex:
 
         Probe budget: ``nprobe`` cells (default 8) or the rebuild-safe
         cell fraction ``target_frac`` (see ``nprobe_for_frac``).
+
+        ``impl``: candidate scoring strategy, same rows either way —
+        ``"expr"`` (default) scores with the Catalyst zip_with/
+        aggregate L2 (whole-stage codegen, right at low dim);
+        ``"blas"`` cogroups probed pairs with candidates per cell and
+        scores one matmul per cell (``_cogroup_blas_topk`` — the
+        high-dim answer for query batches too large to broadcast; the
+        r12 384-d serve measured the expression form 7-18x slower than
+        BLAS on this exact work).
         """
+        if impl not in ("expr", "blas"):
+            raise ValueError(f"impl must be 'expr' or 'blas', got {impl!r}")
         nprobe = _resolve_nprobe(nprobe, target_frac, self.num_cells, default=8)
         spark = queries.sparkSession
         cent = [
@@ -809,6 +900,20 @@ class IVFIndex:
             .filter(F.col("_pr") <= nprobe)
             .select(query_id_col, query_vec_col, "cell_id")
         )
+        if impl == "blas":
+            return _cogroup_blas_topk(
+                probed,
+                self.assignments,
+                k,
+                id_col=self.id_col,
+                vec_col=self.vec_col,
+                query_id_col=query_id_col,
+                query_vec_col=query_vec_col,
+                round_digits=round_digits,
+                query_id_type=queries.schema[
+                    query_id_col
+                ].dataType.simpleString(),
+            )
         cand = self.assignments.join(
             F.broadcast(probed), on="cell_id", how="inner"
         )
@@ -1500,6 +1605,7 @@ class HierarchicalIVF:
         query_id_col: str = "query_id",
         query_vec_col: str = "query_embedding",
         round_digits: int | None = 4,
+        impl: str = "expr",
     ) -> DataFrame:
         """Batch probe, fully declarative (no driver-side per-query
         loop) — the two-level twin of ``IVFIndex.search_batch``:
@@ -1515,8 +1621,13 @@ class HierarchicalIVF:
         Defaults mirror :meth:`search`: all super-cells, half of all
         sub-cells (the flat-equivalent probe budget). ``target_frac``
         expresses the sub-cell budget as a cell fraction instead
-        (rebuild-safe; see ``nprobe_for_frac``).
+        (rebuild-safe; see ``nprobe_for_frac``). ``impl="blas"``
+        swaps the expression-form candidate scoring for the
+        per-cell-matmul cogroup (``_cogroup_blas_topk``, same rows) —
+        the high-dim path for distributed query batches.
         """
+        if impl not in ("expr", "blas"):
+            raise ValueError(f"impl must be 'expr' or 'blas', got {impl!r}")
         if nprobe_l1 is None:
             nprobe_l1 = len(self.l1_centroids)
         nprobe = _resolve_nprobe(
@@ -1579,6 +1690,20 @@ class HierarchicalIVF:
             .filter(F.col("_r2") <= nprobe)
             .select(query_id_col, query_vec_col, "cell_id")
         )
+        if impl == "blas":
+            return _cogroup_blas_topk(
+                probed,
+                self.assignments,
+                k,
+                id_col=self.id_col,
+                vec_col=self.vec_col,
+                query_id_col=query_id_col,
+                query_vec_col=query_vec_col,
+                round_digits=round_digits,
+                query_id_type=queries.schema[
+                    query_id_col
+                ].dataType.simpleString(),
+            )
         cand = self.assignments.join(F.broadcast(probed), on="cell_id")
         dist = l2_squared(F.col(self.vec_col), F.col(query_vec_col))
         if round_digits is not None:
