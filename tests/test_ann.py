@@ -1213,3 +1213,34 @@ def test_search_batch_blas_matches_expr(spark, emb, queries):
 
     empty = queries.limit(0)
     assert idx.search_batch(empty, K, nprobe=4, impl="blas").count() == 0
+
+
+def test_build_auto_coarse_dim_auto(spark, emb):
+    """coarse_dim='auto' closes the measured high-d footgun: a 384-d
+    corpus gets the reduced coarse geometry (the r9 collapse remedy)
+    without the caller remembering the knob; a 64-d corpus keeps raw
+    geometry; None forces raw at any dimension."""
+    import numpy as np
+
+    from vector_database_in_rust_spark.operators.ann import (
+        AUTO_COARSE_DIM,
+        build_auto,
+    )
+
+    low = build_auto(emb, num_cells=8, seed=42)
+    assert low.proj is None  # 64-d: raw geometry
+
+    rng = np.random.RandomState(3)
+    rows = [
+        (i, [float(x) for x in rng.standard_normal(384)]) for i in range(300)
+    ]
+    hi = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<FLOAT>")
+    routed = build_auto(hi, num_cells=4, seed=42)
+    assert routed.proj is not None
+    assert routed.proj.shape == (384, AUTO_COARSE_DIM)
+    forced = build_auto(hi, num_cells=4, seed=42, coarse_dim=None)
+    assert forced.proj is None
+    # full probe stays exact under the auto projection (geometry only)
+    q = rows[5][1]
+    top = routed.search(q, 3, target_frac=1.0).collect()
+    assert top[0]["vec_id"] == 5 and top[0]["dist"] == 0.0

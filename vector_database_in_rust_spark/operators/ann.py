@@ -1206,6 +1206,9 @@ class IVFIndex:
         return idx
 
 
+AUTO_COARSE_DIM = 64  # the r9/r12-measured healthy coarse geometry
+
+
 def build_auto(
     corpus: DataFrame,
     *,
@@ -1214,7 +1217,7 @@ def build_auto(
     max_fit_rows: int = 200_000,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    coarse_dim: int | None = None,
+    coarse_dim: int | None | str = "auto",
     flat_cell_limit: int = 2048,
 ):
     """Index-class router encoding the measured flat-vs-hier bracket
@@ -1237,9 +1240,22 @@ def build_auto(
     sub-cells >= the requested count). The 2048 default sits just
     inside the measured bracket's flat-wins region (~2.2k cells); on a
     real cluster raise it toward the largest k one KMeans|| fit
-    handles comfortably."""
+    handles comfortably.
+
+    ``coarse_dim="auto"`` (default) also closes the high-dimension
+    footgun the measured r9 collapse documented (IVFIndex.build's
+    docstring: a stock 384-d fit put half the corpus in ONE cell, so
+    nprobe=8 read 99.8% of it): when the corpus dimension exceeds
+    2 x AUTO_COARSE_DIM the cell geometry is fitted in the
+    64-d PCA projection (the r12 5M x 384-d campaign's healthy
+    setting — exact re-rank always reads the original vectors), else
+    raw geometry. Pass an int to pick the projection yourself, or
+    ``None`` to force raw geometry at any dimension."""
     n = corpus.count()
     cells = num_cells or _num_cells_default(n)
+    if coarse_dim == "auto":
+        dim = len(corpus.select(vec_col).first()[0])
+        coarse_dim = AUTO_COARSE_DIM if dim > 2 * AUTO_COARSE_DIM else None
     if cells <= flat_cell_limit:
         return IVFIndex.build(
             corpus,
