@@ -1244,3 +1244,74 @@ def test_build_auto_coarse_dim_auto(spark, emb):
     q = rows[5][1]
     top = routed.search(q, 3, target_frac=1.0).collect()
     assert top[0]["vec_id"] == 5 and top[0]["dist"] == 0.0
+
+
+def test_hier_merge_union_exact(spark, emb):
+    """HierarchicalIVF.merge (round 13): the sharded-build pattern on
+    the serving-scale class — merged index is lossless over the union,
+    ids in exactly one cell, full probe == exact scan, both inputs
+    untouched, and a FLAT shard merges into a hier receiver (only the
+    shard's rows are read)."""
+    from vector_database_in_rust_spark.operators.ann import HierarchicalIVF
+
+    even = emb.filter(F.col("vec_id") % 2 == 0)
+    odd = emb.filter(F.col("vec_id") % 2 == 1)
+    a = HierarchicalIVF.build(even, k1=3, k2=3, seed=42)
+    b = HierarchicalIVF.build(odd, k1=3, k2=3, seed=43)
+    n_a = a.assignments.count()
+    merged = a.merge(b)
+
+    n = emb.count()
+    assert merged.assignments.count() == n
+    assert merged.assignments.select("vec_id").distinct().count() == n
+    assert a.assignments.count() == n_a  # receiver untouched
+
+    q = emb.filter("vec_id = 11").first()["embedding"]
+    exact = [r["vec_id"] for r in knn_exact(emb, q, K).collect()]
+    got = [
+        r["vec_id"]
+        for r in merged.search(q, K, target_frac=1.0).collect()
+    ]
+    assert got == exact
+
+    flat_shard = IVFIndex.build(odd, num_cells=8, seed=43)
+    cross = a.merge(flat_shard)
+    assert cross.assignments.count() == n
+    got2 = [
+        r["vec_id"] for r in cross.search(q, K, target_frac=1.0).collect()
+    ]
+    assert got2 == exact
+
+
+def test_hier_search_filtered_prefilter_semantics(spark, emb):
+    """Filtered ANN on the two-level index (round 13): the top-k comes
+    from the QUALIFYING subset even when no unfiltered neighbor
+    qualifies — identical semantics to the flat pre-filter path, and
+    the facade's flat-only gate is gone."""
+    from vector_database_in_rust_spark.operators.ann import HierarchicalIVF
+
+    idx = HierarchicalIVF.build(emb, k1=3, k2=3, seed=42)
+    meta = emb.select("vec_id", (F.col("vec_id") % 3 == 0).alias("ok"))
+    q = emb.filter("vec_id = 4").first()["embedding"]  # 4 % 3 != 0
+    got = idx.search_filtered(
+        q, 5, metadata=meta, predicate=F.col("ok"), target_frac=1.0
+    ).collect()
+    assert len(got) == 5
+    assert all(r["vec_id"] % 3 == 0 for r in got)
+    want = [
+        r["vec_id"]
+        for r in knn_exact(
+            emb.filter(F.col("vec_id") % 3 == 0), q, 5
+        ).collect()
+    ]
+    assert [r["vec_id"] for r in got] == want
+
+    from vector_database_in_rust_spark.engine import VectorEngine
+
+    eng = VectorEngine(spark, emb.select("vec_id", "embedding"), dimensions=64)
+    eng.build_index(num_cells=9, hierarchical=True)
+    via_engine = eng.search_filtered(
+        q, 5, metadata=meta, predicate=F.col("ok"),
+        nprobe=eng.index.num_cells,
+    ).collect()
+    assert [r["vec_id"] for r in via_engine] == want

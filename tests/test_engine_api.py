@@ -174,8 +174,8 @@ def test_engine_search_filtered_indexed_equals_unindexed(spark):
 def test_build_index_hierarchical(spark, eng):
     """build_index(hierarchical=True): same facade contract as the flat
     build — self-query returns self at distance 0, full probe equals the
-    exact scan, search_batch works, and search_filtered refuses with a
-    clear error (flat-only capability)."""
+    exact scan, search_batch works, and (round 13) search_filtered
+    works too — the flat-only gate is gone."""
     eng.build_index(num_cells=16, hierarchical=True)
     q = [float(x) for x in eng.df.filter("vec_id = 7").first()["embedding"]]
     top = eng.search(q, 5, nprobe=16).collect()
@@ -190,9 +190,11 @@ def test_build_index_hierarchical(spark, eng):
     batch = eng.search_batch(queries, 3, nprobe=16)
     assert batch.count() == 9
 
-    meta = eng.df.select("vec_id", F.lit(1).alias("flag"))
-    with pytest.raises(NotImplementedError, match="flat IVF"):
-        eng.search_filtered(q, 3, metadata=meta, predicate=F.col("flag") == 1)
+    meta = eng.df.select("vec_id", (F.col("vec_id") % 2 == 0).alias("flag"))
+    filt = eng.search_filtered(
+        q, 3, metadata=meta, predicate=F.col("flag"), nprobe=16
+    ).collect()
+    assert len(filt) == 3 and all(r["vec_id"] % 2 == 0 for r in filt)
 
 
 def test_build_index_hierarchical_custom_id_col(spark):

@@ -300,7 +300,7 @@ class VectorEngine:
         *,
         metadata: DataFrame,
         predicate,
-        nprobe: int = 8,
+        nprobe: int | None = None,
         meta_id_col: str | None = None,
     ) -> DataFrame:
         """Filtered search with PRE-filter semantics (beyond the
@@ -308,13 +308,9 @@ class VectorEngine:
         ``metadata`` restricts candidates BEFORE ranking, so the top-k
         always comes from the qualifying subset. Falls back to exact
         brute force over the filtered corpus when no index exists —
-        identical results, different cost. Requires the flat index
-        (build_index(hierarchical=False), the default)."""
-        if self.index is not None and not hasattr(self.index, "search_filtered"):
-            raise NotImplementedError(
-                "search_filtered requires the flat IVF index; rebuild with "
-                "build_index(hierarchical=False)"
-            )
+        identical results, different cost. Works on either index class
+        (round 13 — the flat-only restriction is closed; ``nprobe``
+        left None takes each class's own default)."""
         if self.index is None:
             keep = metadata.filter(predicate).select(
                 F.col(meta_id_col or self.id_col).alias(self.id_col)

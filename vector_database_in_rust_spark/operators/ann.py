@@ -1852,6 +1852,64 @@ class HierarchicalIVF:
             overflow=self.overflow,
         )
 
+    def search_filtered(
+        self,
+        query,
+        k: int,
+        *,
+        metadata: DataFrame,
+        predicate,
+        nprobe_l1: int | None = None,
+        nprobe: int | None = None,
+        target_frac: float | None = None,
+        meta_id_col: str | None = None,
+    ) -> DataFrame:
+        """Filtered ANN with PRE-filter semantics on the two-level
+        index (round 13 — closes the facade's flat-only restriction).
+        Contract identical to :meth:`IVFIndex.search_filtered` (whose
+        docstring carries the pre-vs-post-filter argument and the scale
+        shape): predicate filters metadata first, a semi-join restricts
+        the probed candidates, exact re-rank returns the true top-k
+        over the QUALIFYING subset."""
+        if nprobe_l1 is None:
+            nprobe_l1 = len(self.l1_centroids)
+        nprobe = _resolve_nprobe(
+            nprobe, target_frac, self.num_cells,
+            default=max(1, self.num_cells // 2),
+        )
+        cells = self._probe_cells(
+            np.asarray(query, dtype=np.float64),
+            nprobe_l1=nprobe_l1,
+            nprobe=nprobe,
+        )
+        cand = self.assignments.filter(F.col("cell_id").isin(cells))
+        keep = metadata.filter(predicate).select(
+            F.col(meta_id_col or self.id_col).alias(self.id_col)
+        )
+        cand = cand.join(keep, self.id_col, "left_semi")
+        return knn_exact(
+            cand, list(map(float, query)), k,
+            id_col=self.id_col, vec_col=self.vec_col,
+        )
+
+    def merge(self, other) -> "HierarchicalIVF":
+        """Merge another index's vectors into THIS index's two-level
+        cell structure — the sharded-build pattern on the class sized
+        for serving-scale cell counts (round 13; semantics identical to
+        :meth:`IVFIndex.merge`, whose docstring carries the full
+        contract: receiver's centroids win, one ``assign_new`` pass
+        over the other side only, ids assumed disjoint, order-invariant
+        under a fixed receiver, chain ``.rebalance()`` for differing
+        shard distributions, NEITHER input modified). ``other`` may be
+        either index class — only its (id, vector) rows are read; its
+        own cell structure is irrelevant to this geometry."""
+        return self.assign_new(
+            other.assignments.select(
+                F.col(other.id_col).alias(self.id_col),
+                F.col(other.vec_col).alias(self.vec_col),
+            )
+        )
+
     def cell_stats(self) -> DataFrame:
         """Per-cell occupancy — same contract as ``IVFIndex.cell_stats``."""
         return (
