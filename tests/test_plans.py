@@ -691,3 +691,30 @@ def test_minhash_index_skips_alignment_when_known_small(spark):
         )
     )
     assert "hashpartitioning(doc_id" not in small.formatted, small.formatted
+
+
+def test_blas_batch_search_prunes_unprobed_cells(spark):
+    """impl='blas' (round 13): the cogroup's candidate side must be
+    semi-joined down to the probed cells BEFORE the group exchange —
+    without it every unprobed cell's rows shuffle into empty-probe
+    groups (a full corpus shuffle for a selective serve). Pin the
+    broadcast semi-join in the plan and the expr-equality of the
+    result."""
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_SMOKE
+    from vector_database_in_rust_spark.operators.ann import IVFIndex
+    from vector_database_in_rust_spark.plans.explain import formatted_plan
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_embedding"),
+    )
+    idx = IVFIndex.build(emb, num_cells=16, seed=42)
+    res = idx.search_batch(queries, 5, nprobe=2, impl="blas")
+    plan = formatted_plan(res)
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert "LeftSemi" in plan and "BroadcastHashJoin" in plan, plan
+    want = [tuple(r) for r in idx.search_batch(queries, 5, nprobe=2).collect()]
+    assert [tuple(r) for r in res.collect()] == want

@@ -400,11 +400,20 @@ def _cogroup_blas_topk(
             }
         )
 
+    # Probe selectivity must reach the candidate side BEFORE the
+    # cogroup exchange: without this semi-join, every unprobed cell's
+    # rows shuffle into groups whose probe side is empty — a full
+    # corpus shuffle for an nprobe-selective serve. The distinct probed
+    # cell set is <= num_cells rows (index-bounded), so the filter is a
+    # broadcast semi-join: map-side drop, no extra shuffle.
+    cand = assignments.select("cell_id", id_col, vec_col).join(
+        F.broadcast(probed.select("cell_id").distinct()),
+        "cell_id",
+        "left_semi",
+    )
     scored = (
         probed.groupBy("cell_id")
-        .cogroup(
-            assignments.select("cell_id", id_col, vec_col).groupBy("cell_id")
-        )
+        .cogroup(cand.groupBy("cell_id"))
         .applyInPandas(
             block, f"query_id {query_id_type}, vec_id {id_type}, dist DOUBLE"
         )
