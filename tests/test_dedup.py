@@ -1522,3 +1522,10 @@ def test_semantic_threshold_calibrator_contract(spark):
     assert hi["survival"] == 1.0
     surv = [s for _, s in hi["curve"]]
     assert surv == sorted(surv)
+    # r13 ADVICE: an empty corpus has no measurable survival curve —
+    # must raise a clear ValueError, not KeyError on the empty
+    # aggregate
+    with _pytest.raises(ValueError, match="empty corpus"):
+        dedup.semantic_threshold_for(
+            emb.filter(F.col("vec_id") < 0), 0.5, num_cells=4
+        )

@@ -179,3 +179,73 @@ def test_stream_ingest_into_index_hier_class(spark, tmp_path):
     )
     assert len(report.history) == 1
     assert isinstance(report.history[0]["rebuild_due"], bool)
+
+
+def test_stream_ingest_counts_drops_without_quarantine(spark, tmp_path):
+    """r13 ADVICE: with quarantine_path=None, dimension-invalid rows
+    used to vanish with rows_quarantined=0 — contradicting the module
+    contract ('never silently drop'). The count must be unconditional
+    and the drop must warn."""
+    import warnings
+
+    from vector_database_in_rust_spark.operators.ann import IVFIndex
+    from vector_database_in_rust_spark.streaming.maintenance import (
+        stream_ingest_into_index,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    base = emb.limit(200).select("vec_id", "embedding")
+    src = tmp_path / "incoming"
+    store = tmp_path / "store"
+    src.mkdir()
+    base.write.parquet(str(store))
+    good = emb.filter((F.col("vec_id") >= 200) & (F.col("vec_id") < 250))
+    bad = spark.createDataFrame(
+        [(90001, [1.0, 2.0], 0), (90002, [3.0], 0)],
+        "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT",
+    )
+    # one part-file -> exactly one micro-batch (maxFilesPerTrigger=1)
+    good.unionByName(bad).coalesce(1).write.parquet(str(src / "b1"))
+
+    idx = IVFIndex.build(base, num_cells=4, seed=42)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        report = stream_ingest_into_index(
+            read_vector_stream(spark, str(src) + "/*"),
+            idx,
+            str(store),
+            dimensions=64,
+            checkpoint_path=str(tmp_path / "ckpt"),
+        )
+    assert [h["rows_quarantined"] for h in report.history] == [2]
+    assert report.history[0]["rows_in"] == 50
+    assert any("dimension-invalid" in str(w.message) for w in caught)
+    # invalid rows never reach the store or the index
+    assert spark.read.parquet(str(store)).count() == 250
+    assert report.index.assignments.count() == 250
+
+
+def test_ingest_replay_does_not_duplicate(spark, tmp_path):
+    """r13 ADVICE: foreachBatch with a blind append is at-least-once on
+    batch replay. The per-batch commit ledger must make the common
+    replay (checkpoint lost/uncommitted after the store write) skip the
+    duplicate append: re-running the SAME drained stream with a FRESH
+    checkpoint replays batch ids 0..N, and the store count must not
+    change."""
+    src = tmp_path / "incoming"
+    store = tmp_path / "store"
+    src.mkdir()
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").limit(100)
+    emb.limit(10).write.parquet(str(store))
+    emb.filter(F.col("vec_id") >= 10).write.parquet(str(src / "b1"))
+
+    for attempt in ("ckpt1", "ckpt2"):  # ckpt2 = replay from scratch
+        ingest_vectors(
+            read_vector_stream(spark, str(src) + "/*"),
+            str(store),
+            dimensions=64,
+            checkpoint_path=str(tmp_path / attempt),
+        )
+        assert spark.read.parquet(str(store)).count() == 100
+    # the ledger stays invisible to store readers
+    assert "batch_id" not in spark.read.parquet(str(store)).columns

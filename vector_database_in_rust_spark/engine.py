@@ -284,13 +284,17 @@ class VectorEngine:
         *,
         nprobe: int | None = None,
         target_frac: float | None = None,
+        impl: str = "auto",
     ) -> DataFrame:
+        """``impl`` routes candidate scoring (round 14): ``"auto"``
+        picks expr/blas on the measured volume thresholds — see
+        ``IVFIndex.search_batch``."""
         if self.index is None:
             return knn_ops.knn_batch(
                 self.df, queries, k, id_col=self.id_col, vec_col=self.vec_col
             )
         return self.index.search_batch(
-            queries, k, nprobe=nprobe, target_frac=target_frac
+            queries, k, nprobe=nprobe, target_frac=target_frac, impl=impl
         )
 
     def search_filtered(

@@ -4941,6 +4941,81 @@ def ann_hier_recall_verdict_q(spark, sf_dir):
     )
 
 
+_ANN_AUTOROUTE_ORACLE = """
+SELECT TRUE AS small_routes_expr,
+       TRUE AS topdecade_routes_blas,
+       TRUE AS ceiling_guard_raises,
+       TRUE AS auto_equals_both_impls
+"""
+
+
+@register("ann_autoroute_verdict", _ANN_AUTOROUTE_ORACLE)
+def ann_autoroute_verdict_q(spark, sf_dir):
+    """Driver-verifiable verdict for the round-14 expr-vs-blas router
+    (r13 verdict item 1 — the one open scale-killer: search_batch's
+    unguarded expr default measured >=5x DNF at 10k queries x 5M x
+    384-d). Pins all four routing contracts against the live code:
+    (a) a small-volume batch keeps the codegen expression form — the
+    low-dim small-batch regime where expr measurably wins; (b) the r13
+    top-decade parameters (nprobe=32, 5M rows, 3356 cells, 384-d) route
+    a 100-query batch to blas — the regime the r13 run measured at
+    532 s blas vs killed-at-45-min expr; (c) an EXPLICIT impl='expr'
+    above the probed-pairs broadcast ceiling raises naming 'blas'
+    instead of riding into the wall; (d) the auto route's rows are
+    IDENTICAL to both explicit impls on the sf corpus (the equality
+    that makes routing purely a performance decision). Hash-checked:
+    any routing regression flips a boolean red."""
+    from vector_database_in_rust_spark.operators.ann import (
+        MAX_PROBED_BROADCAST_BYTES,
+        _route_batch_impl,
+    )
+
+    idx = _ivf_index(spark, sf_dir)
+    q = _query_vec_df(spark, sf_dir, 8)
+    small_routes_expr = (
+        _route_batch_impl(
+            "auto",
+            q,
+            nprobe=4,
+            n_rows=idx._corpus_rows(),
+            num_cells=idx.num_cells,
+            dim=idx._full_dim(),
+        )
+        == "expr"
+    )
+    top = dict(nprobe=32, n_rows=5_000_000, num_cells=3356, dim=384)
+    big = spark.range(100).withColumnRenamed("id", "query_id")
+    topdecade_routes_blas = _route_batch_impl("auto", big, **top) == "blas"
+    cut = MAX_PROBED_BROADCAST_BYTES // (32 * (8 * 384 + 24))
+    over = spark.range(cut + 10).withColumnRenamed("id", "query_id")
+    try:
+        _route_batch_impl(
+            "expr", over, nprobe=32, n_rows=1, num_cells=3356, dim=384
+        )
+        ceiling_guard_raises = False
+    except ValueError as exc:
+        ceiling_guard_raises = "blas" in str(exc)
+    rows_auto = [
+        tuple(r) for r in idx.search_batch(q, KNN_K, nprobe=4).collect()
+    ]
+    auto_equals_both_impls = all(
+        [tuple(r) for r in idx.search_batch(
+            q, KNN_K, nprobe=4, impl=impl
+        ).collect()] == rows_auto
+        for impl in ("expr", "blas")
+    )
+    return spark.createDataFrame(
+        [(
+            small_routes_expr,
+            topdecade_routes_blas,
+            ceiling_guard_raises,
+            auto_equals_both_impls,
+        )],
+        "small_routes_expr BOOLEAN, topdecade_routes_blas BOOLEAN, "
+        "ceiling_guard_raises BOOLEAN, auto_equals_both_impls BOOLEAN",
+    )
+
+
 _EMB_LSH_VERDICT_ORACLE = f"""
 WITH scored AS (
   SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
@@ -7924,13 +7999,14 @@ _ROUND5_WINDOW = [
 ]
 
 
-def correctness_row_green(row: dict) -> bool:
+def correctness_row_green(row: dict, prior_rows: int | None = None) -> bool:
     """True if a recorded driver CORRECTNESS row counts as verification
     evidence: hash-verified, or an executed-with-rows record for a
     declared no-oracle query. THE single definition — the window
     meta-test (tests/test_oracle_parity.py) and the composition helper
-    (scripts/compose_window.py) both import it, so the gate and the
-    tool that feeds it can never drift apart.
+    (scripts/compose_window.py) both route through
+    :func:`last_green_rounds`, so the gate and the tools that feed it
+    can never drift apart.
 
     The no-oracle arm matches the driver's ACTUAL record shape (round
     13 fix, verified against CORRECTNESS_r12.json): a rows-only lane's
@@ -7939,17 +8015,103 @@ def correctness_row_green(row: dict) -> bool:
     oracle to compare against, so the r12 predicate's
     ``rows_match and err == "no_oracle"`` arm was unsatisfiable and the
     whole rows-only tier stayed "never verified" even after its r12
-    catch-up window ran. Evidence for that tier is: the driver executed
-    the lane without error and it returned rows (``spark_rows > 0`` —
-    every rows-only lane returns rows by construction; hash-level
-    verification lives in each lane's ★ verdict twin)."""
+    catch-up window ran.
+
+    Round-14 strengthening (r13 ADVICE): "executed and returned >0
+    rows" alone would let a wrong-but-nonempty lane read green
+    indefinitely, so the rows-only arm also DRIFT-CHECKS the count
+    against ``prior_rows`` — the lane's last recorded row count, which
+    :func:`last_green_rounds` threads in round order. A count change
+    reads non-green for that round (the composer re-fronts the lane),
+    and the baseline moves to the new count, so an INTENTIONAL lane
+    change re-greens on its next driver run while silent instability
+    keeps re-fronting. Hash-level value verification still lives in
+    each rows-only lane's ★ verdict twin."""
     if row.get("hash_match"):
         return True
     if row.get("err") != "no_oracle":
         return False
     if row.get("rows_match"):
         return True
-    return (row.get("spark_rows") or 0) > 0
+    n = row.get("spark_rows") or 0
+    if n <= 0:
+        return False
+    return prior_rows is None or n == prior_rows
+
+
+def last_green_rounds(
+    correctness_paths: list[str] | None = None,
+    *,
+    before_round: int | None = None,
+) -> dict[str, int]:
+    """query -> highest round with a green driver row, walking the
+    recorded driver windows (``CORRECTNESS_r*.json``) in round order
+    and threading each rows-only lane's last recorded row count into
+    :func:`correctness_row_green`'s drift check. The single ledger
+    walk every window-composition consumer shares."""
+    import glob
+    import json
+    import os
+
+    if correctness_paths is None:
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        correctness_paths = glob.glob(
+            os.path.join(root, "CORRECTNESS_r*.json")
+        )
+
+    def round_of(path: str) -> int:
+        return int("".join(c for c in os.path.basename(path) if c.isdigit()))
+
+    out: dict[str, int] = {}
+    baseline: dict[str, int] = {}
+    for path in sorted(correctness_paths, key=round_of):
+        rnd = round_of(path)
+        if before_round is not None and rnd >= before_round:
+            continue
+        with open(path) as fh:
+            rows = json.load(fh)
+        for name, row in rows.items():
+            if correctness_row_green(row, prior_rows=baseline.get(name)):
+                out[name] = max(out.get(name, 0), rnd)
+            if row.get("err") == "no_oracle" and (
+                row.get("spark_rows") or 0
+            ) > 0:
+                # the baseline always moves to the latest recorded
+                # count: a deliberate lane change is non-green exactly
+                # once, then re-greens at the new anchor
+                baseline[name] = int(row["spark_rows"])
+    return out
+
+
+def compose_front(
+    verified: dict[str, int] | None = None,
+    *,
+    window_size: int = 50,
+    registered: list[str] | None = None,
+) -> list[str]:
+    """Compose the driver window FROM THE LEDGER (round-14: the
+    hand-maintained ``_ROUND{N}_WINDOW`` lists are retired — the r12
+    composer bug that silently starved the r08 cohort for four rounds
+    cannot recur when the front list is generated): never-driver-
+    verified queries claim the front in registry order, then refill
+    slots go oldest-evidence-first (ties broken by registry order).
+    ``verified`` defaults to :func:`last_green_rounds` over the repo
+    ledger; pass a map to simulate rotation (the cadence meta-test)."""
+    if verified is None:
+        verified = last_green_rounds()
+    if registered is None:
+        registered = _REGISTRY_ORDER
+    never = [q for q in registered if q not in verified]
+    if len(never) > window_size:
+        raise RuntimeError(
+            f"{len(never)} never-verified queries do not fit one "
+            f"{window_size}-slot window — stop registering and rotate"
+        )
+    stale_first = sorted(
+        (q for q in registered if q in verified),
+        key=lambda q: (verified[q], registered.index(q)),
+    )
+    return never + stale_first[: window_size - len(never)]
 
 
 def _rotate_registry(front: list[str]) -> None:
@@ -8528,4 +8690,13 @@ _ROUND13_WINDOW = [
 ]
 
 
-_rotate_registry(_ROUND13_WINDOW)
+# Round 14 onward: the window is GENERATED from the recorded driver
+# ledger (compose_front — never-verified lanes front in registry order,
+# refills oldest-evidence-first), not hand-pasted. The ledger only
+# changes when the driver writes a round's CORRECTNESS file at round
+# end, so the composition is deterministic within a round; the
+# hand-maintained _ROUND{4..13}_WINDOW lists above are kept as the
+# historical record of what each round actually rotated.
+_REGISTRY_ORDER = list(QUERIES)
+_GENERATED_WINDOW = compose_front()
+_rotate_registry(_GENERATED_WINDOW)

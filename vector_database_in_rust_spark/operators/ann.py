@@ -544,6 +544,86 @@ def _nprobe_for_rows_frac(cell_stats_df: DataFrame, target_rows_frac: float) -> 
     return max(1, k)
 
 
+# Router thresholds for batch candidate scoring (round 14, closing the
+# r13 verdict's one open scale-killer: the expr arm in the distributed-
+# batch regime was unguarded — measured >=5x DNF at 10k queries x 5M x
+# 384-d, killed at 45+ min vs 532 s blas).
+#
+# AUTO_BLAS_MADDS: estimated candidate multiply-adds
+# (n_queries x nprobe x avg_cell_rows x dim) above which the cogroup
+# matmul beats the interpreted zip_with/aggregate expression form.
+# Measured (scripts/r14_blas_crossover.py, SCALE.md r14): at 200k x
+# 64-d the expression form holds to ~4e8 madds and loses by 4096
+# queries (1.6e9); at 100k x 384-d blas already wins 2x at 1e9 and the
+# r13 anchor measured 2-2.5x at 5.6e8. The threshold sits at the low
+# edge of the measured crossover band so the auto route never rides
+# the expr arm into the measured wall.
+AUTO_BLAS_MADDS = 4e8
+# The expr arm BROADCASTS the probed (query, cell) pairs carrying the
+# full query vector: n_queries x nprobe rows x ~(8*dim + 24) bytes.
+# 256 MiB is the documented ceiling — well under executor broadcast
+# comfort, and the r13 10k x nprobe=32 x 384-d case (~1 GB) lands 4x
+# over it.
+MAX_PROBED_BROADCAST_BYTES = 256 * 1024 * 1024
+
+
+def _route_batch_impl(
+    impl: str,
+    queries: DataFrame,
+    *,
+    nprobe: int,
+    n_rows: int,
+    num_cells: int,
+    dim: int,
+) -> str:
+    """Resolve ``impl='auto'`` for batch ANN candidate scoring, and
+    guard the explicit expression form — the same measured-threshold
+    routing discipline as ``embedding_cosine_pairs(impl='auto')`` and
+    ``bounded_query_collect``.
+
+    The decision needs |queries|, which is only countable by running a
+    job — so compute the CUTOFF first (the largest query count whose
+    estimated volume stays under every threshold) and count through
+    ``limit(cutoff + 1)``: the job is bounded by the cutoff, never by
+    the batch (a 10M-query batch answers "over the cutoff" after
+    cutoff+1 rows).
+
+    * ``impl='blas'``: honored as-is (always scale-safe).
+    * ``impl='expr'``: honored below the probed-pairs broadcast
+      ceiling; above it this RAISES naming ``impl='blas'`` — the r13
+      measurement showed the unguarded default burning >=5x before
+      dying, which is strictly worse than a loud error.
+    * ``impl='auto'``: routes expr below both thresholds (whole-stage
+      codegen wins the small-batch low-dim regime), blas at or above
+      either.
+    """
+    if impl not in ("expr", "blas", "auto"):
+        raise ValueError(
+            f"impl must be 'expr', 'blas' or 'auto', got {impl!r}"
+        )
+    if impl == "blas":
+        return "blas"
+    per_query_bcast = nprobe * (8 * dim + 24)
+    cut_bcast = int(MAX_PROBED_BROADCAST_BYTES // max(1, per_query_bcast))
+    if impl == "expr":
+        if queries.limit(cut_bcast + 1).count() > cut_bcast:
+            raise ValueError(
+                f"impl='expr' would broadcast > {cut_bcast} probed "
+                f"query rows (~{MAX_PROBED_BROADCAST_BYTES >> 20} MiB "
+                f"at nprobe={nprobe}, dim={dim}) and score them with "
+                "interpreted array arithmetic — measured >=5x slower "
+                "than the cogroup matmul in this regime (SCALE.md "
+                "r13/r14). Use impl='blas' (or 'auto')."
+            )
+        return "expr"
+    avg_cell_rows = max(1.0, n_rows / max(1, num_cells))
+    cut_madds = int(AUTO_BLAS_MADDS // max(1.0, nprobe * avg_cell_rows * dim))
+    cutoff = min(cut_bcast, cut_madds)
+    if cutoff <= 0:
+        return "blas"
+    return "blas" if queries.limit(cutoff + 1).count() > cutoff else "expr"
+
+
 def rebuild_due(
     occ: dict,
     *,
@@ -659,6 +739,26 @@ class IVFIndex:
     def _geom_query(self, query) -> np.ndarray:
         q = np.asarray(query, dtype=np.float64)
         return q @ self.proj if self.proj is not None else q
+
+    def _full_dim(self) -> int:
+        """The ORIGINAL vector dimension (the exact re-rank's cost
+        axis) — proj rows for a reduced-geometry index, the centroid
+        width otherwise. Driver-side state only; no job."""
+        if self.proj is not None:
+            return int(self.proj.shape[0])
+        return int(self.centroids.shape[1])
+
+    def _corpus_rows(self) -> int:
+        """Corpus row count for routing estimates, cached per
+        assignments object (metadata-fast on a persisted index; one
+        count on a lineage-backed one — invalidated whenever the
+        assignments DataFrame is replaced)."""
+        cached = getattr(self, "_rows_cache", None)
+        if cached is not None and cached[0] is self.assignments:
+            return cached[1]
+        n = self.assignments.count()
+        self._rows_cache = (self.assignments, n)
+        return n
 
     # -- build (replaces build_index, src/lib.rs:336-341) -----------------
 
@@ -859,7 +959,7 @@ class IVFIndex:
         query_id_col: str = "query_id",
         query_vec_col: str = "query_embedding",
         round_digits: int | None = 4,
-        impl: str = "expr",
+        impl: str = "auto",
     ) -> DataFrame:
         """Batch ANN, fully declarative (no driver-side per-query loop):
 
@@ -872,17 +972,28 @@ class IVFIndex:
         cell fraction ``target_frac`` (see ``nprobe_for_frac``).
 
         ``impl``: candidate scoring strategy, same rows either way —
-        ``"expr"`` (default) scores with the Catalyst zip_with/
-        aggregate L2 (whole-stage codegen, right at low dim);
+        ``"auto"`` (default, round 14) routes on the measured
+        candidate-volume thresholds (``_route_batch_impl``): ``"expr"``
+        scores with the Catalyst zip_with/aggregate L2 (whole-stage
+        codegen, right at low dim and small batches; guarded — an
+        explicit ``"expr"`` above the probed-pairs broadcast ceiling
+        raises rather than riding into the measured >=5x wall);
         ``"blas"`` cogroups probed pairs with candidates per cell and
         scores one matmul per cell (``_cogroup_blas_topk`` — the
         high-dim answer for query batches too large to broadcast; the
         r12 384-d serve measured the expression form 7-18x slower than
-        BLAS on this exact work).
+        BLAS on this exact work, and the r13 top-decade run killed the
+        expr form unfinished at >=5x).
         """
-        if impl not in ("expr", "blas"):
-            raise ValueError(f"impl must be 'expr' or 'blas', got {impl!r}")
         nprobe = _resolve_nprobe(nprobe, target_frac, self.num_cells, default=8)
+        impl = _route_batch_impl(
+            impl,
+            queries,
+            nprobe=nprobe,
+            n_rows=self._corpus_rows() if impl == "auto" else 0,
+            num_cells=self.num_cells,
+            dim=self._full_dim(),
+        )
         spark = queries.sparkSession
         cent = [
             (int(i), [float(x) for x in row]) for i, row in enumerate(self.centroids)
@@ -1423,6 +1534,17 @@ class HierarchicalIVF:
         same contract as ``IVFIndex.nprobe_for_rows_frac``."""
         return _nprobe_for_rows_frac(self.cell_stats(), target_rows_frac)
 
+    # routing estimate: same contract as the flat class
+    _corpus_rows = IVFIndex._corpus_rows
+
+    def _full_dim(self) -> int:
+        """Original vector dimension (see ``IVFIndex._full_dim``) —
+        proj rows for reduced geometry, the l1 centroid width
+        otherwise."""
+        if self.proj is not None:
+            return int(self.proj.shape[0])
+        return int(self.l1_centroids.shape[1])
+
     @classmethod
     def build(
         cls,
@@ -1630,7 +1752,7 @@ class HierarchicalIVF:
         query_id_col: str = "query_id",
         query_vec_col: str = "query_embedding",
         round_digits: int | None = 4,
-        impl: str = "expr",
+        impl: str = "auto",
     ) -> DataFrame:
         """Batch probe, fully declarative (no driver-side per-query
         loop) — the two-level twin of ``IVFIndex.search_batch``:
@@ -1646,18 +1768,28 @@ class HierarchicalIVF:
         Defaults mirror :meth:`search`: all super-cells, half of all
         sub-cells (the flat-equivalent probe budget). ``target_frac``
         expresses the sub-cell budget as a cell fraction instead
-        (rebuild-safe; see ``nprobe_for_frac``). ``impl="blas"``
-        swaps the expression-form candidate scoring for the
-        per-cell-matmul cogroup (``_cogroup_blas_topk``, same rows) —
-        the high-dim path for distributed query batches.
+        (rebuild-safe; see ``nprobe_for_frac``). ``impl`` routes
+        candidate scoring exactly as ``IVFIndex.search_batch``:
+        ``"auto"`` (default, round 14) picks expr/blas on the measured
+        volume thresholds (``_route_batch_impl``); an explicit
+        ``"expr"`` above the probed-pairs broadcast ceiling raises
+        naming ``"blas"`` — the r13 top-decade run (10k queries x 5M x
+        384-d) measured the unguarded expr arm >=5x (killed
+        unfinished) vs 532 s blas.
         """
-        if impl not in ("expr", "blas"):
-            raise ValueError(f"impl must be 'expr' or 'blas', got {impl!r}")
         if nprobe_l1 is None:
             nprobe_l1 = len(self.l1_centroids)
         nprobe = _resolve_nprobe(
             nprobe, target_frac, self.num_cells,
             default=max(1, self.num_cells // 2),
+        )
+        impl = _route_batch_impl(
+            impl,
+            queries,
+            nprobe=nprobe,
+            n_rows=self._corpus_rows() if impl == "auto" else 0,
+            num_cells=self.num_cells,
+            dim=self._full_dim(),
         )
         spark = queries.sparkSession
         l1_rows = [
@@ -2073,14 +2205,19 @@ class HierarchicalIVF:
         spark.createDataFrame(l2, "l1 INT, l2 INT, centroid ARRAY<DOUBLE>").coalesce(
             1
         ).write.mode("overwrite").parquet(f"{path}/l2_centroids")
-        if self.overflow:
-            ov = [
-                (int(c), int(p), [float(x) for x in cent])
-                for c, (p, cent) in sorted(self.overflow.items())
-            ]
-            spark.createDataFrame(
-                ov, "cell_id INT, parent_l1 INT, centroid ARRAY<DOUBLE>"
-            ).coalesce(1).write.mode("overwrite").parquet(f"{path}/overflow")
+        # ALWAYS written (empty is fine): load() probes overflow/ by
+        # reading, so an in-place re-save of an overflow-free index
+        # (e.g. a fresh rebuild) over a path that previously held a
+        # split index must overwrite the stale table — otherwise
+        # phantom centroids re-enter probe ranking and assign_new, and
+        # num_cells inflates so target_frac budgets mis-resolve.
+        ov = [
+            (int(c), int(p), [float(x) for x in cent])
+            for c, (p, cent) in sorted(self.overflow.items())
+        ]
+        spark.createDataFrame(
+            ov, "cell_id INT, parent_l1 INT, centroid ARRAY<DOUBLE>"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/overflow")
         # The cell-id stride is build-time state, not derivable from the
         # centroid blocks (an under-filled build has max block < stride).
         # Written LAST (after overflow): its _SUCCESS marker implies the

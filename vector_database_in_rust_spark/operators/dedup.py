@@ -2664,6 +2664,11 @@ def semantic_threshold_for(
             f"survival_target must be in (0, 1], got {survival_target}"
         )
     grid = tuple(sorted(float(t) for t in grid))
+    if emb.limit(1).count() == 0:  # bounded-collect: 1-row existence probe
+        raise ValueError(
+            "semantic_threshold_for: empty corpus — no survival curve "
+            "measurable (the input has no rows)"
+        )
     idx = IVFIndex.build(
         emb,
         num_cells=num_cells,
@@ -2715,6 +2720,13 @@ def semantic_threshold_for(
         .collect()  # bounded-collect: exactly |grid| aggregate rows
     )
     by_gi = {int(r["gi"]): (int(r["kept"]), int(r["n"])) for r in rows}
+    if not by_gi:
+        # no clusters emitted any rows — an empty corpus has no
+        # measurable survival curve (and by_gi[0] below would KeyError)
+        raise ValueError(
+            "semantic_threshold_for: empty corpus — no survival curve "
+            "measurable (the input has no rows)"
+        )
     n_total = by_gi[0][1]
     curve = [
         (grid[gi], by_gi[gi][0] / n_total) for gi in sorted(by_gi)

@@ -7,9 +7,14 @@ Parquet store via ``foreachBatch``; rejects are quarantined, not
 dropped, so bad batches are observable. The reference is append-only
 (no update/delete anywhere), so append semantics are exact parity.
 
-Scale: each micro-batch is an ordinary distributed parquet append;
-exactly-once comes from the streaming checkpoint + parquet's atomic
-task commits. Rebuild-vs-incremental indexing is the caller's choice —
+Scale: each micro-batch is an ordinary distributed parquet append.
+Delivery is at-least-once from the sink's point of view (foreachBatch
+replays an uncommitted batch on restart); a per-batch commit ledger
+(``_ingest_commits/batch-N``, written after each append) makes the
+common replay — failure after the store write, before the checkpoint
+commit — skip the duplicate append, leaving only the narrow
+append-then-crash-before-marker window. Rebuild-vs-incremental
+indexing is the caller's choice —
 the IVF index assigns NEW vectors to EXISTING cells cheaply
 (IVFIndex assignments are just a transform), with periodic full
 rebuilds when drift accumulates (same regime as any IVF system).
@@ -54,9 +59,17 @@ def ingest_vectors(
     """
 
     def write_batch(batch: DataFrame, batch_id: int) -> None:
+        from vector_database_in_rust_spark.streaming import (
+            batch_already_appended,
+            mark_batch_appended,
+        )
+
+        spark = batch.sparkSession
         ok = dim_ok("embedding", dimensions)
         valid = batch.filter(ok)
-        valid.write.mode("append").parquet(store_path)
+        if not batch_already_appended(spark, store_path, batch_id):
+            valid.write.mode("append").parquet(store_path)
+            mark_batch_appended(spark, store_path, batch_id)
         if quarantine_path is not None:
             bad = batch.filter(~ok)
             if bad.limit(1).count():

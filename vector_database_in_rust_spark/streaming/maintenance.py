@@ -1,5 +1,5 @@
 """Streaming ingest composed with index maintenance (round 13, closing
-the r12 verdict's composition gap): the validated exactly-once append
+the r12 verdict's composition gap): the validated idempotent append
 (``streaming/ingest.py``), incremental assignment (``assign_new``,
 round 12), occupancy monitoring (``occupancy_stats``), and the measured
 drift trigger (``rebuild_due``) — each tested alone since r12 — run as
@@ -12,10 +12,18 @@ Per micro-batch (driver-side ``foreachBatch``, the standard Structured
 Streaming pattern for multi-sink + stateful-driver composition):
 
 1. validate dimensions (the reference's per-insert check,
-   src/lib.rs:62-72); rejects quarantine, never silently drop;
-2. append valid rows to the Parquet store — exactly-once from the
-   streaming checkpoint + Parquet's atomic task commits, identical to
-   ``ingest_vectors``;
+   src/lib.rs:62-72); rejects are COUNTED unconditionally and
+   quarantined when a ``quarantine_path`` is given — a drop without a
+   quarantine path is surfaced as a warning and in the history row,
+   never silent;
+2. append valid rows to the Parquet store, idempotent per batch_id: a
+   ``_ingest_commits/batch-N`` ledger marker (underscore-prefixed, so
+   store readers never see it) is written after each append, and a
+   replayed batch whose marker exists skips the re-append. Strictly
+   the sink is at-least-once — a crash in the window between the
+   parquet append and the marker write replays the append — but the
+   common retry path (failure after the store write, before the
+   checkpoint commit) no longer duplicates rows;
 3. ``assign_new`` the batch against the FROZEN centroid structure
    (one broadcast-argmin Arrow pass over the new rows only — nothing
    corpus-sized moves, on either index class);
@@ -42,13 +50,19 @@ same rows, regardless of micro-batch boundaries.
 
 from __future__ import annotations
 
+import warnings
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from vector_database_in_rust_spark.operators.ann import rebuild_due
 from vector_database_in_rust_spark.operators.validate import dim_ok
-from vector_database_in_rust_spark.streaming import await_or_raise
+from vector_database_in_rust_spark.streaming import (
+    await_or_raise,
+    batch_already_appended,
+    mark_batch_appended,
+)
 
 
 @dataclass
@@ -89,18 +103,47 @@ def stream_ingest_into_index(
     Returns an :class:`IngestMaintenanceReport`; the input ``index``
     object is never mutated (the maintenance purity contract — the
     grown index is ``report.index``)."""
-    state = {"index": index, "history": []}
+    state = {"index": index, "history": [], "seen": set()}
 
     def write_batch(batch: DataFrame, batch_id: int) -> None:
+        if batch_id in state["seen"]:
+            # same-run replay: this batch was already appended AND
+            # assigned into state["index"] — re-running would duplicate
+            # assignments.
+            return
+        spark = batch.sparkSession
         ok = dim_ok("embedding", dimensions)
         valid = batch.filter(ok)
-        valid.write.mode("append").parquet(store_path)
-        n_bad = 0
-        if quarantine_path is not None:
-            bad = batch.filter(~ok)
-            n_bad = bad.count()
-            if n_bad:
-                bad.write.mode("append").parquet(quarantine_path)
+        # Counted UNCONDITIONALLY: the module contract is "never
+        # silently drop", and the history row must report rejects even
+        # when no quarantine sink exists. One aggregation job covers
+        # both counts (per-micro-batch overhead matters: 32 small
+        # batches pay it 32 times).
+        counts = batch.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(ok.cast("int")).alias("n_ok"),
+        ).first()
+        n_total = int(counts["n"] or 0)
+        n_ok = int(counts["n_ok"] or 0)
+        n_bad = n_total - n_ok
+        if n_bad and quarantine_path is not None:
+            batch.filter(~ok).write.mode("append").parquet(quarantine_path)
+        elif n_bad:
+            warnings.warn(
+                f"stream_ingest_into_index batch {batch_id}: {n_bad} "
+                "dimension-invalid rows dropped (no quarantine_path "
+                "given); the history row records them",
+                stacklevel=2,
+            )
+        if batch_already_appended(spark, store_path, batch_id):
+            # cross-run replay: a prior run crashed after the store
+            # write but before the checkpoint commit. Skip the
+            # duplicate append; the batch still needs assignment into
+            # THIS run's index (which started from the caller's).
+            pass
+        else:
+            valid.write.mode("append").parquet(store_path)
+            mark_batch_appended(spark, store_path, batch_id)
         grown = state["index"].assign_new(
             valid.select(state["index"].id_col, state["index"].vec_col)
         )
@@ -114,7 +157,7 @@ def stream_ingest_into_index(
         state["history"].append(
             {
                 "batch_id": int(batch_id),
-                "rows_in": valid.count(),
+                "rows_in": n_ok,
                 "rows_quarantined": int(n_bad),
                 "occupancy": occ,
                 "rebuild_due": rebuild_due(
@@ -125,6 +168,7 @@ def stream_ingest_into_index(
                 ),
             }
         )
+        state["seen"].add(batch_id)
 
     writer = stream.writeStream.foreachBatch(write_batch).trigger(
         availableNow=True
