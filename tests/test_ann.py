@@ -347,6 +347,81 @@ def test_pq_full_probe_refine_recovers_exact(spark, emb, ivf16):
     pq.codes.unpersist()
 
 
+def test_pq_search_batch_distributed(spark, emb, ivf16):
+    """Round 14 (r13 verdict item 4): DISTRIBUTED batch serving over PQ
+    codes — the cogroup ADC path whose candidate side is m bytes/vector
+    instead of the full float vector. Pins: (a) full-probe + refine
+    covering the true top-k is ROW-IDENTICAL to knn_batch exact (the
+    ★ann_pq_search bar, extended to the distributed path); (b) each
+    query's batch rows equal the single-query ``search`` rows — batch
+    and driver-side serving are the same function; (c) refine=0
+    ADC-rank parity with ``search(refine=0)``; (d) reduced-geometry
+    (OPQ-shaped) batch == single, and saturating refine recovers exact
+    even through the lossy coarse projection; (e) empty batch; (f)
+    refine without a store raises."""
+    import pytest as _pytest
+
+    from vector_database_in_rust_spark.operators.ann import (
+        IVFIndex,
+        IVFPQIndex,
+    )
+
+    pq = IVFPQIndex.build(ivf16, m=16, ksub=64, seed=42)
+    pq.codes = pq.codes.persist()
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_embedding"),
+    )
+    exact = [tuple(r) for r in knn_batch(emb, q, 10).collect()]
+    batch = pq.search_batch(q, 10, nprobe=16, refine=8, store=emb).collect()
+    assert [tuple(r) for r in batch] == exact
+
+    one = emb.filter("vec_id = 3").first()["embedding"]
+    single = [
+        (r["vec_id"], r["dist"])
+        for r in pq.search(one, 10, nprobe=16, refine=8, store=emb).collect()
+    ]
+    assert single == [
+        (r["vec_id"], r["dist"]) for r in batch if r["query_id"] == 3
+    ]
+
+    adc_single = [
+        (r["vec_id"], r["dist"])
+        for r in pq.search(one, 10, nprobe=16, refine=0).collect()
+    ]
+    adc_batch = [
+        (r["vec_id"], r["dist"])
+        for r in pq.search_batch(q, 10, nprobe=16, refine=0).collect()
+        if r["query_id"] == 3
+    ]
+    assert adc_single == adc_batch
+
+    ivf_r = IVFIndex.build(emb, num_cells=16, seed=42, coarse_dim=8)
+    pqr = IVFPQIndex.build(ivf_r, m=8, ksub=64, seed=42)
+    r_single = [
+        (r["vec_id"], r["dist"])
+        for r in pqr.search(one, 10, nprobe=16, refine=8, store=emb).collect()
+    ]
+    assert r_single == [
+        (r["vec_id"], r["dist"])
+        for r in pqr.search_batch(
+            q, 10, nprobe=16, refine=8, store=emb
+        ).collect()
+        if r["query_id"] == 3
+    ]
+    # refine saturating the corpus repairs even the lossy 8-d coarse
+    # projection's ADC ordering back to exact
+    assert [
+        tuple(r)
+        for r in pqr.search_batch(q, 10, nprobe=16, refine=50, store=emb).collect()
+    ] == exact
+
+    assert pq.search_batch(q.limit(0), 5, nprobe=4, refine=2, store=emb).count() == 0
+    with _pytest.raises(ValueError, match="store"):
+        pq.search_batch(q, 5, refine=2)
+    pq.codes.unpersist()
+
+
 def test_pq_refine_repairs_adc_recall(spark, emb, ivf16):
     """Measured ladder at m=16/ksub=16, full probe: ADC-only recall@10
     ~0.41 (pure-noise residuals — worst case), refine=4 -> ~0.81,

@@ -156,11 +156,16 @@ class TestMpeg1Property:
                 st.tuples(st.just("intra"), st.integers(0, 255)),
             ]
             if not first_frame:
-                lo = max(-8, -16 * mb)
-                hi = min(8, 16 * (mb_w - mb - 1))
+                # full_pel vectors double the coded motion_code
+                # (§2.4.4.2), so only even displacements exist; the
+                # transcribed B.4 rows bound |code| <= 8 -> |mv| <= 16
+                lo = max(-8, (-16 * mb) // 2)
+                hi = min(8, (16 * (mb_w - mb - 1)) // 2)
                 opts.append(
                     st.tuples(
-                        st.just("mc"), st.integers(lo, hi), st.just(0)
+                        st.just("mc"),
+                        st.integers(lo, hi).map(lambda v: 2 * v),
+                        st.just(0),
                     )
                 )
                 if 0 < mb < mb_w - 1:

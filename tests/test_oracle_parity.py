@@ -198,6 +198,33 @@ def test_rows_only_drift_refronts():
         assert lg12 == {"lane": 1}
 
 
+def test_docs_cite_only_registered_queries():
+    """r13 verdict item 3: PARITY.md is the authoritative operator
+    inventory and QUERIES.md the generated catalog — neither may name
+    a ★/◦ query the registry can't serve (the r13 audit found three
+    retired stub lanes still cited). Every backticked query marker in
+    both docs must resolve in harness.QUERIES, so doc drift on a lane
+    retirement fails here instead of surviving four rounds."""
+    import os
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pat = re.compile(r"[★◦]`([A-Za-z0-9_]+)`")
+    for doc in ("PARITY.md", "QUERIES.md"):
+        with open(os.path.join(root, doc)) as fh:
+            cited = set(pat.findall(fh.read()))
+        missing = sorted(cited - set(harness.QUERIES))
+        assert not missing, f"{doc} cites unregistered queries: {missing}"
+    # and the generated catalog covers the whole registry
+    with open(os.path.join(root, "QUERIES.md")) as fh:
+        text = fh.read()
+    uncatalogued = [q for q in harness.QUERIES if f"`{q}`" not in text]
+    assert not uncatalogued, (
+        f"QUERIES.md is stale — run scripts/gen_queries_md.py; "
+        f"missing: {uncatalogued[:5]}"
+    )
+
+
 def test_rotation_is_a_pure_permutation():
     """Rotation must only PERMUTE the registry: every registered query
     appears exactly once, and every oracle key still names a registered

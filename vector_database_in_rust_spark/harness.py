@@ -1529,6 +1529,95 @@ def ann_ingest_hier_verdict_q(spark, sf_dir):
     )
 
 
+_ANN_INGEST_OVERFLOW_ORACLE = """
+SELECT CAST((SELECT count(*) FROM embeddings) + 402 AS BIGINT) AS n_total,
+       TRUE AS overflow_nonempty,
+       TRUE AS landed_in_overflow,
+       TRUE AS ingest_lands_probe1_cell,
+       TRUE AS self_query_exact
+"""
+
+
+@register("ann_ingest_overflow_verdict", _ANN_INGEST_OVERFLOW_ORACLE)
+def ann_ingest_overflow_verdict_q(spark, sf_dir):
+    """Ingest against a REPAIRED hierarchical index, driver-hash-
+    verified (round 14, r13 verdict item 6 — ★`ann_ingest_hier_verdict`
+    (r12) predates overflow cells, so the one r13-feature composition
+    without a hash-checked driver lane was assign_new against a
+    post-``rebalance`` structure). Protocol: build the two-level index
+    on the corpus, pile a deterministic out-of-distribution cluster
+    (400 rows, seeded) into its nearest cell, ``rebalance`` — the r13
+    drift repair, which creates OVERFLOW cells outside the composite
+    id range — then ingest two fresh vectors and pin: (a) the repair
+    actually produced overflow cells; (b) a vector placed exactly AT an
+    overflow centroid is assigned TO that overflow cell (the broadcast
+    ``_hier_assign_fn`` sees overflow — a repaired index must ingest
+    into its repaired geometry, not just serve from it); (c) a vector
+    at the drift point lands in the cell the driver-side probe ranks
+    first (ingest/probe agreement, the contract the pytest pins); (d)
+    the ingested vector is findable by full-probe self-query at dist 0;
+    and n_total == count(embeddings) + 402 (oracle-PREDICTED)."""
+    import numpy as np
+
+    from vector_database_in_rust_spark.operators.ann import HierarchicalIVF
+
+    emb = _emb(spark, sf_dir)
+    idx = HierarchicalIVF.build(emb, k1=3, k2=3, seed=42)
+    rng = np.random.RandomState(7)
+    point = rng.rand(64) * 0.05 + 2.0  # far outside the unit cube
+    drift = spark.createDataFrame(
+        [
+            (9_100_000 + i, [float(x) for x in point + rng.rand(64) * 0.01])
+            for i in range(400)
+        ],
+        "vec_id BIGINT, embedding ARRAY<FLOAT>",
+    )
+    rep = idx.assign_new(drift).rebalance(factor=2.0, seed=42)
+    overflow_nonempty = bool(rep.overflow)
+    # (b): ingest exactly at an overflow centroid -> must land there
+    ov_cell, (_, ov_cent) = sorted(rep.overflow.items())[0]
+    at_overflow = [float(np.float32(x)) for x in ov_cent]
+    probe_pt = [float(x) for x in point]
+    grown = rep.assign_new(
+        spark.createDataFrame(
+            [(9_000_001, at_overflow), (9_000_002, probe_pt)],
+            "vec_id BIGINT, embedding ARRAY<FLOAT>",
+        )
+    )
+    landed = {
+        r["vec_id"]: r["cell_id"]
+        for r in grown.assignments.filter(
+            F.col("vec_id").isin([9_000_001, 9_000_002])
+        )
+        .select("vec_id", "cell_id")
+        .collect()
+    }
+    landed_in_overflow = landed[9_000_001] == ov_cell
+    probe1 = rep._probe_cells(probe_pt, nprobe_l1=3, nprobe=1)[0]
+    ingest_lands_probe1_cell = landed[9_000_002] == probe1
+    top = grown.search_batch(
+        spark.createDataFrame(
+            [(0, at_overflow)],
+            "query_id BIGINT, query_embedding ARRAY<DOUBLE>",
+        ),
+        1,
+        nprobe=grown.num_cells,
+    ).first()
+    self_query_exact = top["vec_id"] == 9_000_001 and top["dist"] == 0.0
+    return spark.createDataFrame(
+        [(
+            grown.assignments.count(),
+            overflow_nonempty,
+            bool(landed_in_overflow),
+            bool(ingest_lands_probe1_cell),
+            bool(self_query_exact),
+        )],
+        "n_total BIGINT, overflow_nonempty BOOLEAN, "
+        "landed_in_overflow BOOLEAN, ingest_lands_probe1_cell BOOLEAN, "
+        "self_query_exact BOOLEAN",
+    )
+
+
 _ANN_REDUCED_VERDICT_ORACLE = """
 SELECT CAST((SELECT count(*) FROM embeddings) AS BIGINT) AS n_total,
        TRUE AS ids_unique,
@@ -2669,7 +2758,7 @@ def embed_documents_q(spark, sf_dir):
     text -> model-per-partition mapInPandas encoder -> vectors. The
     encoder is a deterministic stub (no model runtime in the container);
     the distributed shape is the production path. Output pinned through
-    scalar digests like multimodal_features."""
+    scalar digests like media_stats."""
     from vector_database_in_rust_spark.operators.embed import encode_documents
 
     emb = encode_documents(_docs(spark, sf_dir))

@@ -427,6 +427,112 @@ def _cogroup_blas_topk(
     )
 
 
+def _cogroup_adc_topk(
+    probed: DataFrame,
+    codes: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    keep: int,
+    *,
+    query_id_col: str,
+    query_geom_col: str,
+    query_id_type: str,
+) -> DataFrame:
+    """ADC scoring for DISTRIBUTED query batches over PQ CODES (round
+    14, r13 verdict item 4): the cogroup shape of ``_cogroup_blas_topk``
+    with the candidate side carrying m-byte codes instead of full
+    vectors — at 384-d float32 that is ~32x fewer candidate bytes
+    through the exchange (1,536 -> 48 at m=48, 16 at m=16), which is
+    the reference's out-of-core ambition (readme.md:15) applied to the
+    serving tier. Per cell group: one (m x ksub) lookup table per query
+    from its residual against the cell centroid (tables are
+    query-local, so they are built inside the group, never shuffled),
+    then a gather-sum per code column — no multiply at all in the
+    scoring loop. Emits each (query, cell)'s top-``keep`` under
+    (adc, vec_id); the global per-query top-keep is contained in the
+    union of per-cell top-keeps (same containment argument as the BLAS
+    form). ADC distances are approximate by construction — callers
+    re-rank the survivors against true vectors (``refine``), so no
+    rounding is applied here."""
+    m, ksub, dsub = codebooks.shape
+    bc = codes.sparkSession.sparkContext.broadcast((centroids, codebooks))
+
+    def block(key, probes, cands):
+        if probes.empty or cands.empty:
+            return pd.DataFrame({"query_id": [], "vec_id": [], "adc": []})
+        cents, books = bc.value
+        cell = int(key[0])
+        q = np.vstack(probes[query_geom_col].apply(np.asarray, args=(np.float64,)))
+        qids = probes[query_id_col].to_numpy()
+        r = q - cents[cell][None, :]
+        # (nq, m, ksub) residual tables, built batch-vectorized
+        tables = np.stack(
+            [
+                (
+                    (books[j][None, :, :] - r[:, None, j * dsub : (j + 1) * dsub])
+                    ** 2
+                ).sum(axis=2)
+                for j in range(m)
+            ],
+            axis=1,
+        )
+        cm = np.vstack(
+            cands["codes"].apply(
+                lambda b: np.frombuffer(bytes(b), dtype=np.uint8)
+            )
+        )
+        ids = cands["vec_id"].to_numpy()
+        adc = np.zeros((len(q), len(ids)))
+        for j in range(m):
+            adc += tables[:, j, :][:, cm[:, j]]
+        kk = min(keep, adc.shape[1])
+        out_q, out_v, out_d = [], [], []
+        for qi in range(adc.shape[0]):
+            order = np.lexsort((ids, adc[qi]))[:kk]
+            out_q.extend([qids[qi]] * kk)
+            out_v.extend(ids[order])
+            out_d.extend(adc[qi][order])
+        return pd.DataFrame(
+            {
+                "query_id": pd.Series(out_q, dtype=object),
+                "vec_id": pd.Series(out_v, dtype="int64"),
+                "adc": pd.Series(out_d, dtype="float64"),
+            }
+        )
+
+    # probe selectivity reaches the code scan before the exchange —
+    # same broadcast semi-join as the BLAS form
+    cand = codes.select("cell_id", "vec_id", "codes").join(
+        F.broadcast(probed.select("cell_id").distinct()),
+        "cell_id",
+        "left_semi",
+    )
+    return (
+        probed.groupBy("cell_id")
+        .cogroup(cand.groupBy("cell_id"))
+        .applyInPandas(
+            block, f"query_id {query_id_type}, vec_id BIGINT, adc DOUBLE"
+        )
+    )
+
+
+def _l2_rowwise_udf(vec_col_a: str, vec_col_b: str):
+    """Row-wise squared L2 between two array columns as an
+    Arrow-vectorized pandas UDF — the refine-stage scorer: the
+    candidate set is |queries| x refine*k rows (never corpus-shaped),
+    but at high dim the interpreted zip_with/aggregate form still pays
+    per-element; one vstack + sum per Arrow batch does not."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def dist(a: pd.Series, b: pd.Series) -> pd.Series:
+        xa = np.vstack(a.apply(np.asarray, args=(np.float64,)))
+        xb = np.vstack(b.apply(np.asarray, args=(np.float64,)))
+        return pd.Series(((xa - xb) ** 2).sum(axis=1))
+
+    return dist(F.col(vec_col_a), F.col(vec_col_b))
+
+
 def _hier_assign_fn(bc, id_col: str, vec_col: str):
     """The two-level assignment pass as a mapInPandas closure factory —
     shared by ``HierarchicalIVF.build`` (full-corpus assignment) and
@@ -552,13 +658,16 @@ def _nprobe_for_rows_frac(cell_stats_df: DataFrame, target_rows_frac: float) -> 
 # AUTO_BLAS_MADDS: estimated candidate multiply-adds
 # (n_queries x nprobe x avg_cell_rows x dim) above which the cogroup
 # matmul beats the interpreted zip_with/aggregate expression form.
-# Measured (scripts/r14_blas_crossover.py, SCALE.md r14): at 200k x
-# 64-d the expression form holds to ~4e8 madds and loses by 4096
-# queries (1.6e9); at 100k x 384-d blas already wins 2x at 1e9 and the
-# r13 anchor measured 2-2.5x at 5.6e8. The threshold sits at the low
-# edge of the measured crossover band so the auto route never rides
-# the expr arm into the measured wall.
-AUTO_BLAS_MADDS = 4e8
+# Measured (scripts/r14_blas_crossover.py, SCALE.md r14): blas reaches
+# parity by ~5e7 madds on BOTH geometries (200k x 64-d: 1.8 vs 1.4 s at
+# 4.7e7; 100k x 384-d: 2.6 vs 2.1 s at 9.8e7) and the gap opens fast
+# above — 2.8x at 7.4e8, 5.4x at 1.6e9, 4.7x at 1.2e10; the r13
+# top-decade run measured >=5x (expr killed unfinished) at ~2.7e11.
+# 1e8 sits at the top of the parity band: the sub-second small-batch
+# bench lanes (~1e5-1e6 madds, where the cogroup's ~1.5 s floor would
+# dominate) keep the expression form, and everything measured above
+# the threshold routes to the measured winner.
+AUTO_BLAS_MADDS = 1e8
 # The expr arm BROADCASTS the probed (query, cell) pairs carrying the
 # full query vector: n_queries x nprobe rows x ~(8*dim + 24) bytes.
 # 256 MiB is the documented ceiling — well under executor broadcast
@@ -2515,6 +2624,126 @@ class IVFPQIndex:
             k,
             id_col="vec_id",
             vec_col=self.vec_col,
+        )
+
+    def search_batch(
+        self,
+        queries: DataFrame,
+        k: int,
+        *,
+        nprobe: int = 8,
+        refine: int = 4,
+        store: DataFrame | None = None,
+        query_id_col: str = "query_id",
+        query_vec_col: str = "query_embedding",
+        round_digits: int | None = 4,
+    ) -> DataFrame:
+        """DISTRIBUTED batch serving over PQ codes (round 14, r13
+        verdict item 4): the r13 cogroup-BLAS wall at 10k x 5M x 384-d
+        moved ~7e8 candidate pairs x 1,536 float-vector bytes through
+        the exchange; here the candidate side is the m-byte CODES table
+        (~32x fewer bytes at 384-d), scored by per-query ADC lookup
+        tables built inside each cell group, and only the top
+        ``refine*k`` survivors per query read their true vectors.
+
+        Fully declarative — queries never collect to the driver (the
+        distributed regime ``search`` cannot serve):
+
+        1. queries x centroids (broadcast) -> top-``nprobe`` cells per
+           query (reduced-geometry queries are projected first);
+        2. ``_cogroup_adc_topk``: per-cell gather-sum ADC with a
+           map-side top-``refine*k`` cut under (adc, vec_id);
+        3. global per-query top-``refine*k`` window over the ADC
+           scores;
+        4. ``refine > 0``: join the survivors to ``store`` on id and to
+           the query batch on query id (both shuffle-keyed, both
+           candidate-sized — |queries| x refine*k rows, never
+           corpus-sized), score exactly (Arrow row-wise L2), window
+           top-k. ``refine=0`` returns raw ADC ranks (approximate
+           distances, same contract as ``search(refine=0)``).
+
+        Same-k equality with the full-vector paths holds exactly when
+        the ADC top-``refine*k`` contains the true top-k (the measured
+        full-probe+refine bars in tests/test_ann.py, now pinned for
+        this distributed path too)."""
+        if refine > 0 and store is None:
+            raise ValueError("refine > 0 requires the vector store (store=)")
+        spark = queries.sparkSession
+        cent_df = spark.createDataFrame(
+            [
+                (int(i), [float(x) for x in row])
+                for i, row in enumerate(self.centroids)
+            ],
+            "cell_id INT, centroid ARRAY<DOUBLE>",
+        )
+        q_geom_col = query_vec_col
+        if self.proj is not None:
+            q_geom_col = "_q_rvec"
+            queries = queries.withColumn(
+                q_geom_col, _project_udf(self.proj)(F.col(query_vec_col))
+            )
+        qc = queries.join(F.broadcast(cent_df), how="cross").select(
+            query_id_col,
+            q_geom_col,
+            "cell_id",
+            l2_squared(F.col(q_geom_col), F.col("centroid")).alias("_cd"),
+        )
+        wp = Window.partitionBy(query_id_col).orderBy("_cd", "cell_id")
+        probed = (
+            qc.withColumn("_pr", F.row_number().over(wp))
+            .filter(F.col("_pr") <= max(1, nprobe))
+            .select(query_id_col, q_geom_col, "cell_id")
+        )
+        keep = max(refine, 1) * k
+        scored = _cogroup_adc_topk(
+            probed,
+            self.codes,
+            self.centroids,
+            self.codebooks,
+            keep,
+            query_id_col=query_id_col,
+            query_geom_col=q_geom_col,
+            query_id_type=queries.schema[query_id_col].dataType.simpleString(),
+        )
+        w = Window.partitionBy("query_id").orderBy("adc", "vec_id")
+        survivors = (
+            scored.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") <= keep)
+            .drop("_r")
+        )
+        if refine <= 0:
+            return (
+                survivors.withColumn("_rk", F.row_number().over(w))
+                .filter(F.col("_rk") <= k)
+                .select(
+                    "query_id",
+                    "vec_id",
+                    F.round("adc", 4).alias("dist"),
+                )
+                .orderBy("query_id", "dist", "vec_id")
+            )
+        true_vec = store.select(
+            F.col(self.id_col).alias("vec_id"),
+            F.col(self.vec_col).alias("_true_vec"),
+        )
+        qvec = queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(query_vec_col).alias("_q_vec"),
+        )
+        exact = (
+            survivors.select("query_id", "vec_id")
+            .join(true_vec, on="vec_id")
+            .join(qvec, on="query_id")
+            .withColumn("dist", _l2_rowwise_udf("_q_vec", "_true_vec"))
+        )
+        if round_digits is not None:
+            exact = exact.withColumn("dist", F.round("dist", round_digits))
+        wk = Window.partitionBy("query_id").orderBy("dist", "vec_id")
+        return (
+            exact.withColumn("_r", F.row_number().over(wk))
+            .filter(F.col("_r") <= k)
+            .select("query_id", "vec_id", "dist")
+            .orderBy("query_id", "dist", "vec_id")
         )
 
     def save(self, spark: SparkSession, path: str) -> None:

@@ -256,9 +256,18 @@ def encode_mpeg1_gray(
             raise ValueError("first/last macroblock of a slice cannot skip")
         for mb, op in enumerate(spec):
             if op[0] == "mc":
-                if op[1] not in _B4_ENC or op[2] not in _B4_ENC:
+                # full_pel_forward_vector=1 doubles the coded
+                # motion_code (§2.4.4.2), so only EVEN displacements
+                # are expressible and the coded value is mvx/2.
+                if op[1] % 2 or op[2] % 2:
                     raise ValueError(
-                        "motion code outside the transcribed B.4 rows (|v|<=8)"
+                        "full-pel streams can only express even "
+                        f"displacements, got {op[1:3]}"
+                    )
+                if op[1] // 2 not in _B4_ENC or op[2] // 2 not in _B4_ENC:
+                    raise ValueError(
+                        "motion code outside the transcribed B.4 rows "
+                        "(|displacement/2| <= 8)"
                     )
                 if not (0 <= mb * 16 + op[1] and mb * 16 + 16 + op[1] <= w):
                     raise ValueError("motion vector references out of frame")
@@ -315,8 +324,9 @@ def encode_mpeg1_gray(
                 _intra_mb(bw, int(op[1]) % 256, preds)
             else:  # mc
                 bw.put_bits("001")  # B.2b pred-mc
-                bw.put_bits(_B4_ENC[op[1]])  # horizontal motion_code
-                bw.put_bits(_B4_ENC[op[2]])  # vertical motion_code
+                # coded motion_code = displacement / 2 (full_pel <<1)
+                bw.put_bits(_B4_ENC[op[1] // 2])  # horizontal
+                bw.put_bits(_B4_ENC[op[2] // 2])  # vertical
                 preds["y"] = 128  # non-intra MB resets the DC chain
     _start_code(bw, 0xB7)  # sequence end
     bw.align()
@@ -590,8 +600,14 @@ def decode_mpeg1(content: bytes) -> list[np.ndarray]:
                 cur[8:16, x0 : x0 + 8] = vals[2]
                 cur[8:16, x0 + 8 : x0 + 16] = vals[3]
             elif mf:
-                mvx = _read_vlc(br, _B4_MOTION, "motion_code")
-                mvy = _read_vlc(br, _B4_MOTION, "motion_code")
+                # §2.4.4.2 motion reconstruction: at forward_f_code=1
+                # the motion_code IS the reconstructed value, and
+                # full_pel_forward_vector=1 (the only mode this subset
+                # accepts) DOUBLES it — found by the r14 hand-built
+                # conformance vectors; the paired encoder shared the
+                # missing <<1, so self-roundtrip never saw it.
+                mvx = 2 * _read_vlc(br, _B4_MOTION, "motion_code")
+                mvy = 2 * _read_vlc(br, _B4_MOTION, "motion_code")
                 y_pred = 128  # non-intra MB resets the DC chain
                 sy, sx = mvy, x0 + mvx
                 if not (
