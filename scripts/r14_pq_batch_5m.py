@@ -17,7 +17,7 @@ Protocol:
    to match the r13 run's probed-rows fraction (~1.4%), k=10,
    refine=8, timed twice.
 
-Usage: python scripts/r14_pq_batch_5m.py [n_queries] [nprobe]
+Usage: python scripts/r14_pq_batch_5m.py [n_queries] [nprobe] [code_space] [m]
 """
 
 from __future__ import annotations
@@ -32,7 +32,6 @@ sys.path.insert(0, REPO)
 from vector_database_in_rust_spark.session import get_spark  # noqa: E402
 
 IVF_PATH = f"{REPO}/spark-warehouse/scaling/ivf_v1_5000000_d384_c64"
-PQ_PATH = f"{REPO}/spark-warehouse/scaling/pq_v1_5000000_d384_m16"
 K = 10
 REFINE = 8
 
@@ -40,6 +39,12 @@ REFINE = 8
 def main() -> None:
     n_queries = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000
     nprobe = int(sys.argv[2]) if len(sys.argv) > 2 else 14
+    code_space = sys.argv[3] if len(sys.argv) > 3 else "geom"
+    m = int(sys.argv[4]) if len(sys.argv) > 4 else 16
+    pq_path = (
+        f"{REPO}/spark-warehouse/scaling/"
+        f"pq_v1_5000000_d384_{code_space}_m{m}"
+    )
     spark = get_spark(app_name="pq-batch-5m")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -53,13 +58,15 @@ def main() -> None:
     ivf = IVFIndex.load(spark, IVF_PATH)
     store = ivf.assignments.select("vec_id", "embedding")
 
-    if not os.path.exists(os.path.join(PQ_PATH, "meta", "_SUCCESS")):
+    if not os.path.exists(os.path.join(pq_path, "meta", "_SUCCESS")):
         t0 = time.time()
-        pq = IVFPQIndex.build(ivf, m=16, ksub=256, seed=42)
-        pq.save(spark, PQ_PATH)
-        print(f"pq build+save (m=16, ksub=256): {time.time() - t0:.1f}s",
-              flush=True)
-    pq = IVFPQIndex.load(spark, PQ_PATH)
+        pq = IVFPQIndex.build(
+            ivf, m=m, ksub=256, seed=42, code_space=code_space
+        )
+        pq.save(spark, pq_path)
+        print(f"pq build+save (code_space={code_space}, m={m}, ksub=256): "
+              f"{time.time() - t0:.1f}s", flush=True)
+    pq = IVFPQIndex.load(spark, pq_path)
 
     def queries_df(n):
         return (

@@ -422,6 +422,60 @@ def test_pq_search_batch_distributed(spark, emb, ivf16):
     pq.codes.unpersist()
 
 
+def test_pq_full_space_codes(spark, emb, tmp_path):
+    """code_space="full" (round 14): on a reduced-geometry index the
+    DEFAULT geom codes quantize projected residuals, so ADC ranks in
+    the lossy coarse space — measured at 5M x 384-d holding only ~0.23
+    top-10 overlap at refine=8 (SCALE.md r14). Full-space codes
+    quantize full-dimension residuals against per-cell full means
+    (probe ranking stays reduced) and must: (a) recover knn_batch-exact
+    at full probe + refine=8 THROUGH the lossy 8-d coarse projection —
+    the bar the geom codes demonstrably miss at this refine; (b) agree
+    with the single-query serve; (c) survive save/load with the code
+    centroids; (d) degrade to plain geom codes on a raw index; (e)
+    reject unknown code spaces."""
+    import pytest as _pytest
+
+    from vector_database_in_rust_spark.operators.ann import (
+        IVFIndex,
+        IVFPQIndex,
+    )
+
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_embedding"),
+    )
+    exact = [tuple(r) for r in knn_batch(emb, q, 10).collect()]
+    ivf_r = IVFIndex.build(emb, num_cells=16, seed=42, coarse_dim=8)
+    pqf = IVFPQIndex.build(ivf_r, m=16, ksub=64, seed=42, code_space="full")
+    assert pqf.code_centroids is not None
+    batch = pqf.search_batch(q, 10, nprobe=16, refine=8, store=emb).collect()
+    assert [tuple(r) for r in batch] == exact
+
+    one = emb.filter("vec_id = 3").first()["embedding"]
+    single = [
+        (r["vec_id"], r["dist"])
+        for r in pqf.search(one, 10, nprobe=16, refine=8, store=emb).collect()
+    ]
+    assert single == [
+        (r["vec_id"], r["dist"]) for r in batch if r["query_id"] == 3
+    ]
+
+    pqf.save(spark, str(tmp_path / "pqf"))
+    loaded = IVFPQIndex.load(spark, str(tmp_path / "pqf"))
+    assert loaded.code_centroids is not None
+    assert [
+        tuple(r)
+        for r in loaded.search_batch(q, 10, nprobe=16, refine=8, store=emb).collect()
+    ] == [tuple(r) for r in batch]
+
+    raw = IVFIndex.build(emb, num_cells=16, seed=42)
+    pq_raw = IVFPQIndex.build(raw, m=16, ksub=16, seed=42, code_space="full")
+    assert pq_raw.code_centroids is None  # geom IS full on a raw index
+    with _pytest.raises(ValueError, match="code_space"):
+        IVFPQIndex.build(raw, m=16, ksub=16, code_space="opq")
+
+
 def test_pq_refine_repairs_adc_recall(spark, emb, ivf16):
     """Measured ladder at m=16/ksub=16, full probe: ADC-only recall@10
     ~0.41 (pure-noise residuals — worst case), refine=4 -> ~0.81,

@@ -1761,6 +1761,39 @@ def ann_pq_search(spark, sf_dir):
     return out.select("query_id", "vec_id", "dist")
 
 
+@register("ann_pq_batch", _ANN_PQ_ORACLE)
+def ann_pq_batch_q(spark, sf_dir):
+    """DISTRIBUTED batch serving over PQ codes (round 14, r13 verdict
+    item 4): ``IVFPQIndex.search_batch`` — the cogroup-ADC path whose
+    candidate exchange carries m CODE BYTES per vector instead of the
+    full float vector, with per-query lookup tables built inside each
+    cell group and only the top refine*k survivors reading true
+    vectors. Queries stay a DataFrame end to end (no driver-side
+    per-query loop — the regime the r13 532 s BLAS wall measured).
+    Same exactness bar as ★`ann_pq_search`: full probe + refine=16
+    contains the true top-k (pytest-pinned), so the distributed serve
+    hash-checks against plain exact-knn SQL."""
+    from vector_database_in_rust_spark.operators.ann import IVFPQIndex
+
+    pq = _PQ_CACHE.get(sf_dir)
+    if pq is None:
+        pq = IVFPQIndex.build(_ivf_index(spark, sf_dir), m=16, ksub=64, seed=42)
+        pq.codes = pq.codes.persist()
+        _PQ_CACHE[sf_dir] = pq
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id").isin(list(_PQ_QUERY_IDS))).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_embedding"),
+    )
+    return pq.search_batch(
+        queries,
+        KNN_K,
+        nprobe=int(pq.centroids.shape[0]),
+        refine=16,
+        store=emb,
+    )
+
+
 # Streaming ingest -> incremental index -> search, end-to-end under the
 # driver. The store is seeded with vec_id < _INGEST_CUTOFF; the rest of
 # the corpus arrives as a file stream through the exactly-once validated

@@ -2447,18 +2447,33 @@ class IVFPQIndex:
         id_col: str = "vec_id",
         vec_col: str = "embedding",
         proj: np.ndarray | None = None,
+        code_centroids: np.ndarray | None = None,
     ):
         self.centroids = np.asarray(centroids, dtype=np.float64)
         self.codebooks = np.asarray(codebooks, dtype=np.float64)  # (m, ksub, dsub)
         self.codes = codes  # vec_id, cell_id, codes BINARY (m bytes)
         self.id_col = id_col
         self.vec_col = vec_col
-        # Inherited from a coarse_dim IVF: codes quantize REDUCED-space
-        # residuals (this is OPQ-shaped IVFADC — project, then PQ the
-        # projected residual); ADC therefore approximates reduced-space
-        # distances and ``refine`` re-ranks against the TRUE vectors in
-        # the caller's store, exactly as for full-space codes.
+        # Inherited from a coarse_dim IVF: by default codes quantize
+        # REDUCED-space residuals (OPQ-shaped IVFADC — project, then PQ
+        # the projected residual); ADC then approximates reduced-space
+        # distances and ``refine`` re-ranks against the TRUE vectors.
+        # MEASURED limit of that default (SCALE.md r14): at 5M x 384-d
+        # with 64-d coarse geometry, reduced-space ADC ordering holds
+        # only ~0.23 top-10 overlap with the full-space truth at
+        # refine=8 — the 320 discarded dimensions carry most of the
+        # distance signal on isotropic-noise corpora. ``code_centroids``
+        # (build(code_space="full")) switches the CODES to FULL-space
+        # residuals against per-cell full-dimension means while probe
+        # ranking stays in the cheap reduced geometry — ADC then
+        # approximates the true distance and refine behaves like the
+        # measured full-space bars.
         self.proj = None if proj is None else np.asarray(proj, dtype=np.float64)
+        self.code_centroids = (
+            None
+            if code_centroids is None
+            else np.asarray(code_centroids, dtype=np.float64)
+        )
 
     _lloyd = staticmethod(_lloyd)
 
@@ -2472,12 +2487,57 @@ class IVFPQIndex:
         seed: int = DEFAULT_SEED,
         max_fit_rows: int = 50_000,
         lloyd_iters: int = 15,
+        code_space: str = "geom",
     ) -> "IVFPQIndex":
+        """``code_space`` (round 14): ``"geom"`` (default) quantizes
+        residuals in the index's cell GEOMETRY space — the original
+        vectors on a raw index, the PCA-reduced column on a
+        ``coarse_dim`` index (OPQ-shaped). ``"full"`` quantizes
+        FULL-dimension residuals against per-cell full-space means even
+        on a reduced-geometry index (probe ranking stays reduced) —
+        the measured requirement for top-decade serving: reduced-space
+        ADC ordering held only ~0.23 top-10 overlap with the truth at
+        5M x 384-d (SCALE.md r14) because the discarded dimensions
+        carry most of the distance signal, while full-space codes put
+        ADC back on the true distance's scent at m bytes/vector."""
+        if code_space not in ("geom", "full"):
+            raise ValueError(
+                f"code_space must be 'geom' or 'full', got {code_space!r}"
+            )
         asg = ivf.assignments
         id_col, vec_col = ivf.id_col, ivf.vec_col
         geom_col = ivf.geom_col
         centroids = ivf.centroids
-        dim = centroids.shape[1]
+        full_codes = code_space == "full" and ivf.proj is not None
+        if full_codes:
+            # Per-cell FULL-space means: one applyInPandas over the
+            # cells, num_cells x dim doubles to the driver
+            # (index-sized, same class as the centroid matrix).
+            def cell_mean(pdf: pd.DataFrame) -> pd.DataFrame:
+                xm = np.vstack(pdf[vec_col].apply(np.asarray, dtype=np.float64))
+                return pd.DataFrame(
+                    {
+                        "cell_id": [int(pdf["cell_id"].iloc[0])],
+                        "centroid": [xm.mean(axis=0).tolist()],
+                    }
+                )
+
+            mean_rows = (
+                asg.select("cell_id", vec_col)
+                .groupBy("cell_id")
+                .applyInPandas(cell_mean, "cell_id INT, centroid ARRAY<DOUBLE>")
+                .collect()
+            )
+            code_cent = np.zeros(
+                (centroids.shape[0], int(ivf.proj.shape[0])), dtype=np.float64
+            )
+            for r in mean_rows:
+                code_cent[int(r["cell_id"])] = np.asarray(r["centroid"])
+            code_col = vec_col
+        else:
+            code_cent = centroids
+            code_col = geom_col
+        dim = code_cent.shape[1]
         if dim % m != 0:
             raise ValueError(f"dim {dim} not divisible by m={m}")
         if ksub > 256:
@@ -2489,10 +2549,10 @@ class IVFPQIndex:
         fit_df = asg
         if n > max_fit_rows:
             fit_df = asg.sample(fraction=max_fit_rows / n, seed=seed)
-        rows = fit_df.select(geom_col, "cell_id").collect()
-        x = np.vstack([np.asarray(r[geom_col], dtype=np.float64) for r in rows])
+        rows = fit_df.select(code_col, "cell_id").collect()
+        x = np.vstack([np.asarray(r[code_col], dtype=np.float64) for r in rows])
         cells = np.asarray([r["cell_id"] for r in rows])
-        resid = x - centroids[cells]
+        resid = x - code_cent[cells]
         codebooks = np.stack(
             [
                 cls._lloyd(
@@ -2506,7 +2566,7 @@ class IVFPQIndex:
         )
 
         spark = asg.sparkSession
-        bc = spark.sparkContext.broadcast((centroids, codebooks))
+        bc = spark.sparkContext.broadcast((code_cent, codebooks))
 
         def encode(it):
             import pandas as pd
@@ -2514,7 +2574,7 @@ class IVFPQIndex:
             cent, books = bc.value
             m_, _, dsub_ = books.shape
             for pdf in it:
-                xb = np.vstack(pdf[geom_col].apply(np.asarray, dtype=np.float64))
+                xb = np.vstack(pdf[code_col].apply(np.asarray, dtype=np.float64))
                 rb = xb - cent[pdf["cell_id"].to_numpy()]
                 codes = np.empty((len(rb), m_), dtype=np.uint8)
                 for j in range(m_):
@@ -2529,28 +2589,36 @@ class IVFPQIndex:
                     }
                 )
 
-        codes = asg.select(id_col, geom_col, "cell_id").mapInPandas(
+        codes = asg.select(id_col, code_col, "cell_id").mapInPandas(
             encode, schema="vec_id BIGINT, cell_id INT, codes BINARY"
         )
         return cls(
             centroids, codebooks, codes,
             id_col=id_col, vec_col=vec_col, proj=ivf.proj,
+            code_centroids=code_cent if full_codes else None,
         )
 
     def _adc_scored(self, query, nprobe: int) -> DataFrame:
         """ADC scores for all candidates in the probed cells: a static
         ``cell_id IN (...)`` scan over the codes (partition-prunable
         when saved partitioned by cell_id) + per-batch table gathers."""
-        q = np.asarray(query, dtype=np.float64)
-        if self.proj is not None:
-            q = q @ self.proj
+        q_full = np.asarray(query, dtype=np.float64)
+        q = q_full @ self.proj if self.proj is not None else q_full
         d = ((self.centroids - q) ** 2).sum(axis=1)
         cells = [int(c) for c in np.argsort(d, kind="stable")[: max(1, nprobe)]]
         m, ksub, dsub = self.codebooks.shape
-        # One (m x ksub) table per probed cell, from the query residual.
+        # One (m x ksub) table per probed cell, from the query residual
+        # in the CODE space: reduced geometry by default, full-space
+        # means for code_space="full" (probe ranking stays reduced).
+        tab_cent = (
+            self.code_centroids
+            if self.code_centroids is not None
+            else self.centroids
+        )
+        tab_q = q_full if self.code_centroids is not None else q
         tables = {}
         for c in cells:
-            r = q - self.centroids[c]
+            r = tab_q - tab_cent[c]
             tables[c] = np.stack(
                 [
                     ((self.codebooks[j] - r[j * dsub : (j + 1) * dsub]) ** 2).sum(
@@ -2682,9 +2750,16 @@ class IVFPQIndex:
             queries = queries.withColumn(
                 q_geom_col, _project_udf(self.proj)(F.col(query_vec_col))
             )
+        # probe ranking always runs in the cheap reduced geometry; the
+        # ADC tables run in the CODE space (full-space residuals for
+        # code_space="full" indexes — the measured top-decade quality
+        # requirement, see build())
+        tab_col = (
+            query_vec_col if self.code_centroids is not None else q_geom_col
+        )
         qc = queries.join(F.broadcast(cent_df), how="cross").select(
             query_id_col,
-            q_geom_col,
+            *dict.fromkeys((q_geom_col, tab_col)),
             "cell_id",
             l2_squared(F.col(q_geom_col), F.col("centroid")).alias("_cd"),
         )
@@ -2692,17 +2767,19 @@ class IVFPQIndex:
         probed = (
             qc.withColumn("_pr", F.row_number().over(wp))
             .filter(F.col("_pr") <= max(1, nprobe))
-            .select(query_id_col, q_geom_col, "cell_id")
+            .select(query_id_col, tab_col, "cell_id")
         )
         keep = max(refine, 1) * k
         scored = _cogroup_adc_topk(
             probed,
             self.codes,
-            self.centroids,
+            self.code_centroids
+            if self.code_centroids is not None
+            else self.centroids,
             self.codebooks,
             keep,
             query_id_col=query_id_col,
-            query_geom_col=q_geom_col,
+            query_geom_col=tab_col,
             query_id_type=queries.schema[query_id_col].dataType.simpleString(),
         )
         w = Window.partitionBy("query_id").orderBy("adc", "vec_id")
@@ -2782,8 +2859,20 @@ class IVFPQIndex:
         spark.createDataFrame(book, "m INT, code INT, centroid ARRAY<DOUBLE>").coalesce(
             1
         ).write.mode("overwrite").parquet(f"{path}/codebooks")
+        if self.code_centroids is not None:
+            cc = [
+                (int(i), [float(x) for x in r])
+                for i, r in enumerate(self.code_centroids)
+            ]
+            spark.createDataFrame(
+                cc, "cell_id INT, centroid ARRAY<DOUBLE>"
+            ).coalesce(1).write.mode("overwrite").parquet(
+                f"{path}/code_centroids"
+            )
         spark.createDataFrame(
-            [(bool(self.proj is not None),)], "has_proj BOOLEAN"
+            [(bool(self.proj is not None),
+              bool(self.code_centroids is not None))],
+            "has_proj BOOLEAN, full_space BOOLEAN",
         ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
 
     @classmethod
@@ -2823,10 +2912,14 @@ class IVFPQIndex:
             )
             return np.vstack([np.asarray(r["coeffs"]) for r in prows])
 
+        full_space = False
         try:
-            has_proj = bool(
-                spark.read.parquet(f"{path}/meta").first()["has_proj"]
-            )
+            meta = spark.read.parquet(f"{path}/meta").first()
+            has_proj = bool(meta["has_proj"])
+            # pre-r14 saves carry no full_space column
+            full_space = bool(
+                meta["full_space"]
+            ) if "full_space" in meta.asDict() else False
         except AnalysisException:
             try:
                 proj = _read_proj()
@@ -2834,9 +2927,18 @@ class IVFPQIndex:
                 proj = None
         else:
             proj = _read_proj() if has_proj else None
+        code_cent = None
+        if full_space:
+            cc_rows = (
+                spark.read.parquet(f"{path}/code_centroids")
+                .orderBy("cell_id")
+                .collect()
+            )
+            code_cent = np.vstack([np.asarray(r["centroid"]) for r in cc_rows])
         return cls(
             centroids, codebooks, codes,
             id_col=id_col, vec_col=vec_col, proj=proj,
+            code_centroids=code_cent,
         )
 
 
