@@ -181,6 +181,75 @@ def test_stream_ingest_into_index_hier_class(spark, tmp_path):
     assert isinstance(report.history[0]["rebuild_due"], bool)
 
 
+def test_stream_ingest_into_rebalanced_hier_index(spark, tmp_path):
+    """Round 14 composition: streaming ingest into a REPAIRED
+    (post-rebalance, overflow-carrying) hierarchical index must
+    reconcile with one-shot batch assign_new against the same repaired
+    structure, and rows on the drift point must be able to LAND in an
+    overflow cell through the stream — the streaming twin of the
+    ★ann_ingest_overflow_verdict driver lane."""
+    import numpy as np
+
+    from vector_database_in_rust_spark.operators.ann import HierarchicalIVF
+    from vector_database_in_rust_spark.streaming.maintenance import (
+        stream_ingest_into_index,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    base = emb.select("vec_id", "embedding")
+    rng = np.random.RandomState(7)
+    point = rng.rand(64) * 0.05 + 2.0
+    drift = spark.createDataFrame(
+        [
+            (10_000 + i, [float(x) for x in point + rng.rand(64) * 0.01], 0)
+            for i in range(400)
+        ],
+        "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT",
+    )
+    rep = (
+        HierarchicalIVF.build(base, k1=3, k2=3, seed=42)
+        .assign_new(drift.select("vec_id", "embedding"))
+        .rebalance(factor=2.0, seed=42)
+    )
+    assert rep.overflow  # the repaired structure under test
+
+    ov_cell, (_, ov_cent) = sorted(rep.overflow.items())[0]
+    fresh = spark.createDataFrame(
+        [
+            (20_000, [float(np.float32(x)) for x in ov_cent], 0),
+            (20_001, [float(x) for x in point], 0),
+        ],
+        "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT",
+    )
+    src = tmp_path / "incoming"
+    store = tmp_path / "store"
+    src.mkdir()
+    base.write.parquet(str(store))
+    fresh.coalesce(1).write.parquet(str(src / "b1"))
+
+    report = stream_ingest_into_index(
+        read_vector_stream(spark, str(src) + "/*"),
+        rep,
+        str(store),
+        dimensions=64,
+        checkpoint_path=str(tmp_path / "ckpt"),
+    )
+    batch = rep.assign_new(fresh.select("vec_id", "embedding"))
+    assert (
+        report.index.assignments.select("vec_id", "cell_id")
+        .exceptAll(batch.assignments.select("vec_id", "cell_id"))
+        .count()
+        == 0
+    )
+    landed = {
+        r["vec_id"]: r["cell_id"]
+        for r in report.index.assignments.filter(
+            F.col("vec_id") >= 20_000
+        ).collect()
+    }
+    assert landed[20_000] == ov_cell  # streamed row landed in overflow
+
+
 def test_stream_ingest_counts_drops_without_quarantine(spark, tmp_path):
     """r13 ADVICE: with quarantine_path=None, dimension-invalid rows
     used to vanish with rows_quarantined=0 — contradicting the module
