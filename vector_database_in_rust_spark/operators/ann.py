@@ -2488,6 +2488,7 @@ class IVFPQIndex:
         max_fit_rows: int = 50_000,
         lloyd_iters: int = 15,
         code_space: str = "geom",
+        fit_distributed: bool | None = None,
     ) -> "IVFPQIndex":
         """``code_space`` (round 14): ``"geom"`` (default) quantizes
         residuals in the index's cell GEOMETRY space — the original
@@ -2553,19 +2554,49 @@ class IVFPQIndex:
         x = np.vstack([np.asarray(r[code_col], dtype=np.float64) for r in rows])
         cells = np.asarray([r["cell_id"] for r in rows])
         resid = x - code_cent[cells]
-        codebooks = np.stack(
-            [
-                cls._lloyd(
-                    resid[:, j * dsub : (j + 1) * dsub],
+        spark = asg.sparkSession
+        # The m subquantizer fits are independent — at serving-tier
+        # settings they dominate the build wall when run sequentially
+        # on the driver (measured r14: the 5M x 384-d m=48/ksub=256
+        # build spent most of its 1,745 s here). Distribute them one
+        # task per subquantizer against the broadcast residual sample;
+        # same seeds -> bit-identical codebooks (pinned by test).
+        # Tiny fits stay on the driver: task overhead would dominate.
+        if fit_distributed is None:
+            est_flops = len(resid) * ksub * dsub * m * lloyd_iters
+            fit_distributed = est_flops >= 2e9
+        if fit_distributed and m > 1:
+            bc_resid = spark.sparkContext.broadcast(
+                np.ascontiguousarray(resid)
+            )
+
+            def fit_block(j: int):
+                r = bc_resid.value
+                return j, _lloyd(
+                    r[:, j * dsub : (j + 1) * dsub],
                     ksub,
                     seed * 99991 + j,
                     iters=lloyd_iters,
                 )
-                for j in range(m)
-            ]
-        )
 
-        spark = asg.sparkSession
+            fitted = dict(
+                spark.sparkContext.parallelize(range(m), m)
+                .map(fit_block)
+                .collect()
+            )
+            codebooks = np.stack([fitted[j] for j in range(m)])
+        else:
+            codebooks = np.stack(
+                [
+                    cls._lloyd(
+                        resid[:, j * dsub : (j + 1) * dsub],
+                        ksub,
+                        seed * 99991 + j,
+                        iters=lloyd_iters,
+                    )
+                    for j in range(m)
+                ]
+            )
         bc = spark.sparkContext.broadcast((code_cent, codebooks))
 
         def encode(it):
@@ -2573,13 +2604,19 @@ class IVFPQIndex:
 
             cent, books = bc.value
             m_, _, dsub_ = books.shape
+            # matmul-form nearest-codeword: argmin of |b|^2 - 2 sub@b.T
+            # (the |sub|^2 term is constant per row) — one BLAS call
+            # per subquantizer instead of a (rows x ksub x dsub)
+            # broadcast temp; at m=48/ksub=256 the broadcast form was
+            # the 5M encode's wall (r14).
+            bnorms = [(books[j] ** 2).sum(axis=1) for j in range(m_)]
             for pdf in it:
                 xb = np.vstack(pdf[code_col].apply(np.asarray, dtype=np.float64))
                 rb = xb - cent[pdf["cell_id"].to_numpy()]
                 codes = np.empty((len(rb), m_), dtype=np.uint8)
                 for j in range(m_):
                     sub = rb[:, j * dsub_ : (j + 1) * dsub_]
-                    d = ((sub[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+                    d = bnorms[j][None, :] - 2.0 * (sub @ books[j].T)
                     codes[:, j] = d.argmin(axis=1)
                 yield pd.DataFrame(
                     {
