@@ -476,6 +476,62 @@ def test_pq_full_space_codes(spark, emb, tmp_path):
         IVFPQIndex.build(raw, m=16, ksub=16, code_space="opq")
 
 
+def test_pq_over_hierarchical_index(spark, emb):
+    """Round 14: quantized serving on the SERVING-SCALE class —
+    IVFPQIndex.build accepts a HierarchicalIVF (dense composite-cell
+    centroid matrix with far-away phantom slots for under-filled
+    blocks), including one carrying post-split OVERFLOW cells. Pins:
+    full probe + refine recovers knn_batch exact; batch == single;
+    phantom slots never produce candidates; codes cover every row."""
+    from vector_database_in_rust_spark.operators.ann import (
+        HierarchicalIVF,
+        IVFPQIndex,
+    )
+
+    point, new = _drift_cluster_df(spark)
+    hier = (
+        HierarchicalIVF.build(emb, k1=3, k2=3, seed=42)
+        .assign_new(new.select("vec_id", "embedding"))
+        .split_hot_cells(factor=2.0, seed=42)
+    )
+    assert hier.overflow
+    corpus = emb.select("vec_id", "embedding").unionByName(
+        new.select("vec_id", "embedding")
+    )
+    pq = IVFPQIndex.build(hier, m=16, ksub=64, seed=42)
+    assert pq.codes.count() == corpus.count()
+
+    q = corpus.filter(F.col("vec_id").isin([3, 7, 1010])).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_embedding"),
+    )
+    exact = [tuple(r) for r in knn_batch(corpus, q, 10).collect()]
+    n_slots = pq.centroids.shape[0]
+    batch = pq.search_batch(
+        q, 10, nprobe=n_slots, refine=16, store=corpus
+    ).collect()
+    assert [tuple(r) for r in batch] == exact
+
+    one = corpus.filter("vec_id = 3").first()["embedding"]
+    single = [
+        (r["vec_id"], r["dist"])
+        for r in pq.search(one, 10, nprobe=n_slots, refine=16, store=corpus).collect()
+    ]
+    assert single == [
+        (r["vec_id"], r["dist"]) for r in batch if r["query_id"] == 3
+    ]
+    # phantom composite slots carry no codes
+    import numpy as np
+
+    real = {int(r["cell_id"]) for r in pq.codes.select("cell_id").distinct().collect()}
+    phantom = {
+        i
+        for i in range(n_slots)
+        if (pq.centroids[i] >= HierarchicalIVF._PHANTOM_CENTROID).all()
+    }
+    assert not (real & phantom)
+
+
 def test_pq_distributed_fit_matches_sequential(spark, emb, ivf16):
     """Round 14: the m subquantizer Lloyd fits distribute one task per
     subquantizer (the 5M x 384-d m=48 build spent most of its 1,745 s

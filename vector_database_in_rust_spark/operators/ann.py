@@ -1646,6 +1646,35 @@ class HierarchicalIVF:
     # routing estimate: same contract as the flat class
     _corpus_rows = IVFIndex._corpus_rows
 
+    @property
+    def geom_col(self) -> str:
+        """Column carrying the cell-geometry vectors — same contract
+        as ``IVFIndex.geom_col`` (the PQ builder reads it on either
+        class)."""
+        return GEOM_COL if self.proj is not None else self.vec_col
+
+    _PHANTOM_CENTROID = 1e15  # unused composite slots: never probed
+
+    def pq_cell_centroids(self) -> np.ndarray:
+        """Dense (max_cell_id+1, geom_dim) centroid matrix over the
+        COMPOSITE cell ids — the surface ``IVFPQIndex.build`` needs to
+        treat this class like the flat one (round 14: quantized serving
+        on the serving-scale class). Composite ids are l1*stride+l2;
+        under-filled blocks leave gaps, which get a far-away phantom
+        centroid (1e15 per axis) so flat probe ranking can never select
+        an empty slot; overflow cells land at their own ids."""
+        gdim = self.l1_centroids.shape[1]
+        max_id = self.k2 * len(self.l1_centroids) - 1
+        if self.overflow:
+            max_id = max(max_id, max(self.overflow))
+        out = np.full((max_id + 1, gdim), self._PHANTOM_CENTROID)
+        for l1, block in self.l2_centroids.items():
+            for l2, row in enumerate(block):
+                out[l1 * self.k2 + l2] = row
+        for cid, (_, cent) in self.overflow.items():
+            out[cid] = cent
+        return out
+
     def _full_dim(self) -> int:
         """Original vector dimension (see ``IVFIndex._full_dim``) —
         proj rows for reduced geometry, the l1 centroid width
@@ -2508,7 +2537,12 @@ class IVFPQIndex:
         asg = ivf.assignments
         id_col, vec_col = ivf.id_col, ivf.vec_col
         geom_col = ivf.geom_col
-        centroids = ivf.centroids
+        # Either index class (round 14): the flat class exposes its
+        # centroid matrix directly; the hierarchical one synthesizes a
+        # dense composite-cell matrix (phantom slots pushed far away).
+        centroids = getattr(ivf, "centroids", None)
+        if centroids is None:
+            centroids = ivf.pq_cell_centroids()
         full_codes = code_space == "full" and ivf.proj is not None
         if full_codes:
             # Per-cell FULL-space means: one applyInPandas over the
