@@ -78,10 +78,44 @@ def run_one(spark, name: str, sf_dir: str) -> float:
     reset = _RESET_BEFORE.get(name)
     if reset:
         reset()
-    t0 = time.perf_counter()
-    df = harness.QUERIES[name](spark, sf_dir)
-    df.write.format("noop").mode("overwrite").save()
-    return time.perf_counter() - t0
+    # Label the lane's jobs (optimization guide §1.5) so UI/event-log
+    # investigations can attribute stages to lanes. Thread-local,
+    # cleared after the run; timing is unaffected.
+    spark.sparkContext.setJobDescription(f"bench:{name}")
+    try:
+        t0 = time.perf_counter()
+        df = harness.QUERIES[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+    finally:
+        spark.sparkContext.setJobDescription(None)
+
+
+def calibrate(spark, repeats: int = 3) -> float:
+    """Fixed CPU-bound probe (seeded codegen fold over spark.range, no
+    I/O, no shuffle): its wall-clock tracks the box's *effective* CPU
+    throughput at bench time. Recorded as "calib" in the JSON line so
+    cross-round drift can be normalized by measurement instead of
+    argument — r13 recorded a −35% and r14 a +10% whole-bench shift on
+    identical code (adjudicated as box drift only by cross-lane
+    inference), and the r15 optimization round measured the same
+    32-way box delivering ~7 effective cores in one session. The probe
+    is deterministic (no Date/rand), partition count is fixed at 32
+    regardless of $SPARK_GRAFT_CPUS so the probe measures the box, not
+    the core-count setting; min over ``repeats`` runs is reported
+    (contention inflates, never deflates)."""
+    times = []
+    spark.sparkContext.setJobDescription("bench:calibration-probe")
+    try:
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            spark.range(0, 200_000_000, 1, 32).selectExpr(
+                "sum(id * 2654435761 % 1000003) AS s"
+            ).collect()
+            times.append(time.perf_counter() - t0)
+    finally:
+        spark.sparkContext.setJobDescription(None)
+    return round(min(times), 3)
 
 
 # A contended box can inflate one repeat by minutes (BENCH_r04 recorded
@@ -189,6 +223,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     # Warm-up: JVM, parquet footer reads, codegen.
     spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    calib = calibrate(spark)
 
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     subsec_runs = max(repeats, int(os.environ.get("SPARK_GRAFT_SUBSEC_RUNS", "5")))
@@ -254,6 +289,9 @@ def main() -> None:
                 # counts (r6 ADVICE).
                 "repeats": n_runs,
                 "drift": drift,
+                # Effective-CPU calibration probe (see calibrate());
+                # compare lane seconds ACROSS rounds as pct-over-calib.
+                "calib": calib,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "n": repeats,
                 "n_subsec": subsec_runs,

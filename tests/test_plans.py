@@ -665,7 +665,7 @@ def test_minhash_index_doc_aligned_agg(spark):
     from vector_database_in_rust_spark.operators import dedup
 
     docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
-    idx = dedup._minhash_retained_index(
+    idx, _caches = dedup._minhash_retained_index(
         docs, "doc_id", "text", 3, 10_000, None, hashed=True
     )
     base = audit(idx)
@@ -685,11 +685,10 @@ def test_minhash_index_skips_alignment_when_known_small(spark):
     from vector_database_in_rust_spark.operators import dedup
 
     docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
-    small = audit(
-        dedup._minhash_retained_index(
-            docs, "doc_id", "text", 3, 10_000, 500, hashed=True
-        )
+    small_idx, _caches = dedup._minhash_retained_index(
+        docs, "doc_id", "text", 3, 10_000, 500, hashed=True
     )
+    small = audit(small_idx)
     assert "hashpartitioning(doc_id" not in small.formatted, small.formatted
 
 

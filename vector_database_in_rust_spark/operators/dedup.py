@@ -168,11 +168,32 @@ def _minhash_retained_index(
     over hashed sets equals string-set Jaccard modulo documented
     ~1e-15-per-pair collisions. The pair route keeps strings because
     its published metric is Jaccard over the retained STRING sets.
+
+    Returns ``(retained_index, caches)`` (round 15): when the
+    hot-shingle cut fires on a KNOWN mid-band corpus, the RAW index is
+    persisted first — materializing the retained index otherwise runs
+    the Python tokenize stage TWICE, once under the frequency
+    aggregation and once under the anti-join's probe side (guide §4:
+    opaque Python stages defeat exchange reuse; the second pass is a
+    full corpus re-tokenize). ``caches`` lists what this helper
+    persisted; callers release them after materializing their own
+    downstream cache. The raw persist is BANDED like every join policy
+    here: only for a KNOWN corpus at or under SHUFFLE_HASH_SAFE_ROWS
+    docs (cache ~= one narrow corpus copy, comfortably spillable). At
+    the 5M+ top decade the two-pass shape stands — the campaign's
+    binding constraint there was scratch DISK (five ENOSPCs), and an
+    extra corpus-sized MEMORY_AND_DISK cache on top of the retained
+    one is exactly the wrong trade; n_docs=None (derived plans are
+    never executed just to route) also keeps the two-pass shape.
     """
     sh = _shingle_index(docs, id_col, text_col, n)
+    caches: list[DataFrame] = []
     if max_shingle_freq is not None and (
         n_docs is None or n_docs > max_shingle_freq
     ):
+        if n_docs is not None and n_docs <= SHUFFLE_HASH_SAFE_ROWS:
+            sh = sh.persist()
+            caches.append(sh)
         hot = (
             sh.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("_f"))
@@ -189,8 +210,8 @@ def _minhash_retained_index(
     # is bounded tiny, so skip the shuffle. n_docs=None (derived plans
     # are never executed just to route) takes the defensive aligned arm.
     if n_docs is not None and n_docs <= BROADCAST_SAFE_ROWS:
-        return sh
-    return sh.repartition("doc_id")
+        return sh, caches
+    return sh.repartition("doc_id"), caches
 
 
 BROADCAST_SAFE_ROWS = 20_000
@@ -511,8 +532,26 @@ def ngram_jaccard_pairs(
         raise ValueError(
             f"unknown method {method!r} (use 'auto', 'prefix' or 'full')"
         )
-    if persist_index:
+    # Round 15 (guide §2.3/§4: project/compute once before fan-out):
+    # the flat route's plan references the shingle index from FOUR
+    # consumers (the frequency aggregation, both self-join sides, and
+    # the per-doc sizes), and the Python tokenize stage is opaque to
+    # exchange reuse wherever a broadcast join elides the shingle
+    # exchange — measured at sf0.1 (5k docs): the tokenize stage ran
+    # 2-4x per call (16 MapInPandas nodes in the static plan). The
+    # flat route only runs on corpora at or under PREFIX_AUTO_ROWS
+    # documents when the size is KNOWN, so the index is bounded small
+    # (~20k docs x ~200 shingles max): persist it, materialize the
+    # (tiny) pair list eagerly, release the cache — the same
+    # persist/checkpoint/unpersist discipline as the prefix route.
+    # An explicit method="full" call with UNKNOWN size keeps the old
+    # lazy plan (nothing bounds the index there, and the auto router
+    # never takes this arm at unknown size).
+    bounded_small = n_docs is not None and n_docs <= PREFIX_AUTO_ROWS
+    release_after = bounded_small and not persist_index
+    if persist_index or bounded_small:
         sh = sh.persist()
+    sh_cache = sh  # handle for the release below (sh is rebound)
     if max_shingle_freq is not None:
         freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_f"))
         # freq is corpus-scaled (one row per distinct shingle): above
@@ -532,7 +571,11 @@ def ngram_jaccard_pairs(
         )
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    return _score_common_pairs(common, sizes, threshold, corpus_rows=n_docs)
+    result = _score_common_pairs(common, sizes, threshold, corpus_rows=n_docs)
+    if release_after:
+        result = result.localCheckpoint(eager=True)
+        sh_cache.unpersist()
+    return result
 
 
 def _jaccard_prefix_filtered(
@@ -1065,10 +1108,13 @@ def minhash_lsh_pairs(
     n_docs = _router_count(docs, known_count)
     # Strings persisted here (hashed=False): this route's published
     # metric is Jaccard over the retained STRING sets. The doc_id
-    # alignment rationale lives in _minhash_retained_index.
-    sh = _minhash_retained_index(
+    # alignment rationale lives in _minhash_retained_index; the helper
+    # may persist the RAW index too (round 15, single-tokenize
+    # materialization) — released with the other caches below.
+    sh, _pre_caches = _minhash_retained_index(
         docs, id_col, text_col, n, max_shingle_freq, n_docs, hashed=False
-    ).persist()
+    )
+    sh = sh.persist()
     h32 = F.xxhash64("shingle").bitwiseAND(F.lit((1 << 32) - 1))
     params = minhash_permutation_params(num_perm, seed)
     sigs = (
@@ -1150,6 +1196,8 @@ def minhash_lsh_pairs(
     result = result.localCheckpoint(eager=True)
     sh.unpersist()
     banded.unpersist()
+    for c in _pre_caches:
+        c.unpersist()
     return result
 
 
@@ -1220,10 +1268,13 @@ def minhash_clusters(
     n_docs = _router_count(docs, known_count)
     # HASHED index persisted (hashed=True) and doc_id-aligned — both
     # load-bearing at 5M (the fourth and fifth ENOSPC respectively);
-    # rationale and plan pin in _minhash_retained_index.
-    sh = _minhash_retained_index(
+    # rationale and plan pin in _minhash_retained_index. The helper may
+    # persist the RAW index too (round 15, single-tokenize
+    # materialization) — released with the other caches below.
+    sh, _pre_caches = _minhash_retained_index(
         docs, id_col, text_col, n, max_shingle_freq, n_docs, hashed=True
-    ).persist()
+    )
+    sh = sh.persist()
     h32 = F.col("shingle").bitwiseAND(F.lit((1 << 32) - 1))
     params = minhash_permutation_params(num_perm, seed)
     sigs = (
@@ -1344,6 +1395,8 @@ def minhash_clusters(
         F.count(F.lit(1)).over(w_root).alias("cluster_size"),
     ).localCheckpoint(eager=True)
     sh.unpersist()
+    for c in _pre_caches:
+        c.unpersist()
     return result
 
 
