@@ -19,19 +19,28 @@ from vector_database_in_rust_spark import harness  # noqa: E402
 from vector_database_in_rust_spark.session import get_spark  # noqa: E402
 
 
+def _iter_lines(paths):
+    for p in paths:
+        with open(p) as fh:
+            yield from fh
+
+
 def main() -> None:
     name = sys.argv[1]
     repeats = int(sys.argv[2]) if len(sys.argv) > 2 else 2
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    import shutil
+
     log_dir = "/tmp/r15_eventlog"
+    shutil.rmtree(log_dir, ignore_errors=True)
     os.makedirs(log_dir, exist_ok=True)
-    for f in glob.glob(f"{log_dir}/*"):
-        os.remove(f)
     spark = get_spark(
         app_name=f"r15-trace-{name}",
         extra_conf={
             "spark.eventLog.enabled": "true",
             "spark.eventLog.dir": log_dir,
+            "spark.eventLog.compress": "false",
+            "spark.eventLog.rolling.enabled": "false",
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -53,11 +62,15 @@ def main() -> None:
         marks.append((t0, t2))
     spark.sparkContext.setJobDescription(None)
     spark.stop()
-    # parse the event log
-    path = glob.glob(f"{log_dir}/*")[0]
+    # parse the event log (Spark 4 may write a rolling eventlog_v2 dir)
+    paths = sorted(
+        p
+        for p in glob.glob(f"{log_dir}/*") + glob.glob(f"{log_dir}/*/events_*")
+        if os.path.isfile(p)
+    )
     jobs = {}
     stages = {}
-    for line in open(path):
+    for line in _iter_lines(paths):
         try:
             ev = json.loads(line)
         except ValueError:
@@ -69,14 +82,17 @@ def main() -> None:
                 "desc": (ev.get("Properties") or {}).get(
                     "spark.job.description", ""
                 ),
-                "stages": [s["Stage ID"] for s in ev.get("Stage Infos", [])],
+                "stages": [
+                    s.get("Stage ID", s.get("Stage Id"))
+                    for s in ev.get("Stage Infos", [])
+                ],
             }
         elif e == "SparkListenerJobEnd":
             if ev["Job ID"] in jobs:
                 jobs[ev["Job ID"]]["t1"] = ev["Completion Time"]
         elif e == "SparkListenerStageCompleted":
             si = ev["Stage Info"]
-            stages[si["Stage Id"]] = {
+            stages[si.get("Stage ID", si.get("Stage Id"))] = {
                 "name": si["Stage Name"].split(" at ")[0],
                 "ms": si.get("Completion Time", 0) - si.get("Submission Time", 0),
                 "tasks": si["Number of Tasks"],

@@ -186,10 +186,13 @@ def test_rebalance_reduced(spark, queries, hd_emb):
 
 
 def test_pq_over_reduced(spark, hd_emb, queries, ridx, tmp_path):
-    """IVF-PQ inherits the reduced geometry (OPQ-shaped IVFADC: PQ
+    """IVF-PQ can inherit the reduced geometry (OPQ-shaped IVFADC: PQ
     codes quantize PROJECTED residuals); refine re-ranks against true
-    vectors, so a full probe with wide refine recovers exact."""
-    pq = IVFPQIndex.build(ridx, m=8, ksub=16, seed=42)
+    vectors, so a full probe with wide refine recovers exact. Geom
+    codes on a reduced index are an EXPLICIT opt-in since round 15
+    (the default resolves to full-space codes — see
+    test_pq_default_code_space_is_full_on_reduced_geometry)."""
+    pq = IVFPQIndex.build(ridx, m=8, ksub=16, seed=42, code_space="geom")
     assert pq.proj is not None
     assert pq.codebooks.shape == (8, 16, COARSE // 8)
     exact = knn_batch(hd_emb, queries, K)
@@ -275,7 +278,11 @@ def test_pq_legacy_load_without_meta(spark, ridx, tmp_path):
     import shutil
 
     path = str(tmp_path / "pq_legacy")
-    IVFPQIndex.build(ridx, m=8, ksub=16, seed=42).save(spark, path)
+    # explicit geom: pre-round-10 saves predate full-space codes, so a
+    # faithful legacy fixture must not carry a code_centroids table
+    IVFPQIndex.build(ridx, m=8, ksub=16, seed=42, code_space="geom").save(
+        spark, path
+    )
     shutil.rmtree(f"{path}/meta")
     loaded = IVFPQIndex.load(spark, path)
     assert loaded.proj is not None and loaded.proj.shape == (DIM, COARSE)

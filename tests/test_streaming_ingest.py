@@ -318,3 +318,76 @@ def test_ingest_replay_does_not_duplicate(spark, tmp_path):
         assert spark.read.parquet(str(store)).count() == 100
     # the ledger stays invisible to store readers
     assert "batch_id" not in spark.read.parquet(str(store)).columns
+
+
+def test_ingest_fresh_checkpoint_new_rows_not_lost(spark, tmp_path):
+    """r15 ADVICE (medium): the ledger marker keyed by batch_id alone
+    turned checkpoint loss into silent DATA LOSS — a fresh checkpoint
+    restarts batch ids at 0, and if the restarted id covers DIFFERENT
+    rows (a new source file arrived), the old id-only marker skipped
+    the append. The content-keyed marker must only skip byte-identical
+    replays: run 2 below reads (b1 + the new b2) under fresh ids, and
+    every b2 row must land in the store."""
+    src = tmp_path / "incoming"
+    store = tmp_path / "store"
+    src.mkdir()
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").limit(120)
+    emb.limit(10).write.parquet(str(store))
+    emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 100)).coalesce(
+        1
+    ).write.parquet(str(src / "b1"))
+    ingest_vectors(
+        read_vector_stream(spark, str(src) + "/*", max_files_per_trigger=10),
+        str(store),
+        dimensions=64,
+        checkpoint_path=str(tmp_path / "ckpt1"),
+    )
+    assert spark.read.parquet(str(store)).count() == 100
+    # new file arrives; the old checkpoint is LOST -> batch 0 of run 2
+    # now packs b1+b2 together (different rows under a reused id)
+    emb.filter(F.col("vec_id") >= 100).coalesce(1).write.parquet(
+        str(src / "b2")
+    )
+    ingest_vectors(
+        read_vector_stream(spark, str(src) + "/*", max_files_per_trigger=10),
+        str(store),
+        dimensions=64,
+        checkpoint_path=str(tmp_path / "ckpt2"),
+    )
+    stored = spark.read.parquet(str(store))
+    # every b2 row present (no silent loss)...
+    assert stored.filter(F.col("vec_id") >= 100).select(
+        "vec_id"
+    ).distinct().count() == 20
+    # ...and at-least-once overall: nothing under 120 went missing
+    assert stored.select("vec_id").distinct().count() == 120
+
+
+def test_ingest_replay_does_not_duplicate_quarantine(spark, tmp_path):
+    """r15 ADVICE (low): quarantine appends sat OUTSIDE the commit
+    ledger, so a cross-run replayed batch skipped the store append but
+    re-appended its invalid rows to quarantine on every replay. The
+    quarantine write now commits before the marker and shares its
+    skip."""
+    src = tmp_path / "incoming"
+    store = tmp_path / "store"
+    quarantine = tmp_path / "bad"
+    src.mkdir()
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").limit(50)
+    emb.limit(10).write.parquet(str(store))
+    good = emb.filter(F.col("vec_id") >= 10)
+    bad = spark.createDataFrame(
+        [(90001, [1.0, 2.0], 0)],
+        "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT",
+    )
+    good.unionByName(bad).coalesce(1).write.parquet(str(src / "b1"))
+    for attempt in ("ckpt1", "ckpt2"):  # ckpt2 = identical replay
+        ingest_vectors(
+            read_vector_stream(spark, str(src) + "/*"),
+            str(store),
+            dimensions=64,
+            quarantine_path=str(quarantine),
+            checkpoint_path=str(tmp_path / attempt),
+        )
+    assert spark.read.parquet(str(store)).count() == 50
+    assert spark.read.parquet(str(quarantine)).count() == 1

@@ -1108,7 +1108,12 @@ def ann_search(spark, sf_dir):
     tests assert recall@k >= 0.9 vs knn_exact (the same exact-vs-ANN
     relationship the reference's own tests rely on, src/lib.rs:543-549)."""
     idx = _ivf_index(spark, sf_dir)
-    return idx.search_batch(_query_vec_df(spark, sf_dir, 8), KNN_K, nprobe=4)
+    # known_queries=8 (round 15): the batch size is static here, so the
+    # router's bounded counting job — one Spark job per call, re-running
+    # the query-side scan — is pure overhead; routing is unchanged.
+    return idx.search_batch(
+        _query_vec_df(spark, sf_dir, 8), KNN_K, nprobe=4, known_queries=8
+    )
 
 
 _HIER_CACHE: dict[str, object] = {}
@@ -1517,6 +1522,7 @@ def ann_ingest_hier_verdict_q(spark, sf_dir):
             "query_id BIGINT, query_embedding ARRAY<DOUBLE>",
         ),
         1,
+        known_queries=1,
         nprobe=total_sub,
     ).first()
     self_exact = (
@@ -1601,6 +1607,7 @@ def ann_ingest_overflow_verdict_q(spark, sf_dir):
             "query_id BIGINT, query_embedding ARRAY<DOUBLE>",
         ),
         1,
+        known_queries=1,
         nprobe=grown.num_cells,
     ).first()
     self_query_exact = top["vec_id"] == 9_000_001 and top["dist"] == 0.0
@@ -1885,7 +1892,10 @@ def stream_ann_ingest(spark, sf_dir):
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("query_embedding"),
     )
-    return idx.search_batch(queries, KNN_K, nprobe=_INGEST_CELLS)
+    return idx.search_batch(
+        queries, KNN_K, nprobe=_INGEST_CELLS,
+        known_queries=len(_INGEST_QUERY_IDS),
+    )
 
 
 _ANN_INGEST_STREAM_ORACLE = """
@@ -5030,8 +5040,8 @@ def ann_recall_verdict_q(spark, sf_dir):
     exact = knn_batch(_emb(spark, sf_dir), q, KNN_K)
     return topk_recall_verdict(
         exact,
-        idx.search_batch(q, KNN_K, nprobe=4),
-        idx.search_batch(q, KNN_K, nprobe=16),
+        idx.search_batch(q, KNN_K, nprobe=4, known_queries=8),
+        idx.search_batch(q, KNN_K, nprobe=16, known_queries=8),
         k=KNN_K,
         min_recall=0.5,
     )
@@ -5056,8 +5066,8 @@ def ann_hier_recall_verdict_q(spark, sf_dir):
     n_cells = sum(len(v) for v in idx.l2_centroids.values())
     return topk_recall_verdict(
         exact,
-        idx.search_batch(q, KNN_K),
-        idx.search_batch(q, KNN_K, nprobe=n_cells),
+        idx.search_batch(q, KNN_K, known_queries=8),
+        idx.search_batch(q, KNN_K, nprobe=n_cells, known_queries=8),
         k=KNN_K,
         min_recall=0.6,
     )

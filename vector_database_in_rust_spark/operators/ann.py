@@ -684,6 +684,7 @@ def _route_batch_impl(
     n_rows: int,
     num_cells: int,
     dim: int,
+    n_queries: int | None = None,
 ) -> str:
     """Resolve ``impl='auto'`` for batch ANN candidate scoring, and
     guard the explicit expression form — the same measured-threshold
@@ -696,6 +697,15 @@ def _route_batch_impl(
     ``limit(cutoff + 1)``: the job is bounded by the cutoff, never by
     the batch (a 10M-query batch answers "over the cutoff" after
     cutoff+1 rows).
+
+    ``n_queries`` (round 15, the advisor's per-call-job finding): a
+    caller that already knows its batch size passes it and the router
+    spends ZERO jobs — the bounded counting job above otherwise
+    re-executes the queries DataFrame's lineage on EVERY call, a fixed
+    per-call tax on interactive small-batch serving (and an expensive
+    one when the queries are a derived, unpersisted computation). The
+    routing decision is identical either way; the count is only an
+    input to the threshold compare.
 
     * ``impl='blas'``: honored as-is (always scale-safe).
     * ``impl='expr'``: honored below the probed-pairs broadcast
@@ -715,7 +725,12 @@ def _route_batch_impl(
     per_query_bcast = nprobe * (8 * dim + 24)
     cut_bcast = int(MAX_PROBED_BROADCAST_BYTES // max(1, per_query_bcast))
     if impl == "expr":
-        if queries.limit(cut_bcast + 1).count() > cut_bcast:
+        n_q = (
+            n_queries
+            if n_queries is not None
+            else queries.limit(cut_bcast + 1).count()
+        )
+        if n_q > cut_bcast:
             raise ValueError(
                 f"impl='expr' would broadcast > {cut_bcast} probed "
                 f"query rows (~{MAX_PROBED_BROADCAST_BYTES >> 20} MiB "
@@ -730,7 +745,12 @@ def _route_batch_impl(
     cutoff = min(cut_bcast, cut_madds)
     if cutoff <= 0:
         return "blas"
-    return "blas" if queries.limit(cutoff + 1).count() > cutoff else "expr"
+    n_q = (
+        n_queries
+        if n_queries is not None
+        else queries.limit(cutoff + 1).count()
+    )
+    return "blas" if n_q > cutoff else "expr"
 
 
 def rebuild_due(
@@ -1069,6 +1089,7 @@ class IVFIndex:
         query_vec_col: str = "query_embedding",
         round_digits: int | None = 4,
         impl: str = "auto",
+        known_queries: int | None = None,
     ) -> DataFrame:
         """Batch ANN, fully declarative (no driver-side per-query loop):
 
@@ -1093,6 +1114,12 @@ class IVFIndex:
         r12 384-d serve measured the expression form 7-18x slower than
         BLAS on this exact work, and the r13 top-decade run killed the
         expr form unfinished at >=5x).
+
+        ``known_queries`` (round 15): the batch size, when the caller
+        already knows it — skips the router's bounded counting job
+        (``_route_batch_impl``), which otherwise re-executes the
+        queries lineage once per call. Routing is identical either
+        way; pass it on interactive serving paths.
         """
         nprobe = _resolve_nprobe(nprobe, target_frac, self.num_cells, default=8)
         impl = _route_batch_impl(
@@ -1102,6 +1129,7 @@ class IVFIndex:
             n_rows=self._corpus_rows() if impl == "auto" else 0,
             num_cells=self.num_cells,
             dim=self._full_dim(),
+            n_queries=known_queries,
         )
         spark = queries.sparkSession
         cent = [
@@ -1891,6 +1919,7 @@ class HierarchicalIVF:
         query_vec_col: str = "query_embedding",
         round_digits: int | None = 4,
         impl: str = "auto",
+        known_queries: int | None = None,
     ) -> DataFrame:
         """Batch probe, fully declarative (no driver-side per-query
         loop) — the two-level twin of ``IVFIndex.search_batch``:
@@ -1913,7 +1942,9 @@ class HierarchicalIVF:
         ``"expr"`` above the probed-pairs broadcast ceiling raises
         naming ``"blas"`` — the r13 top-decade run (10k queries x 5M x
         384-d) measured the unguarded expr arm >=5x (killed
-        unfinished) vs 532 s blas.
+        unfinished) vs 532 s blas. ``known_queries`` (round 15): pass
+        the batch size when known to skip the router's bounded
+        counting job — same contract as ``IVFIndex.search_batch``.
         """
         if nprobe_l1 is None:
             nprobe_l1 = len(self.l1_centroids)
@@ -1928,6 +1959,7 @@ class HierarchicalIVF:
             n_rows=self._corpus_rows() if impl == "auto" else 0,
             num_cells=self.num_cells,
             dim=self._full_dim(),
+            n_queries=known_queries,
         )
         spark = queries.sparkSession
         l1_rows = [
@@ -2516,20 +2548,32 @@ class IVFPQIndex:
         seed: int = DEFAULT_SEED,
         max_fit_rows: int = 50_000,
         lloyd_iters: int = 15,
-        code_space: str = "geom",
+        code_space: str | None = None,
         fit_distributed: bool | None = None,
     ) -> "IVFPQIndex":
-        """``code_space`` (round 14): ``"geom"`` (default) quantizes
-        residuals in the index's cell GEOMETRY space — the original
-        vectors on a raw index, the PCA-reduced column on a
-        ``coarse_dim`` index (OPQ-shaped). ``"full"`` quantizes
-        FULL-dimension residuals against per-cell full-space means even
-        on a reduced-geometry index (probe ranking stays reduced) —
-        the measured requirement for top-decade serving: reduced-space
-        ADC ordering held only ~0.23 top-10 overlap with the truth at
-        5M x 384-d (SCALE.md r14) because the discarded dimensions
-        carry most of the distance signal, while full-space codes put
-        ADC back on the true distance's scent at m bytes/vector."""
+        """``code_space`` (round 14): ``"geom"`` quantizes residuals in
+        the index's cell GEOMETRY space — the original vectors on a raw
+        index, the PCA-reduced column on a ``coarse_dim`` index
+        (OPQ-shaped). ``"full"`` quantizes FULL-dimension residuals
+        against per-cell full-space means even on a reduced-geometry
+        index (probe ranking stays reduced) — the measured requirement
+        for top-decade serving: reduced-space ADC ordering held only
+        ~0.23 top-10 overlap with the truth at 5M x 384-d (SCALE.md
+        r14) because the discarded dimensions carry most of the
+        distance signal, while full-space codes put ADC back on the
+        true distance's scent at m bytes/vector.
+
+        Default (round 15, closing the r14 verdict's one weak):
+        ``None`` resolves to ``"full"`` — the measured-default
+        discipline of ``_route_batch_impl``. ``build_auto`` routes
+        high-dimension corpora to reduced geometry, so the old
+        ``"geom"`` default put a SILENT 0.23-overlap serving index on
+        exactly the recommended path; geom codes on a reduced index are
+        now an explicit opt-in. On a raw (``proj is None``) index geom
+        and full are the same space, so this resolution is
+        behavior-identical there."""
+        if code_space is None:
+            code_space = "full"
         if code_space not in ("geom", "full"):
             raise ValueError(
                 f"code_space must be 'geom' or 'full', got {code_space!r}"
@@ -2563,8 +2607,18 @@ class IVFPQIndex:
                 .applyInPandas(cell_mean, "cell_id INT, centroid ARRAY<DOUBLE>")
                 .collect()
             )
-            code_cent = np.zeros(
-                (centroids.shape[0], int(ivf.proj.shape[0])), dtype=np.float64
+            # NaN-fill so an unpopulated cell's row can never be
+            # silently misused as a valid mean (round 15, advisor: the
+            # old zero fill was indistinguishable from a real mean in
+            # the saved code_centroids table). Benign in every current
+            # path — empty cells have no codes, so no ADC table or
+            # residual is ever evaluated against these rows; a future
+            # re-encode that DID would now surface as NaN distances
+            # instead of quietly encoding against an arbitrary origin.
+            code_cent = np.full(
+                (centroids.shape[0], int(ivf.proj.shape[0])),
+                np.nan,
+                dtype=np.float64,
             )
             for r in mean_rows:
                 code_cent[int(r["cell_id"])] = np.asarray(r["centroid"])

@@ -9,6 +9,8 @@ downstream as a confusing hash mismatch instead of a clear error.
 
 from __future__ import annotations
 
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 
@@ -23,38 +25,99 @@ def await_or_raise(q: StreamingQuery, timeout_sec: float) -> None:
         )
 
 
-def _batch_marker_path(store_path: str, batch_id: int) -> str:
+def batch_content_stats(
+    batch: DataFrame, ok_predicate=None
+) -> tuple[int, int, str]:
+    """One aggregation pass over a micro-batch returning
+    ``(n_total, n_ok, content_key)``: the row counts the ingest sinks
+    need anyway plus an order-insensitive content fingerprint (sum of
+    per-row xxhash64 over every column) rendered as a hex token.
+
+    The fingerprint keys the commit-ledger marker (round 15, the
+    advisor's silent-data-loss finding): batch ids alone are only
+    unique WITHIN one checkpoint lineage, so a fresh/reset checkpoint
+    (or a second pipeline writing to the same store) restarts ids at 0
+    and a bare ``batch-N`` marker would silently SKIP appends whose
+    rows were never written. Keying the marker by (batch_id, count,
+    content hash) keeps the r13 contract — a byte-identical replay of
+    an already-committed batch is skipped — while a same-id batch with
+    DIFFERENT rows (new source files, different maxFilesPerTrigger
+    packing) misses the marker and appends. Failure degrades toward
+    at-least-once (duplicates), never silent loss.
+    """
+    n_ok_expr = (
+        F.sum(ok_predicate.cast("int"))
+        if ok_predicate is not None
+        else F.count(F.lit(1))
+    )
+    # Per-row hashes are folded into 32 bits before the sum: a sum of
+    # raw 64-bit xxhash values overflows BIGINT within a few rows, and
+    # Spark 4's default ANSI mode turns that into a runtime error
+    # (SQLSTATE 22003). 2^32-bounded terms keep the sum exact up to
+    # ~4e9 rows per micro-batch; order-insensitive either way.
+    row = batch.agg(
+        F.count(F.lit(1)).alias("n"),
+        n_ok_expr.alias("n_ok"),
+        F.coalesce(
+            F.sum(F.pmod(F.xxhash64(*batch.columns), F.lit(1 << 32))),
+            F.lit(0),
+        ).alias("h"),
+    ).first()
+    n = int(row["n"] or 0)
+    n_ok = int(row["n_ok"] or 0)
+    key = f"{n}-{int(row['h']) & 0xFFFFFFFFFFFFFFFF:016x}"
+    return n, n_ok, key
+
+
+def _batch_marker_path(
+    store_path: str, batch_id: int, content_key: str | None = None
+) -> str:
     # Underscore-prefixed dir: Hadoop's hidden-file filter keeps it out
     # of every `spark.read.parquet(store_path)` listing (verified: flat
     # readers see only the root part-files), so the ledger never leaks
-    # into the store's read schema.
-    return f"{store_path}/_ingest_commits/batch-{int(batch_id)}"
+    # into the store's read schema. With a content_key (see
+    # batch_content_stats) the marker identifies the batch's ROWS, not
+    # just its lineage-local id; content_key=None keeps the legacy
+    # id-only marker for callers that manage lineage themselves.
+    suffix = f"-{content_key}" if content_key else ""
+    return f"{store_path}/_ingest_commits/batch-{int(batch_id)}{suffix}"
 
 
-def _marker_fs(spark, store_path: str, batch_id: int):
+def _marker_fs(spark, store_path: str, batch_id: int, content_key=None):
     jvm = spark._jvm
-    p = jvm.org.apache.hadoop.fs.Path(_batch_marker_path(store_path, batch_id))
+    p = jvm.org.apache.hadoop.fs.Path(
+        _batch_marker_path(store_path, batch_id, content_key)
+    )
     fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
     return fs, p
 
 
-def batch_already_appended(spark, store_path: str, batch_id: int) -> bool:
+def batch_already_appended(
+    spark, store_path: str, batch_id: int, content_key: str | None = None
+) -> bool:
     """True iff a prior (possibly crashed-and-replayed) run committed
     micro-batch ``batch_id``'s append to ``store_path``. A Hadoop-FS
     existence probe — scheme-agnostic (local/HDFS/object stores via
     their Hadoop connectors) and jobless: per-micro-batch overhead must
     stay in the milliseconds (a read-probe Spark job here measurably
-    blew a 32-micro-batch drain past its drain timeout)."""
-    fs, p = _marker_fs(spark, store_path, batch_id)
+    blew a 32-micro-batch drain past its drain timeout). Pass the
+    ``content_key`` from :func:`batch_content_stats` so the probe
+    matches the batch's rows rather than a lineage-local id (a reset
+    checkpoint restarts ids; see that function's rationale)."""
+    fs, p = _marker_fs(spark, store_path, batch_id, content_key)
     return bool(fs.exists(p))
 
 
-def mark_batch_appended(spark, store_path: str, batch_id: int) -> None:
+def mark_batch_appended(
+    spark, store_path: str, batch_id: int, content_key: str | None = None
+) -> None:
     """Touch the per-batch commit marker (idempotent: overwrite).
     Written AFTER the store append, so the sink is strictly
     at-least-once — a crash between append and marker replays the
     append — but the common retry (failure after the store write,
-    before the streaming checkpoint commit) skips the duplicate."""
-    fs, p = _marker_fs(spark, store_path, batch_id)
+    before the streaming checkpoint commit) skips the duplicate.
+    ``content_key`` must match the probe's (see
+    :func:`batch_already_appended`)."""
+    fs, p = _marker_fs(spark, store_path, batch_id, content_key)
     fs.mkdirs(p.getParent())
     fs.create(p, True).close()

@@ -10,10 +10,14 @@ dropped, so bad batches are observable. The reference is append-only
 Scale: each micro-batch is an ordinary distributed parquet append.
 Delivery is at-least-once from the sink's point of view (foreachBatch
 replays an uncommitted batch on restart); a per-batch commit ledger
-(``_ingest_commits/batch-N``, written after each append) makes the
-common replay — failure after the store write, before the checkpoint
-commit — skip the duplicate append, leaving only the narrow
-append-then-crash-before-marker window. Rebuild-vs-incremental
+(``_ingest_commits/batch-N-<count>-<content hash>``, written after
+each append) makes the common replay — failure after the store write,
+before the checkpoint commit — skip the duplicate append, leaving only
+the narrow append-then-crash-before-marker window. The marker is keyed
+by batch CONTENT, not just the lineage-local batch id, so a fresh or
+reset checkpoint whose restarted ids carry different rows appends
+instead of silently dropping them (round 15, advisor finding; failure
+degrades toward duplicates, never loss). Rebuild-vs-incremental
 indexing is the caller's choice —
 the IVF index assigns NEW vectors to EXISTING cells cheaply
 (IVFIndex assignments are just a transform), with periodic full
@@ -61,19 +65,28 @@ def ingest_vectors(
     def write_batch(batch: DataFrame, batch_id: int) -> None:
         from vector_database_in_rust_spark.streaming import (
             batch_already_appended,
+            batch_content_stats,
             mark_batch_appended,
         )
 
         spark = batch.sparkSession
         ok = dim_ok("embedding", dimensions)
         valid = batch.filter(ok)
-        if not batch_already_appended(spark, store_path, batch_id):
-            valid.write.mode("append").parquet(store_path)
-            mark_batch_appended(spark, store_path, batch_id)
-        if quarantine_path is not None:
-            bad = batch.filter(~ok)
-            if bad.limit(1).count():
-                bad.write.mode("append").parquet(quarantine_path)
+        # One aggregation job replaces the old quarantine limit(1)
+        # probe AND keys the ledger marker by batch CONTENT (round 15,
+        # advisor: id-only markers silently skip appends when a reset
+        # checkpoint restarts batch ids over different rows).
+        n_total, n_ok, key = batch_content_stats(batch, ok)
+        if batch_already_appended(spark, store_path, batch_id, key):
+            # Cross-run replay of this exact batch: the store append
+            # AND its quarantine append (written before the marker)
+            # already committed — skip both, so replays cannot
+            # duplicate quarantine records either (round 15, advisor).
+            return
+        valid.write.mode("append").parquet(store_path)
+        if quarantine_path is not None and n_total > n_ok:
+            batch.filter(~ok).write.mode("append").parquet(quarantine_path)
+        mark_batch_appended(spark, store_path, batch_id, key)
 
     writer = stream.writeStream.foreachBatch(write_batch).trigger(availableNow=True)
     if checkpoint_path is not None:

@@ -16,13 +16,16 @@ Streaming pattern for multi-sink + stateful-driver composition):
    quarantined when a ``quarantine_path`` is given — a drop without a
    quarantine path is surfaced as a warning and in the history row,
    never silent;
-2. append valid rows to the Parquet store, idempotent per batch_id: a
-   ``_ingest_commits/batch-N`` ledger marker (underscore-prefixed, so
-   store readers never see it) is written after each append, and a
-   replayed batch whose marker exists skips the re-append. Strictly
-   the sink is at-least-once — a crash in the window between the
-   parquet append and the marker write replays the append — but the
-   common retry path (failure after the store write, before the
+2. append valid rows to the Parquet store, idempotent per batch: a
+   ``_ingest_commits/batch-N-<count>-<content hash>`` ledger marker
+   (underscore-prefixed, so store readers never see it) is written
+   after each append, and a replayed batch whose marker exists skips
+   the re-append — the content key means only a batch with the SAME
+   ROWS matches, so a reset checkpoint whose restarted batch ids carry
+   different rows appends rather than silently losing them (round 15).
+   Strictly the sink is at-least-once — a crash in the window between
+   the parquet append and the marker write replays the append — but
+   the common retry path (failure after the store write, before the
    checkpoint commit) no longer duplicates rows;
 3. ``assign_new`` the batch against the FROZEN centroid structure
    (one broadcast-argmin Arrow pass over the new rows only — nothing
@@ -61,6 +64,7 @@ from vector_database_in_rust_spark.operators.validate import dim_ok
 from vector_database_in_rust_spark.streaming import (
     await_or_raise,
     batch_already_appended,
+    batch_content_stats,
     mark_batch_appended,
 )
 
@@ -116,34 +120,37 @@ def stream_ingest_into_index(
         valid = batch.filter(ok)
         # Counted UNCONDITIONALLY: the module contract is "never
         # silently drop", and the history row must report rejects even
-        # when no quarantine sink exists. One aggregation job covers
-        # both counts (per-micro-batch overhead matters: 32 small
-        # batches pay it 32 times).
-        counts = batch.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(ok.cast("int")).alias("n_ok"),
-        ).first()
-        n_total = int(counts["n"] or 0)
-        n_ok = int(counts["n_ok"] or 0)
+        # when no quarantine sink exists. ONE aggregation job covers
+        # both counts AND the ledger content key (per-micro-batch
+        # overhead matters: 32 small batches pay it 32 times) — the
+        # content key makes the marker match the batch's ROWS, not a
+        # lineage-local id a reset checkpoint would reuse (round 15,
+        # advisor's silent-data-loss finding; see batch_content_stats).
+        n_total, n_ok, key = batch_content_stats(batch, ok)
         n_bad = n_total - n_ok
-        if n_bad and quarantine_path is not None:
-            batch.filter(~ok).write.mode("append").parquet(quarantine_path)
-        elif n_bad:
+        if n_bad and quarantine_path is None:
             warnings.warn(
                 f"stream_ingest_into_index batch {batch_id}: {n_bad} "
                 "dimension-invalid rows dropped (no quarantine_path "
                 "given); the history row records them",
                 stacklevel=2,
             )
-        if batch_already_appended(spark, store_path, batch_id):
+        if batch_already_appended(spark, store_path, batch_id, key):
             # cross-run replay: a prior run crashed after the store
             # write but before the checkpoint commit. Skip the
-            # duplicate append; the batch still needs assignment into
-            # THIS run's index (which started from the caller's).
+            # duplicate store append AND the quarantine append (both
+            # committed before the marker; round 15, advisor: the
+            # unguarded quarantine write duplicated records on every
+            # replay). The batch still needs assignment into THIS
+            # run's index (which started from the caller's).
             pass
         else:
             valid.write.mode("append").parquet(store_path)
-            mark_batch_appended(spark, store_path, batch_id)
+            if n_bad and quarantine_path is not None:
+                batch.filter(~ok).write.mode("append").parquet(
+                    quarantine_path
+                )
+            mark_batch_appended(spark, store_path, batch_id, key)
         grown = state["index"].assign_new(
             valid.select(state["index"].id_col, state["index"].vec_col)
         )
