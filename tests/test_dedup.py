@@ -839,6 +839,71 @@ def test_minhash_boilerplate_guards(spark):
     assert len(found) <= 3, f"boilerplate produced spurious pairs: {found}"
 
 
+def test_minhash_hot_cut_raw_persist_band(spark):
+    """Round 15 (single-tokenize materialization): when the hot-shingle
+    cut fires on a KNOWN mid-band corpus, `_minhash_retained_index`
+    persists the RAW index so the tokenize stage runs once instead of
+    twice. The band must (a) return a non-empty cache list exactly when
+    (cut fires AND size is known AND <= SHUFFLE_HASH_SAFE_ROWS), (b)
+    leave results identical to the unpersisted (size-unknown) path, and
+    (c) be fully RELEASED by the public caller — no persistent RDDs may
+    outlive `minhash_lsh_pairs`."""
+    from vector_database_in_rust_spark.operators import dedup
+
+    boiler = " ".join(f"b{i}" for i in range(30))
+    rows = [
+        (i, f"{boiler} u{i}_a u{i}_b u{i}_c u{i}_d u{i}_e") for i in range(60)
+    ]
+    rows.append((60, rows[0][1]))  # exact dup of doc 0
+    docs = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+
+    # (a) banding: known mid-band -> cache; None or no-cut -> no cache
+    idx_banded, caches = dedup._minhash_retained_index(
+        docs, "doc_id", "text", 3, 10, 61, hashed=False
+    )
+    assert len(caches) == 1
+    idx_unknown, none_caches = dedup._minhash_retained_index(
+        docs, "doc_id", "text", 3, 10, None, hashed=False
+    )
+    assert none_caches == []
+    idx_nocut, nocut_caches = dedup._minhash_retained_index(
+        docs, "doc_id", "text", 3, 10_000, 61, hashed=False
+    )
+    assert nocut_caches == []
+    # (b) identical retained rows either way
+    assert sorted(map(tuple, idx_banded.collect())) == sorted(
+        map(tuple, idx_unknown.collect())
+    )
+    for c in caches:
+        c.unpersist()
+
+    # (c) the public caller releases everything it (and the helper)
+    # cached: the persistent-RDD census must not GROW across the call
+    # (other fixtures in a shared session may hold their own caches).
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    pairs_known = {
+        tuple(r)
+        for r in dedup.minhash_lsh_pairs(
+            docs, threshold=0.5, max_shingle_freq=10, known_count=61
+        ).collect()
+    }
+    after = spark.sparkContext._jsc.getPersistentRDDs().size()
+    # exactly ONE persistent RDD may be added: the returned pair list's
+    # own eager localCheckpoint (it IS the result; GC-collected when the
+    # caller drops it). The shingle/banded/raw-index caches must be gone.
+    assert after - before <= 1, (
+        f"minhash_lsh_pairs leaked {after - before - 1} intermediate caches"
+    )
+    pairs_unknown = {
+        tuple(r)
+        for r in dedup.minhash_lsh_pairs(
+            docs, threshold=0.5, max_shingle_freq=10
+        ).collect()
+    }
+    assert pairs_known == pairs_unknown
+    assert (0, 60) in {(a, b) for (a, b, _j) in pairs_known}
+
+
 def test_simhash_impls_identical_on_convergent_corpus(spark):
     """Both block-join routes must be row-identical on a corpus where
     fingerprints DO converge (shared boilerplate collapses docs onto
