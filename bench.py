@@ -162,8 +162,8 @@ MULTISEC_CUTOFF = 2.0
 DRIFT_LIMIT = 0.20
 
 
-def _previous_bench(sf: str | None = None) -> dict[str, float]:
-    """Per-query medians from the highest-numbered BENCH_r{N}.json next
+def _previous_parsed(sf: str | None = None) -> dict:
+    """The parsed JSON line of the highest-numbered BENCH_r{N}.json next
     to this file (the driver records one per round); {} if none, or if
     ``sf`` is given and the recorded round ran at a different scale
     factor (sf0.01 medians are not a drift baseline for an sf0.1 run).
@@ -211,9 +211,30 @@ def _previous_bench(sf: str | None = None) -> dict[str, float]:
                 same = str(d["sf"]) == str(sf)
             if not same:
                 return {}
-        return dict(d.get("queries", {}))
+        return d
     except (OSError, ValueError, TypeError):
         return {}
+
+
+def _previous_bench(sf: str | None = None) -> dict[str, float]:
+    """Per-query medians from the previous recorded round (see
+    ``_previous_parsed``); {} when there is no matching baseline."""
+    return dict(_previous_parsed(sf).get("queries", {}))
+
+
+def _previous_calib(sf: str | None = None) -> float | None:
+    """The previous recorded round's calibration-probe seconds (the
+    "calib" field ``calibrate()`` has emitted since round 15), or None
+    when the previous round predates the probe. Used to normalize drift:
+    the r15 PERF mechanically reported 14/14 lanes regressed on a box
+    delivering ~7 of 32 effective cores — identical plans, uniform
+    ~2-2.5x inflation, exactly the calib ratio."""
+    v = _previous_parsed(sf).get("calib")
+    try:
+        v = float(v)
+    except (TypeError, ValueError):
+        return None
+    return v if v > 0 else None
 
 
 def main() -> None:
@@ -228,6 +249,7 @@ def main() -> None:
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     subsec_runs = max(repeats, int(os.environ.get("SPARK_GRAFT_SUBSEC_RUNS", "5")))
     prev = _previous_bench(sf)
+    prev_calib = _previous_calib(sf)
     timings: dict[str, float] = {}
     mins: dict[str, float] = {}
     n_runs: dict[str, int] = {}
@@ -268,11 +290,34 @@ def main() -> None:
                     "min": round(lo, 3),
                     "pct": round(100.0 * (med - p) / p, 1),
                 }
-                print(
-                    f"bench: {name} drifted {drift[name]['pct']:+.1f}% vs "
-                    f"previous round ({p:.3f}s -> {med:.3f}s, n={n})",
-                    file=sys.stderr,
-                )
+                # Calib-normalized drift (round 16, verdict item 1):
+                # divide each side's median by its round's calibration-
+                # probe seconds before comparing, so a throttled box —
+                # which inflates lane AND probe by the same factor —
+                # reads near 0% instead of as per-lane regression. Raw
+                # fields above are kept verbatim; this is an addition.
+                if prev_calib is not None and calib > 0:
+                    norm_now = med / calib
+                    norm_prev = p / prev_calib
+                    npct = round(100.0 * (norm_now - norm_prev) / norm_prev, 1)
+                    drift[name]["norm_pct"] = npct
+                    qualifier = (
+                        "box drift, not plan drift"
+                        if abs(npct) <= 100.0 * DRIFT_LIMIT
+                        else "exceeds the limit even calib-normalized"
+                    )
+                    print(
+                        f"bench: {name} drifted {drift[name]['pct']:+.1f}% raw, "
+                        f"{npct:+.1f}% over-calib ({qualifier}; calib "
+                        f"{prev_calib:.3f}s -> {calib:.3f}s, n={n})",
+                        file=sys.stderr,
+                    )
+                else:
+                    print(
+                        f"bench: {name} drifted {drift[name]['pct']:+.1f}% vs "
+                        f"previous round ({p:.3f}s -> {med:.3f}s, n={n})",
+                        file=sys.stderr,
+                    )
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(
         json.dumps(
@@ -292,6 +337,20 @@ def main() -> None:
                 # Effective-CPU calibration probe (see calibrate());
                 # compare lane seconds ACROSS rounds as pct-over-calib.
                 "calib": calib,
+                # Per-lane medians divided by this run's calib (round
+                # 16, verdict item 1): the cross-round comparable form.
+                # Raw seconds above stay authoritative for absolute
+                # wall; these carry their own denominator so a
+                # throttled-box round no longer reads as 14/14 lane
+                # regressions (the r15 PERF pathology).
+                "queries_norm": {
+                    k: round(v / calib, 3)
+                    for k, v in timings.items()
+                    if v >= 0 and calib > 0
+                },
+                # The baseline round's calib (None before round 15):
+                # lets a reader of THIS file alone recompute norm_pct.
+                "calib_prev": prev_calib,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "n": repeats,
                 "n_subsec": subsec_runs,

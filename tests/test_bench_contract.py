@@ -112,3 +112,26 @@ def test_previous_bench_parses_real_driver_files(monkeypatch):
         f"recovers the headline map (got {sorted(prev)})"
     )
     assert all(isinstance(v, float) and v > 0 for v in prev.values())
+
+def test_previous_calib_reads_r15_style_files(tmp_path, monkeypatch):
+    """Round 16's calib-normalized drift needs the previous round's
+    probe seconds; files from before round 15 have no "calib" field and
+    must yield None (drift then falls back to the raw-pct message)."""
+    with_calib = dict(
+        DRIVER_SHAPED, parsed=dict(DRIVER_SHAPED["parsed"], calib=0.548)
+    )
+    (tmp_path / "BENCH_r15.json").write_text(json.dumps(with_calib))
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_DIR", str(tmp_path))
+    assert bench._previous_calib() == 0.548
+    (tmp_path / "BENCH_r16.json").write_text(json.dumps(DRIVER_SHAPED))
+    assert bench._previous_calib() is None  # highest round wins, no field
+    assert bench._previous_calib("0.01") is None  # sf gate applies too
+
+
+def test_previous_calib_rejects_nonpositive(tmp_path, monkeypatch):
+    """A zero/garbage calib must not become a division-by-zero in the
+    norm_pct computation — treat it as absent."""
+    bad = dict(DRIVER_SHAPED, parsed=dict(DRIVER_SHAPED["parsed"], calib=0.0))
+    (tmp_path / "BENCH_r15.json").write_text(json.dumps(bad))
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_DIR", str(tmp_path))
+    assert bench._previous_calib() is None

@@ -1594,3 +1594,86 @@ def test_semantic_threshold_calibrator_contract(spark):
         dedup.semantic_threshold_for(
             emb.filter(F.col("vec_id") < 0), 0.5, num_cells=4
         )
+
+
+def test_parsed_sql_construction_identical_to_fluent_algebra(spark, docs):
+    """Round 16: the minhash signature/band and simhash fingerprint
+    expressions are built as parsed SQL strings (one py4j round trip
+    each) instead of fluent Column chains (~8 round trips each —
+    measured 8-11x construction slowdown and the dominant warm cost of
+    both lanes). The parsed algebra must stay value-identical to the
+    fluent form this test inlines from the round-15 code."""
+    from vector_database_in_rust_spark.functions.text import (
+        MINHASH_PRIME,
+        minhash_permutation_params,
+    )
+
+    # --- minhash signatures: fluent round-15 form vs shipped form ---
+    sh = dedup._shingle_index(docs, "doc_id", "text", 3)
+    params = minhash_permutation_params(64, 42)
+    h32 = F.xxhash64("shingle").bitwiseAND(F.lit((1 << 32) - 1))
+    old_sig = (
+        sh.select("doc_id", h32.alias("h"))
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.min(
+                    (F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_PRIME)
+                ).alias(f"s{i}")
+                for i, (a, b) in enumerate(params)
+            ]
+        )
+    )
+    new_sig = dedup.minhash_signatures(docs)
+    assert old_sig.schema == new_sig.schema
+    assert old_sig.exceptAll(new_sig).count() == 0
+    assert new_sig.exceptAll(old_sig).count() == 0
+
+    # --- banded rows: explode+unpack vs inline ---
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.xxhash64(
+                    *[F.col(f"s{b * 4 + r}") for r in range(4)]
+                ).alias("band_hash"),
+            )
+            for b in range(16)
+        ]
+    )
+    old_banded = old_sig.select(
+        "doc_id", F.explode(bands).alias("band")
+    ).select(
+        "doc_id",
+        F.col("band.band_id").alias("band_id"),
+        F.col("band.band_hash").alias("band_hash"),
+    )
+    new_banded = dedup._minhash_banded(new_sig, 64, 16)
+    assert old_banded.schema == new_banded.schema
+    assert old_banded.exceptAll(new_banded).count() == 0
+    assert new_banded.exceptAll(old_banded).count() == 0
+
+    # --- simhash fingerprints: fluent round-15 form vs shipped form ---
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    ).select("doc_id", F.xxhash64("tok").alias("h"))
+    aggs = [
+        F.sum(
+            F.shiftrightunsigned(F.col("h"), i).bitwiseAND(F.lit(1)) * 2 - 1
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    sums = toks.groupBy("doc_id").agg(*aggs)
+    fp = F.lit(0).cast("bigint")
+    for i in range(64):
+        fp = fp + F.shiftleft(
+            F.when(F.col(f"b{i}") > 0, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("bigint"),
+            i,
+        )
+    old_fp = sums.select("doc_id", fp.alias("simhash"))
+    new_fp = dedup.simhash_fingerprints(docs)
+    assert old_fp.schema == new_fp.schema
+    assert old_fp.exceptAll(new_fp).count() == 0
+    assert new_fp.exceptAll(old_fp).count() == 0

@@ -995,6 +995,56 @@ def fingerprint_dups(
     )
 
 
+# Low 32 bits of the base hash, as a parsed-SQL fragment (see
+# _minhash_sig_exprs for why strings): over the STRING shingle index the
+# base hash is computed here; the hashed (clique-route) index already
+# stores xxhash64(shingle) and only needs the mask.
+_H32_FROM_STRING = f"xxhash64(shingle) & {(1 << 32) - 1} AS h"
+_H32_FROM_HASHED = f"shingle & {(1 << 32) - 1} AS h"
+
+
+def _minhash_sig_exprs(num_perm: int, seed: int) -> list:
+    """The ``num_perm`` MinHash aggregation expressions
+    ``min((a_i * h + b_i) % p) AS s_i`` — as PARSED SQL strings, not
+    Column-builder chains.
+
+    Round 16, measured: building these with the fluent API costs ~8
+    py4j round trips per expression (lit, mul, col, add, lit, mod, min,
+    alias) — ~512 driver round trips per call — and the phase profile
+    showed DataFrame CONSTRUCTION at 2-8 s warm per minhash lane while
+    Catalyst analysis+optimization was < 0.1 s (guide §7.3: the driver
+    was the bottleneck, in py4j, not in planning). ``F.expr`` parses
+    the same algebra JVM-side in ONE round trip per expression. The
+    parsed tree is identical (int literal * bigint promotes exactly as
+    F.lit's java Integer did), so results and plan shape are unchanged
+    — pinned by the signature-identity test."""
+    params = minhash_permutation_params(num_perm, seed)
+    return [
+        F.expr(f"min(({a} * h + {b}) % {MINHASH_PRIME}) AS s{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+
+
+def _minhash_banded(sigs: DataFrame, num_perm: int, num_bands: int) -> DataFrame:
+    """(doc_id, band_id, band_hash) rows from a signature table — ONE
+    ``selectExpr`` with an ``inline(array(named_struct(...)))`` string
+    instead of the 16-struct Column-builder array + explode + unpack
+    (~110 py4j round trips; same rationale as ``_minhash_sig_exprs``).
+    ``inline`` is the explode-struct-to-columns form: identical rows,
+    one Generate node, no separate unpacking Project."""
+    rows_per_band = num_perm // num_bands
+    structs = ", ".join(
+        "named_struct('band_id', {b}, 'band_hash', xxhash64({cols}))".format(
+            b=b,
+            cols=", ".join(
+                f"s{b * rows_per_band + r}" for r in range(rows_per_band)
+            ),
+        )
+        for b in range(num_bands)
+    )
+    return sigs.selectExpr("doc_id", f"inline(array({structs}))")
+
+
 def minhash_signatures(
     docs: DataFrame,
     *,
@@ -1014,17 +1064,9 @@ def minhash_signatures(
     O(num_perm * |shingles|) re-hashes inside one projection and falls
     out of codegen — measured orders of magnitude slower.
     """
-    params = minhash_permutation_params(num_perm, seed)
     sh = _shingle_index(docs, id_col, text_col, n)
-    h32 = F.xxhash64("shingle").bitwiseAND(F.lit((1 << 32) - 1))
-    base = sh.select("doc_id", h32.alias("h"))
-    aggs = [
-        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(
-            f"s{i}"
-        )
-        for i, (a, b) in enumerate(params)
-    ]
-    return base.groupBy("doc_id").agg(*aggs)
+    base = sh.selectExpr("doc_id", _H32_FROM_STRING)
+    return base.groupBy("doc_id").agg(*_minhash_sig_exprs(num_perm, seed))
 
 
 def minhash_lsh_pairs(
@@ -1087,7 +1129,6 @@ def minhash_lsh_pairs(
     larger DAG get a self-contained, already-computed DataFrame — the
     work happens HERE, not at the downstream action.
     """
-    rows_per_band = num_perm // num_bands
     # One persisted shingle index feeds signature generation AND the
     # exact verification below (otherwise the corpus re-tokenizes 3x).
     # The frequency cut applies BEFORE the persist so both consumers
@@ -1115,35 +1156,16 @@ def minhash_lsh_pairs(
         docs, id_col, text_col, n, max_shingle_freq, n_docs, hashed=False
     )
     sh = sh.persist()
-    h32 = F.xxhash64("shingle").bitwiseAND(F.lit((1 << 32) - 1))
-    params = minhash_permutation_params(num_perm, seed)
+    # Signature + band construction via parsed SQL strings (round 16):
+    # the fluent-API form cost ~620 py4j round trips per call and the
+    # phase profile put lane construction at 2-8 s warm vs < 0.1 s of
+    # Catalyst — see _minhash_sig_exprs. Same algebra, same results.
     sigs = (
-        sh.select("doc_id", h32.alias("h"))
+        sh.selectExpr("doc_id", _H32_FROM_STRING)
         .groupBy("doc_id")
-        .agg(
-            *[
-                F.min(
-                    (F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_PRIME)
-                ).alias(f"s{i}")
-                for i, (a, b) in enumerate(params)
-            ]
-        )
+        .agg(*_minhash_sig_exprs(num_perm, seed))
     )
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_id"),
-                F.xxhash64(
-                    *[F.col(f"s{b * rows_per_band + r}") for r in range(rows_per_band)]
-                ).alias("band_hash"),
-            )
-            for b in range(num_bands)
-        ]
-    )
-    banded = sigs.select("doc_id", F.explode(bands).alias("band")).select(
-        "doc_id", F.col("band.band_id").alias("band_id"),
-        F.col("band.band_hash").alias("band_hash"),
-    )
+    banded = _minhash_banded(sigs, num_perm, num_bands)
     if max_band_bucket is not None and (
         n_docs is None or n_docs > max_band_bucket
     ):
@@ -1260,7 +1282,6 @@ def minhash_clusters(
 
     Returns (doc_id, cluster_id, cluster_size); eager like
     ``minhash_lsh_pairs`` (caches released before return)."""
-    rows_per_band = num_perm // num_bands
     # Sizing: the shared router discipline (round 11, advisor —
     # ``known_count`` wins, scan-cheap plans are counted, derived plans
     # are never executed to route; None takes every defensive arm, and
@@ -1275,35 +1296,17 @@ def minhash_clusters(
         docs, id_col, text_col, n, max_shingle_freq, n_docs, hashed=True
     )
     sh = sh.persist()
-    h32 = F.col("shingle").bitwiseAND(F.lit((1 << 32) - 1))
-    params = minhash_permutation_params(num_perm, seed)
+    # Parsed-SQL signature/band construction (round 16) — the hashed
+    # index already stores xxhash64(shingle), so only the 32-bit mask
+    # is applied here; see _minhash_sig_exprs for the py4j rationale.
+    # IDENTICAL h32 to the old bitwiseAND form, so the candidate
+    # universe stays identical to the pair route's.
     sigs = (
-        sh.select("doc_id", h32.alias("h"))
+        sh.selectExpr("doc_id", _H32_FROM_HASHED)
         .groupBy("doc_id")
-        .agg(
-            *[
-                F.min(
-                    (F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_PRIME)
-                ).alias(f"s{i}")
-                for i, (a, b) in enumerate(params)
-            ]
-        )
+        .agg(*_minhash_sig_exprs(num_perm, seed))
     )
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_id"),
-                F.xxhash64(
-                    *[F.col(f"s{b * rows_per_band + r}") for r in range(rows_per_band)]
-                ).alias("band_hash"),
-            )
-            for b in range(num_bands)
-        ]
-    )
-    banded = sigs.select("doc_id", F.explode(bands).alias("band")).select(
-        "doc_id", F.col("band.band_id").alias("band_id"),
-        F.col("band.band_hash").alias("band_hash"),
-    )
+    banded = _minhash_banded(sigs, num_perm, num_bands)
     w_bucket = Window.partitionBy("band_id", "band_hash")
     if max_band_bucket is not None and (
         n_docs is None or n_docs > max_band_bucket
@@ -1520,25 +1523,31 @@ def simhash_fingerprints(
     else -1). Computed as explode -> one xxhash per token -> 64 signed-bit
     sums in a single groupBy (map-side combinable), then bit reassembly —
     the same shuffle shape as word count, nothing quadratic.
+
+    Both the 64 sum aggregates and the 64-term reassembly are built as
+    PARSED SQL strings (round 16): the fluent-API form cost ~900 py4j
+    round trips per call, and the lane phase profile showed DataFrame
+    construction — not Catalyst, not executors — as the dominant warm
+    cost (guide §7.3; see _minhash_sig_exprs for the measurement). The
+    parsed algebra is identical, so fingerprints are unchanged (pinned
+    by the brute-force-parity and identity tests).
     """
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(F.col(text_col), " ")).alias("tok"),
     ).select("doc_id", F.xxhash64("tok").alias("h"))
     aggs = [
-        F.sum(
-            F.shiftrightunsigned(F.col("h"), i).bitwiseAND(F.lit(1)) * 2 - 1
-        ).alias(f"b{i}")
+        F.expr(f"sum((shiftrightunsigned(h, {i}) & 1) * 2 - 1) AS b{i}")
         for i in range(64)
     ]
     sums = toks.groupBy("doc_id").agg(*aggs)
-    fp = F.lit(0).cast("bigint")
-    for i in range(64):
-        fp = fp + F.shiftleft(
-            F.when(F.col(f"b{i}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("bigint"),
-            i,
-        )
-    return sums.select("doc_id", fp.alias("simhash"))
+    fp_terms = " + ".join(
+        f"shiftleft(CAST(CASE WHEN b{i} > 0 THEN 1 ELSE 0 END AS BIGINT), {i})"
+        for i in range(64)
+    )
+    return sums.selectExpr(
+        "doc_id", f"CAST(0 AS BIGINT) + {fp_terms} AS simhash"
+    )
 
 
 def simhash_pairs(
@@ -1654,25 +1663,21 @@ def simhash_pairs(
 
 def _simhash_blocked(df: DataFrame, n_blocks: int, width: int) -> DataFrame:
     """Explode each 64-bit ``simhash`` into its pigeonhole blocks:
-    one (block_id, block_val) row per block, original columns kept."""
-    blocks = []
+    one (block_id, block_val) row per block, original columns kept.
+    One ``inline(array(named_struct(...)))`` selectExpr string (round
+    16, same py4j-construction rationale as _minhash_sig_exprs);
+    ``inline`` appends the struct fields as columns in order, matching
+    the old explode + unpack exactly."""
+    structs = []
     for i in range(n_blocks):
         lo = i * width
         w = width if i < n_blocks - 1 else 64 - lo
         mask = (1 << w) - 1
-        blocks.append(
-            F.struct(
-                F.lit(i).alias("block_id"),
-                F.shiftrightunsigned(F.col("simhash"), lo)
-                .bitwiseAND(F.lit(mask))
-                .alias("block_val"),
-            )
+        structs.append(
+            f"named_struct('block_id', {i}, 'block_val', "
+            f"shiftrightunsigned(simhash, {lo}) & {mask})"
         )
-    return df.select("*", F.explode(F.array(*blocks)).alias("blk")).select(
-        *df.columns,
-        F.col("blk.block_id").alias("block_id"),
-        F.col("blk.block_val").alias("block_val"),
-    )
+    return df.selectExpr("*", f"inline(array({', '.join(structs)}))")
 
 
 def _simhash_fp_pairs(dfp: DataFrame, max_hamming: int) -> DataFrame:
@@ -3325,41 +3330,14 @@ def _banded_minhash(
 ) -> DataFrame:
     """(doc_id, band_id, band_hash) rows from a shingle index — the
     banded-LSH key material, factored out so batch and corpus sides of
-    the incremental path hash with IDENTICAL permutations."""
-    rows_per_band = num_perm // num_bands
-    h32 = F.xxhash64("shingle").bitwiseAND(F.lit((1 << 32) - 1))
-    params = minhash_permutation_params(num_perm, seed)
+    the incremental path hash with IDENTICAL permutations. Parsed-SQL
+    construction (round 16) — see _minhash_sig_exprs."""
     sigs = (
-        sh.select("doc_id", h32.alias("h"))
+        sh.selectExpr("doc_id", _H32_FROM_STRING)
         .groupBy("doc_id")
-        .agg(
-            *[
-                F.min(
-                    (F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_PRIME)
-                ).alias(f"s{i}")
-                for i, (a, b) in enumerate(params)
-            ]
-        )
+        .agg(*_minhash_sig_exprs(num_perm, seed))
     )
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_id"),
-                F.xxhash64(
-                    *[
-                        F.col(f"s{b * rows_per_band + r}")
-                        for r in range(rows_per_band)
-                    ]
-                ).alias("band_hash"),
-            )
-            for b in range(num_bands)
-        ]
-    )
-    return sigs.select("doc_id", F.explode(bands).alias("band")).select(
-        "doc_id",
-        F.col("band.band_id").alias("band_id"),
-        F.col("band.band_hash").alias("band_hash"),
-    )
+    return _minhash_banded(sigs, num_perm, num_bands)
 
 
 def minhash_incremental(
