@@ -57,6 +57,13 @@ BENCH_QUERIES = [
     "tpch_q1_pricing",
     "events_hourly_rollup",
     "top_customers_by_region",
+    # Round 16 ADDITION (r15 verdict item 5, additions-only — the 14
+    # lanes above keep their cross-round comparability): serving-tier
+    # batch ANN over the warm shared index; at sf0.1 proportions the
+    # auto router sends this through the cogroup BLAS top-k, so the
+    # serving path a real deployment runs 24/7 finally has a bench
+    # guard. First recorded median is this round's.
+    "ann_serve_batch",
 ]
 
 

@@ -285,16 +285,25 @@ class VectorEngine:
         nprobe: int | None = None,
         target_frac: float | None = None,
         impl: str = "auto",
+        known_queries: int | None = None,
     ) -> DataFrame:
         """``impl`` routes candidate scoring (round 14): ``"auto"``
         picks expr/blas on the measured volume thresholds — see
-        ``IVFIndex.search_batch``."""
+        ``IVFIndex.search_batch``. ``known_queries`` (round 16,
+        forwarding the round-15 router knob through the facade): a
+        caller that knows its batch size skips the router's bounded
+        per-call counting job; routing is identical either way."""
         if self.index is None:
             return knn_ops.knn_batch(
                 self.df, queries, k, id_col=self.id_col, vec_col=self.vec_col
             )
         return self.index.search_batch(
-            queries, k, nprobe=nprobe, target_frac=target_frac, impl=impl
+            queries,
+            k,
+            nprobe=nprobe,
+            target_frac=target_frac,
+            impl=impl,
+            known_queries=known_queries,
         )
 
     def search_filtered(

@@ -1116,6 +1116,51 @@ def ann_search(spark, sf_dir):
     )
 
 
+_SERVE_QUERIES = 1024
+
+_ANN_SERVE_ORACLE = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+           WHERE vec_id < {_SERVE_QUERIES}),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         round({_sql_l2sq('e.embedding', 'q.qe')}, 4) AS dist
+  FROM embeddings e CROSS JOIN q
+),
+ranked AS (
+  SELECT query_id, vec_id, dist,
+         row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS r
+  FROM scored
+)
+SELECT query_id, vec_id, dist FROM ranked WHERE r <= {KNN_K}
+"""
+
+
+@register("ann_serve_batch", _ANN_SERVE_ORACLE)
+def ann_serve_batch(spark, sf_dir):
+    """SERVING-TIER batch probe (round 16, r15 verdict item 5): the
+    first {_SERVE_QUERIES} stored vectors as one query batch, full
+    probe (nprobe = all cells) over the shared IVF index, impl='auto'.
+    Full probe makes IVF exact, so the lane hash-checks against plain
+    exact-knn SQL while the ROUTE follows the measured volume
+    thresholds: at sf0.1 proportions (1024 queries x 2000 rows x 64-d,
+    16 cells) auto routes BLAS — the ``_cogroup_blas_topk`` matmul tier
+    the r13 campaign built for the 10k x 5M regime — so a regression
+    in the cogroup serving path now moves a bench lane (previously no
+    bench guard covered it); at the driver's sf0.01 correctness scale
+    (500 queries x 500 rows) the same router picks expr, hash-checked
+    against the same oracle. known_queries: the draw is vec_id <
+    {_SERVE_QUERIES}, bounded by the memoized corpus count — no
+    routing job."""
+    idx = _ivf_index(spark, sf_dir)
+    n_q = min(_SERVE_QUERIES, _emb_count(spark, sf_dir))
+    return idx.search_batch(
+        _query_vec_df(spark, sf_dir, _SERVE_QUERIES),
+        KNN_K,
+        nprobe=idx.num_cells,
+        known_queries=n_q,
+    )
+
+
 _HIER_CACHE: dict[str, object] = {}
 
 
@@ -1792,6 +1837,9 @@ def ann_pq_batch_q(spark, sf_dir):
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("query_embedding"),
     )
+    # (Round 16 audit of remaining counting-job callers: the ADC batch
+    # path is fully declarative — no impl router, no per-call counting
+    # job — so there is no known_queries to thread here.)
     return pq.search_batch(
         queries,
         KNN_K,
@@ -5104,6 +5152,13 @@ def ann_autoroute_verdict_q(spark, sf_dir):
 
     idx = _ivf_index(spark, sf_dir)
     q = _query_vec_df(spark, sf_dir, 8)
+    # n_queries/known_queries everywhere (round 16, verdict item 6):
+    # every batch size in this verdict is a literal the harness wrote,
+    # so the router's bounded counting job — which re-executes the
+    # query-side lineage per call, and at plan-audit time made this
+    # lane's construction the registry's slowest — is pure overhead.
+    # All four contract booleans compare exactly as before: the count
+    # is only an input to the threshold compare.
     small_routes_expr = (
         _route_batch_impl(
             "auto",
@@ -5112,27 +5167,32 @@ def ann_autoroute_verdict_q(spark, sf_dir):
             n_rows=idx._corpus_rows(),
             num_cells=idx.num_cells,
             dim=idx._full_dim(),
+            n_queries=8,
         )
         == "expr"
     )
     top = dict(nprobe=32, n_rows=5_000_000, num_cells=3356, dim=384)
     big = spark.range(100).withColumnRenamed("id", "query_id")
-    topdecade_routes_blas = _route_batch_impl("auto", big, **top) == "blas"
+    topdecade_routes_blas = (
+        _route_batch_impl("auto", big, n_queries=100, **top) == "blas"
+    )
     cut = MAX_PROBED_BROADCAST_BYTES // (32 * (8 * 384 + 24))
     over = spark.range(cut + 10).withColumnRenamed("id", "query_id")
     try:
         _route_batch_impl(
-            "expr", over, nprobe=32, n_rows=1, num_cells=3356, dim=384
+            "expr", over, nprobe=32, n_rows=1, num_cells=3356, dim=384,
+            n_queries=cut + 10,
         )
         ceiling_guard_raises = False
     except ValueError as exc:
         ceiling_guard_raises = "blas" in str(exc)
     rows_auto = [
-        tuple(r) for r in idx.search_batch(q, KNN_K, nprobe=4).collect()
+        tuple(r)
+        for r in idx.search_batch(q, KNN_K, nprobe=4, known_queries=8).collect()
     ]
     auto_equals_both_impls = all(
         [tuple(r) for r in idx.search_batch(
-            q, KNN_K, nprobe=4, impl=impl
+            q, KNN_K, nprobe=4, impl=impl, known_queries=8
         ).collect()] == rows_auto
         for impl in ("expr", "blas")
     )
