@@ -2613,8 +2613,11 @@ class IVFPQIndex:
             # the saved code_centroids table). Benign in every current
             # path — empty cells have no codes, so no ADC table or
             # residual is ever evaluated against these rows; a future
-            # re-encode that DID would now surface as NaN distances
-            # instead of quietly encoding against an arbitrary origin.
+            # re-encode that DID gather a NaN row now fails loudly
+            # inside encode() (round 16, advisor: argmin over an
+            # all-NaN distance row would otherwise silently emit code
+            # 0 and the corruption would only surface later as NaN ADC
+            # scores at search time).
             code_cent = np.full(
                 (centroids.shape[0], int(ivf.proj.shape[0])),
                 np.nan,
@@ -2700,7 +2703,25 @@ class IVFPQIndex:
             bnorms = [(books[j] ** 2).sum(axis=1) for j in range(m_)]
             for pdf in it:
                 xb = np.vstack(pdf[code_col].apply(np.asarray, dtype=np.float64))
-                rb = xb - cent[pdf["cell_id"].to_numpy()]
+                gathered = cent[pdf["cell_id"].to_numpy()]
+                # A NaN row here is the sentinel for an unpopulated
+                # cell (see the NaN-fill above): encoding against it
+                # would silently emit code 0. Fail loudly instead.
+                if not np.isfinite(gathered).all():
+                    bad = sorted(
+                        set(
+                            pdf["cell_id"].to_numpy()[
+                                ~np.isfinite(gathered).all(axis=1)
+                            ].tolist()
+                        )
+                    )
+                    raise ValueError(
+                        f"encode() gathered NaN code-centroid rows for "
+                        f"cells {bad[:8]} — these cells were empty at "
+                        "build time and have no valid mean; rebuild the "
+                        "index (or re-assign) before encoding into them."
+                    )
+                rb = xb - gathered
                 codes = np.empty((len(rb), m_), dtype=np.uint8)
                 for j in range(m_):
                     sub = rb[:, j * dsub_ : (j + 1) * dsub_]

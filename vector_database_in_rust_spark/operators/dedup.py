@@ -183,24 +183,59 @@ def _minhash_retained_index(
     the 5M+ top decade the two-pass shape stands — the campaign's
     binding constraint there was scratch DISK (five ENOSPCs), and an
     extra corpus-sized MEMORY_AND_DISK cache on top of the retained
-    one is exactly the wrong trade; n_docs=None (derived plans are
-    never executed just to route) also keeps the two-pass shape.
+    one is exactly the wrong trade. n_docs=None (derived plans are
+    never executed just to route) takes a CACHE-FREE single-pass cut
+    instead (round 16): a count window over the shingle partitioning —
+    one tokenize, one upstream execution, no persist; see the inline
+    comment at the cut.
     """
     sh = _shingle_index(docs, id_col, text_col, n)
     caches: list[DataFrame] = []
     if max_shingle_freq is not None and (
         n_docs is None or n_docs > max_shingle_freq
     ):
-        if n_docs is not None and n_docs <= SHUFFLE_HASH_SAFE_ROWS:
-            sh = sh.persist()
-            caches.append(sh)
-        hot = (
-            sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("_f"))
-            .filter(F.col("_f") > max_shingle_freq)
-            .select("shingle")
-        )
-        sh = sh.join(hot, "shingle", "left_anti")
+        if n_docs is None:
+            # UNKNOWN size (round 16, verdict item 7 — closing the
+            # two-pass defensive arm): the agg + anti-join cut below
+            # references the index twice, and with nothing safe to
+            # persist (the corpus could be the 5M+ disk-bound decade)
+            # that meant re-running the Python tokenize AND the
+            # caller's DERIVED upstream a second time — the unbounded
+            # recompute is the real hazard; a derived input is often a
+            # join/clean pipeline costlier than the tokenize itself.
+            # A COUNT WINDOW over the shingle partitioning references
+            # the index ONCE: one tokenize, one upstream execution,
+            # zero caches, identical retained rows (same count, same
+            # <= compare; pinned by the window-vs-agg identity test).
+            # Cost shape: one full-index exchange + sort keyed by
+            # shingle (narrow rows, spill-backed) replaces {small agg
+            # shuffle + broadcast anti-join + full second pass}. The
+            # KNOWN arms keep their round-15 shapes: the banded raw
+            # persist for mid-band corpora (cache ~= one narrow corpus
+            # copy) and the two-pass shape at 5M+ where the measured
+            # binding constraint was scratch disk and a corpus-keyed
+            # sort spill is the wrong trade when a cheap count could
+            # route it instead.
+            w_freq = Window.partitionBy("shingle")
+            sh = (
+                sh.withColumn("_f", F.count(F.lit(1)).over(w_freq))
+                .filter(F.col("_f") <= max_shingle_freq)
+                # column order matches the anti-join arm (using-key
+                # first) so the arms stay row-identical, not just
+                # value-identical — pinned by the banding test
+                .select("shingle", "doc_id")
+            )
+        else:
+            if n_docs <= SHUFFLE_HASH_SAFE_ROWS:
+                sh = sh.persist()
+                caches.append(sh)
+            hot = (
+                sh.groupBy("shingle")
+                .agg(F.count(F.lit(1)).alias("_f"))
+                .filter(F.col("_f") > max_shingle_freq)
+                .select("shingle")
+            )
+            sh = sh.join(hot, "shingle", "left_anti")
     if hashed:
         sh = sh.select("doc_id", F.xxhash64("shingle").alias("shingle"))
     # Router discipline (round 12, advisor): the alignment exchange pays
@@ -573,8 +608,13 @@ def ngram_jaccard_pairs(
     )
     result = _score_common_pairs(common, sizes, threshold, corpus_rows=n_docs)
     if release_after:
-        result = result.localCheckpoint(eager=True)
-        sh_cache.unpersist()
+        # try/finally (round 16, advisor): a failure inside the eager
+        # checkpoint must not leak the executor cache in a long-lived
+        # session — release it on every exit path.
+        try:
+            result = result.localCheckpoint(eager=True)
+        finally:
+            sh_cache.unpersist()
     return result
 
 
@@ -614,12 +654,23 @@ def _jaccard_prefix_filtered(
     """
     from pyspark.sql import Window
 
-    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_f"))
+    # Document frequencies via a COUNT WINDOW over the shingle
+    # partitioning (round 16, the same single-reference fix as the
+    # minhash unknown-size cut): the old aggregate + equi-join attached
+    # ``_f`` by referencing the index TWICE — once under the frequency
+    # aggregation and once as the join's probe side — and the Python
+    # tokenize stage is opaque to exchange reuse, so materializing the
+    # persist below ran the tokenize (and any derived upstream) a
+    # second time. The window references the index ONCE: one tokenize,
+    # one exchange keyed by shingle (which the old hinted join paid
+    # anyway at prefix scale), plus a within-partition sort instead of
+    # the frequency aggregation's own shuffle. Identical (doc_id,
+    # shingle, _f) rows and identical retained set — the prefix==full
+    # equality tests and the window-vs-agg identity test pin it.
+    w_freq = Window.partitionBy("shingle")
+    indexed = sh.withColumn("_f", F.count(F.lit(1)).over(w_freq))
     if max_shingle_freq is not None:
-        freq = freq.filter(F.col("_f") <= max_shingle_freq)
-    # corpus-scaled side: three-band join policy (measured traps at
-    # BOTH ends — see _scaled_side / _verify_candidate_pairs)
-    freq = _scaled_side(freq, corpus_rows)
+        indexed = indexed.filter(F.col("_f") <= max_shingle_freq)
     # doc_id-aligned persist (round 11, the minhash fifth-ENOSPC
     # lesson): the rarity windows below re-exchange the FULL index on
     # doc_id anyway, so aligning at persist is a 1:1 swap that also
@@ -627,7 +678,7 @@ def _jaccard_prefix_filtered(
     # sizes aggregate reuse the partitioning instead of exchanging the
     # index twice more. The prefix self-join exchanges only the
     # prefix-filtered subset on shingle.
-    indexed = sh.join(freq, "shingle").repartition("doc_id").persist()
+    indexed = indexed.repartition("doc_id").persist()
 
     w_doc = Window.partitionBy("doc_id").orderBy(F.col("_f").asc(), F.col("shingle"))
     w_cnt = Window.partitionBy("doc_id")
@@ -689,9 +740,12 @@ def _jaccard_prefix_filtered(
         corpus_rows=corpus_rows,
     )
     # Materialize the (small) pair list, then release the index cache —
-    # same cache discipline as minhash_lsh_pairs.
-    result = result.localCheckpoint(eager=True)
-    indexed.unpersist()
+    # same cache discipline as minhash_lsh_pairs; try/finally so a
+    # failed checkpoint cannot leak the cache (round 16, advisor).
+    try:
+        result = result.localCheckpoint(eager=True)
+    finally:
+        indexed.unpersist()
     return result
 
 
@@ -782,12 +836,21 @@ def ngram_clusters(
         "doc_id", F.xxhash64("shingle").alias("shingle")
     )
     n_docs = _router_count(docs, known_count)
-    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_f"))
+    # Frequencies via a COUNT WINDOW over the shingle partitioning
+    # (round 16, same single-reference fix as the prefix route): the
+    # old aggregate + join referenced the UNPERSISTED index twice, so
+    # materializing the persist below ran the Python tokenize (and any
+    # derived upstream) a second time — mapInPandas is opaque to
+    # exchange reuse. One window = one tokenize, one shingle exchange
+    # (the hinted join paid one anyway), identical (doc_id, shingle,
+    # _f) rows; shingles here are already fixed-width xxhash64 longs,
+    # so the window's within-partition sort is a narrow-row sort.
+    w_freq = Window.partitionBy("shingle")
+    indexed = sh.withColumn("_f", F.count(F.lit(1)).over(w_freq))
     if max_shingle_freq is not None:
-        freq = freq.filter(F.col("_f") <= max_shingle_freq)
-    freq = _scaled_side(freq, n_docs)
+        indexed = indexed.filter(F.col("_f") <= max_shingle_freq)
     # doc_id-aligned persist (round 11, the minhash fifth-ENOSPC
-    # lesson applied here): the freq join leaves the index partitioned
+    # lesson applied here): the window leaves the index partitioned
     # by shingle, but every heavy consumer downstream is doc-keyed —
     # the rarest-first budget window (w_doc) would re-exchange the
     # FULL index on doc_id anyway, the per-doc sizes aggregate gets
@@ -798,7 +861,7 @@ def ngram_clusters(
     # lets sizes and the doc_a join side reuse the partitioning; the
     # only shingle-keyed consumer after the budget filter (w_bucket)
     # runs over the ≤ n·R filtered rows, not the full index.
-    indexed = sh.join(freq, "shingle").repartition("doc_id").persist()
+    indexed = indexed.repartition("doc_id").persist()
 
     star_src = indexed
     if max_doc_star_shingles is not None:
@@ -857,12 +920,14 @@ def ngram_clusters(
         )
     )
     w_root = Window.partitionBy("_root")
-    result = member.select(
-        "doc_id",
-        F.min("doc_id").over(w_root).alias("cluster_id"),
-        F.count(F.lit(1)).over(w_root).alias("cluster_size"),
-    ).localCheckpoint(eager=True)
-    indexed.unpersist()
+    try:
+        result = member.select(
+            "doc_id",
+            F.min("doc_id").over(w_root).alias("cluster_id"),
+            F.count(F.lit(1)).over(w_root).alias("cluster_size"),
+        ).localCheckpoint(eager=True)
+    finally:
+        indexed.unpersist()
     return result
 
 
@@ -1214,12 +1279,16 @@ def minhash_lsh_pairs(
     # shingle-index cache — returning a lazy plan over a persisted input
     # would leak executor cache across repeated calls in long-lived
     # sessions. The checkpoint is one extra pass over k rows (pairs, not
-    # corpus) and makes the returned DataFrame self-contained.
-    result = result.localCheckpoint(eager=True)
-    sh.unpersist()
-    banded.unpersist()
-    for c in _pre_caches:
-        c.unpersist()
+    # corpus) and makes the returned DataFrame self-contained;
+    # try/finally so a failed checkpoint cannot leak the caches
+    # (round 16, advisor).
+    try:
+        result = result.localCheckpoint(eager=True)
+    finally:
+        sh.unpersist()
+        banded.unpersist()
+        for c in _pre_caches:
+            c.unpersist()
     return result
 
 
@@ -1392,14 +1461,16 @@ def minhash_clusters(
         )
     )
     w_root = Window.partitionBy("_root")
-    result = member.select(
-        "doc_id",
-        F.min("doc_id").over(w_root).alias("cluster_id"),
-        F.count(F.lit(1)).over(w_root).alias("cluster_size"),
-    ).localCheckpoint(eager=True)
-    sh.unpersist()
-    for c in _pre_caches:
-        c.unpersist()
+    try:
+        result = member.select(
+            "doc_id",
+            F.min("doc_id").over(w_root).alias("cluster_id"),
+            F.count(F.lit(1)).over(w_root).alias("cluster_size"),
+        ).localCheckpoint(eager=True)
+    finally:
+        sh.unpersist()
+        for c in _pre_caches:
+            c.unpersist()
     return result
 
 
@@ -2922,8 +2993,10 @@ def semantic_dedup_verdict(
     # would leak executor cache across repeated verdict calls in
     # long-lived sessions (advisor, round 9; same discipline as
     # minhash_lsh_pairs).
-    result = result.localCheckpoint(eager=True)
-    decisions.unpersist()
+    try:
+        result = result.localCheckpoint(eager=True)
+    finally:
+        decisions.unpersist()
     return result
 
 
@@ -3401,19 +3474,21 @@ def minhash_incremental(
     # minhash_lsh_pairs; counts are metadata-cheap and this operator
     # is already eager)
     total_rows = corpus.count() + batch.count()
-    result = (
-        _verify_candidate_pairs(
-            sh_all, candidates, threshold, corpus_rows=total_rows
+    try:
+        result = (
+            _verify_candidate_pairs(
+                sh_all, candidates, threshold, corpus_rows=total_rows
+            )
+            .select(
+                F.col("doc_a").alias("batch_id"),
+                F.col("doc_b").alias("corpus_id"),
+                "jaccard",
+            )
+            .localCheckpoint(eager=True)
         )
-        .select(
-            F.col("doc_a").alias("batch_id"),
-            F.col("doc_b").alias("corpus_id"),
-            "jaccard",
-        )
-        .localCheckpoint(eager=True)
-    )
-    sh_c.unpersist()
-    sh_b.unpersist()
+    finally:
+        sh_c.unpersist()
+        sh_b.unpersist()
     return result
 
 

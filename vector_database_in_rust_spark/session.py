@@ -21,8 +21,14 @@ def get_spark(
     app_name: str = "vector-db-spark",
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    cpus: int | str | None = None,
 ) -> SparkSession:
-    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    """``cpus`` overrides the ``$SPARK_GRAFT_CPUS`` master core count.
+    bench.py NEVER passes it (the driver contract: the bench must honor
+    the env so the driver's low-core scaling run measures real scaling);
+    the test conftest passes a cap — see tests/conftest.py for the
+    measured rationale."""
+    cpus = str(cpus) if cpus is not None else os.environ.get("SPARK_GRAFT_CPUS", "32")
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)

@@ -53,8 +53,16 @@ def batch_content_stats(
     # Per-row hashes are folded into 32 bits before the sum: a sum of
     # raw 64-bit xxhash values overflows BIGINT within a few rows, and
     # Spark 4's default ANSI mode turns that into a runtime error
-    # (SQLSTATE 22003). 2^32-bounded terms keep the sum exact up to
-    # ~4e9 rows per micro-batch; order-insensitive either way.
+    # (SQLSTATE 22003). With max term < 2^32, the BIGINT sum is exact
+    # up to ~2^31 (~2.1e9) rows per micro-batch (round 16, advisor —
+    # the earlier ~4e9 claim ignored the signed max); order-insensitive
+    # either way. A plain sum is a weak multiset hash — two DIFFERENT
+    # same-id same-count batches colliding on the 64-bit sum would
+    # skip an append — but a random collision is ~2^-42..2^-64 per
+    # retry pair and the marker only ever arbitrates retries of the
+    # same pipeline; strengthening the key would change the marker
+    # path format and open ANOTHER one-time upgrade-duplication
+    # window (see batch_already_appended), a worse trade.
     row = batch.agg(
         F.count(F.lit(1)).alias("n"),
         n_ok_expr.alias("n_ok"),
@@ -103,7 +111,17 @@ def batch_already_appended(
     blew a 32-micro-batch drain past its drain timeout). Pass the
     ``content_key`` from :func:`batch_content_stats` so the probe
     matches the batch's rows rather than a lineage-local id (a reset
-    checkpoint restarts ids; see that function's rationale)."""
+    checkpoint restarts ids; see that function's rationale).
+
+    Upgrade note (round 16, advisor): markers written BEFORE the
+    round-15 content-keyed format are ``batch-N`` with no key, so an
+    in-flight replay straddling that upgrade re-appends its batch once
+    (at-least-once duplicates, the documented failure direction). The
+    probe deliberately does NOT fall back to the legacy id-only path:
+    matching a bare ``batch-N`` from a previous lineage is exactly the
+    silent-skip bug the content key exists to close, and trading a
+    one-time duplication window for a reopened silent-loss window is
+    the wrong direction."""
     fs, p = _marker_fs(spark, store_path, batch_id, content_key)
     return bool(fs.exists(p))
 
