@@ -97,16 +97,19 @@ def _shingle_index(
     import pandas as pd
 
     def gen(it):
+        join = " ".join
         for pdf in it:
             ids: list[int] = []
             shingles: list[str] = []
             for did, text in zip(pdf["doc_id"], pdf["text"]):
                 toks = text.split(" ")
                 if len(toks) >= n:
-                    ss = {
-                        " ".join(toks[i : i + n])
-                        for i in range(len(toks) - n + 1)
-                    }
+                    # zip-form n-gram assembly: one tuple per gram from
+                    # n staggered views instead of a fresh list slice
+                    # per position — measured ~1.5x on the corpus-sized
+                    # inner loop (round 16), identical shingle sets
+                    # (pinned by test_shingle_impls_identical).
+                    ss = set(map(join, zip(*(toks[i:] for i in range(n)))))
                 else:
                     ss = {text}
                 ids.extend([did] * len(ss))
